@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared expression helpers.
+  *
+  * Money/measure arithmetic goes through exact DECIMAL so aggregate results
+  * are order-independent and bit-identical to the DuckDB oracle (SURVEY.md
+  * §7.4 "oracle parity traps"): double sums depend on partition/merge order,
+  * decimal sums do not. Final outputs are cast back to DOUBLE (exact for our
+  * value ranges) so the compared schema is plain floating point in both
+  * engines.
+  */
+object Fns {
+  /** Exact 2-decimal money/measure cast: sums become order-independent. */
+  def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Small-rate cast (discount/tax in [0,1], 2 decimals). */
+  def rate(c: Column): Column = c.cast(DecimalType(4, 2))
+
+  /** Order-independent SUM of a 2-decimal measure, surfaced as double. */
+  def sumMoney(c: Column): Column = sum(dec2(c)).cast("double")
+
+  /** Deterministic AVG: exact decimal sum / count, in double at the end. */
+  def avgMoney(c: Column): Column = sum(dec2(c)).cast("double") / count(lit(1))
+
+  /** lineitem revenue term: extendedprice * (1 - discount), exact decimal. */
+  def revenue(price: Column, discount: Column): Column =
+    dec2(price) * (lit(1) - rate(discount))
+
+  /** Strictly left-to-right dot product over two float-array columns,
+    * unrolled so Spark and the SQL oracle share one summation order →
+    * bit-identical doubles. `dim` is the fixed embedding dimensionality.
+    */
+  def dotUnrolled(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map { i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double")
+    }.reduceLeft(_ + _)
+
+  /** Self dot product (squared L2 norm), same unrolled form. */
+  def norm2Unrolled(a: Column, dim: Int): Column = dotUnrolled(a, a, dim)
+
+  /** SQL mirror of [[dotUnrolled]] for the DuckDB oracle (1-based lists). */
+  def dotUnrolledSql(a: String, b: String, dim: Int): String =
+    (1 to dim)
+      .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
+      .mkString(" + ")
+}

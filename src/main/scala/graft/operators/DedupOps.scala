@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication family for large-scale training-data pipelines
+  * (SURVEY.md §2.11): exact hash dedup, MinHash+LSH banding, SimHash,
+  * and n-gram Jaccard verification.
+  *
+  * Scale notes (100 TB):
+  *  - Exact dedup is a hash groupBy on the content digest — one shuffle
+  *    keyed by md5, map-side partial agg.
+  *  - MinHash candidates come from an LSH *band join* (docs sharing a band
+  *    bucket), never an O(n²) crossJoin: the self-join shuffles on the band
+  *    hash so only same-bucket docs ever meet (SURVEY.md §7.4).
+  *  - SimHash pairs are bounded by joining within `source` partitions; at
+  *    production scale the same join keys on the simhash prefix instead.
+  *  - All hashes are md5-based so the DuckDB oracle computes the identical
+  *    signature; the reference has no dedup (its A1 catalog,
+  *    /root/reference/src/main.cpp:255-321, is the nearest analog: a
+  *    distinct-key scan — `dropDuplicates` generalizes it).
+  */
+object DedupOps {
+
+  private val SEEDS = 0 until 8 // minhash permutations
+  private val SIM_BITS = 32     // simhash width
+
+  /** doc → word-3-gram shingles; docs with <3 words yield no shingles. */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .as("s"))
+  }
+
+  /** MinHash signature: per doc, min(md5(seed || shingle)) per seed. */
+  private def minhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val aggs = SEEDS.map(i => min(md5(concat(lit(s"$i|"), $"s"))).as(s"h$i"))
+    shingles(s, dir).groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH bands: 4 bands × 2 rows, band index baked into the band hash. */
+  private def bands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bandCols = (0 until 4).map(b =>
+      md5(concat(lit(s"b$b|"), col(s"h${2 * b}"), col(s"h${2 * b + 1}"))))
+    minhash(s, dir).select($"doc_id", explode(array(bandCols: _*)).as("b"))
+  }
+
+  /** 32-bit SimHash over word unigrams, bit source = md5 hex nibbles. */
+  private def simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select($"doc_id", $"source", explode(split($"text", " ")).as("word"))
+      .withColumn("h", md5($"word"))
+    def nib(j: Int): Column =
+      conv(substring($"h", j / 4 + 1, 1), 16, 10).cast("int")
+    def bit(j: Int): Column =
+      shiftright(nib(j), 3 - j % 4).bitwiseAND(lit(1))
+    val contribs =
+      (0 until SIM_BITS).map(j => sum(bit(j) * 2 - 1).as(s"c$j"))
+    val agg = words.groupBy($"doc_id", $"source")
+      .agg(contribs.head, contribs.tail: _*)
+    val sim = (0 until SIM_BITS)
+      .map(j => when(col(s"c$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select($"doc_id", $"source", sim.as("simhash"))
+  }
+
+  // ---- DuckDB oracle fragments (identical hash math, 1-based lists) ----
+
+  private val shinglesSql =
+    """sh AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3)""".stripMargin
+
+  private val minhashSql = {
+    val aggs = SEEDS.map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
+    s"mh AS (SELECT doc_id, $aggs FROM sh GROUP BY doc_id)"
+  }
+
+  private val bandsSql = {
+    val rows = (0 until 4).map(b =>
+      s"SELECT doc_id, md5('b$b|' || h${2 * b} || h${2 * b + 1}) AS b FROM mh")
+    s"bands AS (${rows.mkString(" UNION ALL ")})"
+  }
+
+  private val simhashSql = {
+    def nib(j: Int) =
+      s"(strpos('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1)"
+    val contribs = (0 until SIM_BITS)
+      .map(j => s"sum(((${nib(j)} >> ${3 - j % 4}) & 1) * 2 - 1) AS c$j")
+      .mkString(", ")
+    val value = (0 until SIM_BITS)
+      .map(j => s"(CASE WHEN c$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""simagg AS (
+       |  SELECT doc_id, source, $contribs
+       |  FROM (SELECT doc_id, source, md5(w) AS h FROM
+       |        (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+       |         FROM documents))
+       |  GROUP BY doc_id, source),
+       |sh AS (SELECT doc_id, source, $value AS simhash FROM simagg)""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: group by content digest, keep lowest doc_id.
+    "llm_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy(md5($"text").as("h"))
+        .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy($"h")
+    }),
+
+    // Exact dedup, distinct-rows form: survivors per source.
+    "llm_dedup_distinct" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"source", $"text").distinct()
+        .groupBy($"source").agg(count(lit(1)).as("n_unique"))
+        .orderBy($"source")
+    }),
+
+    // MinHash+LSH candidate pairs via band-bucket self-join.
+    "llm_minhash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val b = bands(s, dir)
+      b.as("l").join(b.as("r"),
+          col("l.b") === col("r.b") && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
+        .distinct()
+        .orderBy($"d1", $"d2")
+    }),
+
+    // MinHash signatures themselves (first two hash mins per doc).
+    "llm_minhash_signature" -> ((s, dir) => {
+      import s.implicits._
+      minhash(s, dir).select($"doc_id", $"h0", $"h1").orderBy($"doc_id")
+    }),
+
+    // SimHash value per document.
+    "llm_simhash" -> ((s, dir) => {
+      import s.implicits._
+      simhash(s, dir).select($"doc_id", $"simhash").orderBy($"doc_id")
+    }),
+
+    // SimHash near-dup pairs within a source (hamming ≤ 6 of 32 bits).
+    "llm_simhash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val sh = simhash(s, dir)
+      sh.as("l").join(sh.as("r"),
+          col("l.source") === col("r.source") &&
+          col("l.doc_id") < col("r.doc_id"))
+        .withColumn("hamming",
+          bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("int"))
+        .filter($"hamming" <= 6)
+        .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"), $"hamming")
+        .orderBy($"d1", $"d2")
+    }),
+
+    // n-gram Jaccard similarity for adjacent docs within a source —
+    // the verify step a MinHash candidate pair would go through.
+    "llm_jaccard_adjacent" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+      Tables.documents(s, dir)
+        .select($"doc_id", $"source",
+          array_distinct(split($"text", " ")).as("wset"))
+        .withColumn("d2", lead($"doc_id", 1).over(w))
+        .withColumn("wset2", lead($"wset", 1).over(w))
+        .filter($"d2".isNotNull)
+        .select($"source", $"doc_id".as("d1"), $"d2",
+          size(array_intersect($"wset", $"wset2")).as("n_common"),
+          size(array_distinct(concat($"wset", $"wset2"))).as("n_union"))
+        .withColumn("jaccard",
+          $"n_common".cast("double") / $"n_union")
+        .orderBy($"d1")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+
+    "llm_dedup_distinct" ->
+      """SELECT source, count(*) AS n_unique
+        |FROM (SELECT DISTINCT source, text FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "llm_minhash_pairs" ->
+      s"""WITH $shinglesSql, $minhashSql, $bandsSql
+         |SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+         |FROM bands l JOIN bands r ON l.b = r.b AND l.doc_id < r.doc_id
+         |ORDER BY d1, d2""".stripMargin,
+
+    "llm_minhash_signature" ->
+      s"""WITH $shinglesSql, $minhashSql
+         |SELECT doc_id, h0, h1 FROM mh ORDER BY doc_id""".stripMargin,
+
+    "llm_simhash" ->
+      s"""WITH $simhashSql
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+
+    "llm_simhash_pairs" ->
+      s"""WITH $simhashSql
+         |SELECT l.doc_id AS d1, r.doc_id AS d2,
+         | CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+         |FROM sh l JOIN sh r ON l.source = r.source AND l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.simhash, r.simhash)) <= 6
+         |ORDER BY d1, d2""".stripMargin,
+
+    "llm_jaccard_adjacent" ->
+      """SELECT source, d1, d2, n_common, n_union,
+        | CAST(n_common AS DOUBLE) / n_union AS jaccard
+        |FROM (
+        |  SELECT source, doc_id AS d1,
+        |   lead(doc_id) OVER w AS d2,
+        |   CAST(len(list_intersect(wset, lead(wset) OVER w)) AS INTEGER) AS n_common,
+        |   CAST(len(list_distinct(list_concat(wset, lead(wset) OVER w))) AS INTEGER) AS n_union
+        |  FROM (SELECT doc_id, source,
+        |         list_distinct(string_split(text, ' ')) AS wset FROM documents)
+        |  WINDOW w AS (PARTITION BY source ORDER BY doc_id))
+        |WHERE d2 IS NOT NULL ORDER BY d1""".stripMargin
+  )
+}

@@ -1,0 +1,257 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Fns._
+
+/** Event-log operator family — the reference's actual query surface
+  * re-expressed Spark-first (SURVEY.md §2.1–§2.4, §3).
+  *
+  * The reference scans a Windows ETW trace, catalogs distinct event types
+  * (`/root/reference/src/main.cpp:255-321`), and serves interactive
+  * key-filter + LIMIT queries with multi-key sorting
+  * (`src/main.cpp:377-426`, `1170-1195`). Here the event log is the
+  * `events` parquet table; every query is a declarative DataFrame plan so
+  * Catalyst pushes filters/limits/column pruning into the scan — the
+  * hand-fused early-exit tricks of the reference (`src/main.cpp:380-387`)
+  * are what `CollectLimitExec`/`TakeOrderedAndProjectExec` already do.
+  *
+  * Scale notes (100 TB): every aggregation keys on a high-cardinality or
+  * bounded-cardinality column with map-side partial aggregation; no
+  * driver-side loops; the one dimension join is an explicit broadcast.
+  * Event timestamps are nanosecond INT64 in parquet; Spark reads them as
+  * raw longs (`spark.sql.legacy.parquet.nanosAsLong`) and all oracle-facing
+  * outputs use epoch-millis BIGINT to sidestep µs-vs-ns engine differences.
+  */
+object EventOps {
+
+  /** events with ts exposed as ts_ns (raw nanos), ts_ms, and µs timestamp. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.events(spark, sfDir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts_ms", expr("ts_ns div 1000000"))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  private def k(c: Column): Column = get_json_object(c, "$.k").cast("int")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §3.2 flagship: the reference's interactive instance query — key
+    // equality filter + LIMIT 100 + ordered delivery + props decode.
+    "ev_flagship" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .filter($"event_type" === "error")
+        .orderBy($"ts_ns", $"event_id")
+        .limit(100)
+        .select($"event_id", $"ts_ms", $"user_id", $"value",
+          from_json($"props", lit("k INT")).getField("k").as("k"))
+    }),
+
+    // §2.3 A1: distinct-event-type catalog with counts + time bounds.
+    "ev_catalog" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir).groupBy($"event_type").agg(
+        count(lit(1)).as("n"),
+        countDistinct($"user_id").as("n_users"),
+        min($"ts_ms").as("first_ms"),
+        max($"ts_ms").as("last_ms"),
+        sumMoney($"value").as("sum_value"),
+        avgMoney($"value").as("avg_value"))
+        .orderBy($"event_type")
+    }),
+
+    // §2.4 O1/O2: multi-key, per-key-direction sort with total tie-break.
+    "ev_catalog_sort" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .withColumn("k", k($"props"))
+        .groupBy($"event_type", $"k").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"k".asc, $"event_type".asc)
+    }),
+
+    // §2.2 P1–P3: composite predicates, pushed to the parquet scan.
+    "ev_filter_predicates" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .withColumn("k", k($"props"))
+        .filter(($"event_type" === "purchase" && $"value" > 100.0) ||
+                ($"event_type" === "error" && $"k" > 50))
+        .select($"event_id", $"event_type", $"value", $"k")
+        .orderBy($"event_id")
+    }),
+
+    // §2.2 P5 / §2.5 J1: dictionary decode via broadcast map join with
+    // unmapped-code fallback (reference: TdhGetEventMapInformation lookup +
+    // raw-number fallback, src/main.cpp:697-736, 796-803).
+    "ev_dict_decode" -> ((s, dir) => {
+      import s.implicits._
+      val dict = Tables.nation(s, dir)
+      events(s, dir)
+        .withColumn("code", ($"user_id" % 30).cast("int"))
+        .join(broadcast(dict), $"code" === $"n_nationkey", "left")
+        .select(coalesce($"n_name", concat(lit("code_"), $"code")).as("decoded"))
+        .groupBy($"decoded").agg(count(lit(1)).as("n"))
+        .orderBy($"decoded")
+    }),
+
+    // §2.2 P4/P8/P9: per-column formatting — hex render, timestamp render,
+    // fixed-point render, zero-padded id render (GUID-style).
+    "ev_projection_format" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .orderBy($"event_id").limit(200)
+        .select(
+          $"event_id",
+          lower(hex($"event_id")).as("id_hex"),
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+          dec2($"value").cast("string").as("value_str"),
+          lpad(lower(hex($"user_id")), 16, "0").as("user_hex16"))
+    }),
+
+    // §2.5 J2: selection semi-join — event types picked by a catalog
+    // predicate drive the instance query (reference master-detail click,
+    // src/main.cpp:1205-1211). Integer-only threshold → deterministic.
+    "ev_semi_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+      val hot = ev.groupBy($"event_type").agg(count(lit(1)).as("cnt"))
+        .crossJoin(ev.agg(count(lit(1)).as("tot")))
+        .filter($"cnt" * 5 >= $"tot")
+        .select($"event_type")
+      ev.join(hot, Seq("event_type"), "left_semi")
+        .groupBy($"user_id").agg(count(lit(1)).as("n_hot"))
+        .orderBy($"user_id")
+    }),
+
+    // §2.4 top-k: order-by + limit fused (TakeOrderedAndProjectExec).
+    "ev_topk" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .orderBy($"value".desc, $"event_id")
+        .limit(10)
+        .select($"event_id", $"event_type", $"value")
+    }),
+
+    // §2.3 A2: per-type schema inference from the props payload
+    // (reference infers each type's column list from its first instance,
+    // src/main.cpp:302-317; here: observed JSON key set per type).
+    "ev_schema_infer" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .select($"event_type", explode(json_object_keys($"props")).as("key"))
+        .groupBy($"event_type")
+        .agg(array_join(array_sort(collect_set($"key")), ",").as("prop_keys"))
+        .orderBy($"event_type")
+    }),
+
+    // §2.6 window functions over event time: sessionize per user with a
+    // 30-minute gap rule (lag over partitioned, ordered event time).
+    "ev_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+      events(s, dir)
+        .withColumn("prev_ns", lag($"ts_ns", 1).over(w))
+        .withColumn("new_sess",
+          when($"prev_ns".isNull ||
+               ($"ts_ns" - $"prev_ns") > 1800000000000L, 1).otherwise(0))
+        .groupBy($"user_id")
+        .agg(sum($"new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    }),
+
+    // §2.9 streaming-shaped: tumbling 1-hour event-time window aggregation
+    // (batch form; the streaming twin lives in graft.streaming and is
+    // exercised by ScalaTest — DuckDB can't oracle a stream).
+    "ev_tumbling_1h" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), sumMoney($"value").as("sum_value"))
+        .select(unix_millis($"w.start").as("hour_ms"), $"event_type", $"n",
+          $"sum_value")
+        .orderBy($"hour_ms", $"event_type")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ev_flagship" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, value,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events WHERE event_type = 'error'
+        |ORDER BY ts, event_id LIMIT 100""".stripMargin,
+
+    "ev_catalog" ->
+      """SELECT event_type, count(*) AS n,
+        | count(DISTINCT user_id) AS n_users,
+        | min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ev_catalog_sort" ->
+      """SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        | count(*) AS n
+        |FROM events GROUP BY 1, 2
+        |ORDER BY n DESC, k ASC, event_type ASC""".stripMargin,
+
+    "ev_filter_predicates" ->
+      """SELECT event_id, event_type, value,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events
+        |WHERE (event_type = 'purchase' AND value > 100.0)
+        |   OR (event_type = 'error' AND CAST(json_extract_string(props, '$.k') AS INTEGER) > 50)
+        |ORDER BY event_id""".stripMargin,
+
+    "ev_dict_decode" ->
+      """SELECT coalesce(n_name, 'code_' || CAST(CAST(user_id % 30 AS INTEGER) AS VARCHAR)) AS decoded,
+        | count(*) AS n
+        |FROM events LEFT JOIN nation ON CAST(user_id % 30 AS INTEGER) = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ev_projection_format" ->
+      """SELECT event_id, printf('%x', event_id) AS id_hex,
+        | strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_str,
+        | CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS value_str,
+        | lpad(printf('%x', user_id), 16, '0') AS user_hex16
+        |FROM events ORDER BY event_id LIMIT 200""".stripMargin,
+
+    "ev_semi_join" ->
+      """SELECT user_id, count(*) AS n_hot FROM events
+        |WHERE event_type IN (
+        |  SELECT event_type FROM events GROUP BY 1
+        |  HAVING count(*) * 5 >= (SELECT count(*) FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ev_topk" ->
+      """SELECT event_id, event_type, value FROM events
+        |ORDER BY value DESC, event_id LIMIT 10""".stripMargin,
+
+    "ev_schema_infer" ->
+      """SELECT event_type, string_agg(DISTINCT key, ',' ORDER BY key) AS prop_keys
+        |FROM (SELECT event_type, unnest(json_keys(props)) AS key FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ev_sessionize" ->
+      """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+        | count(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |   CASE WHEN prev_ns IS NULL OR epoch_ns(ts) - prev_ns > 1800000000000
+        |        THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT user_id, ts,
+        |         lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ns
+        |        FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ev_tumbling_1h" ->
+      """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS hour_ms,
+        | event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing (SURVEY.md §2.11): media payloads are opaque
+  * BINARY columns with typed metadata; decode / feature-extract / frame-
+  * sample run as distributed per-partition transforms over the binary
+  * payloads.
+  *
+  * The image/audio codec libraries are not in this container, so the
+  * *decode* step is a clearly-marked deterministic STUB
+  * ([[StubImageDecoder]]); everything Spark-side — the binary column,
+  * schema, partition-iterator batch shape, and downstream aggregation — is
+  * real and oracle-checked. Payloads here are the UTF-8 bytes of
+  * `documents.text`, standing in for image/audio blobs.
+  *
+  * Scale notes (100 TB): all three ops are map-side per-row/per-partition
+  * work followed by a keyed aggregation — no shuffle of the binary payloads
+  * beyond the initial scan, which is how a real media pipeline must behave
+  * (never shuffle the blobs; extract features first).
+  */
+object MultimodalOps {
+
+  /** STUB decoder — deterministic fake standing in for a real image codec.
+    * Real implementation would decode the payload with an imaging library;
+    * the container has none, so features derive from the raw bytes. The
+    * signature (bytes in, fixed-schema features out, called once per row
+    * inside a partition iterator) is the real contract.
+    */
+  object StubImageDecoder {
+    final case class ImageMeta(doc_id: Long, width: Int, height: Int,
+        brightness: Double)
+
+    def decode(docId: Long, payload: Array[Byte]): ImageMeta = {
+      val b0 = if (payload.length > 0) payload(0) & 0xff else 0
+      val b1 = if (payload.length > 1) payload(1) & 0xff else 0
+      val n = math.min(32, payload.length)
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum += (payload(i) & 0xff); i += 1 }
+      ImageMeta(docId,
+        width = 64 * (1 + b0 % 16),
+        height = 64 * (1 + b1 % 16),
+        brightness = sum.toDouble / n)
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary column + typed metadata: payload size, lead byte, chunk count.
+    "mm_binary_meta" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          encode($"text", "utf-8").as("payload"),
+          $"text")
+        .select($"doc_id",
+          octet_length($"payload").as("n_bytes"),
+          ascii(substring($"text", 1, 1)).as("first_byte"),
+          expr("cast(ceil(octet_length(payload) / 1024.0) as int)")
+            .as("n_chunks"))
+        .orderBy($"doc_id")
+    }),
+
+    // Feature extraction via the stubbed decoder, run as a partition-wise
+    // typed transform (the mapInPandas/batch-UDF analog in Scala Spark).
+    "mm_image_features" -> ((s, dir) => {
+      import s.implicits._
+      import StubImageDecoder._
+      Tables.documents(s, dir)
+        .select($"doc_id", encode($"text", "utf-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, payload) => decode(id, payload) })
+        .toDF()
+        .orderBy($"doc_id")
+    }),
+
+    // Frame sampling: slice payload into 256-byte frames, keep every 4th,
+    // aggregate sampled sizes — pos/explode over computed binary slices.
+    "mm_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", encode($"text", "utf-8").as("payload"))
+        .withColumn("n_frames",
+          expr("cast(ceil(octet_length(payload) / 256.0) as int)"))
+        .select($"doc_id", $"n_frames", posexplode(expr(
+          "transform(sequence(0, n_frames - 1), i -> substring(payload, i*256 + 1, 256))"))
+          .as(Seq("pos", "frame")))
+        .filter($"pos" % 4 === 0)
+        .groupBy($"doc_id", $"n_frames")
+        .agg(count(lit(1)).cast("int").as("n_sampled"),
+          sum(octet_length($"frame")).as("sampled_bytes"))
+        .select($"doc_id", $"n_frames", $"n_sampled", $"sampled_bytes")
+        .orderBy($"doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        | CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+        | CAST((octet_length(encode(text)) + 1023) // 1024 AS INTEGER) AS n_chunks
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirrors StubImageDecoder byte math via ascii() (payload is UTF-8 of
+    // ASCII text, so byte i == codepoint of char i).
+    "mm_image_features" ->
+      """SELECT doc_id,
+        | CAST(64 * (1 + ascii(substr(text, 1, 1)) % 16) AS INTEGER) AS width,
+        | CAST(64 * (1 + ascii(substr(text, 2, 1)) % 16) AS INTEGER) AS height,
+        | CAST(list_sum(list_transform(range(1, least(length(text), 32) + 1),
+        |        i -> ascii(substr(text, i, 1)))) AS DOUBLE)
+        |   / least(length(text), 32) AS brightness
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """SELECT doc_id,
+        | CAST(nf AS INTEGER) AS n_frames,
+        | CAST((nf + 3) // 4 AS INTEGER) AS n_sampled,
+        | CAST(list_sum(list_transform(
+        |        list_filter(range(0, nf), i -> i % 4 = 0),
+        |        i -> least(256, n_bytes - i*256))) AS BIGINT) AS sampled_bytes
+        |FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |       (octet_length(encode(text)) + 255) // 256 AS nf
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,460 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Fns._
+
+/** Relational layer — the completion of the reference's vendored-but-unwired
+  * SQLite design (SURVEY.md §0, §2.5–§2.8): star-schema joins, numeric
+  * aggregation, grouping sets, window functions, set operations, subqueries,
+  * and the scalar-function surface, all on the TPC-H-ish corpus.
+  *
+  * Scale notes (100 TB):
+  *  - Dimension joins (region/nation/part/supplier/customer) are explicit
+  *    `broadcast()` — no shuffle of the fact table for small sides.
+  *  - Fact-fact joins (lineitem ⋈ orders) shuffle on the join key once and
+  *    let AQE pick sort-merge vs shuffled-hash at runtime.
+  *  - All aggregations are partial+final (map-side combine) by construction;
+  *    money math is exact DECIMAL so merge order never changes results.
+  *  - Windows partition by bounded keys (custkey), never a global ORDER BY
+  *    without partitioning.
+  */
+object RelationalOps {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: full-scan aggregate, partial+final.
+    "rel_q1_pricing" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" <= to_timestamp(lit("1999-06-30 00:00:00")))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum(dec2($"l_quantity")).cast("double").as("sum_qty"),
+          sumMoney($"l_extendedprice").as("sum_base_price"),
+          sum(revenue($"l_extendedprice", $"l_discount")).cast("double")
+            .as("sum_disc_price"),
+          sum(revenue($"l_extendedprice", $"l_discount") *
+              (lit(1) + rate($"l_tax"))).cast("double").as("sum_charge"),
+          (sum(dec2($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+          avgMoney($"l_extendedprice").as("avg_price"),
+          (sum(rate($"l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // TPC-H Q3-style: fact-fact join + broadcast dim filter + top-k revenue.
+    "rel_q3_shipping" -> ((s, dir) => {
+      import s.implicits._
+      val cust = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+      val ord = Tables.orders(s, dir)
+        .filter($"o_orderdate" < to_timestamp(lit("1998-01-01 00:00:00")))
+      val li = Tables.lineitem(s, dir)
+        .filter($"l_shipdate" > to_timestamp(lit("1998-01-01 00:00:00")))
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"),
+          $"o_orderpriority")
+        .agg(sum(revenue($"l_extendedprice", $"l_discount")).cast("double")
+          .as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    }),
+
+    // TPC-H Q5-style: 6-way snowflake join, revenue per nation in a region.
+    "rel_q5_region_volume" -> ((s, dir) => {
+      import s.implicits._
+      val region = Tables.region(s, dir).filter($"r_name" === "ASIA")
+      val nation = Tables.nation(s, dir)
+      val cust = Tables.customer(s, dir)
+      val supp = Tables.supplier(s, dir)
+      val ord = Tables.orders(s, dir)
+        .filter($"o_orderdate" >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+                $"o_orderdate" < to_timestamp(lit("1999-01-01 00:00:00")))
+      Tables.lineitem(s, dir)
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey" &&
+          $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(sum(revenue($"l_extendedprice", $"l_discount")).cast("double")
+          .as("revenue"))
+        .orderBy($"revenue".desc, $"n_name")
+    }),
+
+    // Broadcast hash join: fact ⋈ small dim, aggregated by brand.
+    "rel_join_broadcast" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          sum(revenue($"l_extendedprice", $"l_discount")).cast("double")
+            .as("revenue"))
+        .orderBy($"p_brand")
+    }),
+
+    // Left-semi join: customers having at least one finished order.
+    "rel_join_semi" -> ((s, dir) => {
+      import s.implicits._
+      val finished = Tables.orders(s, dir)
+        .filter($"o_orderstatus" === "F").select($"o_custkey")
+      Tables.customer(s, dir)
+        .join(finished, $"c_custkey" === $"o_custkey", "left_semi")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_customers"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // Left-anti join: customers with no orders at all.
+    "rel_join_anti" -> ((s, dir) => {
+      import s.implicits._
+      val ord = Tables.orders(s, dir).select($"o_custkey")
+      Tables.customer(s, dir)
+        .join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_customers"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // Ranking window: top-3 orders per customer by totalprice.
+    "rel_window_rank" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_custkey", $"rn")
+    }),
+
+    // Running-frame window: cumulative count + exact cumulative sum.
+    "rel_window_running" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .withColumn("run_cnt", count(lit(1)).over(w))
+        .withColumn("run_total", sum(dec2($"o_totalprice")).over(w)
+          .cast("double"))
+        .select($"o_custkey", $"o_orderkey", $"run_cnt", $"run_total")
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // lag() window: gap in ms since the customer's previous order.
+    "rel_window_lag" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(s, dir)
+        .withColumn("prev_ms",
+          lag(unix_millis($"o_orderdate".cast("timestamp")), 1).over(w))
+        .select($"o_custkey", $"o_orderkey",
+          (unix_millis($"o_orderdate".cast("timestamp")) - $"prev_ms")
+            .as("gap_ms"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // ROLLUP over region → nation customer account balances.
+    "rel_rollup" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, dir)),
+          $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n"), sumMoney($"c_acctbal").as("sum_bal"),
+          grouping($"r_name").cast("int").as("g_region"),
+          grouping($"n_name").cast("int").as("g_nation"))
+        .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+    }),
+
+    // CUBE over lineitem flag/status.
+    "rel_cube" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(dec2($"l_quantity")).cast("double")
+          .as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+
+    // Set op: UNION (distinct) of two customer-key selections.
+    "rel_set_union" -> ((s, dir) => {
+      import s.implicits._
+      val a = Tables.customer(s, dir)
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val b = Tables.orders(s, dir)
+        .filter($"o_totalprice" > 300000.0)
+        .select($"o_custkey".as("c_custkey"))
+      a.union(b).distinct().orderBy($"c_custkey")
+    }),
+
+    // Set op: INTERSECT.
+    "rel_set_intersect" -> ((s, dir) => {
+      import s.implicits._
+      val a = Tables.customer(s, dir)
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val b = Tables.orders(s, dir)
+        .filter($"o_totalprice" > 300000.0)
+        .select($"o_custkey".as("c_custkey"))
+      a.intersect(b).orderBy($"c_custkey")
+    }),
+
+    // Set op: EXCEPT.
+    "rel_set_except" -> ((s, dir) => {
+      import s.implicits._
+      val a = Tables.customer(s, dir)
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val b = Tables.orders(s, dir)
+        .filter($"o_totalprice" > 300000.0)
+        .select($"o_custkey".as("c_custkey"))
+      a.except(b).orderBy($"c_custkey")
+    }),
+
+    // Exact distinct counting per group (expand-based in Spark).
+    "rel_distinct_count" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .groupBy($"c_mktsegment")
+        .agg(countDistinct($"c_nationkey").as("n_nations"),
+          count(lit(1)).as("n_customers"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // GROUP BY + HAVING: nations with more than 30 customers.
+    "rel_having" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name").agg(count(lit(1)).as("n"))
+        .filter($"n" > 30)
+        .orderBy($"n_name")
+    }),
+
+    // Scalar subquery: parts priced above the global average
+    // (average via exact decimal sum / count → deterministic threshold).
+    "rel_scalar_subquery" -> ((s, dir) => {
+      import s.implicits._
+      val part = Tables.part(s, dir)
+      val avgDf = part.agg(
+        (sum(dec2($"p_retailprice")).cast("double") / count(lit(1)))
+          .as("avg_price"))
+      part.crossJoin(avgDf)
+        .filter($"p_retailprice" > $"avg_price")
+        .groupBy($"p_brand").agg(count(lit(1)).as("n_above"))
+        .orderBy($"p_brand")
+    }),
+
+    // Scalar-function surface parity: string / date / math built-ins.
+    "rel_scalar_funcs" -> ((s, dir) => {
+      import s.implicits._
+      Tables.part(s, dir)
+        .orderBy($"p_partkey").limit(100)
+        .select(
+          $"p_partkey",
+          upper($"p_name").as("name_upper"),
+          lower($"p_brand").as("brand_lower"),
+          substring($"p_type", 1, 3).as("type_pre"),
+          length($"p_name").as("name_len"),
+          concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
+          ($"p_size" % 7).as("size_mod"),
+          abs($"p_size" - 25).as("size_dist"),
+          floor(dec2($"p_retailprice")).cast("long").as("price_floor"),
+          ceil(dec2($"p_retailprice")).cast("long").as("price_ceil"),
+          regexp_replace($"p_name", "[aeiou]", "_").as("name_mask"))
+    }),
+
+    // Conditional aggregation (CASE WHEN inside agg) by order year.
+    "rel_case_when" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy(year($"o_orderdate").as("order_year"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when($"o_orderstatus" === "F", 1).otherwise(0)).as("n_f"),
+          sum(when($"o_orderpriority" === "1-URGENT", dec2($"o_totalprice"))
+            .otherwise(dec2(lit(0)))).cast("double").as("urgent_total"))
+        .orderBy($"order_year")
+    }),
+
+    // Multi-key per-direction ORDER BY with deterministic tie-break.
+    "rel_orderby_multi" -> ((s, dir) => {
+      import s.implicits._
+      Tables.supplier(s, dir)
+        .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
+        .orderBy($"s_nationkey".asc, $"s_acctbal".desc, $"s_suppkey".asc)
+        .limit(50)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "rel_q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+        | CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1999-06-30 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "rel_q3_shipping" ->
+      """SELECT l_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "rel_q5_region_volume" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "rel_join_broadcast" ->
+      """SELECT p_brand, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "rel_join_semi" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "rel_join_anti" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "rel_window_rank" ->
+      """SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |   row_number() OVER (PARTITION BY o_custkey
+        |                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "rel_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | count(*) OVER w AS run_cnt,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS run_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "rel_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        | epoch_ms(o_orderdate) - lag(epoch_ms(o_orderdate))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS gap_ms
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "rel_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
+        | CAST(grouping(r_name) AS INTEGER) AS g_region,
+        | CAST(grouping(n_name) AS INTEGER) AS g_nation
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "rel_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "rel_set_union" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000.0
+        |ORDER BY c_custkey""".stripMargin,
+
+    "rel_set_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000.0
+        |ORDER BY c_custkey""".stripMargin,
+
+    "rel_set_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000.0
+        |ORDER BY c_custkey""".stripMargin,
+
+    "rel_distinct_count" ->
+      """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+        | count(*) AS n_customers
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "rel_having" ->
+      """SELECT n_name, count(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name HAVING count(*) > 30 ORDER BY n_name""".stripMargin,
+
+    "rel_scalar_subquery" ->
+      """SELECT p_brand, count(*) AS n_above FROM part
+        |WHERE p_retailprice > (
+        |  SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+        |  FROM part)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "rel_scalar_funcs" ->
+      """SELECT p_partkey,
+        | upper(p_name) AS name_upper,
+        | lower(p_brand) AS brand_lower,
+        | substr(p_type, 1, 3) AS type_pre,
+        | CAST(length(p_name) AS INTEGER) AS name_len,
+        | concat_ws('|', p_brand, p_type) AS brand_type,
+        | p_size % 7 AS size_mod,
+        | abs(p_size - 25) AS size_dist,
+        | CAST(floor(CAST(p_retailprice AS DECIMAL(12,2))) AS BIGINT) AS price_floor,
+        | CAST(ceil(CAST(p_retailprice AS DECIMAL(12,2))) AS BIGINT) AS price_ceil,
+        | regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_mask
+        |FROM part ORDER BY p_partkey LIMIT 100""".stripMargin,
+
+    "rel_case_when" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, count(*) AS n,
+        | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        | CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |               THEN CAST(o_totalprice AS DECIMAL(12,2))
+        |               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS urgent_total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "rel_orderby_multi" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+        |ORDER BY s_nationkey ASC, s_acctbal DESC, s_suppkey ASC
+        |LIMIT 50""".stripMargin
+  )
+}

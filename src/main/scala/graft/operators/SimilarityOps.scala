@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Fns._
+
+/** Similarity search over embedding columns (SURVEY.md §2.11):
+  * brute-force cosine top-k as the correctness baseline, and a
+  * sign-LSH-bucketed variant as the scale path.
+  *
+  * Scale notes (100 TB):
+  *  - The brute-force path broadcasts the (small) query set against the
+  *    candidate table — a map-only broadcast nested loop, no shuffle of
+  *    the big side; top-k per query is a Window + row_number ≤ k, which
+  *    Spark executes as a partial top-k per partition.
+  *  - The LSH path buckets both sides by an 8-bit sign signature first, so
+  *    the join only meets ~1/256 of candidates per query — this is the
+  *    pattern that survives a 1000× scale-up (bucket count scales with
+  *    data; add hyperplanes, not partitions).
+  *  - Cosine math is an unrolled, strictly left-associated double chain
+  *    ([[graft.functions.Fns.dotUnrolled]]) so the DuckDB oracle computes
+  *    bit-identical values.
+  */
+object SimilarityOps {
+
+  private val DIM = 64
+  private val NQ = 5   // query vectors: vec_id < NQ
+  private val LSH_BITS = 8
+
+  private def cosine(a: Column, b: Column): Column =
+    dotUnrolled(a, b, DIM) /
+      (sqrt(norm2Unrolled(a, DIM)) * sqrt(norm2Unrolled(b, DIM)))
+
+  private def cosineSql(a: String, b: String): String =
+    s"(${dotUnrolledSql(a, b, DIM)}) / " +
+      s"(sqrt(${dotUnrolledSql(a, a, DIM)}) * sqrt(${dotUnrolledSql(b, b, DIM)}))"
+
+  /** 8-bit sign-LSH bucket: bit i set iff embedding[i] >= 0.
+    * Axis-aligned random-hyperplane LSH — deterministic and
+    * oracle-mirrorable (no RNG in either engine).
+    */
+  private def bucketCol(e: Column): Column =
+    (1 to LSH_BITS).map { i =>
+      when(element_at(e, i) >= 0f, lit(1 << (i - 1))).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def bucketSql(e: String): String =
+    (1 to LSH_BITS).map { i =>
+      s"(CASE WHEN $e[$i] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-10 per query vector (the exact baseline).
+    "llm_embed_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter($"vec_id" < NQ)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
+      emb.join(broadcast(q), $"vec_id" =!= $"qid")
+        .withColumn("cosine", cosine($"qv", $"embedding"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 10)
+        .select($"qid", $"rn", $"vec_id", $"cosine")
+        .orderBy($"qid", $"rn")
+    }),
+
+    // LSH bucket histogram — the partitioning the scale path relies on.
+    "llm_embed_lsh_hist" -> ((s, dir) => {
+      import s.implicits._
+      Tables.embeddings(s, dir)
+        .select(bucketCol($"embedding").as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("n"))
+        .orderBy($"bucket")
+    }),
+
+    // Bucketed ANN: top-3 same-bucket neighbors per query vector.
+    "llm_embed_lsh_knn" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("bucket", bucketCol($"embedding"))
+      val q = emb.filter($"vec_id" < NQ)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"),
+          $"bucket".as("qbucket"))
+      val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
+      emb.join(broadcast(q),
+          $"bucket" === $"qbucket" && $"vec_id" =!= $"qid")
+        .withColumn("cosine", cosine($"qv", $"embedding"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"qid", $"rn", $"vec_id", $"bucket", $"cosine")
+        .orderBy($"qid", $"rn")
+    }),
+
+    // Embedding-cosine near-duplicate pairs among the first 200 vectors
+    // (bounded candidate set; the unbounded variant goes through LSH).
+    "llm_embed_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir).filter($"vec_id" < 200)
+        .select($"vec_id", $"embedding")
+      emb.as("l").join(emb.as("r"), col("l.vec_id") < col("r.vec_id"))
+        .withColumn("cosine",
+          cosine(col("l.embedding"), col("r.embedding")))
+        .filter($"cosine" > 0.35)
+        .select(col("l.vec_id").as("d1"), col("r.vec_id").as("d2"), $"cosine")
+        .orderBy($"d1", $"d2")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_embed_topk" ->
+      s"""SELECT qid, CAST(rn AS INTEGER) AS rn, vec_id, cosine FROM (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |   ${cosineSql("q.embedding", "c.embedding")} AS cosine,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rn
+         |  FROM embeddings c
+         |  JOIN embeddings q ON q.vec_id < $NQ AND c.vec_id <> q.vec_id)
+         |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+
+    "llm_embed_lsh_hist" ->
+      s"""SELECT ${bucketSql("embedding")} AS bucket, count(*) AS n
+         |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "llm_embed_lsh_knn" ->
+      s"""SELECT qid, CAST(rn AS INTEGER) AS rn, vec_id, bucket, cosine FROM (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |   ${bucketSql("c.embedding")} AS bucket,
+         |   ${cosineSql("q.embedding", "c.embedding")} AS cosine,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rn
+         |  FROM embeddings c
+         |  JOIN embeddings q
+         |    ON q.vec_id < $NQ AND c.vec_id <> q.vec_id
+         |   AND (${bucketSql("c.embedding")}) = (${bucketSql("q.embedding")}))
+         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    "llm_embed_neardup" ->
+      s"""SELECT l.vec_id AS d1, r.vec_id AS d2,
+         | ${cosineSql("l.embedding", "r.embedding")} AS cosine
+         |FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+         |WHERE l.vec_id < 200 AND r.vec_id < 200
+         |  AND ${cosineSql("l.embedding", "r.embedding")} > 0.35
+         |ORDER BY d1, d2""".stripMargin
+  )
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text analysis for training-data pipelines (SURVEY.md §2.11):
+  * language-ID heuristic, quality scoring, token counting, and document
+  * fingerprinting — all per-document map-side work followed by bounded
+  * aggregations, so each scales linearly with no wide shuffle beyond the
+  * final group-by.
+  */
+object TextOps {
+
+  /** Stopword markers for the n-gram/stopword language heuristic. */
+  private val EN_MARKERS = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val markersInList = EN_MARKERS.map(w => s"'$w'").mkString(", ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Language-ID heuristic: stopword-ratio → 'en' / 'und'; confusion
+    // counts against the labeled lang column.
+    "llm_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .withColumn("w", split($"text", " "))
+        .withColumn("n_stop", expr(
+          s"size(filter(w, x -> x IN ($markersInList)))"))
+        .withColumn("ratio", $"n_stop".cast("double") / size($"w"))
+        .withColumn("pred_lang", when($"ratio" >= 0.05, "en").otherwise("und"))
+        .groupBy($"lang", $"pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"pred_lang")
+    }),
+
+    // Quality scoring: length stats, type-token ratio, stopword ratio,
+    // and a fixed-weight composite score per document.
+    "llm_quality_score" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .withColumn("w", split($"text", " "))
+        .withColumn("n_words", size($"w"))
+        .withColumn("n_distinct", size(array_distinct($"w")))
+        .withColumn("sum_len", expr(
+          "aggregate(transform(w, x -> length(x)), 0, (a, x) -> a + x)"))
+        .withColumn("n_stop", expr(
+          s"size(filter(w, x -> x IN ($markersInList)))"))
+        .withColumn("avg_word_len", $"sum_len".cast("double") / $"n_words")
+        .withColumn("ttr", $"n_distinct".cast("double") / $"n_words")
+        .withColumn("stop_ratio", $"n_stop".cast("double") / $"n_words")
+        .withColumn("score",
+          ($"ttr" * 0.5) + ($"stop_ratio" * 0.3) +
+            (when($"avg_word_len" >= 3.0 && $"avg_word_len" <= 8.0, 0.2)
+              .otherwise(0.0)))
+        .select($"doc_id", $"n_words", $"n_distinct", $"avg_word_len",
+          $"ttr", $"stop_ratio", $"score")
+        .orderBy($"doc_id")
+    }),
+
+    // Token counting: whitespace tokens and regex word tokens, per source.
+    "llm_token_count" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .withColumn("n_ws", size(split($"text", " ")))
+        .withColumn("n_re", size(regexp_extract_all($"text", lit("[a-z]+"), lit(0))))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_ws").as("sum_ws_tokens"),
+          sum($"n_re").as("sum_re_tokens"))
+        .orderBy($"source")
+    }),
+
+    // Document fingerprint: winnowing-style — min md5 over word-2-gram
+    // shingles for 4 seeds, digested into one stable fingerprint.
+    "llm_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val sh = Tables.documents(s, dir)
+        .select($"doc_id", split($"text", " ").as("w"))
+        .filter(size($"w") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))
+          .as("s"))
+      val mins = (0 until 4).map(i =>
+        min(md5(concat(lit(s"$i|"), $"s"))).as(s"m$i"))
+      sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+        .select($"doc_id",
+          md5(concat($"m0", $"m1", $"m2", $"m3")).as("fingerprint"))
+        .orderBy($"doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_lang_id" ->
+      s"""SELECT lang, pred_lang, count(*) AS n FROM (
+         |  SELECT lang,
+         |   CASE WHEN CAST(len(list_filter(w, x -> x IN ($markersInList))) AS DOUBLE)
+         |             / len(w) >= 0.05
+         |        THEN 'en' ELSE 'und' END AS pred_lang
+         |  FROM (SELECT lang, string_split(text, ' ') AS w FROM documents))
+         |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+
+    "llm_quality_score" ->
+      s"""SELECT doc_id,
+         | CAST(n_words AS INTEGER) AS n_words,
+         | CAST(n_distinct AS INTEGER) AS n_distinct,
+         | avg_word_len, ttr, stop_ratio,
+         | (ttr * 0.5) + (stop_ratio * 0.3) +
+         |  (CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 8.0
+         |        THEN 0.2 ELSE 0.0 END) AS score
+         |FROM (
+         |  SELECT doc_id, n_words, n_distinct,
+         |   CAST(sum_len AS DOUBLE) / n_words AS avg_word_len,
+         |   CAST(n_distinct AS DOUBLE) / n_words AS ttr,
+         |   CAST(n_stop AS DOUBLE) / n_words AS stop_ratio
+         |  FROM (
+         |    SELECT doc_id, len(w) AS n_words,
+         |     len(list_distinct(w)) AS n_distinct,
+         |     list_sum(list_transform(w, x -> length(x))) AS sum_len,
+         |     len(list_filter(w, x -> x IN ($markersInList))) AS n_stop
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))
+         |ORDER BY doc_id""".stripMargin,
+
+    "llm_token_count" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+        | CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS sum_re_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "llm_fingerprint" ->
+      """SELECT doc_id, md5(m0 || m1 || m2 || m3) AS fingerprint FROM (
+        |  SELECT doc_id,
+        |   min(md5('0|' || s)) AS m0, min(md5('1|' || s)) AS m1,
+        |   min(md5('2|' || s)) AS m2, min(md5('3|' || s)) AS m3
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |             i -> w[i] || ' ' || w[i+1])) AS s
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |    WHERE len(w) >= 2)
+        |  GROUP BY doc_id)
+        |ORDER BY doc_id""".stripMargin
+  )
+}
