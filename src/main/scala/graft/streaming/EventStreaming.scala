@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming layer (SURVEY.md §2.9).
+  *
+  * The reference delivers query results incrementally — a worker thread
+  * decodes batches and the UI polls them non-blocking every frame
+  * (/root/reference/src/main.cpp:1097, 1273;
+  * /root/reference/src/utils/TaskHandler.h:40-45). Structured Streaming is
+  * the Spark-native form of that loop: a source feeds micro-batches through
+  * the same declarative plan, and sinks observe increments.
+  *
+  * These transforms are *source-agnostic*: they take any streaming (or
+  * batch) DataFrame with the events schema (`ts: timestamp, event_type:
+  * string, user_id: long, value: double`), so tests drive them from
+  * `MemoryStream` and production attaches `readStream.parquet`/Kafka. The
+  * tumbling-window aggregation is the streaming twin of the oracle-checked
+  * batch query `ev_tumbling_1h`.
+  *
+  * Scale notes: watermark + windowed agg is incremental state keyed by
+  * (window, event_type) — bounded cardinality; per-user session state in
+  * [[sessionCounts]] uses mapGroupsWithState with an explicit timeout so
+  * state is evicted, never unbounded.
+  */
+object EventStreaming {
+
+  /** Tumbling 1-hour window counts with a 30-minute watermark for late
+    * data. Append-mode compatible (finalized windows only).
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** Sliding windows: 1-hour window advancing every 15 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Session windows via event-time gap (built-in session_window). */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("sess_start"), col("user_id"), col("n_events"))
+
+  final case class UserEvent(user_id: Long, event_type: String)
+  final case class UserCount(user_id: Long, n_events: Long)
+
+  /** Custom stateful op: running per-user event counts via
+    * mapGroupsWithState (the reference's per-query incremental counter,
+    * generalized). Production passes ProcessingTimeTimeout so idle users'
+    * state is evicted; tests pass NoTimeout so processAllAvailable()
+    * settles (timeout-driven batches never let the stream go idle).
+    */
+  def sessionCounts(events: Dataset[UserEvent],
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    val evict = timeout == GroupStateTimeout.ProcessingTimeTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(timeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val n = state.getOption.getOrElse(0L)
+            state.remove()
+            UserCount(uid, n)
+          } else {
+            val n = state.getOption.getOrElse(0L) + rows.size
+            state.update(n)
+            if (evict) state.setTimeoutDuration("1 hour")
+            UserCount(uid, n)
+          }
+      }
+  }
+
+  /** Output-mode helper used by the tests and any foreachBatch consumer. */
+  val appendMode: OutputMode = OutputMode.Append()
+}

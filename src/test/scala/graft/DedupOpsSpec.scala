@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Dedup family on synthetic near-duplicates (the sf corpus has none, by
+  * construction — these fixtures prove the detectors actually fire).
+  */
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*): DataFrame =
+    rows.map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private val nearDup = base.replace("today", "tomorrow")
+  private val distinct = "completely different words appear in this sentence about spark engines"
+
+  test("llm_dedup_exact: identical texts collapse to one keeper") {
+    val dir = tempSfDir("documents" ->
+      docs((1L, base, "s0"), (2L, base, "s0"), (3L, distinct, "s0")))
+    val rows = q("llm_dedup_exact", dir).collect()
+    assert(rows.length == 2)
+    val dup = rows.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keeper") == 1L)
+  }
+
+  test("llm_minhash_pairs: exact and near duplicates are candidates, distinct docs are not") {
+    val dir = tempSfDir("documents" ->
+      docs((1L, base, "s0"), (2L, base, "s0"), (3L, nearDup, "s0"),
+        (4L, distinct, "s0")))
+    val pairs = q("llm_minhash_pairs", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "identical docs must share all bands")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      "one-word-change near-dup should share a band")
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L },
+      "distinct doc must not be a candidate")
+  }
+
+  test("llm_simhash: identical docs get identical hashes (hamming 0 pair)") {
+    val dir = tempSfDir("documents" ->
+      docs((1L, base, "s0"), (2L, base, "s0"), (3L, distinct, "s1")))
+    val sims = q("llm_simhash", dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(2L))
+    val pairs = q("llm_simhash_pairs", dir).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getAs[Int]("hamming") == 0))
+  }
+
+  test("llm_jaccard_adjacent: identical adjacent docs have jaccard 1.0") {
+    val dir = tempSfDir("documents" ->
+      docs((1L, base, "s0"), (2L, base, "s0"), (3L, distinct, "s0")))
+    val rows = q("llm_jaccard_adjacent", dir).collect()
+    val j12 = rows.find(r => r.getAs[Long]("d1") == 1L).get
+    assert(j12.getAs[Double]("jaccard") == 1.0)
+    val j23 = rows.find(r => r.getAs[Long]("d1") == 2L).get
+    assert(j23.getAs[Double]("jaccard") < 0.2)
+  }
+
+  test("dedup idempotence: dedup of deduped output finds no new dups") {
+    val dir = tempSfDir("documents" ->
+      docs((1L, base, "s0"), (2L, base, "s0"), (3L, distinct, "s0")))
+    val keepers = q("llm_dedup_exact", dir).collect()
+      .map(_.getAs[Long]("keeper")).toSet
+    val dir2 = tempSfDir("documents" ->
+      docs((1L, base, "s0"), (3L, distinct, "s0")))
+    val second = q("llm_dedup_exact", dir2).collect()
+    assert(second.forall(_.getAs[Long]("n_copies") == 1))
+    assert(second.map(_.getAs[Long]("keeper")).toSet == keepers)
+  }
+
+  test("llm_fingerprint: stable across runs, distinct for distinct docs") {
+    val dir = tempSfDir("documents" ->
+      docs((1L, base, "s0"), (2L, base, "s0"), (3L, distinct, "s0")))
+    val fp1 = q("llm_fingerprint", dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fp2 = q("llm_fingerprint", dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp1 == fp2)
+    assert(fp1(1L) == fp1(2L))
+    assert(fp1(1L) != fp1(3L))
+  }
+}

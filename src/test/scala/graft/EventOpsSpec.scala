@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Event-log family: flagship, catalog, dict decode, sort/limit semantics
+  * (SURVEY.md §5.2 unit strategy; ragged/enum-map/limit-order fixtures per
+  * FIXTURES.md).
+  */
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ev_flagship: 100 rows, error-type only, ordered by time") {
+    val rows = q("ev_flagship").collect()
+    assert(rows.length == 100)
+    val ms = rows.map(_.getAs[Long]("ts_ms"))
+    assert(ms.sameElements(ms.sorted), "rows must be time-ordered")
+    // decoded props column present and non-null
+    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("k"))))
+  }
+
+  test("ev_catalog: one row per event type, counts sum to table size") {
+    val cat = q("ev_catalog").collect()
+    assert(cat.length == 5)
+    val total = cat.map(_.getAs[Long]("n")).sum
+    assert(total == 1000, s"catalog counts must partition the log, got $total")
+    cat.foreach { r =>
+      assert(r.getAs[Long]("first_ms") <= r.getAs[Long]("last_ms"))
+    }
+  }
+
+  test("ev_dict_decode: unmapped codes fall back to code_<n>") {
+    // enum-map fixture (FIXTURES.md): user 3 maps via the dict,
+    // user 27 % 30 = 27 has no dict row → raw-code fallback
+    // (reference: src/main.cpp:796-803).
+    val events = Seq(
+      (1L, 1000000000L, 3L, "click", 1.0, "{}"),
+      (2L, 2000000000L, 27L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val nation = Seq((3, "NATION_3", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val dir = tempSfDir("events" -> events, "nation" -> nation)
+    val decoded = q("ev_dict_decode", dir).collect()
+      .map(_.getAs[String]("decoded")).toSet
+    assert(decoded == Set("NATION_3", "code_27"))
+    // and on the real corpus every row decodes to something
+    val n = q("ev_dict_decode").collect().map(_.getAs[Long]("n")).sum
+    assert(n == 1000)
+  }
+
+  test("ev_topk: deterministic under duplicate sort keys (tie-break)") {
+    val a = q("ev_topk").collect().map(_.toSeq)
+    val b = q("ev_topk").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+    assert(a.length == 10)
+  }
+
+  test("ev_schema_infer: ragged props yield per-type key sets") {
+    val docs = Seq(
+      (1L, 1000000000L, 1L, "alpha", 1.0, """{"x": 1, "y": 2}"""),
+      (2L, 2000000000L, 1L, "alpha", 1.0, """{"x": 3, "y": 4}"""),
+      (3L, 3000000000L, 2L, "beta", 2.0, """{"z": 5}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tempSfDir("events" -> docs)
+    val inferred = q("ev_schema_infer", dir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(inferred == Map("alpha" -> "x,y", "beta" -> "z"))
+  }
+
+  test("ev_sessionize: 30-minute gaps split sessions") {
+    val min = 60L * 1000 * 1000 * 1000
+    val events = Seq(
+      (1L, 0 * min, 7L, "click", 1.0, "{}"),
+      (2L, 10 * min, 7L, "click", 1.0, "{}"),   // same session
+      (3L, 70 * min, 7L, "click", 1.0, "{}"),   // > 30 min gap → new session
+      (4L, 75 * min, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tempSfDir("events" -> events)
+    val r = q("ev_sessionize", dir).collect().head
+    assert(r.getAs[Long]("n_sessions") == 2)
+    assert(r.getAs[Long]("n_events") == 4)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+/** Relational layer invariants (SURVEY.md §5.3 property strategy). */
+class RelationalOpsSpec extends SparkSpec {
+
+  test("rel_q1_pricing: group keys partition the filtered lineitem") {
+    val rows = q("rel_q1_pricing").collect()
+    assert(rows.nonEmpty && rows.length <= 6)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("count_order")
+      val sumQty = r.getAs[Double]("sum_qty")
+      val avgQty = r.getAs[Double]("avg_qty")
+      assert(math.abs(avgQty - sumQty / n) < 1e-9)
+    }
+  }
+
+  test("semi + anti partition the customer table") {
+    val semi = q("rel_join_semi").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_customers")).toMap
+    val anti = q("rel_join_anti").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_customers")).toMap
+    val total = spark.read.parquet(s"$sf/customer.parquet").count()
+    val semiTotal = semi.values.sum
+    val orderless = anti.values.sum
+    // every customer either has an F order, has only non-F orders, or none;
+    // semi(F) + complement must not exceed the table
+    assert(semiTotal + orderless <= total)
+    assert(semiTotal > 0)
+  }
+
+  test("rel_window_rank: at most 3 rows per customer, rn dense from 1") {
+    val rows = q("rel_window_rank").collect()
+    val byCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    byCust.values.foreach { rs =>
+      val rns = rs.map(_.getAs[Int]("rn")).sorted
+      assert(rns.length <= 3)
+      assert(rns.sameElements(1 to rns.length))
+      // prices non-increasing with rank
+      val prices = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("o_totalprice"))
+      assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("set algebra: intersect ⊆ union, except ∩ intersect = ∅") {
+    val union = q("rel_set_union").collect().map(_.getLong(0)).toSet
+    val inter = q("rel_set_intersect").collect().map(_.getLong(0)).toSet
+    val except = q("rel_set_except").collect().map(_.getLong(0)).toSet
+    assert(inter.subsetOf(union))
+    assert((except & inter).isEmpty)
+    assert((except | inter).subsetOf(union))
+  }
+
+  test("rel_rollup: grand-total row equals sum of leaf rows") {
+    val rows = q("rel_rollup").collect()
+    val grand = rows.filter(r => r.getAs[Int]("g_region") == 1 &&
+      r.getAs[Int]("g_nation") == 1)
+    assert(grand.length == 1)
+    val leaves = rows.filter(r => r.getAs[Int]("g_region") == 0 &&
+      r.getAs[Int]("g_nation") == 0)
+    val leafN = leaves.map(_.getAs[Long]("n")).sum
+    assert(grand.head.getAs[Long]("n") == leafN)
+    val leafBal = leaves.map(_.getAs[Double]("sum_bal")).sum
+    assert(math.abs(grand.head.getAs[Double]("sum_bal") - leafBal) < 1e-6)
+  }
+
+  test("rel_window_running: final running total equals group sum") {
+    val rows = q("rel_window_running").collect()
+      .groupBy(_.getAs[Long]("o_custkey"))
+    rows.values.foreach { rs =>
+      val last = rs.maxBy(_.getAs[Long]("run_cnt"))
+      assert(last.getAs[Long]("run_cnt") == rs.length)
+    }
+  }
+}

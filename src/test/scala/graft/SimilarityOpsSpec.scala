@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns._
+
+/** Similarity search: cosine math properties + LSH bucketing invariants. */
+class SimilarityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  private def vec(): Array[Float] = Array.fill(64)(rnd.nextFloat() - 0.5f)
+
+  test("cosine: self-similarity is 1, symmetric, in [-1, 1]") {
+    val vs = Seq.fill(20)(vec())
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val cos = df.as("a").crossJoin(df.as("b"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        (dotUnrolled(col("a.v"), col("b.v"), 64) /
+          (sqrt(norm2Unrolled(col("a.v"), 64)) *
+           sqrt(norm2Unrolled(col("b.v"), 64)))).as("cos"))
+      .collect()
+    cos.foreach { r =>
+      val c = r.getAs[Double]("cos")
+      assert(c >= -1.0000001 && c <= 1.0000001)
+    }
+    val self = cos.filter(r => r.getLong(0) == r.getLong(1))
+    self.foreach(r => assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-9))
+    val m = cos.map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cos")).toMap
+    m.foreach { case ((i, j), c) => assert(c == m((j, i))) }
+  }
+
+  test("llm_embed_topk: 10 neighbors per query, non-increasing similarity") {
+    val rows = q("llm_embed_topk").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 5)
+    byQ.values.foreach { rs =>
+      assert(rs.length == 10)
+      val sims = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("cosine"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(!rs.exists(r => r.getAs[Long]("vec_id") == r.getAs[Long]("qid")))
+    }
+  }
+
+  test("llm_embed_lsh_hist: buckets within [0,255], counts sum to table") {
+    val rows = q("llm_embed_lsh_hist").collect()
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      assert(b >= 0 && b <= 255)
+    }
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == n)
+  }
+
+  test("llm_embed_lsh_knn: bucketed results are a subset of brute-force candidates' quality") {
+    // every LSH neighbor's similarity must be <= the brute-force best
+    val bf = q("llm_embed_topk").collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Double]("cosine")).max).toMap
+    q("llm_embed_lsh_knn").collect().foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      assert(r.getAs[Double]("cosine") <= bf(qid) + 1e-12)
+    }
+  }
+}

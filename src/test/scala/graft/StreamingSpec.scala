@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreaming
+
+/** Structured Streaming slice driven synchronously from MemoryStream
+  * (SURVEY.md §2.9, §7.2 step 6).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("tumblingCounts aggregates per hour window incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "user_id", "value")
+    val query = EventStreaming.tumblingCounts(events)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      mem.addData((ts(5), "click", 1L, 1.0), (ts(10), "click", 2L, 2.0),
+        (ts(65), "click", 1L, 3.0), (ts(70), "error", 3L, 4.0))
+      query.processAllAvailable()
+      val out = spark.table("tumbling_out").collect()
+        .map(r => (r.getAs[Timestamp]("hour_start").toString,
+          r.getAs[String]("event_type")) -> r.getAs[Long]("n")).toMap
+      assert(out(("2024-01-01 00:00:00.0", "click")) == 2)
+      assert(out(("2024-01-01 01:00:00.0", "click")) == 1)
+      assert(out(("2024-01-01 01:00:00.0", "error")) == 1)
+    } finally query.stop()
+  }
+
+  test("sessionCounts keeps per-user running state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreaming.UserEvent]
+    val query = EventStreaming.sessionCounts(mem.toDS(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("sess_out").start()
+    try {
+      mem.addData(EventStreaming.UserEvent(1L, "click"),
+        EventStreaming.UserEvent(1L, "click"),
+        EventStreaming.UserEvent(2L, "view"))
+      query.processAllAvailable()
+      mem.addData(EventStreaming.UserEvent(1L, "click"))
+      query.processAllAvailable()
+      val counts = spark.table("sess_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+      // user 1: batch1 → 2, batch2 → 3 (state carried); user 2 → 1
+      assert(counts.contains((1L, 2L)))
+      assert(counts.contains((1L, 3L)))
+      assert(counts.contains((2L, 1L)))
+    } finally query.stop()
+  }
+
+  test("batch and streaming tumbling agg agree on the same data") {
+    val ev = graft.operators.EventOps.events(spark, sf)
+      .select($"ts", $"event_type", $"user_id", $"value")
+    val batch = EventStreaming.tumblingCounts(ev)
+      .select($"hour_start", $"event_type", $"n")
+    val oracle = ev.groupBy(window($"ts", "1 hour"), $"event_type")
+      .count()
+      .select($"window.start".as("hour_start"), $"event_type",
+        $"count".as("n"))
+    assert(batch.except(oracle).isEmpty && oracle.except(batch).isEmpty)
+  }
+}
