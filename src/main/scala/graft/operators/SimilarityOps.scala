@@ -30,9 +30,11 @@ object SimilarityOps {
   private val NQ = 5   // query vectors: vec_id < NQ
   private val LSH_BITS = 8
 
+  /** Codegen'd one-pass cosine; bit-identical to the unrolled/oracle form
+    * (see [[graft.functions.VectorExpressions]]).
+    */
   private def cosine(a: Column, b: Column): Column =
-    dotUnrolled(a, b, DIM) /
-      (sqrt(norm2Unrolled(a, DIM)) * sqrt(norm2Unrolled(b, DIM)))
+    graft.functions.VectorExpressions.cosineSimilarity(a, b)
 
   private def cosineSql(a: String, b: String): String =
     s"(${dotUnrolledSql(a, b, DIM)}) / " +

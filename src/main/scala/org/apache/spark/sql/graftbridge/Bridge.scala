@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge.
+  *
+  * Spark 4 made the Column↔Expression converters `private[sql]`
+  * (`org.apache.spark.sql.classic.ExpressionUtils`); extensions that define
+  * native Catalyst expressions reach them through a shim inside the sql
+  * package namespace — the conventional pattern for Spark extension
+  * libraries.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
