@@ -22,12 +22,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EventOps.queries ++ RelationalOps.queries ++ DedupOps.queries ++
-      SimilarityOps.queries ++ TextOps.queries ++ MultimodalOps.queries
+    EventOps.queries ++ RelationalOps.queries ++ RelationalOps2.queries ++
+      JoinOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
+      TextOps.queries ++ MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    EventOps.oracles ++ RelationalOps.oracles ++ DedupOps.oracles ++
-      SimilarityOps.oracles ++ TextOps.oracles ++ MultimodalOps.oracles
+    EventOps.oracles ++ RelationalOps.oracles ++ RelationalOps2.oracles ++
+      JoinOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
+      TextOps.oracles ++ MultimodalOps.oracles
 }

@@ -1,0 +1,135 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+
+/** User-facing, table-agnostic pipeline API.
+  *
+  * Every transform is DataFrame-in → DataFrame-out so it composes with any
+  * source the caller reads (the `SparkEntry.queries` entries are these
+  * transforms applied to the test corpus). Column-name parameters default
+  * to the corpus schema (`doc_id`/`text`, `vec_id`/`embedding`).
+  *
+  * All transforms are shuffle-conscious: candidate generation goes through
+  * bucketed self-joins (never crossJoin), aggregations are map-side
+  * partial, and per-row feature extraction is pure projection.
+  */
+object GraftPipelines {
+
+  // ---------------- dedup ----------------
+
+  /** Exact dedup groups: content digest → keeper id + copy count. */
+  def dedupExact(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame =
+    docs.groupBy(md5(col(text)).as("h"))
+      .agg(min(col(id)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingles (id, s); docs shorter than n yield none. */
+  def shingle(docs: DataFrame, n: Int, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val gram = (0 until n).map(j => s"w[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
+    docs.select(col(id), split(col(text), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col(id),
+        explode(expr(s"transform(sequence(0, size(w)-$n), i -> $gram)")).as("s"))
+  }
+
+  /** MinHash signature: one min-md5 column per seed. */
+  def minhashSignature(shingles: DataFrame, seeds: Int,
+      id: String = "doc_id"): DataFrame = {
+    val aggs = (0 until seeds)
+      .map(i => min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
+    shingles.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band table (id, b) from a minhash signature. */
+  def lshBands(signature: DataFrame, bands: Int, rowsPerBand: Int,
+      id: String = "doc_id"): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      md5(concat(lit(s"b$b|") +: parts: _*))
+    }
+    signature.select(col(id), explode(array(bandCols: _*)).as("b"))
+  }
+
+  /** Candidate near-dup pairs: docs sharing any LSH band bucket.
+    * Self-join keyed on the band hash — scales as the bucket sizes, not
+    * O(n²).
+    */
+  def minhashCandidates(docs: DataFrame, shingleN: Int = 3, seeds: Int = 8,
+      bands: Int = 4, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val b = lshBands(minhashSignature(shingle(docs, shingleN, id, text),
+      seeds, id), bands, seeds / bands, id)
+    b.as("l").join(b.as("r"),
+        col("l.b") === col("r.b") && col(s"l.$id") < col(s"r.$id"))
+      .select(col(s"l.$id").as("d1"), col(s"r.$id").as("d2"))
+      .distinct()
+  }
+
+  // ---------------- similarity ----------------
+
+  /** Codegen'd cosine similarity over two array<float> columns. */
+  def cosine(a: Column, b: Column): Column =
+    VectorExpressions.cosineSimilarity(a, b)
+
+  /** Brute-force cosine top-k: broadcast the (small) query set against the
+    * candidate table; per-query top-k via window (executes with partial
+    * top-k per partition — WindowGroupLimit).
+    */
+  def cosineTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(id).as("qid"), col(vec).as("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col(id))
+    candidates.join(broadcast(q), col(id) =!= col("qid"))
+      .withColumn("cosine", cosine(col("qv"), col(vec)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col(id), col("cosine"))
+  }
+
+  /** Sign-LSH bucket id from the first `bits` vector components. */
+  def signLshBucket(vec: Column, bits: Int): Column =
+    (1 to bits).map { i =>
+      when(element_at(vec, i) >= 0f, lit(1 << (i - 1))).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  // ---------------- text ----------------
+
+  /** Per-document quality metrics (word/char stats + composite score). */
+  def qualityScores(docs: DataFrame, stopwords: Seq[String],
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    docs.withColumn("w", split(col(text), " "))
+      .withColumn("n_words", size(col("w")))
+      .withColumn("n_distinct", size(array_distinct(col("w"))))
+      .withColumn("sum_len",
+        expr("aggregate(transform(w, x -> length(x)), 0, (a, x) -> a + x)"))
+      .withColumn("n_stop", expr(s"size(filter(w, x -> x IN ($stopList)))"))
+      .withColumn("avg_word_len", col("sum_len").cast("double") / col("n_words"))
+      .withColumn("ttr", col("n_distinct").cast("double") / col("n_words"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_words"))
+      .withColumn("score",
+        (col("ttr") * 0.5) + (col("stop_ratio") * 0.3) +
+          (when(col("avg_word_len") >= 3.0 && col("avg_word_len") <= 8.0, 0.2)
+            .otherwise(0.0)))
+      .select(col(id), col("n_words"), col("n_distinct"), col("avg_word_len"),
+        col("ttr"), col("stop_ratio"), col("score"))
+  }
+
+  /** Winnowing-style fingerprint from 2-gram shingle min-hashes. */
+  def fingerprints(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val sh = shingle(docs, 2, id, text)
+    val mins = (0 until 4).map(i =>
+      min(md5(concat(lit(s"$i|"), col("s")))).as(s"m$i"))
+    sh.groupBy(col(id)).agg(mins.head, mins.tail: _*)
+      .select(col(id),
+        md5(concat(col("m0"), col("m1"), col("m2"), col("m3")))
+          .as("fingerprint"))
+  }
+}

@@ -28,31 +28,17 @@ object DedupOps {
   private val SEEDS = 0 until 8 // minhash permutations
   private val SIM_BITS = 32     // simhash width
 
-  /** doc → word-3-gram shingles; docs with <3 words yield no shingles. */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
-      .select($"doc_id", split($"text", " ").as("w"))
-      .filter(size($"w") >= 3)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-        .as("s"))
-  }
+  /** doc → word-3-gram shingles (delegates to the library API). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    graft.api.GraftPipelines.shingle(Tables.documents(s, dir), 3)
 
   /** MinHash signature: per doc, min(md5(seed || shingle)) per seed. */
-  private def minhash(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val aggs = SEEDS.map(i => min(md5(concat(lit(s"$i|"), $"s"))).as(s"h$i"))
-    shingles(s, dir).groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
-  }
+  private def minhash(s: SparkSession, dir: String): DataFrame =
+    graft.api.GraftPipelines.minhashSignature(shingles(s, dir), SEEDS.size)
 
   /** LSH bands: 4 bands × 2 rows, band index baked into the band hash. */
-  private def bands(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val bandCols = (0 until 4).map(b =>
-      md5(concat(lit(s"b$b|"), col(s"h${2 * b}"), col(s"h${2 * b + 1}"))))
-    minhash(s, dir).select($"doc_id", explode(array(bandCols: _*)).as("b"))
-  }
+  private def bands(s: SparkSession, dir: String): DataFrame =
+    graft.api.GraftPipelines.lshBands(minhash(s, dir), 4, 2)
 
   /** 32-bit SimHash over word unigrams, bit source = md5 hex nibbles. */
   private def simhash(s: SparkSession, dir: String): DataFrame = {

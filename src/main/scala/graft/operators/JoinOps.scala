@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators the reference lacks entirely (SURVEY.md §2.5
+  * "range/as-of joins absent") — the standard event-log enrichment shapes.
+  *
+  * Scale notes (100 TB):
+  *  - The as-of join is NOT a per-row range probe: it's the merge-scan
+  *    form — union both streams, hash-partition by user, sort by time
+  *    within partition, carry the last match forward with a running
+  *    window. One shuffle, no N×M candidate explosion, no skew cliff.
+  *  - The range join keys the equi-part (user_id) so Spark executes a
+  *    hash join with the time-band as residual filter; candidate pairs
+  *    are bounded per user, never cross-user.
+  */
+object JoinOps {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // As-of join: for every error event, the user's most recent signup
+    // at-or-before it (merge-scan via union + running last_value).
+    "ev_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = EventOps.events(s, dir)
+        .filter($"event_type".isin("signup", "error"))
+        .select($"user_id", $"ts_ns",
+          when($"event_type" === "error", $"event_id").as("err_id"),
+          when($"event_type" === "signup", $"ts_ns").as("sig_ns"))
+      // signup sorts before an error at the same instant → "at or before"
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts_ns", $"err_id".isNotNull.cast("int"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_sig_ns", last($"sig_ns", ignoreNulls = true).over(w))
+        .filter($"err_id".isNotNull)
+        .select($"err_id".as("event_id"), $"user_id",
+          expr("last_sig_ns div 1000000").as("signup_ms"))
+        .orderBy($"event_id")
+    }),
+
+    // Range (interval) join: events landing within 1 hour after each
+    // signup of the same user.
+    "ev_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = EventOps.events(s, dir)
+      val sig = ev.filter($"event_type" === "signup")
+        .select($"user_id".as("su"), $"event_id".as("sig_id"),
+          $"ts_ns".as("sig_ns"))
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      ev.join(sig, $"user_id" === $"su" &&
+          $"ts_ns" > $"sig_ns" && $"ts_ns" <= $"sig_ns" + hourNs)
+        .groupBy($"sig_id").agg(count(lit(1)).as("n_follow"))
+        .orderBy($"sig_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ev_asof_join" ->
+      """SELECT err_id AS event_id, user_id, last_sig_ns // 1000000 AS signup_ms
+        |FROM (
+        |  SELECT user_id, err_id,
+        |   last_value(sig_ns IGNORE NULLS) OVER (
+        |     PARTITION BY user_id
+        |     ORDER BY ts_ns, CAST(err_id IS NOT NULL AS INTEGER)
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_sig_ns
+        |  FROM (
+        |    SELECT user_id, epoch_ns(ts) AS ts_ns,
+        |     CASE WHEN event_type = 'error' THEN event_id END AS err_id,
+        |     CASE WHEN event_type = 'signup' THEN epoch_ns(ts) END AS sig_ns
+        |    FROM events WHERE event_type IN ('signup', 'error')))
+        |WHERE err_id IS NOT NULL ORDER BY event_id""".stripMargin,
+
+    "ev_range_join" ->
+      """SELECT s.event_id AS sig_id, count(*) AS n_follow
+        |FROM events e
+        |JOIN events s ON e.user_id = s.user_id
+        | AND s.event_type = 'signup'
+        | AND epoch_ns(e.ts) > epoch_ns(s.ts)
+        | AND epoch_ns(e.ts) <= epoch_ns(s.ts) + 3600000000000
+        |GROUP BY s.event_id ORDER BY sig_id""".stripMargin
+  )
+}

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Fns._
+
+/** Relational layer, part 2: arg-max, pivot/unpivot, the wider scalar
+  * function surface (string/date/array), and approximate aggregates
+  * (SURVEY.md §2.3/§2.8).
+  */
+object RelationalOps2 {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Arg-max per group via max + equality self-join + deterministic
+    // tie-break (a different plan shape than the window-rank form).
+    "rel_argmax" -> ((s, dir) => {
+      import s.implicits._
+      val cn = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          $"c_nationkey" === $"n_nationkey")
+        .select($"n_name", $"c_custkey", $"c_acctbal")
+      val mx = cn.groupBy($"n_name".as("mn")).agg(max($"c_acctbal").as("max_bal"))
+      cn.join(mx, $"n_name" === $"mn" && $"c_acctbal" === $"max_bal")
+        .groupBy($"n_name", $"max_bal")
+        .agg(min($"c_custkey").as("top_custkey"))
+        .select($"n_name", $"top_custkey", $"max_bal")
+        .orderBy($"n_name")
+    }),
+
+    // Pivot: returnflag categories to columns.
+    "rel_pivot" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(dec2($"l_quantity")).cast("double"))
+        .orderBy($"l_linestatus")
+    }),
+
+    // Unpivot: wide part attributes to (attr, val) rows.
+    "rel_unpivot" -> ((s, dir) => {
+      import s.implicits._
+      Tables.part(s, dir)
+        .select($"p_partkey", $"p_size".cast("double").as("size"),
+          $"p_retailprice".as("retailprice"))
+        .unpivot(Array($"p_partkey"), Array($"size", $"retailprice"),
+          "attr", "val")
+        .orderBy($"p_partkey", $"attr")
+        .limit(200)
+    }),
+
+    // Wider string-function surface.
+    "rel_string_funcs2" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .orderBy($"c_custkey").limit(100)
+        .select(
+          $"c_custkey",
+          concat(upper(substring($"c_mktsegment", 1, 1)),
+            lower(substring($"c_mktsegment", 2, 64))).as("seg_initcap"),
+          reverse($"c_name").as("name_rev"),
+          translate($"c_name", "#0", "_o").as("name_tr"),
+          instr($"c_name", "#").as("hash_pos"),
+          expr("split_part(c_name, '#', 2)").as("name_num"),
+          expr("left(c_name, 8)").as("name_left"),
+          expr("right(c_name, 3)").as("name_right"),
+          rpad($"c_mktsegment", 12, ".").as("seg_pad"),
+          repeat(expr("left(c_name, 2)"), 3).as("name_rep"))
+    }),
+
+    // Date/time function surface (NTZ-safe, string/int outputs).
+    "rel_date_funcs" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .orderBy($"o_orderkey").limit(100)
+        .select(
+          $"o_orderkey",
+          quarter($"o_orderdate").as("q"),
+          month($"o_orderdate").as("m"),
+          dayofmonth($"o_orderdate").as("dom"),
+          (dayofweek($"o_orderdate") - 1).as("dow_sun0"),
+          weekofyear($"o_orderdate").as("iso_week"),
+          date_format(last_day($"o_orderdate"), "yyyy-MM-dd").as("month_end"),
+          date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd")
+            .as("month_start"),
+          date_format(date_add($"o_orderdate", 45), "yyyy-MM-dd")
+            .as("plus45"))
+    }),
+
+    // Approximate aggregates — no SQL oracle (HLL/quantile sketches are
+    // engine-specific); accuracy is asserted against exact counts in
+    // ScalaTest instead, and the driver records a rows-only check.
+    "rel_approx" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(
+          approx_count_distinct($"o_custkey", rsd = 0.01).as("approx_custs"),
+          percentile_approx($"o_totalprice", lit(0.5), lit(1000))
+            .as("approx_median"))
+        .orderBy($"o_orderpriority")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "rel_argmax" ->
+      """SELECT n_name, min(c_custkey) AS top_custkey, max_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN (SELECT n_name AS mn, max(c_acctbal) AS max_bal
+        |      FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |      GROUP BY 1) ON n_name = mn AND c_acctbal = max_bal
+        |GROUP BY n_name, max_bal ORDER BY n_name""".stripMargin,
+
+    "rel_pivot" ->
+      """SELECT l_linestatus,
+        | CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS A,
+        | CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS N,
+        | CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS R
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "rel_unpivot" ->
+      """SELECT p_partkey, attr, val FROM (
+        |  SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part)
+        |ORDER BY p_partkey, attr LIMIT 200""".stripMargin,
+
+    "rel_string_funcs2" ->
+      """SELECT c_custkey,
+        | upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2, 64)) AS seg_initcap,
+        | reverse(c_name) AS name_rev,
+        | translate(c_name, '#0', '_o') AS name_tr,
+        | CAST(instr(c_name, '#') AS INTEGER) AS hash_pos,
+        | split_part(c_name, '#', 2) AS name_num,
+        | left(c_name, 8) AS name_left,
+        | right(c_name, 3) AS name_right,
+        | rpad(c_mktsegment, 12, '.') AS seg_pad,
+        | repeat(left(c_name, 2), 3) AS name_rep
+        |FROM customer ORDER BY c_custkey LIMIT 100""".stripMargin,
+
+    "rel_date_funcs" ->
+      """SELECT o_orderkey,
+        | CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        | CAST(month(o_orderdate) AS INTEGER) AS m,
+        | CAST(day(o_orderdate) AS INTEGER) AS dom,
+        | CAST(dayofweek(o_orderdate) AS INTEGER) AS dow_sun0,
+        | CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+        | strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        | strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        | strftime(o_orderdate + INTERVAL 45 DAY, '%Y-%m-%d') AS plus45
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin
+  )
+}

@@ -34,7 +34,7 @@ object SimilarityOps {
     * (see [[graft.functions.VectorExpressions]]).
     */
   private def cosine(a: Column, b: Column): Column =
-    graft.functions.VectorExpressions.cosineSimilarity(a, b)
+    graft.api.GraftPipelines.cosine(a, b)
 
   private def cosineSql(a: String, b: String): String =
     s"(${dotUnrolledSql(a, b, DIM)}) / " +
@@ -45,9 +45,7 @@ object SimilarityOps {
     * oracle-mirrorable (no RNG in either engine).
     */
   private def bucketCol(e: Column): Column =
-    (1 to LSH_BITS).map { i =>
-      when(element_at(e, i) >= 0f, lit(1 << (i - 1))).otherwise(lit(0))
-    }.reduce(_ + _)
+    graft.api.GraftPipelines.signLshBucket(e, LSH_BITS)
 
   private def bucketSql(e: String): String =
     (1 to LSH_BITS).map { i =>
@@ -59,14 +57,8 @@ object SimilarityOps {
     "llm_embed_topk" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      val q = emb.filter($"vec_id" < NQ)
-        .select($"vec_id".as("qid"), $"embedding".as("qv"))
-      val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
-      emb.join(broadcast(q), $"vec_id" =!= $"qid")
-        .withColumn("cosine", cosine($"qv", $"embedding"))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" <= 10)
-        .select($"qid", $"rn", $"vec_id", $"cosine")
+      graft.api.GraftPipelines
+        .cosineTopK(emb, emb.filter($"vec_id" < NQ), 10)
         .orderBy($"qid", $"rn")
     }),
 

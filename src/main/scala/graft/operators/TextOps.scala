@@ -36,23 +36,8 @@ object TextOps {
     // and a fixed-weight composite score per document.
     "llm_quality_score" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .withColumn("w", split($"text", " "))
-        .withColumn("n_words", size($"w"))
-        .withColumn("n_distinct", size(array_distinct($"w")))
-        .withColumn("sum_len", expr(
-          "aggregate(transform(w, x -> length(x)), 0, (a, x) -> a + x)"))
-        .withColumn("n_stop", expr(
-          s"size(filter(w, x -> x IN ($markersInList)))"))
-        .withColumn("avg_word_len", $"sum_len".cast("double") / $"n_words")
-        .withColumn("ttr", $"n_distinct".cast("double") / $"n_words")
-        .withColumn("stop_ratio", $"n_stop".cast("double") / $"n_words")
-        .withColumn("score",
-          ($"ttr" * 0.5) + ($"stop_ratio" * 0.3) +
-            (when($"avg_word_len" >= 3.0 && $"avg_word_len" <= 8.0, 0.2)
-              .otherwise(0.0)))
-        .select($"doc_id", $"n_words", $"n_distinct", $"avg_word_len",
-          $"ttr", $"stop_ratio", $"score")
+      graft.api.GraftPipelines
+        .qualityScores(Tables.documents(s, dir), EN_MARKERS)
         .orderBy($"doc_id")
     }),
 
@@ -69,21 +54,29 @@ object TextOps {
         .orderBy($"source")
     }),
 
+    // Array/higher-order function surface over the tokenized documents
+    // (slice/sort/reverse/contains/element_at; string-joined outputs so
+    // the oracle compare is scalar).
+    "llm_array_funcs" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .orderBy($"doc_id").limit(200)
+        .select(
+          $"doc_id",
+          concat_ws(" ", slice(split($"text", " "), 1, 3)).as("first3"),
+          concat_ws(" ", reverse(slice(split($"text", " "), 1, 3)))
+            .as("first3_rev"),
+          element_at(split($"text", " "), -1).as("last_word"),
+          array_contains(split($"text", " "), "the").cast("int").as("has_the"),
+          concat_ws(" ", slice(array_sort(array_distinct(split($"text", " "))), 1, 5))
+            .as("sorted5"))
+    }),
+
     // Document fingerprint: winnowing-style — min md5 over word-2-gram
     // shingles for 4 seeds, digested into one stable fingerprint.
     "llm_fingerprint" -> ((s, dir) => {
       import s.implicits._
-      val sh = Tables.documents(s, dir)
-        .select($"doc_id", split($"text", " ").as("w"))
-        .filter(size($"w") >= 2)
-        .select($"doc_id", explode(expr(
-          "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))
-          .as("s"))
-      val mins = (0 until 4).map(i =>
-        min(md5(concat(lit(s"$i|"), $"s"))).as(s"m$i"))
-      sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
-        .select($"doc_id",
-          md5(concat($"m0", $"m1", $"m2", $"m3")).as("fingerprint"))
+      graft.api.GraftPipelines.fingerprints(Tables.documents(s, dir))
         .orderBy($"doc_id")
     })
   )
@@ -124,6 +117,15 @@ object TextOps {
         | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
         | CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS sum_re_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "llm_array_funcs" ->
+      """SELECT doc_id,
+        | array_to_string(string_split(text, ' ')[1:3], ' ') AS first3,
+        | array_to_string(list_reverse(string_split(text, ' ')[1:3]), ' ') AS first3_rev,
+        | string_split(text, ' ')[-1] AS last_word,
+        | CAST(list_contains(string_split(text, ' '), 'the') AS INTEGER) AS has_the,
+        | array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ' ') AS sorted5
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
 
     "llm_fingerprint" ->
       """SELECT doc_id, md5(m0 || m1 || m2 || m3) AS fingerprint FROM (

@@ -1,0 +1,81 @@
+package graft
+
+/** Temporal joins + part-2 relational ops. */
+class JoinOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = 1000000000L // 1s in ns
+
+  test("ev_asof_join: error matches most recent signup at-or-before") {
+    val events = Seq(
+      (1L, 100 * S, 7L, "signup", 1.0, "{}"),
+      (2L, 200 * S, 7L, "error", 1.0, "{}"),   // → signup@100
+      (3L, 300 * S, 7L, "signup", 1.0, "{}"),
+      (4L, 300 * S, 7L, "error", 1.0, "{}"),   // same instant → signup@300
+      (5L, 400 * S, 8L, "error", 1.0, "{}"))   // user 8: no signup → null
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tempSfDir("events" -> events)
+    val got = q("ev_asof_join", dir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    assert(got(2L) == 100 * S / 1000000)
+    assert(got(4L) == 300 * S / 1000000)
+    assert(got(5L) == -1L)
+  }
+
+  test("ev_range_join: counts events strictly within (t, t+1h]") {
+    val events = Seq(
+      (1L, 0 * S, 7L, "signup", 1.0, "{}"),
+      (2L, 1800 * S, 7L, "click", 1.0, "{}"),   // inside
+      (3L, 3600 * S, 7L, "click", 1.0, "{}"),   // boundary: inside (<=)
+      (4L, 3601 * S, 7L, "click", 1.0, "{}"),   // outside
+      (5L, 1800 * S, 8L, "click", 1.0, "{}"))   // other user
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tempSfDir("events" -> events)
+    val got = q("ev_range_join", dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L))
+  }
+
+  test("rel_argmax: picks the max-balance customer with min-key tie-break") {
+    val rows = q("rel_argmax").collect()
+    assert(rows.length == 25)
+    val cust = spark.read.parquet(s"$sf/customer.parquet").collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Int]("c_nationkey"),
+        r.getAs[Double]("c_acctbal")))
+    rows.foreach { r =>
+      val nk = r.getString(0).stripPrefix("NATION_").toInt
+      val inNation = cust.filter(_._2 == nk)
+      val maxBal = inNation.map(_._3).max
+      assert(r.getAs[Double]("max_bal") == maxBal)
+      val expectKey = inNation.filter(_._3 == maxBal).map(_._1).min
+      assert(r.getAs[Long]("top_custkey") == expectKey)
+    }
+  }
+
+  test("rel_approx: sketches within 5% of exact") {
+    val approx = q("rel_approx").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("approx_custs")).toMap
+    val exact = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_orderpriority")
+      .agg(org.apache.spark.sql.functions.countDistinct("o_custkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.05,
+        s"$k: approx=${approx(k)} exact=$n")
+    }
+  }
+
+  test("rel_pivot: cells equal the filtered sums") {
+    val rows = q("rel_pivot").collect()
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    rows.foreach { r =>
+      val status = r.getString(0)
+      val a = li.filter(s"l_linestatus = '$status' AND l_returnflag = 'A'")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity")).collect()(0)
+      val cell = if (r.isNullAt(1)) null else r.getDouble(1)
+      if (a.isNullAt(0)) assert(cell == null)
+      else assert(math.abs(cell.asInstanceOf[Double] - a.getDouble(0)) < 1e-6)
+    }
+  }
+}
