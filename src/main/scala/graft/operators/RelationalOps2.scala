@@ -89,6 +89,31 @@ object RelationalOps2 {
             .as("plus45"))
     }),
 
+    // Exact percentiles (interpolated), min/max spread per priority.
+    "rel_percentile" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("median_price"),
+          expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+          min($"o_totalprice").as("min_price"),
+          max($"o_totalprice").as("max_price"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // GROUPING SETS (explicit set list, not rollup/cube).
+    "rel_grouping_sets" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority")),
+          $"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), sumMoney($"o_totalprice").as("total"))
+        .orderBy($"o_orderstatus".asc_nulls_first,
+          $"o_orderpriority".asc_nulls_first)
+    }),
+
     // Approximate aggregates — no SQL oracle (HLL/quantile sketches are
     // engine-specific); accuracy is asserted against exact counts in
     // ScalaTest instead, and the driver records a rows-only check.
@@ -127,6 +152,22 @@ object RelationalOps2 {
         |  UNION ALL
         |  SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part)
         |ORDER BY p_partkey, attr LIMIT 200""".stripMargin,
+
+    "rel_percentile" ->
+      """SELECT o_orderpriority,
+        | quantile_cont(o_totalprice, 0.5) AS median_price,
+        | quantile_cont(o_totalprice, 0.9) AS p90_price,
+        | min(o_totalprice) AS min_price,
+        | max(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "rel_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        | o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "rel_string_funcs2" ->
       """SELECT c_custkey,

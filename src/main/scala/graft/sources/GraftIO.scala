@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink connectors (SURVEY.md §2.1).
+  *
+  * The reference reads exactly one format — the ETW `.etl` trace
+  * (/root/reference/src/main.cpp:991-1014) — and renders to a UI table.
+  * The engine generalizes both ends through Spark's datasource API:
+  * parquet/json/csv/orc in, the same plus partitioned layouts out. These
+  * are thin, opinionated wrappers (schema-explicit reads — schema
+  * inference over 100 TB is an accidental full scan; partitioned,
+  * compressed writes) rather than new formats: the datasource API is the
+  * extension point and the built-in formats cover the reference's surface.
+  *
+  * Scale notes: `partitionBy` on a bounded-cardinality column gives
+  * partition-pruned reads downstream (`WHERE event_type = …` skips files);
+  * writers default to snappy parquet; readers never infer schemas.
+  */
+object GraftIO {
+
+  /** Schema-explicit read of any built-in format. */
+  def read(spark: SparkSession, format: String, path: String,
+      schema: StructType): DataFrame =
+    spark.read.format(format).schema(schema).load(path)
+
+  /** CSV with header, explicit schema (no inference scan). */
+  def readCsv(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** JSON lines with explicit schema (no inference scan). */
+  def readJson(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Snappy parquet writer, optionally hash-partitioned into a bounded
+    * file count and/or hive-partitioned by columns for pruned reads.
+    */
+  def writeParquet(df: DataFrame, path: String,
+      partitionCols: Seq[String] = Nil, numFiles: Int = 0): Unit = {
+    val staged = if (numFiles > 0) df.repartition(numFiles) else df
+    val w: DataFrameWriter[Row] = staged.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}

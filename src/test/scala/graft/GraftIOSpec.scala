@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.GraftIO
+
+/** Source/sink round-trips (SURVEY.md §2.1): csv/json/parquet, plus
+  * partitioned writes with downstream partition pruning.
+  */
+class GraftIOSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+
+  test("csv round-trip preserves rows and values") {
+    val dir = Files.createTempDirectory("graft_io").toString
+    val src = lineitem.select($"l_orderkey", $"l_quantity", $"l_returnflag")
+    GraftIO.writeCsv(src, s"$dir/li_csv")
+    val back = GraftIO.readCsv(spark, s"$dir/li_csv", src.schema)
+    assert(back.count() == src.count())
+    val sumQ = back.agg(sum($"l_quantity")).collect()(0).getDouble(0)
+    val expQ = src.agg(sum($"l_quantity")).collect()(0).getDouble(0)
+    assert(math.abs(sumQ - expQ) < 1e-6)
+  }
+
+  test("json round-trip preserves rows and nested-free schema") {
+    val dir = Files.createTempDirectory("graft_io").toString
+    val src = lineitem.select($"l_orderkey", $"l_returnflag", $"l_quantity")
+    GraftIO.writeJson(src, s"$dir/li_json")
+    val back = GraftIO.readJson(spark, s"$dir/li_json", src.schema)
+    assert(back.count() == src.count())
+    assert(back.schema == src.schema)
+  }
+
+  test("partitioned parquet write enables partition pruning") {
+    val dir = Files.createTempDirectory("graft_io").toString
+    GraftIO.writeParquet(lineitem, s"$dir/li_part",
+      partitionCols = Seq("l_returnflag"), numFiles = 4)
+    // hive layout on disk
+    val sub = new java.io.File(s"$dir/li_part").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(sub.exists(_.startsWith("l_returnflag=")))
+    val back = spark.read.parquet(s"$dir/li_part")
+      .filter($"l_returnflag" === "R")
+    // pruned plan only reads the R partition
+    val scan = back.queryExecution.executedPlan.toString()
+    assert(back.count() ==
+      lineitem.filter($"l_returnflag" === "R").count())
+    assert(scan.contains("PartitionFilters") ||
+      scan.toLowerCase.contains("partition"))
+  }
+
+  test("orc round-trip via the generic reader") {
+    val dir = Files.createTempDirectory("graft_io").toString
+    val src = lineitem.select($"l_orderkey", $"l_quantity")
+    src.write.mode("overwrite").orc(s"$dir/li_orc")
+    val back = GraftIO.read(spark, "orc", s"$dir/li_orc", src.schema)
+    assert(back.count() == src.count())
+  }
+}
