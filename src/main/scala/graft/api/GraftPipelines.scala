@@ -62,8 +62,12 @@ object GraftPipelines {
   def minhashCandidates(docs: DataFrame, shingleN: Int = 3, seeds: Int = 8,
       bands: Int = 4, id: String = "doc_id",
       text: String = "text"): DataFrame = {
+    // The band table is tiny (bands rows/doc) but its lineage — shingle
+    // explode + seeds× md5 mins — is the expensive part. Persist it so the
+    // self-join's two sides don't recompute the whole pipeline each.
     val b = lshBands(minhashSignature(shingle(docs, shingleN, id, text),
-      seeds, id), bands, seeds / bands, id)
+      seeds, id), bands, seeds / bands, id).persist()
+    b.count()
     b.as("l").join(b.as("r"),
         col("l.b") === col("r.b") && col(s"l.$id") < col(s"r.$id"))
       .select(col(s"l.$id").as("d1"), col(s"r.$id").as("d2"))

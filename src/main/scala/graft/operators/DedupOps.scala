@@ -141,9 +141,12 @@ object DedupOps {
     }),
 
     // SimHash near-dup pairs within a source (hamming ≤ 6 of 32 bits).
+    // The signature table is small (one row/doc) but expensive to derive —
+    // persist it so the self-join doesn't run the 32-bit agg twice.
     "llm_simhash_pairs" -> ((s, dir) => {
       import s.implicits._
-      val sh = simhash(s, dir)
+      val sh = simhash(s, dir).persist()
+      sh.count()
       sh.as("l").join(sh.as("r"),
           col("l.source") === col("r.source") &&
           col("l.doc_id") < col("r.doc_id"))
