@@ -37,11 +37,20 @@ object GraftPipelines {
         explode(expr(s"transform(sequence(0, size(w)-$n), i -> $gram)")).as("s"))
   }
 
-  /** MinHash signature: one min-md5 column per seed. */
+  /** MinHash signature: `seeds` long-typed min-hash columns. Two 60-bit
+    * values come from each MD5 (lower/upper half —
+    * [[graft.functions.VectorExpressions.Md5Half60]]), halving digest work,
+    * and long mins aggregate in HashAggregate (string mins would fall back
+    * to SortAggregate).
+    */
   def minhashSignature(shingles: DataFrame, seeds: Int,
       id: String = "doc_id"): DataFrame = {
-    val aggs = (0 until seeds)
-      .map(i => min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
+    require(seeds % 2 == 0, "seeds come in md5-half pairs")
+    val aggs = (0 until seeds).map { i =>
+      min(VectorExpressions.md5Half60(
+        concat(lit(s"${i / 2}|"), col("s")), upperHalf = i % 2 == 1))
+        .as(s"h$i")
+    }
     shingles.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -49,7 +58,8 @@ object GraftPipelines {
   def lshBands(signature: DataFrame, bands: Int, rowsPerBand: Int,
       id: String = "doc_id"): DataFrame = {
     val bandCols = (0 until bands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      val parts = (0 until rowsPerBand).flatMap(r =>
+        Seq(lit(","), col(s"h${b * rowsPerBand + r}").cast("string"))).tail
       md5(concat(lit(s"b$b|") +: parts: _*))
     }
     signature.select(col(id), explode(array(bandCols: _*)).as("b"))
@@ -101,6 +111,26 @@ object GraftPipelines {
     (1 to bits).map { i =>
       when(element_at(vec, i) >= 0f, lit(1 << (i - 1))).otherwise(lit(0))
     }.reduce(_ + _)
+
+  // ---------------- skew tools ----------------
+
+  /** Skew-safe equi-join of a skewed big side against a small-ish side.
+    *
+    * Hot keys overwhelm single reducers in a plain shuffle join; salting
+    * splits each big-side key into `salts` deterministic sub-keys (hash of
+    * a discriminator column — no RNG, so plans stay reproducible) and
+    * replicates the small side across all salts. AQE's skew handling
+    * covers moderate skew at runtime; explicit salting is the tool for
+    * the pathological keys a 100 TB log always has.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      discriminator: String, salts: Int): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(col(discriminator)), lit(salts)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(lit((0 until salts).toArray)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 
   // ---------------- text ----------------
 

@@ -118,10 +118,38 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** 60-bit numeric hash from an MD5 half (see [[HashUtils.md5Long60]]):
+    * long-typed min-hashes stay inside HashAggregate (string mins fall
+    * back to SortAggregate), and the DuckDB oracle mirrors the value as
+    * `md5_number_lower/upper(s) % 2^60`.
+    */
+  case class Md5Half60(child: Expression, upperHalf: Boolean)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.LongType
+    override def prettyName: String = "md5_half60"
+
+    override def nullSafeEval(input: Any): Any =
+      HashUtils.md5Long60(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        upperHalf)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashUtils.md5Long60($c, $upperHalf)")
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
+
   /** Column-level API. */
   def cosineSimilarity(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  def md5Half60(s: Column, upperHalf: Boolean): Column =
+    Bridge.column(Md5Half60(Bridge.expression(s), upperHalf))
 }

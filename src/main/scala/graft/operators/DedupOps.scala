@@ -69,14 +69,19 @@ object DedupOps {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
       |  WHERE len(w) >= 3)""".stripMargin
 
+  // 60-bit numeric min-hashes: md5_number_lower/upper % 2^60 mirrors the
+  // engine's Md5Half60 expression bit-for-bit.
   private val minhashSql = {
-    val aggs = SEEDS.map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
+    val aggs = SEEDS.map { i =>
+      val half = if (i % 2 == 1) "upper" else "lower"
+      s"min(CAST(md5_number_$half('${i / 2}|' || s) % 1152921504606846976 AS BIGINT)) AS h$i"
+    }.mkString(", ")
     s"mh AS (SELECT doc_id, $aggs FROM sh GROUP BY doc_id)"
   }
 
   private val bandsSql = {
     val rows = (0 until 4).map(b =>
-      s"SELECT doc_id, md5('b$b|' || h${2 * b} || h${2 * b + 1}) AS b FROM mh")
+      s"SELECT doc_id, md5('b$b|' || CAST(h${2 * b} AS VARCHAR) || ',' || CAST(h${2 * b + 1} AS VARCHAR)) AS b FROM mh")
     s"bands AS (${rows.mkString(" UNION ALL ")})"
   }
 

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** ScalaCheck properties (SURVEY.md §5.3): order-insensitivity of the
+  * exact-decimal aggregates, dedup idempotence, cosine-similarity math.
+  * Spark jobs are expensive per case, so each property runs a bounded
+  * number of cases over small generated inputs.
+  */
+object GraftProperties extends Properties("graft") {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters) =
+    p.withMinSuccessfulTests(5)
+
+  private val moneyGen: Gen[List[Double]] =
+    Gen.listOfN(50, Gen.chooseNum(0, 999999).map(_ / 100.0))
+
+  property("decimal sum is partition-order independent") =
+    Prop.forAll(moneyGen) { xs =>
+      xs.isEmpty || {
+        import spark.implicits._
+        val a = xs.toDF("v").repartition(7)
+          .agg(sum(graft.functions.Fns.dec2($"v")).cast("double"))
+          .collect()(0).getDouble(0)
+        val b = xs.reverse.toDF("v").repartition(3)
+          .agg(sum(graft.functions.Fns.dec2($"v")).cast("double"))
+          .collect()(0).getDouble(0)
+        a == b
+      }
+    }
+
+  private val docGen: Gen[List[String]] =
+    Gen.listOfN(8, Gen.listOfN(6,
+      Gen.oneOf("the", "fox", "dog", "ran", "far", "joy")).map(_.mkString(" ")))
+
+  property("exact dedup is idempotent") = Prop.forAll(docGen) { texts =>
+    import spark.implicits._
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val once = graft.api.GraftPipelines.dedupExact(docs)
+    val keepers = once.select($"keeper").as[Long].collect().toSet
+    val again = graft.api.GraftPipelines.dedupExact(
+      docs.filter($"doc_id".isin(keepers.toSeq: _*)))
+    again.agg(max($"n_copies")).collect()(0).getLong(0) <= 1
+  }
+
+  private val vecGen: Gen[(List[Float], List[Float])] = for {
+    a <- Gen.listOfN(8, Gen.chooseNum(-100, 100).map(_ / 100.0f))
+    b <- Gen.listOfN(8, Gen.chooseNum(-100, 100).map(_ / 100.0f))
+    if a.exists(_ != 0f) && b.exists(_ != 0f)
+  } yield (a, b)
+
+  property("cosine symmetric, bounded, self-sim ≈ 1") =
+    Prop.forAll(vecGen) { case (a, b) =>
+      import spark.implicits._
+      val df = Seq((a.toArray, b.toArray)).toDF("a", "b")
+      val r = df.select(
+        graft.api.GraftPipelines.cosine($"a", $"b").as("ab"),
+        graft.api.GraftPipelines.cosine($"b", $"a").as("ba"),
+        graft.api.GraftPipelines.cosine($"a", $"a").as("aa"))
+        .collect()(0)
+      val (ab, ba, aa) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      ab == ba && ab >= -1.0000001 && ab <= 1.0000001 &&
+        math.abs(aa - 1.0) < 1e-9
+    }
+}
