@@ -24,8 +24,13 @@ import org.apache.spark.sql.functions._
   */
 final class EventLog(spark: SparkSession, sfDir: String) {
 
-  /** The cached log: scanned once, reused by every query. */
-  val events: DataFrame = operators.EventOps.events(spark, sfDir).cache()
+  /** The cached log: scanned once, reused by every query. The corpus
+    * parquet is a single row group (scan parallelism 1), so the one-time
+    * cache build also repartitions to the session's parallelism — every
+    * interactive query after that runs on all cores.
+    */
+  val events: DataFrame = operators.EventOps.events(spark, sfDir)
+    .repartition(spark.sparkContext.defaultParallelism).cache()
 
   private val seq = new AtomicInteger(0)
   @volatile private var currentGroup: Option[String] = None

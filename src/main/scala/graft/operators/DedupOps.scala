@@ -40,16 +40,25 @@ object DedupOps {
   private def bands(s: SparkSession, dir: String): DataFrame =
     graft.api.GraftPipelines.lshBands(minhash(s, dir), 4, 2)
 
-  /** 32-bit SimHash over word unigrams, bit source = md5 hex nibbles. */
+  /** 32-bit SimHash over word unigrams. Bit j is bit (31-j) of the
+    * big-endian first 4 digest bytes — the same bits the hex-nibble
+    * formulation reads, but derived from one numeric Md5Half60 value with
+    * integer ops instead of 32 conv(substring(...)) chains.
+    */
   private def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val words = Tables.documents(s, dir)
       .select($"doc_id", $"source", explode(split($"text", " ")).as("word"))
-      .withColumn("h", md5($"word"))
-    def nib(j: Int): Column =
-      conv(substring($"h", j / 4 + 1, 1), 16, 10).cast("int")
+      // LE low bytes of the digest's first half; mask to BE 32-bit word
+      .withColumn("u",
+        graft.functions.VectorExpressions.md5Half60($"word", upperHalf = true))
+      .withColumn("v32",
+        (($"u" % 256) * 16777216L) +
+          (shiftright($"u", 8).bitwiseAND(lit(255L)) * 65536L) +
+          (shiftright($"u", 16).bitwiseAND(lit(255L)) * 256L) +
+          shiftright($"u", 24).bitwiseAND(lit(255L)))
     def bit(j: Int): Column =
-      shiftright(nib(j), 3 - j % 4).bitwiseAND(lit(1))
+      shiftright($"v32", 31 - j).bitwiseAND(lit(1L)).cast("int")
     val contribs =
       (0 until SIM_BITS).map(j => sum(bit(j) * 2 - 1).as(s"c$j"))
     val agg = words.groupBy($"doc_id", $"source")
@@ -86,19 +95,20 @@ object DedupOps {
   }
 
   private val simhashSql = {
-    def nib(j: Int) =
-      s"(strpos('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1)"
     val contribs = (0 until SIM_BITS)
-      .map(j => s"sum(((${nib(j)} >> ${3 - j % 4}) & 1) * 2 - 1) AS c$j")
+      .map(j => s"sum((CAST((v32 >> ${31 - j}) & 1 AS INTEGER)) * 2 - 1) AS c$j")
       .mkString(", ")
     val value = (0 until SIM_BITS)
       .map(j => s"(CASE WHEN c$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
     s"""simagg AS (
        |  SELECT doc_id, source, $contribs
-       |  FROM (SELECT doc_id, source, md5(w) AS h FROM
-       |        (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
-       |         FROM documents))
+       |  FROM (SELECT doc_id, source,
+       |         CAST(((u % 256) * 16777216) + (((u >> 8) % 256) * 65536) +
+       |              (((u >> 16) % 256) * 256) + ((u >> 24) % 256) AS BIGINT) AS v32
+       |        FROM (SELECT doc_id, source,
+       |               md5_number_upper(unnest(string_split(text, ' '))) AS u
+       |              FROM documents))
        |  GROUP BY doc_id, source),
        |sh AS (SELECT doc_id, source, $value AS simhash FROM simagg)""".stripMargin
   }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Per-type frozen schema inference (reference src/main.cpp:302-317). */
+class SchemaRegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ragged() = {
+    val events = Seq(
+      (1L, 1000000000L, 1L, "alpha", 1.0, """{"x": 1, "y": "a"}"""),
+      (2L, 2000000000L, 1L, "alpha", 1.0, """{"x": 2, "y": "b", "late": 9}"""),
+      (3L, 3000000000L, 2L, "beta", 2.0, """{"z": 5}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    tempSfDir("events" -> events)
+  }
+
+  test("schema frozen at first sight: later keys don't widen the type") {
+    val reg = SchemaRegistry.build(
+      operators.EventOps.events(spark, ragged()))
+    assert(reg("alpha").fieldNames.sorted.sameElements(Array("x", "y")))
+    assert(reg("beta").fieldNames.sameElements(Array("z")))
+    // the 'late' key from event 2 must NOT appear — schema came from event 1
+    assert(!reg("alpha").fieldNames.contains("late"))
+  }
+
+  test("decode applies the per-type schema; decodeAll pads ragged rows") {
+    val dir = ragged()
+    val ev = operators.EventOps.events(spark, dir)
+    val reg = SchemaRegistry.build(ev)
+    val alpha = reg.decode(ev, "alpha")
+      .select($"event_id", $"props_struct.x", $"props_struct.y").collect()
+    assert(alpha.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet ==
+      Set((1L, 1L, "a"), (2L, 2L, "b")))
+    val all = reg.decodeAll(ev)
+      .select($"event_id", $"props_struct.x", $"props_struct.z").collect()
+    // beta row has null x; alpha rows have null z (UI ragged padding)
+    val betaRow = all.find(_.getLong(0) == 3L).get
+    assert(betaRow.isNullAt(1) && betaRow.getLong(2) == 5L)
+    val alphaRow = all.find(_.getLong(0) == 1L).get
+    assert(alphaRow.getLong(1) == 1L && alphaRow.isNullAt(2))
+  }
+
+  test("registry on the real corpus: k inferred as integral for all types") {
+    val reg = SchemaRegistry.build(
+      operators.EventOps.events(spark, sf))
+    assert(reg.schemas.keySet ==
+      Set("click", "view", "error", "signup", "purchase"))
+    reg.schemas.values.foreach { st =>
+      assert(st.fieldNames.sameElements(Array("k")))
+      assert(st("k").dataType == LongType || st("k").dataType == IntegerType)
+    }
+  }
+}
