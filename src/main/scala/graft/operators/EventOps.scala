@@ -149,6 +149,19 @@ object EventOps {
         .orderBy($"event_type")
     }),
 
+    // §2.3 A1 dropDuplicates variant: the first-seen instance per type
+    // (deterministic min_by, the engine form of the reference's
+    // first-sight metadata capture, src/main.cpp:302-317).
+    "ev_first_instance" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy($"event_type")
+        .agg(min_by(struct($"event_id", $"ts_ms", $"user_id"),
+          struct($"ts_ns", $"event_id")).as("f"))
+        .select($"event_type", $"f.event_id", $"f.ts_ms", $"f.user_id")
+        .orderBy($"event_type")
+    }),
+
     // §2.6 window functions over event time: sessionize per user with a
     // 30-minute gap rule (lag over partitioned, ordered event time).
     "ev_sessionize" -> ((s, dir) => {
@@ -235,6 +248,13 @@ object EventOps {
       """SELECT event_type, string_agg(DISTINCT key, ',' ORDER BY key) AS prop_keys
         |FROM (SELECT event_type, unnest(json_keys(props)) AS key FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ev_first_instance" ->
+      """SELECT event_type, event_id, ts_ms, user_id FROM (
+        |  SELECT event_type, event_id, epoch_ms(ts) AS ts_ms, user_id,
+        |   row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     "ev_sessionize" ->
       """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,

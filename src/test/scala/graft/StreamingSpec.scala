@@ -59,6 +59,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("slidingCounts: events land in every overlapping window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "user_id", "value")
+    val query = EventStreaming.slidingCounts(events)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sliding_out").start()
+    try {
+      mem.addData((ts(50), "click", 1L, 1.0))
+      query.processAllAvailable()
+      val wins = spark.table("sliding_out").collect()
+        .map(_.getAs[Timestamp]("win_start").toString).sorted
+      // 00:50 falls into the 1h windows starting 00:00, 00:15, 00:30, 00:45
+      assert(wins.length == 4)
+      assert(wins.head == "2024-01-01 00:00:00.0")
+      assert(wins.last == "2024-01-01 00:45:00.0")
+    } finally query.stop()
+  }
+
+  test("sessionWindows: gap > 30min splits user sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "user_id", "value")
+    val query = EventStreaming.sessionWindows(events)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_win_out").start()
+    try {
+      mem.addData((ts(0), "click", 7L, 1.0), (ts(10), "click", 7L, 1.0),
+        (ts(120), "click", 7L, 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("sess_win_out").collect()
+        .filter(_.getAs[Long]("user_id") == 7L)
+      assert(rows.length == 2, "two sessions for user 7")
+      assert(rows.map(_.getAs[Long]("n_events")).sorted.sameElements(Seq(1L, 2L)))
+    } finally query.stop()
+  }
+
   test("batch and streaming tumbling agg agree on the same data") {
     val ev = graft.operators.EventOps.events(spark, sf)
       .select($"ts", $"event_type", $"user_id", $"value")
