@@ -155,15 +155,40 @@ object GraftPipelines {
         col("ttr"), col("stop_ratio"), col("score"))
   }
 
-  /** Winnowing-style fingerprint from 2-gram shingle min-hashes. */
+  /** Winnowing-style fingerprint from 2-gram shingle min-hashes
+    * (numeric 60-bit mins → HashAggregate, digested into one md5).
+    */
   def fingerprints(docs: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame = {
     val sh = shingle(docs, 2, id, text)
     val mins = (0 until 4).map(i =>
-      min(md5(concat(lit(s"$i|"), col("s")))).as(s"m$i"))
+      min(VectorExpressions.md5Half60(
+        concat(lit(s"${i / 2}|"), col("s")), upperHalf = i % 2 == 1))
+        .as(s"m$i"))
     sh.groupBy(col(id)).agg(mins.head, mins.tail: _*)
       .select(col(id),
-        md5(concat(col("m0"), col("m1"), col("m2"), col("m3")))
+        md5(concat_ws(",", col("m0"), col("m1"), col("m2"), col("m3")))
           .as("fingerprint"))
+  }
+
+  /** End-to-end near-dup detection: LSH candidates verified by word-set
+    * Jaccard. The expensive O(n·shingles) work happens once (persisted
+    * band table); verification touches only candidate pairs.
+    */
+  def nearDuplicates(docs: DataFrame, minJaccard: Double,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val cands = minhashCandidates(docs, 3, 8, 4, id, text)
+    val sets = docs.select(col(id),
+      array_distinct(split(col(text), " ")).as("wset"))
+    cands
+      .join(sets.select(col(id).as("d1"), col("wset").as("w1")), "d1")
+      .join(sets.select(col(id).as("d2"), col("wset").as("w2")), "d2")
+      .withColumn("n_common", size(array_intersect(col("w1"), col("w2"))))
+      .withColumn("n_union",
+        size(array_distinct(concat(col("w1"), col("w2")))))
+      .withColumn("jaccard", col("n_common").cast("double") / col("n_union"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("d1"), col("d2"), col("n_common"), col("n_union"),
+        col("jaccard"))
   }
 }

@@ -172,6 +172,14 @@ object DedupOps {
         .orderBy($"d1", $"d2")
     }),
 
+    // End-to-end near-dup pipeline: LSH candidates → Jaccard verify.
+    "llm_neardup_verified" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.GraftPipelines
+        .nearDuplicates(Tables.documents(s, dir), 0.7)
+        .orderBy($"d1", $"d2")
+    }),
+
     // n-gram Jaccard similarity for adjacent docs within a source —
     // the verify step a MinHash candidate pair would go through.
     "llm_jaccard_adjacent" -> ((s, dir) => {
@@ -223,6 +231,25 @@ object DedupOps {
          |FROM sh l JOIN sh r ON l.source = r.source AND l.doc_id < r.doc_id
          |WHERE bit_count(xor(l.simhash, r.simhash)) <= 6
          |ORDER BY d1, d2""".stripMargin,
+
+    "llm_neardup_verified" ->
+      s"""WITH $shinglesSql, $minhashSql, $bandsSql,
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+         |  FROM bands l JOIN bands r ON l.b = r.b AND l.doc_id < r.doc_id),
+         |sets AS (
+         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset
+         |  FROM documents)
+         |SELECT d1, d2, n_common, n_union, jaccard FROM (
+         |  SELECT d1, d2,
+         |   CAST(len(list_intersect(s1.wset, s2.wset)) AS INTEGER) AS n_common,
+         |   CAST(len(list_distinct(list_concat(s1.wset, s2.wset))) AS INTEGER) AS n_union,
+         |   CAST(len(list_intersect(s1.wset, s2.wset)) AS DOUBLE)
+         |     / len(list_distinct(list_concat(s1.wset, s2.wset))) AS jaccard
+         |  FROM cands
+         |  JOIN sets s1 ON d1 = s1.doc_id
+         |  JOIN sets s2 ON d2 = s2.doc_id)
+         |WHERE jaccard >= 0.7 ORDER BY d1, d2""".stripMargin,
 
     "llm_jaccard_adjacent" ->
       """SELECT source, d1, d2, n_common, n_union,

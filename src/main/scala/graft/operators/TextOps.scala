@@ -128,10 +128,15 @@ object TextOps {
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
 
     "llm_fingerprint" ->
-      """SELECT doc_id, md5(m0 || m1 || m2 || m3) AS fingerprint FROM (
+      """SELECT doc_id,
+        | md5(CAST(m0 AS VARCHAR) || ',' || CAST(m1 AS VARCHAR) || ',' ||
+        |     CAST(m2 AS VARCHAR) || ',' || CAST(m3 AS VARCHAR)) AS fingerprint
+        |FROM (
         |  SELECT doc_id,
-        |   min(md5('0|' || s)) AS m0, min(md5('1|' || s)) AS m1,
-        |   min(md5('2|' || s)) AS m2, min(md5('3|' || s)) AS m3
+        |   min(CAST(md5_number_lower('0|' || s) % 1152921504606846976 AS BIGINT)) AS m0,
+        |   min(CAST(md5_number_upper('0|' || s) % 1152921504606846976 AS BIGINT)) AS m1,
+        |   min(CAST(md5_number_lower('1|' || s) % 1152921504606846976 AS BIGINT)) AS m2,
+        |   min(CAST(md5_number_upper('1|' || s) % 1152921504606846976 AS BIGINT)) AS m3
         |  FROM (
         |    SELECT doc_id, unnest(list_transform(range(1, len(w)),
         |             i -> w[i] || ' ' || w[i+1])) AS s
