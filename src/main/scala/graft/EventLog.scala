@@ -56,8 +56,11 @@ final class EventLog(spark: SparkSession, sfDir: String) {
     cancelCurrent()
     val group = s"graft-interactive-${seq.incrementAndGet()}"
     currentGroup = Some(group)
+    // cooperative kill (no Thread.interrupt): codegen'd iterators check
+    // the kill flag per batch, and interrupting task threads can corrupt
+    // shared Netty/Parquet state (Spark's documented caveat).
     spark.sparkContext.setJobGroup(group,
-      "interactive event-log query", interruptOnCancel = true)
+      "interactive event-log query", interruptOnCancel = false)
     try action(df)
     finally {
       spark.sparkContext.clearJobGroup()

@@ -114,6 +114,28 @@ object RelationalOps2 {
           $"o_orderpriority".asc_nulls_first)
     }),
 
+    // Pearson correlation per segment from EXACT decimal moments (built-in
+    // corr() streams doubles → partition-order-dependent low bits; the
+    // moment form is deterministic and oracle-identical).
+    "rel_corr" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .groupBy($"c_mktsegment")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec2($"c_acctbal")).cast("double").as("sx"),
+          sum($"c_nationkey".cast("long")).as("sy"),
+          sum(dec2($"c_acctbal") * dec2($"c_acctbal")).cast("double").as("sxx"),
+          sum($"c_nationkey".cast("long") * $"c_nationkey").as("syy"),
+          sum(dec2($"c_acctbal") * $"c_nationkey").cast("double").as("sxy"))
+        .withColumn("corr_xy",
+          (($"n" * $"sxy") - ($"sx" * $"sy")) /
+            (sqrt(($"n" * $"sxx") - ($"sx" * $"sx")) *
+             sqrt(($"n" * $"syy".cast("double")) - ($"sy".cast("double") * $"sy"))))
+        .select($"c_mktsegment", $"n", $"corr_xy")
+        .orderBy($"c_mktsegment")
+    }),
+
     // Approximate aggregates — no SQL oracle (HLL/quantile sketches are
     // engine-specific); accuracy is asserted against exact counts in
     // ScalaTest instead, and the driver records a rows-only check.
@@ -152,6 +174,21 @@ object RelationalOps2 {
         |  UNION ALL
         |  SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part)
         |ORDER BY p_partkey, attr LIMIT 200""".stripMargin,
+
+    "rel_corr" ->
+      """SELECT c_mktsegment, n,
+        | ((n * sxy) - (sx * sy)) /
+        | (sqrt((n * sxx) - (sx * sx)) *
+        |  sqrt((n * CAST(syy AS DOUBLE)) - (CAST(sy AS DOUBLE) * sy))) AS corr_xy
+        |FROM (
+        |  SELECT c_mktsegment, count(*) AS n,
+        |   CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |   CAST(sum(CAST(c_nationkey AS BIGINT)) AS BIGINT) AS sy,
+        |   CAST(sum(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |   CAST(sum(CAST(c_nationkey AS BIGINT) * c_nationkey) AS BIGINT) AS syy,
+        |   CAST(sum(CAST(c_acctbal AS DECIMAL(12,2)) * c_nationkey) AS DOUBLE) AS sxy
+        |  FROM customer GROUP BY c_mktsegment)
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "rel_percentile" ->
       """SELECT o_orderpriority,

@@ -52,6 +52,26 @@ class GraftIOSpec extends SparkSpec {
       scan.toLowerCase.contains("partition"))
   }
 
+  test("bucketed tables: equi-join on the bucket key runs shuffle-free") {
+    val li = lineitem.select($"l_orderkey", $"l_quantity")
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_orderkey", $"o_totalprice")
+    GraftIO.writeBucketed(li, "li_bkt", "l_orderkey", 8)
+    GraftIO.writeBucketed(ord, "ord_bkt", "o_orderkey", 8)
+    try {
+      val joined = spark.table("li_bkt")
+        .join(spark.table("ord_bkt"),
+          $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n${plan.take(800)}")
+      assert(joined.count() == lineitem.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_bkt")
+      spark.sql("DROP TABLE IF EXISTS ord_bkt")
+    }
+  }
+
   test("orc round-trip via the generic reader") {
     val dir = Files.createTempDirectory("graft_io").toString
     val src = lineitem.select($"l_orderkey", $"l_quantity")
