@@ -14,12 +14,15 @@ object Bench {
   /** Headline queries: one per operator family, heaviest shapes first. */
   val headline: Seq[String] = Seq(
     "ev_flagship", "ev_catalog", "ev_sessionize", "ev_tumbling_1h",
+    "ev_sliding_1h15m", "ev_session_window", "ev_asof_join", "ev_range_join",
     "rel_q1_pricing", "rel_q3_shipping", "rel_q5_region_volume",
-    "rel_window_rank", "rel_join_broadcast",
-    "llm_dedup_exact", "llm_minhash_pairs", "llm_simhash",
-    "llm_embed_topk", "llm_embed_lsh_knn",
+    "rel_window_rank", "rel_join_broadcast", "rel_rollup",
+    "rel_percentile", "rel_corr",
+    "llm_dedup_exact", "llm_minhash_pairs", "llm_neardup_verified",
+    "llm_simhash", "llm_embed_topk", "llm_embed_lsh_knn",
+    "llm_embed_neardup", "llm_lang_id",
     "llm_quality_score", "llm_token_count", "llm_fingerprint",
-    "mm_frame_sample")
+    "mm_image_features", "mm_frame_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,7 +46,10 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // isolate measurements: drop tables persisted inside operators
+      spark.catalog.clearCache()
+      name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -188,6 +188,26 @@ object EventOps {
         .select(unix_millis($"w.start").as("hour_ms"), $"event_type", $"n",
           $"sum_value")
         .orderBy($"hour_ms", $"event_type")
+    }),
+
+    // §2.9: sliding 1h window every 15min (each event lands in 4 windows).
+    "ev_sliding_1h15m" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy(window($"ts", "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis($"w.start").as("win_ms"), $"n")
+        .orderBy($"win_ms")
+    }),
+
+    // §2.9: session windows (30-minute gap) per user, batch form.
+    "ev_session_window" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+        .agg(count(lit(1)).as("n"))
+        .select($"user_id", unix_millis($"w.start").as("sess_start_ms"), $"n")
+        .orderBy($"user_id", $"sess_start_ms")
     })
   )
 
@@ -272,6 +292,35 @@ object EventOps {
       """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS hour_ms,
         | event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // every event belongs to the 4 sliding windows starting at the
+    // 15-minute bucket and the 3 before it
+    "ev_sliding_1h15m" ->
+      """SELECT epoch_ms(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+        |         - k * INTERVAL '15 minutes') AS win_ms,
+        | count(*) AS n
+        |FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) t(k)
+        |GROUP BY 1 ORDER BY win_ms""".stripMargin,
+
+    // gaps-and-islands mirror of session_window(ts, '30 minutes'):
+    // a new session starts at gap >= 30min (Spark closes a session window
+    // once the next event is >= gap duration after the last)
+    "ev_session_window" ->
+      """SELECT user_id, min(epoch_ms(ts)) AS sess_start_ms, count(*) AS n
+        |FROM (
+        |  SELECT user_id, ts,
+        |   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |     CASE WHEN prev_ns IS NULL
+        |            OR epoch_ns(ts) - prev_ns >= 1800000000000
+        |          THEN 1 ELSE 0 END AS new_sess
+        |    FROM (SELECT user_id, event_id, ts,
+        |           lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id) AS prev_ns
+        |          FROM events)))
+        |GROUP BY user_id, sid ORDER BY user_id, sess_start_ms""".stripMargin
   )
 }
