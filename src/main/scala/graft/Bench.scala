@@ -15,12 +15,14 @@ object Bench {
   val headline: Seq[String] = Seq(
     "ev_flagship", "ev_catalog", "ev_sessionize", "ev_tumbling_1h",
     "ev_sliding_1h15m", "ev_session_window", "ev_asof_join", "ev_range_join",
+    "ev_transitions",
     "rel_q1_pricing", "rel_q3_shipping", "rel_q5_region_volume",
+    "rel_q6_forecast",
     "rel_window_rank", "rel_join_broadcast", "rel_rollup",
     "rel_percentile", "rel_corr",
     "llm_dedup_exact", "llm_minhash_pairs", "llm_neardup_verified",
     "llm_simhash", "llm_embed_topk", "llm_embed_lsh_knn",
-    "llm_embed_neardup", "llm_lang_id",
+    "llm_embed_neardup", "llm_lang_id", "llm_tfidf",
     "llm_quality_score", "llm_token_count", "llm_fingerprint",
     "mm_image_features", "mm_frame_sample")
 

@@ -190,6 +190,19 @@ object EventOps {
         .orderBy($"hour_ms", $"event_type")
     }),
 
+    // Event-type transition counts: per user stream, how often does type A
+    // directly precede type B (lead over event time — funnel analytics).
+    "ev_transitions" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+      events(s, dir)
+        .withColumn("next_type", lead($"event_type", 1).over(w))
+        .filter($"next_type".isNotNull)
+        .groupBy($"event_type", $"next_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"event_type", $"next_type")
+    }),
+
     // §2.9: sliding 1h window every 15min (each event lands in 4 windows).
     "ev_sliding_1h15m" -> ((s, dir) => {
       import s.implicits._
@@ -293,6 +306,15 @@ object EventOps {
         | event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev_transitions" ->
+      """SELECT event_type, next_type, count(*) AS n
+        |FROM (
+        |  SELECT event_type,
+        |   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type ORDER BY event_type, next_type""".stripMargin,
 
     // every event belongs to the 4 sliding windows starting at the
     // 15-minute bucket and the 3 before it

@@ -89,6 +89,20 @@ object RelationalOps2 {
             .as("plus45"))
     }),
 
+    // TPC-H Q6-style forecasting: pure filter + single-value aggregate —
+    // the fully-pushed-down scan shape.
+    "rel_q6_forecast" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+                $"l_shipdate" < to_timestamp(lit("1998-01-01 00:00:00")) &&
+                $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+                $"l_quantity" < 24)
+        .agg(sum(dec2($"l_extendedprice") * rate($"l_discount"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // Exact percentiles (interpolated), min/max spread per priority.
     "rel_percentile" -> ((s, dir) => {
       import s.implicits._
@@ -174,6 +188,15 @@ object RelationalOps2 {
         |  UNION ALL
         |  SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part)
         |ORDER BY p_partkey, attr LIMIT 200""".stripMargin,
+
+    "rel_q6_forecast" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "rel_corr" ->
       """SELECT c_mktsegment, n,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -72,6 +73,27 @@ object TextOps {
             .as("sorted5"))
     }),
 
+    // TF-IDF-style term salience: top-5 terms per source by
+    // tf × (N / document-frequency). The score is a ratio of exact
+    // integers (no log) so both engines compute identical doubles.
+    "llm_tfidf" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val words = docs
+        .select($"source", $"doc_id", explode(split($"text", " ")).as("word"))
+      val tf = words.groupBy($"source", $"word").agg(count(lit(1)).as("tf"))
+      val dfq = words.select($"word", $"doc_id").distinct()
+        .groupBy($"word").agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy($"source").orderBy($"score".desc, $"word")
+      tf.join(dfq, "word").crossJoin(total)
+        .withColumn("score", ($"tf" * $"n_docs").cast("double") / $"df")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"source", $"rn", $"word", $"tf", $"df", $"score")
+        .orderBy($"source", $"rn")
+    }),
+
     // Document fingerprint: winnowing-style — min md5 over word-2-gram
     // shingles for 4 seeds, digested into one stable fingerprint.
     "llm_fingerprint" -> ((s, dir) => {
@@ -126,6 +148,22 @@ object TextOps {
         | CAST(list_contains(string_split(text, ' '), 'the') AS INTEGER) AS has_the,
         | array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ' ') AS sorted5
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "llm_tfidf" ->
+      """WITH words AS (
+        |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT source, word, count(*) AS tf FROM words GROUP BY 1, 2),
+        |dfq AS (SELECT word, count(*) AS df
+        |        FROM (SELECT DISTINCT word, doc_id FROM words) GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT source, CAST(rn AS INTEGER) AS rn, word, tf, df, score FROM (
+        |  SELECT source, word, tf, df,
+        |   CAST(tf * n_docs AS DOUBLE) / df AS score,
+        |   row_number() OVER (PARTITION BY source
+        |     ORDER BY CAST(tf * n_docs AS DOUBLE) / df DESC, word) AS rn
+        |  FROM tf JOIN dfq USING (word) CROSS JOIN tot)
+        |WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
 
     "llm_fingerprint" ->
       """SELECT doc_id,
