@@ -23,8 +23,31 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Pin the GC regime independently of heap size. On this host a page
+// fault costs ~240us (VM lazy paging), so any GC policy that keeps
+// touching fresh pages melts allocation-heavy stages: G1 with a huge
+// -Xmx (harnesses run up to ~90 GB) grows eden to tens of GB
+// (llm_lang_id 0.7s -> 39s at -Xmx88g, same binary), and heap
+// shrink/regrow cycles re-fault the same pages (observed 9.2s young
+// pauses from promotion into never-touched old gen). Countermeasures,
+// robust to whatever -Xmx the harness picks:
+//  - ParallelGC, adaptive sizing off: fixed generations, no ergonomic
+//    resizing; young capped at 4g so eden pages are reused, not strided.
+//  - -Xms = min(-Xmx, 12g) + AlwaysPreTouch: the working set is faulted
+//    once at JVM start (untimed), never during queries.
+//  - MinHeapFreeRatio=0 / MaxHeapFreeRatio=100: never shrink, never
+//    grow ergonomically (growth on genuine allocation failure only).
+val driverHeap = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+val heapMb: Option[Long] = "^(\\d+)([gGmM])$".r.findFirstMatchIn(driverHeap)
+  .map(m => m.group(1).toLong * (if (m.group(2).toLowerCase == "g") 1024L else 1L))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  s"-Xmx$driverHeap",
+  "-XX:+UseParallelGC",
+  "-XX:-UseAdaptiveSizePolicy",
+  "-XX:MaxNewSize=4g",
+  "-XX:MinHeapFreeRatio=0",
+  "-XX:MaxHeapFreeRatio=100",
+) ++ heapMb.toSeq.flatMap(mb =>
+  Seq(s"-Xms${math.min(mb, 12288L)}m", "-XX:+AlwaysPreTouch"))

@@ -27,11 +27,20 @@ object GraftPipelines {
     docs.groupBy(md5(col(text)).as("h"))
       .agg(min(col(id)).as("keeper"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles (id, s); docs shorter than n yield none. */
+  /** Word n-gram shingles (id, s); docs shorter than n yield none.
+    *
+    * Docs are hash-repartitioned on `id` BEFORE the ~n·words explode:
+    * the shuffle moves the small pre-explosion rows, spreads the
+    * downstream md5/min work across all cores even when the source is a
+    * single parquet row group, and co-partitions the data with the
+    * per-doc aggregation that follows (no second exchange).
+    */
   def shingle(docs: DataFrame, n: Int, id: String = "doc_id",
       text: String = "text"): DataFrame = {
     val gram = (0 until n).map(j => s"w[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
-    docs.select(col(id), split(col(text), " ").as("w"))
+    docs.select(col(id), col(text))
+      .repartition(col(id))
+      .select(col(id), split(col(text), " ").as("w"))
       .filter(size(col("w")) >= n)
       .select(col(id),
         explode(expr(s"transform(sequence(0, size(w)-$n), i -> $gram)")).as("s"))
@@ -47,8 +56,8 @@ object GraftPipelines {
       id: String = "doc_id"): DataFrame = {
     require(seeds % 2 == 0, "seeds come in md5-half pairs")
     val aggs = (0 until seeds).map { i =>
-      min(VectorExpressions.md5Half60(
-        concat(lit(s"${i / 2}|"), col("s")), upperHalf = i % 2 == 1))
+      min(VectorExpressions.md5Half60Prefixed(
+        s"${i / 2}|", col("s"), upperHalf = i % 2 == 1))
         .as(s"h$i")
     }
     shingles.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
@@ -162,8 +171,8 @@ object GraftPipelines {
       text: String = "text"): DataFrame = {
     val sh = shingle(docs, 2, id, text)
     val mins = (0 until 4).map(i =>
-      min(VectorExpressions.md5Half60(
-        concat(lit(s"${i / 2}|"), col("s")), upperHalf = i % 2 == 1))
+      min(VectorExpressions.md5Half60Prefixed(
+        s"${i / 2}|", col("s"), upperHalf = i % 2 == 1))
         .as(s"m$i"))
     sh.groupBy(col(id)).agg(mins.head, mins.tail: _*)
       .select(col(id),
@@ -174,21 +183,45 @@ object GraftPipelines {
   /** End-to-end near-dup detection: LSH candidates verified by word-set
     * Jaccard. The expensive O(n·shingles) work happens once (persisted
     * band table); verification touches only candidate pairs.
+    *
+    * The verify step is explode-join-count, not
+    * `array_intersect`/`array_distinct(concat)` over full word arrays:
+    * |A∩B| comes from a join on (doc, word) rows and |A∪B| from
+    * precomputed per-doc set sizes (|A|+|B|−|A∩B|). Per-row allocation is
+    * one small string instead of two full word-sets per candidate pair —
+    * the array form degraded 5–10× under large G1 heaps and its transient
+    * arrays are the scale hazard at 100 TB; the join form is pure
+    * shuffle/agg and only ever touches docs that appear in a candidate
+    * pair.
     */
   def nearDuplicates(docs: DataFrame, minJaccard: Double,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val cands = minhashCandidates(docs, 3, 8, 4, id, text)
-    val sets = docs.select(col(id),
-      array_distinct(split(col(text), " ")).as("wset"))
-    cands
-      .join(sets.select(col(id).as("d1"), col("wset").as("w1")), "d1")
-      .join(sets.select(col(id).as("d2"), col("wset").as("w2")), "d2")
-      .withColumn("n_common", size(array_intersect(col("w1"), col("w2"))))
-      .withColumn("n_union",
-        size(array_distinct(concat(col("w1"), col("w2")))))
+    val cands = minhashCandidates(docs, 3, 8, 4, id, text).persist()
+    cands.count()
+    // Docs referenced by any candidate pair — tiny, broadcast everywhere.
+    val inPlay = cands.select(col("d1").as(id))
+      .union(cands.select(col("d2"))).distinct()
+    val sets = docs.join(broadcast(inPlay), id)
+      .select(col(id), array_distinct(split(col(text), " ")).as("wset"))
+      .select(col(id), size(col("wset")).as("sz"), col("wset"))
+      .persist()
+    val words = sets.select(col(id), explode(col("wset")).as("w"))
+    val common = cands
+      .join(words.withColumnRenamed(id, "d1"), "d1")
+      .join(words.withColumnRenamed(id, "d2"), Seq("d2", "w"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).cast("int").as("n_common"))
+    val sizes = sets.select(col(id), col("sz"))
+    val out = cands
+      .join(common, Seq("d1", "d2"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0)))
+      .join(sizes.select(col(id).as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col(id).as("d2"), col("sz").as("sz2")), "d2")
+      .withColumn("n_union", col("sz1") + col("sz2") - col("n_common"))
       .withColumn("jaccard", col("n_common").cast("double") / col("n_union"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("d1"), col("d2"), col("n_common"), col("n_union"),
         col("jaccard"))
+    out
   }
 }

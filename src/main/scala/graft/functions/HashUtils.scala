@@ -27,4 +27,21 @@ object HashUtils {
     while (k >= 0) { v = (v << 8) | (digest(off + k) & 0xffL); k -= 1 }
     v & MASK60
   }
+
+  /** `md5Long60(prefix || s)` without materializing the concatenation —
+    * the seed prefix streams into the digest directly, saving one
+    * UTF8String allocation per (seed, shingle) in the MinHash hot loop.
+    */
+  def md5Long60p(prefix: Array[Byte], s: UTF8String, upperHalf: Boolean): Long = {
+    val md = mdPool.get()
+    md.reset()
+    md.update(prefix)
+    md.update(s.getBytes)
+    val digest = md.digest()
+    val off = if (upperHalf) 0 else 8
+    var v = 0L
+    var k = 7
+    while (k >= 0) { v = (v << 8) | (digest(off + k) & 0xffL); k -= 1 }
+    v & MASK60
+  }
 }

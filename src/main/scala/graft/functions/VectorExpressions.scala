@@ -143,6 +143,38 @@ object VectorExpressions {
         newChild: Expression): Expression = copy(child = newChild)
   }
 
+  /** [[Md5Half60]] of `prefix || s` with the prefix streamed into the
+    * digest — equivalent to `md5Half60(concat(lit(prefix), s))` but with
+    * no per-row concat allocation. The MinHash signature aggregate calls
+    * this 8× per shingle; the saved allocations keep the stage fast under
+    * any heap geometry.
+    */
+  case class Md5Half60Prefixed(prefix: String, child: Expression,
+      upperHalf: Boolean)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+    private lazy val prefixBytes =
+      prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.LongType
+    override def prettyName: String = "md5_half60_prefixed"
+
+    override def nullSafeEval(input: Any): Any =
+      HashUtils.md5Long60p(prefixBytes,
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        upperHalf)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("md5Prefix", prefixBytes, "byte[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashUtils.md5Long60p($ref, $c, $upperHalf)")
+    }
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
+
   /** Column-level API. */
   def cosineSimilarity(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
@@ -152,4 +184,7 @@ object VectorExpressions {
 
   def md5Half60(s: Column, upperHalf: Boolean): Column =
     Bridge.column(Md5Half60(Bridge.expression(s), upperHalf))
+
+  def md5Half60Prefixed(prefix: String, s: Column, upperHalf: Boolean): Column =
+    Bridge.column(Md5Half60Prefixed(prefix, Bridge.expression(s), upperHalf))
 }

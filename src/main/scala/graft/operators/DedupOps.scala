@@ -16,8 +16,10 @@ import graft.Tables
   *  - MinHash candidates come from an LSH *band join* (docs sharing a band
   *    bucket), never an O(n²) crossJoin: the self-join shuffles on the band
   *    hash so only same-bucket docs ever meet (SURVEY.md §7.4).
-  *  - SimHash pairs are bounded by joining within `source` partitions; at
-  *    production scale the same join keys on the simhash prefix instead.
+  *  - SimHash pairs self-join on 8-bit simhash blocks with one-bit
+  *    multi-probe (pigeonhole: hamming ≤ 6 over 4 blocks ⇒ some block
+  *    differs by ≤ 1 bit), so join cardinality follows block-bucket
+  *    sizes, never O(n²) per source.
   *  - All hashes are md5-based so the DuckDB oracle computes the identical
   *    signature; the reference has no dedup (its A1 catalog,
   *    /root/reference/src/main.cpp:255-321, is the nearest analog: a
@@ -47,7 +49,11 @@ object DedupOps {
     */
   private def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Repartition pre-explode: parallelizes the per-word digest work past
+    // the single-row-group scan and co-partitions with the groupBy below.
     val words = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"text")
+      .repartition($"doc_id")
       .select($"doc_id", $"source", explode(split($"text", " ")).as("word"))
       // LE low bytes of the digest's first half; mask to BE 32-bit word
       .withColumn("u",
@@ -132,14 +138,13 @@ object DedupOps {
         .orderBy($"source")
     }),
 
-    // MinHash+LSH candidate pairs via band-bucket self-join.
+    // MinHash+LSH candidate pairs via band-bucket self-join. Routed
+    // through the library pipeline, which persists the band table so the
+    // shingle-explode + md5-min lineage runs once, not once per join side.
     "llm_minhash_pairs" -> ((s, dir) => {
       import s.implicits._
-      val b = bands(s, dir)
-      b.as("l").join(b.as("r"),
-          col("l.b") === col("r.b") && col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
-        .distinct()
+      graft.api.GraftPipelines
+        .minhashCandidates(Tables.documents(s, dir), 3, 8, 4)
         .orderBy($"d1", $"d2")
     }),
 
@@ -156,19 +161,44 @@ object DedupOps {
     }),
 
     // SimHash near-dup pairs within a source (hamming ≤ 6 of 32 bits).
-    // The signature table is small (one row/doc) but expensive to derive —
-    // persist it so the self-join doesn't run the 32-bit agg twice.
+    // The self-join is keyed on simhash *blocks with one-bit multi-probe*
+    // (the permute-and-probe scheme of Manku et al., WWW'07, adapted to
+    // 32 bits): split the 32 bits into 4 blocks of 8; if ≤6 bits differ
+    // in total, some block differs in ≤1 bit (pigeonhole), so joining
+    // block-exact values against {value} ∪ {value ⊕ 2^j} probes finds
+    // every qualifying pair. Join cardinality follows 8-bit bucket sizes
+    // — O(Σ bucket²/256) — instead of O(docs-per-source²); hamming ≤ 6
+    // stays as the residual filter, so results are provably identical to
+    // the all-pairs form. The signature table is small (one row/doc) but
+    // expensive to derive — persist it so the probe explode and the
+    // hamming lookup don't run the 32-bit agg repeatedly.
     "llm_simhash_pairs" -> ((s, dir) => {
       import s.implicits._
       val sh = simhash(s, dir).persist()
       sh.count()
-      sh.as("l").join(sh.as("r"),
+      def block(i: Int): Column =
+        shiftright($"simhash", 8 * i).bitwiseAND(lit(255L))
+      // Exact side: one row per (doc, block). Probe side: 9 rows per
+      // (doc, block) — the block value and its 8 one-bit flips.
+      val exact = sh.select($"doc_id", $"source", $"simhash",
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("bi"), block(i).as("bv"))): _*)).as("b"))
+      val probes = sh.select($"doc_id", $"source", $"simhash",
+        explode(array((for {
+          i <- 0 until 4
+          j <- -1 until 8
+        } yield struct(lit(i).as("bi"),
+          (if (j < 0) block(i)
+           else block(i).bitwiseXOR(lit(1L << j))).as("bv"))): _*)).as("b"))
+      exact.as("l").join(probes.as("r"),
           col("l.source") === col("r.source") &&
+          col("l.b") === col("r.b") &&
           col("l.doc_id") < col("r.doc_id"))
-        .withColumn("hamming",
-          bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("int"))
+        .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
+          bit_count(col("l.simhash").bitwiseXOR(col("r.simhash")))
+            .cast("int").as("hamming"))
         .filter($"hamming" <= 6)
-        .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"), $"hamming")
+        .distinct()
         .orderBy($"d1", $"d2")
     }),
 
