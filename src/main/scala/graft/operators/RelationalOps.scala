@@ -13,8 +13,12 @@ import graft.functions.Fns._
   * and the scalar-function surface, all on the TPC-H-ish corpus.
   *
   * Scale notes (100 TB):
-  *  - Dimension joins (region/nation/part/supplier/customer) are explicit
-  *    `broadcast()` — no shuffle of the fact table for small sides.
+  *  - Only bounded-cardinality dimensions (region: 5 rows, nation: 25 —
+  *    fixed by the schema at any scale factor) carry explicit
+  *    `broadcast()` hints. customer/supplier/part grow linearly with data
+  *    size, so their joins shuffle on the key and AQE upgrades them to
+  *    broadcast at runtime only when the (filtered) side is actually
+  *    small — a compile-time hint there would OOM the driver at 100×.
   *  - Fact-fact joins (lineitem ⋈ orders) shuffle on the join key once and
   *    let AQE pick sort-merge vs shuffled-hash at runtime.
   *  - All aggregations are partial+final (map-side combine) by construction;
@@ -45,7 +49,10 @@ object RelationalOps {
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
 
-    // TPC-H Q3-style: fact-fact join + broadcast dim filter + top-k revenue.
+    // TPC-H Q3-style: fact-fact join + filtered customer join + top-k
+    // revenue. customer scales with SF, so no broadcast hint — the join
+    // shuffles on custkey and AQE picks broadcast iff the filtered side
+    // is small at runtime.
     "rel_q3_shipping" -> ((s, dir) => {
       import s.implicits._
       val cust = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
@@ -54,7 +61,7 @@ object RelationalOps {
       val li = Tables.lineitem(s, dir)
         .filter($"l_shipdate" > to_timestamp(lit("1998-01-01 00:00:00")))
       li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
         .groupBy($"l_orderkey",
           date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"),
           $"o_orderpriority")
@@ -74,10 +81,12 @@ object RelationalOps {
       val ord = Tables.orders(s, dir)
         .filter($"o_orderdate" >= to_timestamp(lit("1997-01-01 00:00:00")) &&
                 $"o_orderdate" < to_timestamp(lit("1999-01-01 00:00:00")))
+      // nation/region are fixed-cardinality → broadcast hints stay;
+      // supplier/customer scale with SF → shuffle joins, AQE decides.
       Tables.lineitem(s, dir)
         .join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey" &&
+        .join(supp, $"l_suppkey" === $"s_suppkey")
+        .join(cust, $"o_custkey" === $"c_custkey" &&
           $"c_nationkey" === $"s_nationkey")
         .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
         .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
@@ -87,11 +96,14 @@ object RelationalOps {
         .orderBy($"revenue".desc, $"n_name")
     }),
 
-    // Broadcast hash join: fact ⋈ small dim, aggregated by brand.
+    // Broadcast hash join: fact ⋈ dim aggregated by brand. part scales
+    // with SF, so the broadcast is AQE's runtime decision (it picks BHJ
+    // here whenever the dim is actually small), not a compile-time hint
+    // that would OOM at 100×.
     "rel_join_broadcast" -> ((s, dir) => {
       import s.implicits._
       Tables.lineitem(s, dir)
-        .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+        .join(Tables.part(s, dir), $"l_partkey" === $"p_partkey")
         .groupBy($"p_brand")
         .agg(count(lit(1)).as("n_items"),
           sum(revenue($"l_extendedprice", $"l_discount")).cast("double")
