@@ -22,7 +22,7 @@ object Bench {
     "rel_percentile", "rel_corr",
     "llm_dedup_exact", "llm_minhash_pairs", "llm_neardup_verified",
     "llm_simhash", "llm_embed_topk", "llm_embed_lsh_knn",
-    "llm_embed_neardup", "llm_lang_id", "llm_tfidf",
+    "llm_embed_neardup", "llm_embed_neardup_lsh", "llm_lang_id", "llm_tfidf",
     "llm_quality_score", "llm_token_count", "llm_fingerprint",
     "mm_image_features", "mm_frame_sample")
 
@@ -37,6 +37,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

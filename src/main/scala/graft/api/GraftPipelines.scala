@@ -121,6 +121,30 @@ object GraftPipelines {
       when(element_at(vec, i) >= 0f, lit(1 << (i - 1))).otherwise(lit(0))
     }.reduce(_ + _)
 
+  // ---------------- percentiles ----------------
+
+  /** Grouped percentiles with an explicit exact/approx switch.
+    *
+    * `exact = true` uses `percentile()`, which buffers EVERY value of a
+    * group in executor memory — the right tool for oracle-parity checks
+    * and bounded group counts (`rel_percentile` groups by order priority:
+    * 5 groups), and a memory cliff on high-cardinality groups at 100 TB.
+    * `exact = false` is the scale default: `approx_percentile` keeps a
+    * fixed-size sketch per group (bounded state, mergeable map-side), at
+    * `1/accuracy` relative rank error. Same output shape either way, so
+    * a pipeline can flip the switch by data volume.
+    */
+  def groupedPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double], exact: Boolean, accuracy: Int = 10000): DataFrame = {
+    val aggs = ps.map { p =>
+      val f =
+        if (exact) s"percentile($valueCol, $p)"
+        else s"approx_percentile($valueCol, $p, $accuracy)"
+      expr(f).as(s"p${(p * 100).toInt}")
+    }
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   // ---------------- skew tools ----------------
 
   /** Skew-safe equi-join of a skewed big side against a small-ish side.

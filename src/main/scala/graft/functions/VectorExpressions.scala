@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.graftbridge.{Bridge, BridgeTypes}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
 
 /** Native Catalyst expressions for embedding math.
   *
@@ -24,8 +24,13 @@ object VectorExpressions {
 
   /** cos(a, b) = dot / (sqrt(norm_a) * sqrt(norm_b)), one pass, codegen'd. */
   case class CosineSimilarity(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ExpectsInputTypes {
 
+    // Registered as a SQL function (GraftExtensions): without declared
+    // input types, array<double> would pass analysis and getFloat() on
+    // 8-byte elements would silently return garbage.
+    override def inputTypes: Seq[BridgeTypes.AbstractDataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def dataType: DataType = DoubleType
     override def prettyName: String = "cosine_similarity"
 
@@ -80,8 +85,10 @@ object VectorExpressions {
 
   /** Left-to-right dot product over two float arrays, codegen'd loop. */
   case class DotProduct(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ExpectsInputTypes {
 
+    override def inputTypes: Seq[BridgeTypes.AbstractDataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def dataType: DataType = DoubleType
     override def prettyName: String = "dot_product"
 
@@ -124,8 +131,10 @@ object VectorExpressions {
     * `md5_number_lower/upper(s) % 2^60`.
     */
   case class Md5Half60(child: Expression, upperHalf: Boolean)
-      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with ExpectsInputTypes {
 
+    override def inputTypes: Seq[BridgeTypes.AbstractDataType] = Seq(StringType)
     override def dataType: DataType =
       org.apache.spark.sql.types.LongType
     override def prettyName: String = "md5_half60"
@@ -151,7 +160,10 @@ object VectorExpressions {
     */
   case class Md5Half60Prefixed(prefix: String, child: Expression,
       upperHalf: Boolean)
-      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with ExpectsInputTypes {
+
+    override def inputTypes: Seq[BridgeTypes.AbstractDataType] = Seq(StringType)
 
     private lazy val prefixBytes =
       prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)

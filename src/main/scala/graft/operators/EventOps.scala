@@ -30,7 +30,13 @@ object EventOps {
 
   /** events with ts exposed as ts_ns (raw nanos), ts_ms, and µs timestamp. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Sessions we build (Bench/Verify/EventLog/tests) set nanosAsLong at
+    // build time; this guard covers driver-owned sessions only, and skips
+    // the conf mutation when it is already in effect (repeated set() per
+    // call was racy-looking and invisible to callers).
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+          .forall(_ != "true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.events(spark, sfDir)
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts_ms", expr("ts_ns div 1000000"))
@@ -71,7 +77,9 @@ object EventOps {
       events(s, dir)
         .withColumn("k", k($"props"))
         .groupBy($"event_type", $"k").agg(count(lit(1)).as("n"))
-        .orderBy($"n".desc, $"k".asc, $"event_type".asc)
+        // nulls-last matches DuckDB's ASC default; Spark's bare .asc is
+        // NULLS FIRST and would diverge the moment a props lacked 'k'.
+        .orderBy($"n".desc, $"k".asc_nulls_last, $"event_type".asc)
     }),
 
     // §2.2 P1–P3: composite predicates, pushed to the parquet scan.
@@ -100,9 +108,14 @@ object EventOps {
     }),
 
     // §2.2 P4/P8/P9: per-column formatting — hex render, timestamp render,
-    // fixed-point render, zero-padded id render (GUID-style).
+    // fixed-point render, zero-padded id render, and canonical
+    // 8-4-4-4-12 GUID render (reference GuidToString,
+    // /root/reference/src/main.cpp:329-337; the 16 GUID bytes here come
+    // from the two id columns).
     "ev_projection_format" -> ((s, dir) => {
       import s.implicits._
+      val h = concat(lpad(lower(hex($"event_id")), 16, "0"),
+        lpad(lower(hex($"user_id")), 16, "0"))
       events(s, dir)
         .orderBy($"event_id").limit(200)
         .select(
@@ -110,7 +123,54 @@ object EventOps {
           lower(hex($"event_id")).as("id_hex"),
           date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts_str"),
           dec2($"value").cast("string").as("value_str"),
-          lpad(lower(hex($"user_id")), 16, "0").as("user_hex16"))
+          lpad(lower(hex($"user_id")), 16, "0").as("user_hex16"),
+          concat_ws("-", substring(h, 1, 8), substring(h, 9, 4),
+            substring(h, 13, 4), substring(h, 17, 4), substring(h, 21, 12))
+            .as("guid"))
+    }),
+
+    // §2.2 P5 keyed variant: per-event-type dictionary registry — the
+    // faithful generalization of TdhGetEventMapInformation, which is
+    // per (event type, property) (src/main.cpp:697-736): the SAME code
+    // decodes differently per type. The registry is a composite-key
+    // (event_type, code) → name broadcast map with the raw-number
+    // fallback for unmapped codes (codes 25-29 have no entry).
+    "ev_dict_decode_typed" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+      val dict = ev.select($"event_type").distinct()
+        .crossJoin(Tables.nation(s, dir))
+        .select($"event_type", $"n_nationkey".cast("int").as("code"),
+          concat(upper(substring($"event_type", 1, 1)), lit(":"), $"n_name")
+            .as("name"))
+      ev.withColumn("code", ($"user_id" % 30).cast("int"))
+        .join(broadcast(dict), Seq("event_type", "code"), "left")
+        .select($"event_type",
+          coalesce($"name", concat(lit("code_"), $"code")).as("decoded"))
+        .groupBy($"event_type", $"decoded").agg(count(lit(1)).as("n"))
+        .orderBy($"event_type", $"decoded")
+    }),
+
+    // §2.3 nested props: array- and struct-valued properties decoded with
+    // an explicit nested schema (reference decodes fixed/variable arrays
+    // and structs, src/main.cpp:659-692). The nested payload is built
+    // from the flat one so the DuckDB oracle constructs the identical
+    // JSON; from_json then exercises ArrayType + StructType decode, and
+    // the projection extracts an array element and struct fields.
+    "ev_nested_props" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .withColumn("k", k($"props"))
+        .withColumn("props2", concat(
+          lit("{\"tags\":["), $"k".cast("string"), lit(","),
+          ($"k" + 1).cast("string"),
+          lit("],\"m\":{\"a\":"), ($"k" * 2).cast("string"),
+          lit(",\"b\":\""), $"event_type", lit("\"}}")))
+        .withColumn("p",
+          from_json($"props2", lit("tags ARRAY<INT>, m STRUCT<a: INT, b: STRING>")))
+        .select($"event_id", element_at($"p.tags", 2).as("tag2"),
+          $"p.m.a".as("ma"), $"p.m.b".as("mb"))
+        .orderBy($"event_id").limit(500)
     }),
 
     // §2.5 J2: selection semi-join — event types picked by a catalog
@@ -263,8 +323,43 @@ object EventOps {
       """SELECT event_id, printf('%x', event_id) AS id_hex,
         | strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_str,
         | CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS value_str,
-        | lpad(printf('%x', user_id), 16, '0') AS user_hex16
-        |FROM events ORDER BY event_id LIMIT 200""".stripMargin,
+        | lpad(printf('%x', user_id), 16, '0') AS user_hex16,
+        | concat_ws('-', substr(h, 1, 8), substr(h, 9, 4), substr(h, 13, 4),
+        |   substr(h, 17, 4), substr(h, 21, 12)) AS guid
+        |FROM (SELECT *,
+        |  lpad(printf('%x', event_id), 16, '0') ||
+        |  lpad(printf('%x', user_id), 16, '0') AS h
+        |  FROM events)
+        |ORDER BY event_id LIMIT 200""".stripMargin,
+
+    "ev_dict_decode_typed" ->
+      """WITH types AS (SELECT DISTINCT event_type FROM events),
+        |dict AS (
+        |  SELECT event_type, CAST(n_nationkey AS INTEGER) AS code,
+        |   upper(substr(event_type, 1, 1)) || ':' || n_name AS name
+        |  FROM types CROSS JOIN nation)
+        |SELECT e.event_type,
+        | coalesce(d.name,
+        |   'code_' || CAST(CAST(e.user_id % 30 AS INTEGER) AS VARCHAR)) AS decoded,
+        | count(*) AS n
+        |FROM events e LEFT JOIN dict d
+        |  ON e.event_type = d.event_type
+        | AND CAST(e.user_id % 30 AS INTEGER) = d.code
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev_nested_props" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(p2, '$.tags[1]') AS INTEGER) AS tag2,
+        | CAST(json_extract_string(p2, '$.m.a') AS INTEGER) AS ma,
+        | json_extract_string(p2, '$.m.b') AS mb
+        |FROM (
+        |  SELECT event_id,
+        |   '{"tags":[' || k || ',' || (k + 1) || '],"m":{"a":' || (k * 2) ||
+        |   ',"b":"' || event_type || '"}}' AS p2
+        |  FROM (SELECT event_id, event_type,
+        |         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |        FROM events))
+        |ORDER BY event_id LIMIT 500""".stripMargin,
 
     "ev_semi_join" ->
       """SELECT user_id, count(*) AS n_hot FROM events

@@ -89,8 +89,27 @@ object SimilarityOps {
         .orderBy($"qid", $"rn")
     }),
 
+    // Unbounded embedding near-dup over the FULL table: sign-LSH bucket
+    // self-join (only same-bucket vectors ever meet — candidate count
+    // scales with Σ bucket², never O(n²)) with the exact cosine as the
+    // residual filter. This is the headline near-dup form; the bounded
+    // brute-force variant below is the recall baseline for it.
+    "llm_embed_neardup_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding", bucketCol($"embedding").as("bucket"))
+      emb.as("l").join(emb.as("r"),
+          col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_id"))
+        .withColumn("cosine", cosine(col("l.embedding"), col("r.embedding")))
+        .filter($"cosine" > 0.35)
+        .select(col("l.vec_id").as("d1"), col("r.vec_id").as("d2"),
+          col("l.bucket").as("bucket"), $"cosine")
+        .orderBy($"d1", $"d2")
+    }),
+
     // Embedding-cosine near-duplicate pairs among the first 200 vectors
-    // (bounded candidate set; the unbounded variant goes through LSH).
+    // (bounded brute-force baseline for the LSH variant above).
     "llm_embed_neardup" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir).filter($"vec_id" < 200)
@@ -131,6 +150,15 @@ object SimilarityOps {
          |    ON q.vec_id < $NQ AND c.vec_id <> q.vec_id
          |   AND (${bucketSql("c.embedding")}) = (${bucketSql("q.embedding")}))
          |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    "llm_embed_neardup_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |  ${bucketSql("embedding")} AS bucket FROM embeddings)
+         |SELECT l.vec_id AS d1, r.vec_id AS d2, l.bucket AS bucket,
+         | ${cosineSql("l.embedding", "r.embedding")} AS cosine
+         |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+         |WHERE ${cosineSql("l.embedding", "r.embedding")} > 0.35
+         |ORDER BY d1, d2""".stripMargin,
 
     "llm_embed_neardup" ->
       s"""SELECT l.vec_id AS d1, r.vec_id AS d2,

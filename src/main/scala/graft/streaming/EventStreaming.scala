@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming layer (SURVEY.md §2.9).
   *
@@ -89,4 +90,28 @@ object EventStreaming {
 
   /** Output-mode helper used by the tests and any foreachBatch consumer. */
   val appendMode: OutputMode = OutputMode.Append()
+
+  /** Live-trace file source (SURVEY.md §7.2 slice 6): tail a directory of
+    * event parquet files — each file that appears becomes part of the next
+    * micro-batch, the engine analog of the reference's live ETW session
+    * feeding `ProcessTrace` incrementally (src/main.cpp:1081-1089).
+    * `maxFilesPerTrigger` bounds batch size so a backlog drains in steady
+    * increments rather than one giant batch.
+    */
+  def fileSource(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 4): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Incremental delivery via foreachBatch — the caller's sink sees each
+    * micro-batch as (batchDF, batchId), the non-blocking poll loop of the
+    * reference UI (src/main.cpp:1273) in Spark form.
+    */
+  def deliver(df: DataFrame)(sink: (Dataset[Row], Long) => Unit): StreamingQuery =
+    df.writeStream
+      .outputMode(appendMode)
+      .foreachBatch(sink)
+      .start()
 }

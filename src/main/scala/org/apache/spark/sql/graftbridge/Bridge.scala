@@ -16,3 +16,13 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Type aliases for `private[sql]` Catalyst types that extension
+  * expressions need in their public signatures (`ExpectsInputTypes
+  * .inputTypes` is typed `Seq[AbstractDataType]`, which Spark 4 hides
+  * from user packages). An alias defined inside the sql namespace
+  * dealias-matches the required override type.
+  */
+object BridgeTypes {
+  type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
+}

@@ -47,6 +47,32 @@ class EventOpsSpec extends SparkSpec {
     assert(n == 1000)
   }
 
+  test("ev_dict_decode_typed: per-type names, per-type fallback") {
+    // the SAME code decodes differently per event type (keyed registry,
+    // reference TdhGetEventMapInformation is per type+property,
+    // src/main.cpp:697-736); unmapped codes keep the raw-code fallback
+    val events = Seq(
+      (1L, 1000000000L, 3L, "click", 1.0, "{}"),  // code 3, mapped
+      (2L, 2000000000L, 27L, "click", 1.0, "{}"), // code 27, unmapped
+      (3L, 3000000000L, 33L, "view", 1.0, "{}"))  // 33 % 30 = 3, mapped
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val nation = Seq((3, "NATION_3", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val dir = tempSfDir("events" -> events, "nation" -> nation)
+    val rows = q("ev_dict_decode_typed", dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("decoded")))
+      .toSet
+    // same code 3 → C:NATION_3 under click but V:NATION_3 under view
+    assert(rows == Set(("click", "C:NATION_3"), ("click", "code_27"),
+      ("view", "V:NATION_3")))
+  }
+
+  test("ev_projection_format: canonical 8-4-4-4-12 GUID render") {
+    val g = q("ev_projection_format").collect().head.getAs[String]("guid")
+    assert(g.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"),
+      s"not canonical GUID form: $g")
+  }
+
   test("ev_topk: deterministic under duplicate sort keys (tie-break)") {
     val a = q("ev_topk").collect().map(_.toSeq)
     val b = q("ev_topk").collect().map(_.toSeq)

@@ -71,4 +71,31 @@ class RelationalOpsSpec extends SparkSpec {
       assert(last.getAs[Long]("run_cnt") == rs.length)
     }
   }
+
+  test("groupedPercentiles: approx sketch path stays within 1% of exact") {
+    // exact percentile() is the oracle-parity/bounded-groups tool; the
+    // approx sketch is the 100 TB path (docs/PLANS.md rel_percentile) —
+    // this pins the accuracy contract that makes the swap safe
+    val orders = Tables.orders(spark, sf)
+    val ps = Seq(0.5, 0.9)
+    def collectPs(exact: Boolean) =
+      api.GraftPipelines
+        .groupedPercentiles(orders, "o_orderpriority", "o_totalprice", ps,
+          exact = exact)
+        .collect()
+        .map(r => r.getAs[String]("o_orderpriority") ->
+          (r.getAs[Double]("p50"), r.getAs[Double]("p90")))
+        .toMap
+    val ex = collectPs(exact = true)
+    val ap = collectPs(exact = false)
+    assert(ex.keySet == ap.keySet)
+    // tolerance is dominated by semantics, not sketch error, at this SF:
+    // exact percentile() interpolates between members, approx returns an
+    // actual member — with ~30 values/group one inter-member gap is ~2%
+    ex.foreach { case (k, (e50, e90)) =>
+      val (a50, a90) = ap(k)
+      assert(math.abs(a50 - e50) / e50 < 0.025, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a90 - e90) / e90 < 0.025, s"$k p90: $a90 vs $e90")
+    }
+  }
 }

@@ -41,6 +41,29 @@ class SchemaRegistrySpec extends SparkSpec {
     assert(alphaRow.getLong(1) == 1L && alphaRow.isNullAt(2))
   }
 
+  test("nested props: ArrayType and StructType inferred and decoded") {
+    import org.apache.spark.sql.functions.element_at
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val events = Seq(
+      (1L, 1000000000L, 1L, "gamma", 1.0,
+        """{"tags": [1, 2, 3], "m": {"a": 7, "b": "x"}}"""),
+      (2L, 2000000000L, 1L, "gamma", 1.0,
+        """{"tags": [4], "m": {"a": 8, "b": "y"}}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tempSfDir("events" -> events)
+    val ev = operators.EventOps.events(spark, dir)
+    val reg = SchemaRegistry.build(ev)
+    val st = reg("gamma")
+    assert(st("tags").dataType.isInstanceOf[ArrayType])
+    assert(st("m").dataType.isInstanceOf[StructType])
+    val rows = reg.decode(ev, "gamma")
+      .select($"event_id", element_at($"props_struct.tags", 1).as("t1"),
+        $"props_struct.m.a".as("a"), $"props_struct.m.b".as("b"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.toSet == Set((1L, 1L, 7L, "x"), (2L, 4L, 8L, "y")))
+  }
+
   test("registry on the real corpus: k inferred as integral for all types") {
     val reg = SchemaRegistry.build(
       operators.EventOps.events(spark, sf))

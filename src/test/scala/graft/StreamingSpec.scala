@@ -96,6 +96,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("file source + foreachBatch: files appearing between micro-batches " +
+      "are delivered incrementally") {
+    import java.nio.file.{Files, Path}
+    val watched = Files.createTempDirectory("graft_stream_in")
+    // write a parquet file OUTSIDE the watched dir, then move the part
+    // file in — files appear atomically, like a live trace rotating logs
+    def appear(name: String, rows: Seq[(Timestamp, String, Long, Double)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_stream_tmp")
+      rows.toDF("ts", "event_type", "user_id", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, watched.resolve(name))
+    }
+    appear("batch0.parquet", Seq((ts(1), "click", 1L, 1.0),
+      (ts(2), "click", 2L, 1.0), (ts(3), "error", 3L, 1.0)))
+    val schema = Seq((ts(0), "x", 0L, 0.0))
+      .toDF("ts", "event_type", "user_id", "value").schema
+    val stream = EventStreaming.fileSource(spark, watched.toString, schema)
+    val batches = scala.collection.mutable.Buffer[(Long, Long)]() // (id, rows)
+    val query = EventStreaming.deliver(stream) { (batch, id) =>
+      batches.synchronized { batches += ((id, batch.count())) }
+    }
+    try {
+      query.processAllAvailable()
+      val afterFirst = batches.synchronized(batches.map(_._2).sum)
+      assert(afterFirst == 3, s"first file delivered, got $afterFirst")
+      // a NEW file appears while the query is running → next micro-batch
+      appear("batch1.parquet", Seq((ts(4), "view", 4L, 1.0),
+        (ts(5), "view", 5L, 1.0)))
+      query.processAllAvailable()
+      val all = batches.synchronized(batches.toList)
+      assert(all.map(_._2).sum == 5, s"both files delivered: $all")
+      assert(all.count(_._2 > 0) >= 2, s"delivery was incremental: $all")
+    } finally query.stop()
+  }
+
   test("batch and streaming tumbling agg agree on the same data") {
     val ev = graft.operators.EventOps.events(spark, sf)
       .select($"ts", $"event_type", $"user_id", $"value")
