@@ -39,6 +39,28 @@ object JoinOps {
         .orderBy($"event_id")
     }),
 
+    // Salted equi-join: the skew-safe join shape from the library API,
+    // oracle-checked for result equivalence with the plain join. The
+    // deterministic per-row salt splits each hot key across `salts`
+    // reducers and replicates the small side; the salt cancels out of
+    // the RESULT, so the DuckDB mirror is the plain join — proving the
+    // rewrite is semantics-preserving, not just skew-friendly.
+    "rel_join_salted" -> ((s, dir) => {
+      import s.implicits._
+      val li = graft.Tables.lineitem(s, dir)
+        .withColumnRenamed("l_suppkey", "suppkey")
+      val supp = graft.Tables.supplier(s, dir)
+        .withColumnRenamed("s_suppkey", "suppkey")
+        .select($"suppkey", $"s_nationkey")
+      graft.api.GraftPipelines.saltedJoin(li, supp, "suppkey",
+          discriminator = "l_orderkey", salts = 8)
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(graft.functions.Fns.revenue($"l_extendedprice", $"l_discount"))
+            .cast("double").as("revenue"))
+        .orderBy($"s_nationkey")
+    }),
+
     // Range (interval) join: events landing within 1 hour after each
     // signup of the same user.
     "ev_range_join" -> ((s, dir) => {
@@ -56,6 +78,13 @@ object JoinOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the salt cancels out of the result: plain join is the mirror
+    "rel_join_salted" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
     "ev_asof_join" ->
       """SELECT err_id AS event_id, user_id, last_sig_ns // 1000000 AS signup_ms
         |FROM (

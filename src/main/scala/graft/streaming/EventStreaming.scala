@@ -107,11 +107,17 @@ object EventStreaming {
 
   /** Incremental delivery via foreachBatch — the caller's sink sees each
     * micro-batch as (batchDF, batchId), the non-blocking poll loop of the
-    * reference UI (src/main.cpp:1273) in Spark form.
+    * reference UI (src/main.cpp:1273) in Spark form. Pass a
+    * `checkpointDir` and a restarted query resumes exactly where the
+    * previous run stopped (source offsets + state recovered — files
+    * already delivered are never reprocessed), the property that makes
+    * incremental delivery restartable over a 100 TB backlog.
     */
-  def deliver(df: DataFrame)(sink: (Dataset[Row], Long) => Unit): StreamingQuery =
-    df.writeStream
+  def deliver(df: DataFrame, checkpointDir: Option[String] = None)
+      (sink: (Dataset[Row], Long) => Unit): StreamingQuery = {
+    val w = df.writeStream
       .outputMode(appendMode)
       .foreachBatch(sink)
-      .start()
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
 }

@@ -133,6 +133,70 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("watermark: data later than the watermark is dropped, closed " +
+      "windows finalize once (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "user_id", "value")
+    val query = EventStreaming.tumblingCounts(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+    try {
+      // hour-0 gets one event; the 02:00 event advances the watermark to
+      // 01:30, past hour-0's end — the window can finalize
+      mem.addData((ts(5), "click", 1L, 1.0), (ts(120), "click", 2L, 1.0))
+      query.processAllAvailable()
+      // a LATE hour-0 event arrives behind the watermark → dropped
+      mem.addData((ts(10), "click", 3L, 1.0))
+      query.processAllAvailable()
+      // push the watermark further so everything else finalizes too
+      mem.addData((ts(300), "click", 4L, 1.0))
+      query.processAllAvailable()
+      val hour0 = spark.table("wm_out").collect()
+        .filter(_.getAs[Timestamp]("hour_start").toString
+          .startsWith("2024-01-01 00:"))
+      assert(hour0.length == 1, s"hour-0 emitted exactly once: ${hour0.toList}")
+      assert(hour0.head.getAs[Long]("n") == 1,
+        "late event behind the watermark must not count")
+    } finally query.stop()
+  }
+
+  test("checkpointed restart resumes delivery without reprocessing") {
+    import java.nio.file.{Files, Path}
+    val watched = Files.createTempDirectory("graft_ckpt_in")
+    val ckpt = Files.createTempDirectory("graft_ckpt_state").toString
+    def appear(name: String, rows: Seq[(Timestamp, String, Long, Double)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_ckpt_tmp")
+      rows.toDF("ts", "event_type", "user_id", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, watched.resolve(name))
+    }
+    val schema = Seq((ts(0), "x", 0L, 0.0))
+      .toDF("ts", "event_type", "user_id", "value").schema
+    def start(sink: scala.collection.mutable.Buffer[Long]) =
+      EventStreaming.deliver(
+        EventStreaming.fileSource(spark, watched.toString, schema),
+        Some(ckpt)) { (batch, _) =>
+        sink.synchronized { sink += batch.count() }
+      }
+    appear("f0.parquet", Seq((ts(1), "click", 1L, 1.0),
+      (ts(2), "click", 2L, 1.0), (ts(3), "error", 3L, 1.0)))
+    val first = scala.collection.mutable.Buffer[Long]()
+    val q1 = start(first)
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(first.synchronized(first.sum) == 3)
+    // new data lands while the query is DOWN; restart must deliver only it
+    appear("f1.parquet", Seq((ts(4), "view", 4L, 1.0),
+      (ts(5), "view", 5L, 1.0)))
+    val second = scala.collection.mutable.Buffer[Long]()
+    val q2 = start(second)
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(second.synchronized(second.sum) == 2,
+      s"restart must not reprocess f0: ${second.toList}")
+  }
+
   test("batch and streaming tumbling agg agree on the same data") {
     val ev = graft.operators.EventOps.events(spark, sf)
       .select($"ts", $"event_type", $"user_id", $"value")
