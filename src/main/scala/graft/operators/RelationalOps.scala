@@ -159,6 +159,19 @@ object RelationalOps {
     }),
 
     // lag() window: gap in ms since the customer's previous order.
+    // Distribution windows: ntile buckets + percent_rank (exact rational
+    // arithmetic → bit-identical doubles across engines).
+    "rel_window_ntile" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.orders(s, dir)
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .select($"o_orderpriority", $"o_orderkey", $"quartile", $"pr")
+        .orderBy($"o_orderpriority", $"o_orderkey")
+    }),
+
     "rel_window_lag" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"o_custkey")
@@ -228,6 +241,58 @@ object RelationalOps {
         .filter($"o_totalprice" > 300000.0)
         .select($"o_custkey".as("c_custkey"))
       a.except(b).orderBy($"c_custkey")
+    }),
+
+    // Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL keep duplicate
+    // multiplicity (min/difference of per-row counts).
+    "rel_set_intersect_all" -> ((s, dir) => {
+      import s.implicits._
+      val a = Tables.orders(s, dir).select($"o_custkey")
+      val b = Tables.customer(s, dir)
+        .filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey".as("o_custkey"))
+      a.intersectAll(b)
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+        .orderBy($"o_custkey")
+    }),
+
+    "rel_set_except_all" -> ((s, dir) => {
+      import s.implicits._
+      val a = Tables.orders(s, dir).select($"o_custkey")
+      val b = Tables.customer(s, dir)
+        .filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey".as("o_custkey"))
+      a.exceptAll(b)
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+        .orderBy($"o_custkey")
+    }),
+
+    // unionByName: schema aligned by COLUMN NAME, not position — the
+    // safe union for heterogeneous-but-compatible sources.
+    "rel_union_by_name" -> ((s, dir) => {
+      import s.implicits._
+      val a = Tables.customer(s, dir)
+        .select($"c_custkey".as("id"), $"c_nationkey".as("nat"))
+      val b = Tables.supplier(s, dir)
+        .select($"s_nationkey".as("nat"), $"s_suppkey".as("id"))
+      a.unionByName(b)
+        .groupBy($"nat").agg(count(lit(1)).as("n"))
+        .orderBy($"nat")
+    }),
+
+    // Correlated EXISTS through the SQL interface (temp views +
+    // spark.sql) — the engine's full-SQL surface, completing the
+    // reference's vendored-but-unwired SQLite intent.
+    "rel_exists_correlated" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c_mktsegment, count(*) AS n_with_urgent
+        FROM customer_v c
+        WHERE EXISTS (
+          SELECT 1 FROM orders_v o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     }),
 
     // Exact distinct counting per group (expand-based in Spark).
@@ -383,6 +448,15 @@ object RelationalOps {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
+    "rel_window_ntile" ->
+      """SELECT o_orderpriority, o_orderkey,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        | percent_rank() OVER w AS pr
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
     "rel_window_lag" ->
       """SELECT o_custkey, o_orderkey,
         | epoch_ms(o_orderdate) - lag(epoch_ms(o_orderdate))
@@ -418,6 +492,37 @@ object RelationalOps {
         |INTERSECT
         |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000.0
         |ORDER BY c_custkey""".stripMargin,
+
+    "rel_set_intersect_all" ->
+      """SELECT o_custkey, count(*) AS n FROM (
+        |  SELECT o_custkey FROM orders
+        |  INTERSECT ALL
+        |  SELECT c_custkey AS o_custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "rel_set_except_all" ->
+      """SELECT o_custkey, count(*) AS n FROM (
+        |  SELECT o_custkey FROM orders
+        |  EXCEPT ALL
+        |  SELECT c_custkey AS o_custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "rel_union_by_name" ->
+      """SELECT nat, count(*) AS n FROM (
+        |  SELECT c_custkey AS id, c_nationkey AS nat FROM customer
+        |  UNION ALL BY NAME
+        |  SELECT s_nationkey AS nat, s_suppkey AS id FROM supplier)
+        |GROUP BY nat ORDER BY nat""".stripMargin,
+
+    "rel_exists_correlated" ->
+      """SELECT c_mktsegment, count(*) AS n_with_urgent
+        |FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "rel_set_except" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
