@@ -77,6 +77,30 @@ object MultimodalOps {
         .orderBy($"doc_id")
     }),
 
+    // Audio-column plumbing: PCM-shaped binary + typed audio metadata
+    // (sample rate, channel count), windowed into 20 ms analysis frames.
+    // All metadata math is exact integer arithmetic; the sample decode
+    // itself stays behind the stub contract like the image path.
+    "mm_audio_windows" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", encode($"text", "utf-8").as("payload"))
+        .withColumn("sample_rate",
+          (lit(8000) + ($"doc_id" % 3) * 4000).cast("int"))
+        .withColumn("channels", (lit(1) + ($"doc_id" % 2)).cast("int"))
+        // 16-bit samples: n_samples = bytes div (2 * channels)
+        .withColumn("n_samples",
+          expr("cast(octet_length(payload) div (2 * channels) as int)"))
+        .withColumn("spw", expr("cast(sample_rate div 50 as int)")) // 20 ms
+        .withColumn("n_windows",
+          expr("cast((n_samples + spw - 1) div spw as int)"))
+        .withColumn("duration_ms",
+          expr("n_samples * 1000 div sample_rate"))
+        .select($"doc_id", $"sample_rate", $"channels", $"n_samples",
+          $"n_windows", $"duration_ms")
+        .orderBy($"doc_id")
+    }),
+
     // Frame sampling: slice payload into 256-byte frames, keep every 4th,
     // aggregate sampled sizes — pos/explode over computed binary slices.
     "mm_frame_sample" -> ((s, dir) => {
@@ -115,6 +139,21 @@ object MultimodalOps {
         |        i -> ascii(substr(text, i, 1)))) AS DOUBLE)
         |   / least(length(text), 32) AS brightness
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_audio_windows" ->
+      """SELECT doc_id, sample_rate, channels, n_samples,
+        | CAST((n_samples + spw - 1) // spw AS INTEGER) AS n_windows,
+        | CAST(n_samples * 1000 // sample_rate AS BIGINT) AS duration_ms
+        |FROM (
+        |  SELECT doc_id, sample_rate, channels,
+        |   CAST(octet_length(encode(text)) // (2 * channels) AS INTEGER) AS n_samples,
+        |   CAST(sample_rate // 50 AS INTEGER) AS spw
+        |  FROM (
+        |    SELECT doc_id, text,
+        |     CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+        |     CAST(1 + (doc_id % 2) AS INTEGER) AS channels
+        |    FROM documents))
+        |ORDER BY doc_id""".stripMargin,
 
     "mm_frame_sample" ->
       """SELECT doc_id,

@@ -73,6 +73,22 @@ class EventOpsSpec extends SparkSpec {
       s"not canonical GUID form: $g")
   }
 
+  test("corrupt props JSON decodes to null, never fails the query") {
+    // a real log always contains some mangled payload — decode must
+    // degrade per-row (null), not kill the scan
+    val events = Seq(
+      (1L, 1000000000L, 1L, "error", 1.0, """{"k": 7}"""),
+      (2L, 2000000000L, 2L, "error", 1.0, """{"k": """),  // truncated
+      (3L, 3000000000L, 3L, "error", 1.0, "not json at all"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tempSfDir("events" -> events)
+    val rows = q("ev_flagship", dir).collect()
+    assert(rows.length == 3, "all rows survive the decode")
+    val byId = rows.map(r => r.getAs[Long]("event_id") ->
+      r.isNullAt(r.fieldIndex("k"))).toMap
+    assert(byId(1L) == false && byId(2L) == true && byId(3L) == true)
+  }
+
   test("ev_topk: deterministic under duplicate sort keys (tie-break)") {
     val a = q("ev_topk").collect().map(_.toSeq)
     val b = q("ev_topk").collect().map(_.toSeq)
