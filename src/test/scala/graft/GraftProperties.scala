@@ -57,6 +57,25 @@ object GraftProperties extends Properties("graft") {
     again.agg(max($"n_copies")).collect()(0).getLong(0) <= 1
   }
 
+  // the pigeonhole behind llm_simhash_pairs: 4 blocks of 8 bits, probes
+  // = block value ∪ one-bit flips; any pair within hamming 6 MUST agree
+  // on some (block, probe) key, or the banded join would lose pairs.
+  // Pure bit math — no Spark job, so run the full default case count.
+  private val hammingPairGen: Gen[(Long, Long)] = for {
+    base <- Gen.chooseNum(0L, 0xFFFFFFFFL)
+    k <- Gen.chooseNum(0, 6)
+    bits <- Gen.pick(k, 0 until 32)
+  } yield (base, bits.foldLeft(base)((v, b) => v ^ (1L << b)))
+
+  property("simhash one-bit multi-probe is lossless at hamming <= 6") =
+    Prop.forAll(hammingPairGen) { case (a, b) =>
+      def block(v: Long, i: Int): Long = (v >> (8 * i)) & 255L
+      def probes(v: Long, i: Int): Set[Long] =
+        Set(block(v, i)) ++ (0 until 8).map(j => block(v, i) ^ (1L << j))
+      java.lang.Long.bitCount(a ^ b) > 6 ||
+        (0 until 4).exists(i => probes(b, i).contains(block(a, i)))
+    }
+
   private val vecGen: Gen[(List[Float], List[Float])] = for {
     a <- Gen.listOfN(8, Gen.chooseNum(-100, 100).map(_ / 100.0f))
     b <- Gen.listOfN(8, Gen.chooseNum(-100, 100).map(_ / 100.0f))
