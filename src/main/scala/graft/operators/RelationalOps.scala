@@ -96,6 +96,40 @@ object RelationalOps {
         .orderBy($"revenue".desc, $"n_name")
     }),
 
+    // TPC-H Q18-style: large-quantity orders — HAVING subquery feeding a
+    // fact join, top-100 by value. The having-aggregate runs FIRST and
+    // shrinks the fact before the join (semi-join-like shape at scale).
+    "rel_q18_large_orders" -> ((s, dir) => {
+      import s.implicits._
+      val big = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey")
+        .agg(sum(dec2($"l_quantity")).as("sum_qty"))
+        .filter($"sum_qty" > 150)
+      Tables.orders(s, dir)
+        .join(big, $"o_orderkey" === $"l_orderkey")
+        .select($"o_orderkey", $"o_custkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"),
+          dec2($"o_totalprice").cast("double").as("totalprice"),
+          $"sum_qty".cast("double").as("sum_qty"))
+        .orderBy($"totalprice".desc, $"o_orderkey")
+        .limit(100)
+    }),
+
+    // Value histogram — the analytic the reference's vendored ImPlot
+    // histogram layer implied (SURVEY.md §2.3): fixed 20-bucket binning
+    // of event values, exact integer bucket math in both engines.
+    "ev_value_histogram" -> ((s, dir) => {
+      import s.implicits._
+      EventOps.events(s, dir)
+        .withColumn("bucket",
+          least(greatest(floor($"value" / 50.0), lit(0.0)), lit(19.0))
+            .cast("int"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"),
+          sumMoney($"value").as("sum_value"))
+        .orderBy($"bucket")
+    }),
+
     // Broadcast hash join: fact ⋈ dim aggregated by brand. part scales
     // with SF, so the broadcast is AQE's runtime decision (it picks BHJ
     // here whenever the dim is actually small), not a compile-time hint
@@ -492,6 +526,23 @@ object RelationalOps {
         |INTERSECT
         |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000.0
         |ORDER BY c_custkey""".stripMargin,
+
+    "rel_q18_large_orders" ->
+      """SELECT o_orderkey, o_custkey,
+        | strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS orderdate,
+        | CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice,
+        | CAST(sum_qty AS DOUBLE) AS sum_qty
+        |FROM orders JOIN (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 150
+        |) ON o_orderkey = l_orderkey
+        |ORDER BY totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "ev_value_histogram" ->
+      """SELECT CAST(least(greatest(floor(value / 50.0), 0), 19) AS INTEGER) AS bucket,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "rel_set_intersect_all" ->
       """SELECT o_custkey, count(*) AS n FROM (
