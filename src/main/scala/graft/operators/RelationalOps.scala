@@ -96,6 +96,40 @@ object RelationalOps {
         .orderBy($"revenue".desc, $"n_name")
     }),
 
+    // TPC-H Q4-style: order-priority counts for orders with at least one
+    // over-taxed lineitem (corpus lacks commit/receipt dates; the
+    // fact-to-fact LEFT SEMI shape — EXISTS in join form — is the point;
+    // the SQL-interface EXISTS lives in rel_exists_correlated).
+    "rel_q4_order_priority" -> ((s, dir) => {
+      import s.implicits._
+      val late = Tables.lineitem(s, dir)
+        .filter($"l_tax" > $"l_discount")
+        .select($"l_orderkey")
+      Tables.orders(s, dir)
+        .join(late, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // TPC-H Q10-style: revenue lost to returned items per customer,
+    // top 20 — 3-way join where only the nation dim keeps a broadcast
+    // hint (bounded cardinality).
+    "rel_q10_returns" -> ((s, dir) => {
+      import s.implicits._
+      val ret = Tables.lineitem(s, dir).filter($"l_returnflag" === "R")
+      Tables.orders(s, dir)
+        .join(ret, $"o_orderkey" === $"l_orderkey")
+        .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, dir)),
+          $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"n_name")
+        .agg(sum(revenue($"l_extendedprice", $"l_discount")).cast("double")
+          .as("revenue"))
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+    }),
+
     // TPC-H Q18-style: large-quantity orders — HAVING subquery feeding a
     // fact join, top-100 by value. The having-aggregate runs FIRST and
     // shrinks the fact before the join (semi-join-like shape at scale).
@@ -526,6 +560,23 @@ object RelationalOps {
         |INTERSECT
         |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000.0
         |ORDER BY c_custkey""".stripMargin,
+
+    "rel_q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem WHERE l_tax > l_discount)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "rel_q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey AND l_returnflag = 'R'
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "rel_q18_large_orders" ->
       """SELECT o_orderkey, o_custkey,
