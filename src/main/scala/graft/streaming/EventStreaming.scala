@@ -105,6 +105,15 @@ object EventStreaming {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
 
+  /** Stream-static enrichment: join a live event stream against a static
+    * dimension (the streaming twin of the dictionary decode). The static
+    * side re-plans per micro-batch, so Spark broadcasts it when small —
+    * no state store involved, which is why this is the right shape for
+    * dimension enrichment (a stream-stream join would buffer state).
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(dim, Seq(key), "left")
+
   /** Incremental delivery via foreachBatch — the caller's sink sees each
     * micro-batch as (batchDF, batchId), the non-blocking poll loop of the
     * reference UI (src/main.cpp:1273) in Spark form. Pass a

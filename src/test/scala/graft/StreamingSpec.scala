@@ -133,6 +133,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "user_id", "value")
+    val dim = Seq(("click", "interaction"), ("error", "fault"))
+      .toDF("event_type", "category")
+    val query = EventStreaming.enrich(events, dim, "event_type")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      mem.addData((ts(1), "click", 1L, 1.0), (ts(2), "view", 2L, 1.0))
+      query.processAllAvailable()
+      mem.addData((ts(3), "error", 3L, 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("enrich_out").collect()
+        .map(r => (r.getAs[String]("event_type"),
+          Option(r.getAs[String]("category")))).toSet
+      // mapped types enrich; unmapped ("view") survives with null —
+      // left join, same fallback contract as the batch dictionary decode
+      assert(rows == Set(("click", Some("interaction")),
+        ("view", None), ("error", Some("fault"))))
+    } finally query.stop()
+  }
+
   test("watermark: data later than the watermark is dropped, closed " +
       "windows finalize once (append mode)") {
     implicit val sqlCtx = spark.sqlContext
