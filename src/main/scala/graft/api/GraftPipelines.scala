@@ -81,12 +81,13 @@ object GraftPipelines {
   def minhashCandidates(docs: DataFrame, shingleN: Int = 3, seeds: Int = 8,
       bands: Int = 4, id: String = "doc_id",
       text: String = "text"): DataFrame = {
-    // The band table is tiny (bands rows/doc) but its lineage — shingle
-    // explode + seeds× md5 mins — is the expensive part. Persist it so the
-    // self-join's two sides don't recompute the whole pipeline each.
+    // Both sides of the self-join shuffle on the band hash with an
+    // identical child plan, so ReuseExchange computes the expensive
+    // lineage (shingle explode + seeds× md5 mins) once and feeds the
+    // second side from the first's shuffle files — no persist barrier,
+    // no extra materialization job, and nothing held in executor memory.
     val b = lshBands(minhashSignature(shingle(docs, shingleN, id, text),
-      seeds, id), bands, seeds / bands, id).persist()
-    b.count()
+      seeds, id), bands, seeds / bands, id)
     b.as("l").join(b.as("r"),
         col("l.b") === col("r.b") && col(s"l.$id") < col(s"r.$id"))
       .select(col(s"l.$id").as("d1"), col(s"r.$id").as("d2"))
@@ -135,13 +136,14 @@ object GraftPipelines {
     * a pipeline can flip the switch by data volume.
     */
   def groupedPercentiles(df: DataFrame, groupCol: String, valueCol: String,
-      ps: Seq[Double], exact: Boolean, accuracy: Int = 10000): DataFrame = {
+      ps: Seq[Double], exact: Boolean, accuracy: Int = 10000,
+      extraAggs: Seq[Column] = Nil): DataFrame = {
     val aggs = ps.map { p =>
       val f =
         if (exact) s"percentile($valueCol, $p)"
         else s"approx_percentile($valueCol, $p, $accuracy)"
       expr(f).as(s"p${(p * 100).toInt}")
-    }
+    } ++ extraAggs
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -205,8 +207,9 @@ object GraftPipelines {
   }
 
   /** End-to-end near-dup detection: LSH candidates verified by word-set
-    * Jaccard. The expensive O(n·shingles) work happens once (persisted
-    * band table); verification touches only candidate pairs.
+    * Jaccard. The expensive O(n·shingles) work happens once (the candidate
+    * table is persisted, and the band self-join inside reuses one shuffle
+    * exchange); verification touches only candidate pairs.
     *
     * The verify step is explode-join-count, not
     * `array_intersect`/`array_distinct(concat)` over full word arrays:
@@ -222,10 +225,15 @@ object GraftPipelines {
       id: String = "doc_id", text: String = "text"): DataFrame = {
     val cands = minhashCandidates(docs, 3, 8, 4, id, text).persist()
     cands.count()
-    // Docs referenced by any candidate pair — tiny, broadcast everywhere.
+    // Docs referenced by any candidate pair. No broadcast hint: this set's
+    // cardinality scales with the corpus (a dup-heavy crawl puts a large
+    // fraction of all docs in some candidate pair), so a compile-time
+    // broadcast of it is a driver-OOM cliff at 100× — the same error class
+    // as broadcasting an SF-scaling dimension. An unhinted left-semi join
+    // lets AQE broadcast only when the runtime size is actually small.
     val inPlay = cands.select(col("d1").as(id))
       .union(cands.select(col("d2"))).distinct()
-    val sets = docs.join(broadcast(inPlay), id)
+    val sets = docs.join(inPlay, Seq(id), "left_semi")
       .select(col(id), array_distinct(split(col(text), " ")).as("wset"))
       .select(col(id), size(col("wset")).as("sz"), col("wset"))
       .persist()
@@ -246,6 +254,14 @@ object GraftPipelines {
       .filter(col("jaccard") >= minJaccard)
       .select(col("d1"), col("d2"), col("n_common"), col("n_union"),
         col("jaccard"))
-    out
+    // Materialize the (candidate-bounded, post-filter) result eagerly and
+    // release the intermediate caches — repeated calls from a long-running
+    // application must not accumulate pinned partitions. The returned
+    // DataFrame itself is cached; callers may .unpersist() it when done.
+    val result = out.persist()
+    result.count()
+    cands.unpersist(blocking = false)
+    sets.unpersist(blocking = false)
+    result
   }
 }

@@ -103,16 +103,19 @@ object RelationalOps2 {
           count(lit(1)).as("n_items"))
     }),
 
-    // Exact percentiles (interpolated), min/max spread per priority.
+    // Exact percentiles (interpolated), min/max spread per priority —
+    // routed through the one pipeline body with the documented
+    // exact/approx switch. exact=true is the oracle-parity choice here
+    // (5 bounded groups); approx_percentile is the production default at
+    // high group cardinality (see GraftPipelines.groupedPercentiles).
     "rel_percentile" -> ((s, dir) => {
       import s.implicits._
-      Tables.orders(s, dir)
-        .groupBy($"o_orderpriority")
-        .agg(
-          expr("percentile(o_totalprice, 0.5)").as("median_price"),
-          expr("percentile(o_totalprice, 0.9)").as("p90_price"),
-          min($"o_totalprice").as("min_price"),
-          max($"o_totalprice").as("max_price"))
+      graft.api.GraftPipelines.groupedPercentiles(
+          Tables.orders(s, dir), "o_orderpriority", "o_totalprice",
+          Seq(0.5, 0.9), exact = true,
+          extraAggs = Seq(min($"o_totalprice").as("min_price"),
+            max($"o_totalprice").as("max_price")))
+        .withColumnsRenamed(Map("p50" -> "median_price", "p90" -> "p90_price"))
         .orderBy($"o_orderpriority")
     }),
 

@@ -31,5 +31,17 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(math.abs(row.getDouble(1) - 1.0) < 1e-9)
       assert(row.getDouble(2) > 0.0)
     }
+
+    // md5_half60: SQL form agrees with the direct evaluator, and the
+    // optional second argument picks the upper digest half.
+    import org.apache.spark.unsafe.types.UTF8String
+    val h = s2.sql(
+      "SELECT md5_half60('abc') AS lo, md5_half60('abc', true) AS hi")
+      .collect()(0)
+    assert(h.getLong(0) ==
+      functions.HashUtils.md5Long60(UTF8String.fromString("abc"), false))
+    assert(h.getLong(1) ==
+      functions.HashUtils.md5Long60(UTF8String.fromString("abc"), true))
+    assert(h.getLong(0) != h.getLong(1))
   }
 }

@@ -72,7 +72,7 @@ class RelationalOpsSpec extends SparkSpec {
     }
   }
 
-  test("groupedPercentiles: approx sketch path stays within 1% of exact") {
+  test("groupedPercentiles: approx sketch path stays within 2.5% of exact") {
     // exact percentile() is the oracle-parity/bounded-groups tool; the
     // approx sketch is the 100 TB path (docs/PLANS.md rel_percentile) —
     // this pins the accuracy contract that makes the swap safe
