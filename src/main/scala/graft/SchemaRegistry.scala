@@ -16,16 +16,26 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * aggregation is a single map-side-combined groupBy over the log.
   */
 final class SchemaRegistry private (
-    val schemas: Map[String, StructType]) extends Serializable {
+    val schemas: Map[String, StructType],
+    val stringTypes: Set[String]) extends Serializable {
 
   def apply(eventType: String): StructType = schemas(eventType)
   def get(eventType: String): Option[StructType] = schemas.get(eventType)
 
-  /** Decode the props payload of one event type with its frozen schema. */
+  /** Decode the props payload of one event type with its frozen schema.
+    *
+    * Types whose payload is a bare JSON string (the reference's
+    * EventWriteString path, src/main.cpp:583-592: no TDH schema — the
+    * payload IS the single rendered column) decode to a `message` column
+    * instead of a struct.
+    */
   def decode(events: DataFrame, eventType: String): DataFrame = {
-    val parsed: Column = from_json(col("props"), schemas(eventType))
-    events.filter(col("event_type") === eventType)
-      .withColumn("props_struct", parsed)
+    val typed = events.filter(col("event_type") === eventType)
+    if (stringTypes(eventType))
+      typed.withColumn("message", get_json_object(col("props"), "$"))
+    else
+      typed.withColumn("props_struct",
+        from_json(col("props"), schemas(eventType)))
   }
 
   /** Decode all types into a union-of-schemas struct (ragged rows padded
@@ -40,25 +50,34 @@ final class SchemaRegistry private (
 
 object SchemaRegistry {
 
-  /** Build from the event log: per type, take the props of the earliest
-    * instance (min_by over (ts_ns, event_id) — deterministic, unlike
-    * first()) and infer its JSON schema.
+  /** Build from the event log in ONE Spark job: per type, take the props
+    * of the earliest instance (min_by over (ts_ns, event_id) —
+    * deterministic, unlike first()) in a single map-side-combined
+    * aggregation. Schema inference then runs driver-side over the
+    * collected catalog-sized samples via the same evaluator that backs
+    * `schema_of_json` — no per-type driver jobs (10k event types would
+    * otherwise mean 10k tiny jobs).
     */
   def build(events: DataFrame): SchemaRegistry = {
-    val spark = events.sparkSession
+    import org.apache.spark.sql.catalyst.expressions.json.SchemaOfJsonEvaluator
+    import org.apache.spark.unsafe.types.UTF8String
     val samples = events
       .groupBy(col("event_type"))
       .agg(min_by(col("props"), struct(col("ts_ns"), col("event_id")))
         .as("sample"))
       .collect()
-    val schemas = samples.map { r =>
-      val tpe = r.getString(0)
-      val sample = r.getString(1)
-      val ddl = spark.range(1)
-        .select(schema_of_json(lit(sample)).as("s"))
-        .collect()(0).getString(0)
-      tpe -> DataType.fromDDL(ddl).asInstanceOf[StructType]
+    val infer = SchemaOfJsonEvaluator(Map.empty[String, String])
+    val inferred = samples.map { r =>
+      val ddl = infer.evaluate(UTF8String.fromString(r.getString(1))).toString
+      r.getString(0) -> DataType.fromDDL(ddl)
+    }
+    val schemas = inferred.collect {
+      case (tpe, st: StructType) => tpe -> st
     }.toMap
-    new SchemaRegistry(schemas)
+    // Non-struct payloads are bare-string events (EventWriteString, P7).
+    val stringTypes = inferred.collect {
+      case (tpe, dt) if !dt.isInstanceOf[StructType] => tpe
+    }.toSet
+    new SchemaRegistry(schemas, stringTypes)
   }
 }

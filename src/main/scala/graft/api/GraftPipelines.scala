@@ -116,10 +116,15 @@ object GraftPipelines {
       .select(col("qid"), col("rn"), col(id), col("cosine"))
   }
 
-  /** Sign-LSH bucket id from the first `bits` vector components. */
-  def signLshBucket(vec: Column, bits: Int): Column =
+  /** Sign-LSH bucket id from `bits` vector components starting after
+    * `offset` (offset 0 = components 1..bits). Distinct offsets give
+    * independent hash tables over disjoint component sets — the
+    * multi-table form trades one extra candidate join for recall, the
+    * standard LSH answer to single-table bucket skew at scale.
+    */
+  def signLshBucket(vec: Column, bits: Int, offset: Int = 0): Column =
     (1 to bits).map { i =>
-      when(element_at(vec, i) >= 0f, lit(1 << (i - 1))).otherwise(lit(0))
+      when(element_at(vec, offset + i) >= 0f, lit(1 << (i - 1))).otherwise(lit(0))
     }.reduce(_ + _)
 
   // ---------------- percentiles ----------------

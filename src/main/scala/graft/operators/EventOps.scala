@@ -281,6 +281,46 @@ object EventOps {
         .agg(count(lit(1)).as("n"))
         .select($"user_id", unix_millis($"w.start").as("sess_start_ms"), $"n")
         .orderBy($"user_id", $"sess_start_ms")
+    }),
+
+    // §2.3 2-D heatmap: the hour-of-day × event-type count matrix the
+    // reference's vendored plotting layer consumes
+    // (third_party/implot/implot.h:858-921 heatmap APIs) — completes the
+    // 1-D ev_value_histogram. pivot() over a fixed 24-hour column set
+    // (data-independent → deterministic schema at any SF); missing cells
+    // render 0, exact integer math in both engines.
+    "ev_heatmap" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .withColumn("h", hour($"ts"))
+        .groupBy($"event_type")
+        .pivot("h", 0 until 24)
+        .agg(count(lit(1)))
+        .select($"event_type" +: (0 until 24).map(h =>
+          coalesce(col(s"`$h`"), lit(0L)).as(s"h$h")): _*)
+        .orderBy($"event_type")
+    }),
+
+    // §2.2 P7 (EventWriteString, reference src/main.cpp:583-592): an
+    // event type whose payload is a bare string, not a keyed record —
+    // decoded by the registry to the single `message` column. The
+    // string-payload log is derived in-query (like ev_nested_props) so
+    // the DuckDB oracle constructs the identical payload; the registry
+    // infers "not a struct" from the first instance and dispatches the
+    // passthrough decode.
+    "ev_string_props" -> ((s, dir) => {
+      import s.implicits._
+      val log = events(s, dir)
+        .withColumn("props",
+          when($"event_type" === "signup",
+            concat(lit("\"user "), $"user_id", lit(" signed up k="),
+              k($"props"), lit("\"")))
+          .otherwise($"props"))
+      graft.SchemaRegistry.build(log)
+        .decode(log, "signup")
+        .select($"event_id", $"message",
+          length($"message").as("msg_len"))
+        .orderBy($"event_id").limit(500)
     })
   )
 
@@ -438,6 +478,28 @@ object EventOps {
         |           lag(epoch_ns(ts)) OVER (PARTITION BY user_id
         |             ORDER BY ts, event_id) AS prev_ns
         |          FROM events)))
-        |GROUP BY user_id, sid ORDER BY user_id, sess_start_ms""".stripMargin
+        |GROUP BY user_id, sid ORDER BY user_id, sess_start_ms""".stripMargin,
+
+    "ev_heatmap" -> {
+      val cells = (0 until 24).map(h =>
+        s"count(CASE WHEN h = $h THEN 1 END) AS h$h").mkString(",\n ")
+      s"""SELECT event_type,
+         | $cells
+         |FROM (SELECT event_type,
+         |       CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS h
+         |      FROM events)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
+
+    "ev_string_props" ->
+      """SELECT event_id,
+        | json_extract_string(praw, '$') AS message,
+        | CAST(length(json_extract_string(praw, '$')) AS INTEGER) AS msg_len
+        |FROM (
+        |  SELECT event_id,
+        |   '"user ' || user_id || ' signed up k=' ||
+        |   CAST(json_extract_string(props, '$.k') AS INTEGER) || '"' AS praw
+        |  FROM events WHERE event_type = 'signup')
+        |ORDER BY event_id LIMIT 500""".stripMargin
   )
 }

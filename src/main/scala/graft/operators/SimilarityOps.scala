@@ -40,16 +40,17 @@ object SimilarityOps {
     s"(${dotUnrolledSql(a, b, DIM)}) / " +
       s"(sqrt(${dotUnrolledSql(a, a, DIM)}) * sqrt(${dotUnrolledSql(b, b, DIM)}))"
 
-  /** 8-bit sign-LSH bucket: bit i set iff embedding[i] >= 0.
+  /** 8-bit sign-LSH bucket: bit i set iff embedding[offset + i] >= 0.
     * Axis-aligned random-hyperplane LSH — deterministic and
-    * oracle-mirrorable (no RNG in either engine).
+    * oracle-mirrorable (no RNG in either engine). Offset 8 yields the
+    * second, independent hash table (components 9..16).
     */
-  private def bucketCol(e: Column): Column =
-    graft.api.GraftPipelines.signLshBucket(e, LSH_BITS)
+  private def bucketCol(e: Column, offset: Int = 0): Column =
+    graft.api.GraftPipelines.signLshBucket(e, LSH_BITS, offset)
 
-  private def bucketSql(e: String): String =
+  private def bucketSql(e: String, offset: Int = 0): String =
     (1 to LSH_BITS).map { i =>
-      s"(CASE WHEN $e[$i] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)"
+      s"(CASE WHEN $e[${offset + i}] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)"
     }.mkString(" + ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -86,6 +87,46 @@ object SimilarityOps {
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 3)
         .select($"qid", $"rn", $"vec_id", $"bucket", $"cosine")
+        .orderBy($"qid", $"rn")
+    }),
+
+    // Multi-table + multi-probe ANN: TWO independent 8-bit sign-LSH
+    // tables (disjoint component sets), and per table the query probes
+    // its exact bucket plus all 8 one-bit-flip neighbors (Manku-style
+    // multi-probe, like llm_simhash_pairs). Candidates = bucket within
+    // hamming 1 of the query's in EITHER table. One 8-bit table is
+    // recall-limited and bucket-skew-prone at scale; extra tables and
+    // probes multiply candidates only by a constant (still Σ bucket²,
+    // never O(n²)). Probe expansion happens on the BOUNDED query side
+    // (NQ × 2 tables × 9 probes rows); the data side keeps one entry
+    // per (vector, table), joined on (t, b) — the MinHash band shape,
+    // never an OR-join.
+    "llm_embed_lsh_knn2" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val tabs = emb.select($"vec_id",
+        explode(array(
+          struct(lit(0).as("t"), bucketCol($"embedding").as("b")),
+          struct(lit(1).as("t"), bucketCol($"embedding", 8).as("b")))).as("tb"))
+        .select($"vec_id", $"tb.t".as("t"), $"tb.b".as("b"))
+      // query side is bounded by construction (NQ rows) → broadcast is safe
+      val probes = $"b" +: (0 until LSH_BITS).map(j =>
+        $"b".bitwiseXOR(lit(1 << j)))
+      val qk = tabs.filter($"vec_id" < NQ)
+        .select($"vec_id".as("qid"), $"t",
+          explode(array(probes: _*)).as("b"))
+      val cands = tabs.join(broadcast(qk), Seq("t", "b"))
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id").distinct()
+      val qv = emb.filter($"vec_id" < NQ)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
+      cands.join(emb, "vec_id")
+        .join(broadcast(qv), "qid")
+        .withColumn("cosine", cosine($"qv", $"embedding"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"qid", $"rn", $"vec_id", $"cosine")
         .orderBy($"qid", $"rn")
     }),
 
@@ -149,6 +190,26 @@ object SimilarityOps {
          |  JOIN embeddings q
          |    ON q.vec_id < $NQ AND c.vec_id <> q.vec_id
          |   AND (${bucketSql("c.embedding")}) = (${bucketSql("q.embedding")}))
+         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    "llm_embed_lsh_knn2" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |  ${bucketSql("embedding")} AS b0,
+         |  ${bucketSql("embedding", 8)} AS b1 FROM embeddings),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vec_id
+         |  FROM b c JOIN b q
+         |    ON q.vec_id < $NQ AND c.vec_id <> q.vec_id
+         |   AND (bit_count(xor(c.b0, q.b0)) <= 1
+         |     OR bit_count(xor(c.b1, q.b1)) <= 1))
+         |SELECT qid, CAST(rn AS INTEGER) AS rn, vec_id, cosine FROM (
+         |  SELECT cand.qid, cand.vec_id,
+         |   ${cosineSql("q.embedding", "c.embedding")} AS cosine,
+         |   row_number() OVER (PARTITION BY cand.qid
+         |     ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC,
+         |       cand.vec_id) AS rn
+         |  FROM cand JOIN embeddings c ON c.vec_id = cand.vec_id
+         |            JOIN embeddings q ON q.vec_id = cand.qid)
          |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
 
     "llm_embed_neardup_lsh" ->

@@ -64,6 +64,23 @@ class SchemaRegistrySpec extends SparkSpec {
     assert(rows.toSet == Set((1L, 1L, 7L, "x"), (2L, 4L, 8L, "y")))
   }
 
+  test("bare-string payload type (P7): inferred as string, decoded to message") {
+    val events = Seq(
+      (1L, 1000000000L, 1L, "note", 1.0, "\"hello world\""),
+      (2L, 2000000000L, 1L, "note", 1.0, "\"second note\""),
+      (3L, 3000000000L, 2L, "alpha", 2.0, """{"x": 1}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tempSfDir("events" -> events)
+    val ev = operators.EventOps.events(spark, dir)
+    val reg = SchemaRegistry.build(ev)
+    assert(reg.stringTypes == Set("note"))
+    assert(reg.schemas.keySet == Set("alpha"))
+    val msgs = reg.decode(ev, "note")
+      .select($"event_id", $"message").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(msgs == Set((1L, "hello world"), (2L, "second note")))
+  }
+
   test("registry on the real corpus: k inferred as integral for all types") {
     val reg = SchemaRegistry.build(
       operators.EventOps.events(spark, sf))

@@ -53,6 +53,28 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum == n)
   }
 
+  test("multi-table ANN: recall@3 vs brute force >= single-table recall") {
+    val bf = q("llm_embed_topk").collect().filter(_.getAs[Int]("rn") <= 3)
+      .groupBy(_.getAs[Long]("qid")).view
+      .mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    def recall(name: String): Double = {
+      val got = q(name).collect()
+        .groupBy(_.getAs[Long]("qid")).view
+        .mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+      val hits = bf.map { case (qid, want) =>
+        want.intersect(got.getOrElse(qid, Set.empty)).size
+      }.sum
+      hits.toDouble / bf.values.map(_.size).sum
+    }
+    val single = recall("llm_embed_lsh_knn")
+    val multi = recall("llm_embed_lsh_knn2")
+    info(f"recall@3: single-table=$single%.2f multi-table=$multi%.2f")
+    // table 0 of the multi-table variant IS the single table, so its
+    // candidate set is a superset — recall can only improve
+    assert(multi >= single)
+    assert(multi > 0.0)
+  }
+
   test("llm_embed_lsh_knn: bucketed results are a subset of brute-force candidates' quality") {
     // every LSH neighbor's similarity must be <= the brute-force best
     val bf = q("llm_embed_topk").collect()
