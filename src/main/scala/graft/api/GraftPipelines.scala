@@ -29,17 +29,21 @@ object GraftPipelines {
 
   /** Word n-gram shingles (id, s); docs shorter than n yield none.
     *
-    * Docs are hash-repartitioned on `id` BEFORE the ~n·words explode:
-    * the shuffle moves the small pre-explosion rows, spreads the
-    * downstream md5/min work across all cores even when the source is a
-    * single parquet row group, and co-partitions the data with the
-    * per-doc aggregation that follows (no second exchange).
+    * With `repartitionFirst` (the default), docs are hash-repartitioned
+    * on `id` BEFORE the ~n·words explode: the shuffle moves the small
+    * pre-explosion rows, spreads the downstream md5/min work across all
+    * cores even when the source is a single parquet row group, and
+    * co-partitions the data with the per-doc aggregation that follows
+    * (no second exchange). The shuffle only pays when the per-shingle
+    * work is heavy (MinHash: 4+ digests/shingle); light consumers
+    * (fingerprints: 2 digests over 2-grams) measurably lose to it and
+    * pass false — see docs/PLANS.md "Pre-explode repartition".
     */
   def shingle(docs: DataFrame, n: Int, id: String = "doc_id",
-      text: String = "text"): DataFrame = {
+      text: String = "text", repartitionFirst: Boolean = true): DataFrame = {
     val gram = (0 until n).map(j => s"w[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
-    docs.select(col(id), col(text))
-      .repartition(col(id))
+    val src = docs.select(col(id), col(text))
+    (if (repartitionFirst) src.repartition(col(id)) else src)
       .select(col(id), split(col(text), " ").as("w"))
       .filter(size(col("w")) >= n)
       .select(col(id),
@@ -86,8 +90,13 @@ object GraftPipelines {
     // lineage (shingle explode + seeds× md5 mins) once and feeds the
     // second side from the first's shuffle files — no persist barrier,
     // no extra materialization job, and nothing held in executor memory.
+    // The shuffle_hash hint pins that shape: a stats-driven broadcast
+    // here would BOTH broadcast a data-scaled table (the band table
+    // grows with the corpus) AND defeat the exchange reuse (the
+    // broadcast side plans a different exchange, recomputing the
+    // signature lineage twice).
     val b = lshBands(minhashSignature(shingle(docs, shingleN, id, text),
-      seeds, id), bands, seeds / bands, id)
+      seeds, id), bands, seeds / bands, id).hint("shuffle_hash")
     b.as("l").join(b.as("r"),
         col("l.b") === col("r.b") && col(s"l.$id") < col(s"r.$id"))
       .select(col(s"l.$id").as("d1"), col(s"r.$id").as("d2"))
@@ -200,7 +209,7 @@ object GraftPipelines {
     */
   def fingerprints(docs: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame = {
-    val sh = shingle(docs, 2, id, text)
+    val sh = shingle(docs, 2, id, text, repartitionFirst = false)
     val mins = (0 until 4).map(i =>
       min(VectorExpressions.md5Half60Prefixed(
         s"${i / 2}|", col("s"), upperHalf = i % 2 == 1))
