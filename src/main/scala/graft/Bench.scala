@@ -16,12 +16,14 @@ object Bench {
     "ev_flagship", "ev_catalog", "ev_sessionize", "ev_tumbling_1h",
     "ev_sliding_1h15m", "ev_session_window", "ev_asof_join", "ev_range_join",
     "ev_transitions",
+    "ev_value_histogram", "ev_heatmap",
     "rel_q1_pricing", "rel_q3_shipping", "rel_q5_region_volume",
-    "rel_q6_forecast",
+    "rel_q6_forecast", "rel_q10_returns", "rel_q18_large_orders",
     "rel_window_rank", "rel_join_broadcast", "rel_rollup",
     "rel_percentile", "rel_corr",
     "llm_dedup_exact", "llm_minhash_pairs", "llm_neardup_verified",
-    "llm_simhash", "llm_embed_topk", "llm_embed_lsh_knn",
+    "llm_simhash", "llm_simhash_pairs", "llm_embed_topk",
+    "llm_embed_lsh_knn", "llm_embed_lsh_knn2",
     "llm_embed_neardup", "llm_embed_neardup_lsh", "llm_lang_id", "llm_tfidf",
     "llm_quality_score", "llm_token_count", "llm_fingerprint",
     "mm_image_features", "mm_frame_sample")
