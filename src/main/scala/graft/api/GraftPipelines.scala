@@ -103,6 +103,37 @@ object GraftPipelines {
       .distinct()
   }
 
+  /** Incremental (corpus-vs-batch) near-dup flagging: every batch doc
+    * with its count of LSH candidate matches in the existing corpus and
+    * a survivor flag — the shape every recurring ingest pipeline needs.
+    *
+    * Corpus↔corpus and batch↔batch pairs never form: the band join is
+    * corpus-bands ⋈ batch-bands only, so per-ingest work is
+    * O(batch + matched buckets), not O(corpus²). At production scale the
+    * corpus band table is the persisted index a pipeline maintains
+    * between ingests (write it with [[graft.sources.GraftIO]] bucketed by
+    * band hash and only the batch side is computed per run); both sides
+    * are data-scaled, so the join is pinned to shuffle — never broadcast.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+      shingleN: Int = 3, seeds: Int = 8, bands: Int = 4,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    def bandTable(df: DataFrame) =
+      lshBands(minhashSignature(shingle(df, shingleN, id, text), seeds, id),
+        bands, seeds / bands, id)
+    val cb = bandTable(corpus).withColumnRenamed(id, "corpus_id")
+    val bb = bandTable(batch).withColumnRenamed(id, "batch_id")
+    val counts = bb.hint("shuffle_hash")
+      .join(cb.hint("shuffle_hash"), "b")
+      .select(col("batch_id"), col("corpus_id")).distinct()
+      .groupBy(col("batch_id")).agg(count(lit(1)).as("n_corpus_dups"))
+    batch.select(col(id).as("batch_id"))
+      .join(counts, Seq("batch_id"), "left")
+      .withColumn("n_corpus_dups", coalesce(col("n_corpus_dups"), lit(0L)))
+      .withColumn("is_new",
+        (col("n_corpus_dups") === 0).cast("int"))
+  }
+
   // ---------------- similarity ----------------
 
   /** Codegen'd cosine similarity over two array<float> columns. */

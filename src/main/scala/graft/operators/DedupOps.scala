@@ -148,6 +148,19 @@ object DedupOps {
         .orderBy($"d1", $"d2")
     }),
 
+    // Incremental ingest dedup: flag each NEW-batch doc (doc_id >= 250)
+    // with its count of LSH near-dup candidates in the EXISTING corpus
+    // (doc_id < 250) plus a survivor flag — corpus↔corpus and
+    // batch↔batch pairs never form. The recurring-pipeline shape: the
+    // corpus band table is the persisted index, only the batch re-hashes.
+    "llm_dedup_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      graft.api.GraftPipelines.incrementalDedup(
+          docs.filter($"doc_id" < 250), docs.filter($"doc_id" >= 250))
+        .orderBy($"batch_id")
+    }),
+
     // MinHash signatures themselves (first two hash mins per doc).
     "llm_minhash_signature" -> ((s, dir) => {
       import s.implicits._
@@ -249,6 +262,21 @@ object DedupOps {
     "llm_minhash_signature" ->
       s"""WITH $shinglesSql, $minhashSql
          |SELECT doc_id, h0, h1 FROM mh ORDER BY doc_id""".stripMargin,
+
+    "llm_dedup_incremental" ->
+      s"""WITH $shinglesSql, $minhashSql, $bandsSql,
+         |pairs AS (
+         |  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+         |  FROM bands b JOIN bands c ON b.b = c.b
+         |  WHERE b.doc_id >= 250 AND c.doc_id < 250)
+         |SELECT d.doc_id AS batch_id,
+         | coalesce(n, 0) AS n_corpus_dups,
+         | CAST(CASE WHEN coalesce(n, 0) = 0 THEN 1 ELSE 0 END AS INTEGER)
+         |   AS is_new
+         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+         |LEFT JOIN (SELECT batch_id, count(*) AS n FROM pairs GROUP BY 1) p
+         |  ON d.doc_id = p.batch_id
+         |ORDER BY batch_id""".stripMargin,
 
     "llm_simhash" ->
       s"""WITH $simhashSql

@@ -27,8 +27,10 @@ import graft.functions.Fns._
 object SimilarityOps {
 
   private val DIM = 64
-  private val NQ = 5   // query vectors: vec_id < NQ
+  private val NQ = 5    // query vectors: vec_id < NQ
   private val LSH_BITS = 8
+  private val NC = 16   // IVF coarse centroids: vec_id < NC
+  private val NPROBE = 2
 
   /** Codegen'd one-pass cosine; bit-identical to the unrolled/oracle form
     * (see [[graft.functions.VectorExpressions]]).
@@ -130,6 +132,50 @@ object SimilarityOps {
         .orderBy($"qid", $"rn")
     }),
 
+    // IVF ANN: the inverted-file alternative to sign-LSH. A bounded
+    // coarse quantizer (NC deterministic centroids — the first NC
+    // vectors; no RNG so both engines agree) assigns every vector to its
+    // nearest centroid by exact cosine — one broadcast of NC rows, pure
+    // map-side, then the assignment IS the inverted list: retrieval
+    // joins on centroid id. Queries probe their NPROBE nearest
+    // centroids' lists and re-rank candidates by exact cosine. At scale
+    // the assignment is a one-off index build (persist, bucket by
+    // centroid); per-query work is the probed lists only, and recall
+    // tunes with NPROBE instead of re-indexing.
+    "llm_embed_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val cent = emb.filter($"vec_id" < NC)
+        .select($"vec_id".as("centroid"), $"embedding".as("cv"))
+      def nearest(df: DataFrame, idCol: String, vecCol: String, k: Int) = {
+        val w = Window.partitionBy(col(idCol))
+          .orderBy($"ccos".desc, $"centroid")
+        df.crossJoin(broadcast(cent))
+          .withColumn("ccos", cosine(col(vecCol), $"cv"))
+          .withColumn("crn", row_number().over(w))
+          .filter($"crn" <= k)
+          .select(col(idCol), $"centroid")
+      }
+      val assign = nearest(emb, "vec_id", "embedding", 1)
+      val probes = nearest(
+        emb.filter($"vec_id" < NQ)
+          .select($"vec_id".as("qid"), $"embedding".as("qv")),
+        "qid", "qv", NPROBE)
+      val cands = probes.join(assign, "centroid")
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id").distinct()
+      val qv = emb.filter($"vec_id" < NQ)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
+      cands.join(emb, "vec_id")
+        .join(broadcast(qv), "qid")
+        .withColumn("cosine", cosine($"qv", $"embedding"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"qid", $"rn", $"vec_id", $"cosine")
+        .orderBy($"qid", $"rn")
+    }),
+
     // Unbounded embedding near-dup over the FULL table: sign-LSH bucket
     // self-join (only same-bucket vectors ever meet — candidate count
     // scales with Σ bucket², never O(n²)) with the exact cosine as the
@@ -202,6 +248,38 @@ object SimilarityOps {
          |    ON q.vec_id < $NQ AND c.vec_id <> q.vec_id
          |   AND (bit_count(xor(c.b0, q.b0)) <= 1
          |     OR bit_count(xor(c.b1, q.b1)) <= 1))
+         |SELECT qid, CAST(rn AS INTEGER) AS rn, vec_id, cosine FROM (
+         |  SELECT cand.qid, cand.vec_id,
+         |   ${cosineSql("q.embedding", "c.embedding")} AS cosine,
+         |   row_number() OVER (PARTITION BY cand.qid
+         |     ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC,
+         |       cand.vec_id) AS rn
+         |  FROM cand JOIN embeddings c ON c.vec_id = cand.vec_id
+         |            JOIN embeddings q ON q.vec_id = cand.qid)
+         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    "llm_embed_ivf" ->
+      s"""WITH a AS (
+         |  SELECT vec_id, centroid FROM (
+         |    SELECT v.vec_id, c.vec_id AS centroid,
+         |     row_number() OVER (PARTITION BY v.vec_id
+         |       ORDER BY ${cosineSql("v.embedding", "c.embedding")} DESC,
+         |         c.vec_id) AS crn
+         |    FROM embeddings v JOIN embeddings c ON c.vec_id < $NC)
+         |  WHERE crn = 1),
+         |p AS (
+         |  SELECT qid, centroid FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS centroid,
+         |     row_number() OVER (PARTITION BY q.vec_id
+         |       ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC,
+         |         c.vec_id) AS crn
+         |    FROM embeddings q JOIN embeddings c
+         |      ON q.vec_id < $NQ AND c.vec_id < $NC)
+         |  WHERE crn <= $NPROBE),
+         |cand AS (
+         |  SELECT DISTINCT p.qid, a.vec_id
+         |  FROM p JOIN a ON a.centroid = p.centroid
+         |  WHERE a.vec_id <> p.qid)
          |SELECT qid, CAST(rn AS INTEGER) AS rn, vec_id, cosine FROM (
          |  SELECT cand.qid, cand.vec_id,
          |   ${cosineSql("q.embedding", "c.embedding")} AS cosine,

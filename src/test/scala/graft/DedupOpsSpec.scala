@@ -38,6 +38,26 @@ class DedupOpsSpec extends SparkSpec {
       "distinct doc must not be a candidate")
   }
 
+  test("incrementalDedup: batch docs flag against corpus only, never each other") {
+    // corpus: 1 (base), 2 (distinct). batch: 10 (copy of base — must flag),
+    // 11 (near-dup of base — should flag), 12 (unique — must survive),
+    // 13 (copy of 12 — batch↔batch dup, must NOT flag: only corpus counts)
+    val unique = "entirely novel content that matches nothing else in any split"
+    val corpus = docs((1L, base, "s0"), (2L, distinct, "s0"))
+    val batch = docs((10L, base, "s0"), (11L, nearDup, "s0"),
+      (12L, unique, "s0"), (13L, unique, "s0"))
+    val out = api.GraftPipelines.incrementalDedup(corpus, batch).collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        (r.getAs[Long]("n_corpus_dups"), r.getAs[Int]("is_new"))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L, 13L))
+    assert(out(10L)._1 >= 1 && out(10L)._2 == 0,
+      "exact copy of a corpus doc must flag")
+    assert(out(11L)._1 >= 1 && out(11L)._2 == 0,
+      "near-dup of a corpus doc should share a band")
+    assert(out(12L) == (0L, 1) && out(13L) == (0L, 1),
+      "batch-internal duplicates must not flag each other")
+  }
+
   test("llm_simhash: identical docs get identical hashes (hamming 0 pair)") {
     val dir = tempSfDir("documents" ->
       docs((1L, base, "s0"), (2L, base, "s0"), (3L, distinct, "s1")))

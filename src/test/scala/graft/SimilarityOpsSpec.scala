@@ -75,6 +75,23 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(multi > 0.0)
   }
 
+  test("llm_embed_ivf: 3 ranked hits per query, bounded by brute-force best") {
+    val bf = q("llm_embed_topk").collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Double]("cosine")).max).toMap
+    val rows = q("llm_embed_ivf").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (qid, rs) =>
+      // probed lists are never empty (the query's own centroid list
+      // exists), and candidates re-rank by the exact cosine
+      assert(rs.length >= 1 && rs.length <= 3)
+      val sims = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("cosine"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      rs.foreach(r => assert(r.getAs[Double]("cosine") <= bf(qid) + 1e-12))
+    }
+  }
+
   test("llm_embed_lsh_knn: bucketed results are a subset of brute-force candidates' quality") {
     // every LSH neighbor's similarity must be <= the brute-force best
     val bf = q("llm_embed_topk").collect()
