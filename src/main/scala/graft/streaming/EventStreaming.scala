@@ -105,6 +105,21 @@ object EventStreaming {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
 
+  /** Streaming exact dedup with bounded state: the streaming twin of the
+    * batch `llm_dedup_exact`. Duplicate keys arriving within the
+    * watermark horizon are dropped; state for a key is evicted once the
+    * watermark passes it, so state size follows the horizon × key
+    * arrival rate, never the stream's full history — the only viable
+    * dedup contract over an unbounded ingest. (Full-history dedup at
+    * scale is the batch incremental form: `GraftPipelines
+    * .incrementalDedup` against the persisted corpus index.)
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      horizon: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Stream-static enrichment: join a live event stream against a static
     * dimension (the streaming twin of the dictionary decode). The static
     * side re-plans per micro-batch, so Spark broadcasts it when small —

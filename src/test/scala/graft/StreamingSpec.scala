@@ -36,6 +36,29 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dedupWithinWatermark drops duplicate keys across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "user_id", "value")
+    val query = EventStreaming
+      .dedupWithinWatermark(events, Seq("event_type", "user_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      // batch 1: an in-batch duplicate of (click, 1)
+      mem.addData((ts(5), "click", 1L, 1.0), (ts(6), "click", 1L, 9.0),
+        (ts(7), "view", 2L, 2.0))
+      query.processAllAvailable()
+      // batch 2: a cross-batch duplicate within the horizon + a new key
+      mem.addData((ts(10), "click", 1L, 5.0), (ts(11), "error", 3L, 3.0))
+      query.processAllAvailable()
+      val out = spark.table("dedup_out").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("user_id")))
+      assert(out.length == 3, s"got ${out.mkString(", ")}")
+      assert(out.toSet == Set(("click", 1L), ("view", 2L), ("error", 3L)))
+    } finally query.stop()
+  }
+
   test("sessionCounts keeps per-user running state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreaming.UserEvent]
