@@ -18,6 +18,16 @@ object TextOps {
   private val EN_MARKERS = Seq("the", "a", "of", "and", "to", "in", "is")
   private val markersInList = EN_MARKERS.map(w => s"'$w'").mkString(", ")
 
+  /** GPT-2-style pre-tokenizer pattern (ASCII form of the public
+    * `'s|'t|'re|…| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+` rule): counting
+    * its matches approximates BPE token counts without a vocab file —
+    * the budget estimator every training-data pipeline runs. Uses only
+    * alternation/classes with leftmost-first semantics, identical in
+    * Java regex and RE2, so the DuckDB oracle counts the same tokens.
+    */
+  private val BPE_PAT =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Language-ID heuristic: stopword-ratio → 'en' / 'und'; confusion
     // counts against the labeled lang column.
@@ -53,6 +63,17 @@ object TextOps {
           sum($"n_ws").as("sum_ws_tokens"),
           sum($"n_re").as("sum_re_tokens"))
         .orderBy($"source")
+    }),
+
+    // BPE-ish token budget: per-doc GPT-2-style pre-tokenizer match
+    // count plus the per-source total a data-mix planner consumes.
+    "llm_token_bpe" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .withColumn("n_bpe",
+          size(regexp_extract_all($"text", lit(BPE_PAT), lit(0))))
+        .select($"doc_id", $"source", $"n_bpe")
+        .orderBy($"doc_id")
     }),
 
     // Array/higher-order function surface over the tokenized documents
@@ -139,6 +160,13 @@ object TextOps {
         | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
         | CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS sum_re_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "llm_token_bpe" -> {
+      val pat = BPE_PAT.replace("'", "''")
+      s"""SELECT doc_id, source,
+         | CAST(len(regexp_extract_all(text, '$pat')) AS INTEGER) AS n_bpe
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "llm_array_funcs" ->
       """SELECT doc_id,

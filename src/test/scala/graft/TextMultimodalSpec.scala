@@ -27,6 +27,14 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r.getAs[Long]("sum_re_tokens") == 3)  // abc, def, x
   }
 
+  test("llm_token_bpe: GPT-2-style pre-tokenizer count, hand-traced") {
+    // don | 't | " stop" | " 123" | " now" | !! → 6 tokens
+    val df = Seq((1L, "don't stop 123 now!!", "en", "s0", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = q("llm_token_bpe", tempSfDir("documents" -> df)).collect().head
+    assert(r.getAs[Int]("n_bpe") == 6)
+  }
+
   test("StubImageDecoder: deterministic, byte-driven features") {
     val payload = "abcdef".getBytes("UTF-8")
     val m1 = StubImageDecoder.decode(1L, payload)
