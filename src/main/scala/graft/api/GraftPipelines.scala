@@ -117,12 +117,32 @@ object GraftPipelines {
     */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame,
       shingleN: Int = 3, seeds: Int = 8, bands: Int = 4,
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    incrementalDedupWithIndex(
+      bandIndex(corpus, shingleN, seeds, bands, id, text),
+      batch, shingleN, seeds, bands, id, text)
+
+  /** Corpus band index (id, b): the persistable artifact recurring
+    * ingests join against. Write it once with
+    * [[graft.sources.GraftIO.writeParquet]] (or bucketed by `b`), read
+    * it back each ingest, and only the batch side re-hashes — the
+    * corpus text is never re-scanned.
+    */
+  def bandIndex(docs: DataFrame, shingleN: Int = 3, seeds: Int = 8,
+      bands: Int = 4, id: String = "doc_id",
+      text: String = "text"): DataFrame =
+    lshBands(minhashSignature(shingle(docs, shingleN, id, text), seeds, id),
+      bands, seeds / bands, id)
+
+  /** [[incrementalDedup]] against a precomputed (possibly
+    * parquet-persisted) corpus band index.
+    */
+  def incrementalDedupWithIndex(corpusIndex: DataFrame, batch: DataFrame,
+      shingleN: Int = 3, seeds: Int = 8, bands: Int = 4,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    def bandTable(df: DataFrame) =
-      lshBands(minhashSignature(shingle(df, shingleN, id, text), seeds, id),
-        bands, seeds / bands, id)
-    val cb = bandTable(corpus).withColumnRenamed(id, "corpus_id")
-    val bb = bandTable(batch).withColumnRenamed(id, "batch_id")
+    val cb = corpusIndex.withColumnRenamed(id, "corpus_id")
+    val bb = bandIndex(batch, shingleN, seeds, bands, id, text)
+      .withColumnRenamed(id, "batch_id")
     val counts = bb.hint("shuffle_hash")
       .join(cb.hint("shuffle_hash"), "b")
       .select(col("batch_id"), col("corpus_id")).distinct()

@@ -58,6 +58,30 @@ class DedupOpsSpec extends SparkSpec {
       "batch-internal duplicates must not flag each other")
   }
 
+  test("incrementalDedup: persisted band index round-trips; empty corpus passes all") {
+    val unique = "entirely novel content that matches nothing else in any split"
+    val corpus = docs((1L, base, "s0"), (2L, distinct, "s0"))
+    val batch = docs((10L, base, "s0"), (11L, unique, "s0"))
+    // index written to parquet and read back must give the same verdicts
+    // as indexing in-flight — the recurring-ingest contract
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_band_idx").toString + "/idx"
+    sources.GraftIO.writeParquet(
+      api.GraftPipelines.bandIndex(corpus), idxPath)
+    val fromIndex = api.GraftPipelines
+      .incrementalDedupWithIndex(spark.read.parquet(idxPath), batch)
+      .collect().map(r => r.getAs[Long]("batch_id") -> r.getAs[Int]("is_new"))
+      .toMap
+    val direct = api.GraftPipelines.incrementalDedup(corpus, batch)
+      .collect().map(r => r.getAs[Long]("batch_id") -> r.getAs[Int]("is_new"))
+      .toMap
+    assert(fromIndex == direct && fromIndex == Map(10L -> 0, 11L -> 1))
+    // first ingest: empty corpus → every batch doc survives
+    val first = api.GraftPipelines.incrementalDedup(docs(), batch)
+      .collect().map(_.getAs[Int]("is_new"))
+    assert(first.length == 2 && first.forall(_ == 1))
+  }
+
   test("llm_simhash: identical docs get identical hashes (hamming 0 pair)") {
     val dir = tempSfDir("documents" ->
       docs((1L, base, "s0"), (2L, base, "s0"), (3L, distinct, "s1")))
