@@ -234,6 +234,11 @@ object GraftPipelines {
 
   // ---------------- text ----------------
 
+  /** Canonical English stopword markers used by the quality/lang-id
+    * heuristics and the curation defaults. */
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is")
+
   /** Per-document quality metrics (word/char stats + composite score). */
   def qualityScores(docs: DataFrame, stopwords: Seq[String],
       id: String = "doc_id", text: String = "text"): DataFrame = {
@@ -269,6 +274,43 @@ object GraftPipelines {
       .select(col(id),
         md5(concat_ws(",", col("m0"), col("m1"), col("m2"), col("m3")))
           .as("fingerprint"))
+  }
+
+  /** End-to-end training-data curation: quality gate → exact dedup →
+    * verified near-dup drop → token budget. The full pipeline every
+    * pretraining corpus runs, composed from the verified pieces:
+    *
+    *  1. keep docs with composite quality score ≥ `minScore` and at
+    *     least `minWords` words ([[qualityScores]]);
+    *  2. exact dedup — one survivor (lowest id) per content digest;
+    *  3. drop the higher id of every VERIFIED near-dup pair
+    *     ([[nearDuplicates]]: LSH candidates, word-set Jaccard ≥
+    *     `minJaccard`) — a deterministic rule needing no transitive
+    *     closure;
+    *  4. annotate survivors with their whitespace token count.
+    *
+    * Returns the surviving rows with all original columns plus
+    * `n_tokens`. Every stage is shuffle-bounded (quality is map-side,
+    * dedup keys on the digest, near-dup is the bucketed pipeline), so
+    * the composition scales exactly as its pieces do. Inherits
+    * [[nearDuplicates]]'s eager materialization.
+    */
+  def curate(docs: DataFrame, stopwords: Seq[String] = DefaultStopwords,
+      minScore: Double = 0.45, minWords: Int = 5, minJaccard: Double = 0.7,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val kept = docs.join(
+      qualityScores(docs, stopwords, id, text)
+        .filter(col("score") >= minScore && col("n_words") >= minWords)
+        .select(col(id)),
+      Seq(id), "left_semi")
+    val exact = kept
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(md5(col(text))).orderBy(col(id))))
+      .filter(col("__rn") === 1).drop("__rn")
+    val dropIds = nearDuplicates(exact, minJaccard, id, text)
+      .select(col("d2").as(id)).distinct()
+    exact.join(dropIds, Seq(id), "left_anti")
+      .withColumn("n_tokens", size(split(col(text), " ")))
   }
 
   /** End-to-end near-dup detection: LSH candidates verified by word-set

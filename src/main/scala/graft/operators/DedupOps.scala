@@ -77,12 +77,14 @@ object DedupOps {
 
   // ---- DuckDB oracle fragments (identical hash math, 1-based lists) ----
 
-  private val shinglesSql =
-    """sh AS (
-      |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
-      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-      |  WHERE len(w) >= 3)""".stripMargin
+  private def shinglesSqlFrom(table: String) =
+    s"""sh AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+       |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $table)
+       |  WHERE len(w) >= 3)""".stripMargin
+
+  private val shinglesSql = shinglesSqlFrom("documents")
 
   // 60-bit numeric min-hashes: md5_number_lower/upper % 2^60 mirrors the
   // engine's Md5Half60 expression bit-for-bit.
@@ -146,6 +148,17 @@ object DedupOps {
       graft.api.GraftPipelines
         .minhashCandidates(Tables.documents(s, dir), 3, 8, 4)
         .orderBy($"d1", $"d2")
+    }),
+
+    // End-to-end curation: quality gate → exact dedup → verified
+    // near-dup drop → token budget (the composed pretraining-corpus
+    // pipeline; see GraftPipelines.curate). Output = surviving docs
+    // with their token counts.
+    "llm_curate" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.GraftPipelines.curate(Tables.documents(s, dir))
+        .select($"doc_id", $"source", $"n_tokens")
+        .orderBy($"doc_id")
     }),
 
     // Incremental ingest dedup: flag each NEW-batch doc (doc_id >= 250)
@@ -277,6 +290,48 @@ object DedupOps {
          |LEFT JOIN (SELECT batch_id, count(*) AS n FROM pairs GROUP BY 1) p
          |  ON d.doc_id = p.batch_id
          |ORDER BY batch_id""".stripMargin,
+
+    "llm_curate" -> {
+      val stopList = graft.api.GraftPipelines.DefaultStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH q AS (
+         |  SELECT doc_id, len(w) AS n_words,
+         |   (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.5 +
+         |   (CAST(len(list_filter(w, x -> x IN ($stopList))) AS DOUBLE)
+         |      / len(w)) * 0.3 +
+         |   (CASE WHEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+         |              / len(w) >= 3.0
+         |          AND CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+         |              / len(w) <= 8.0
+         |         THEN 0.2 ELSE 0.0 END) AS score
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         |kept AS (
+         |  SELECT d.* FROM documents d JOIN q USING (doc_id)
+         |  WHERE q.score >= 0.45 AND q.n_words >= 5),
+         |exact AS (
+         |  SELECT doc_id, source, text FROM (
+         |    SELECT doc_id, source, text,
+         |     row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM kept) WHERE rn = 1),
+         |${shinglesSqlFrom("exact")}, $minhashSql, $bandsSql,
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+         |  FROM bands l JOIN bands r ON l.b = r.b AND l.doc_id < r.doc_id),
+         |sets AS (
+         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset
+         |  FROM exact),
+         |drops AS (
+         |  SELECT DISTINCT d2 FROM cands
+         |  JOIN sets s1 ON d1 = s1.doc_id
+         |  JOIN sets s2 ON d2 = s2.doc_id
+         |  WHERE CAST(len(list_intersect(s1.wset, s2.wset)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(s1.wset, s2.wset))) >= 0.7)
+         |SELECT doc_id, source,
+         | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+         |FROM exact
+         |WHERE doc_id NOT IN (SELECT d2 FROM drops)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "llm_simhash" ->
       s"""WITH $simhashSql

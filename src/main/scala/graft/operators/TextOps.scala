@@ -14,8 +14,9 @@ import graft.Tables
   */
 object TextOps {
 
-  /** Stopword markers for the n-gram/stopword language heuristic. */
-  private val EN_MARKERS = Seq("the", "a", "of", "and", "to", "in", "is")
+  /** Stopword markers for the n-gram/stopword language heuristic (the
+    * canonical list lives on the pipeline API). */
+  private val EN_MARKERS = graft.api.GraftPipelines.DefaultStopwords
   private val markersInList = EN_MARKERS.map(w => s"'$w'").mkString(", ")
 
   /** GPT-2-style pre-tokenizer pattern (ASCII form of the public

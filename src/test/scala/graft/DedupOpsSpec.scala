@@ -126,4 +126,20 @@ class DedupOpsSpec extends SparkSpec {
     assert(fp1(1L) == fp1(2L))
     assert(fp1(1L) != fp1(3L))
   }
+
+  test("curate: drops low-quality, short, exact-dup and near-dup docs") {
+    val lowQuality = "aa aa aa aa aa aa" // ttr 1/6, no stopwords, len 2
+    val short = "hello world"           // n_words 2 < 5
+    val src = docs(
+      (1L, base, "s0"), (2L, base, "s0"), (3L, nearDup, "s0"),
+      (4L, lowQuality, "s0"), (5L, short, "s0"), (6L, distinct, "s0"))
+      .toDF()
+    val out = api.GraftPipelines.curate(src)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 2 = exact dup of 1 (higher id loses); 3 = verified near-dup of 1
+    // (jaccard 12/14 >= 0.7); 4 fails the quality gate; 5 the word floor.
+    assert(out == Map(1L -> base.split(" ").length,
+      6L -> distinct.split(" ").length))
+  }
 }
