@@ -313,6 +313,55 @@ object GraftPipelines {
       .withColumn("n_tokens", size(split(col(text), " ")))
   }
 
+  /** Connected components over a near-dup pair list: every doc that
+    * appears in a pair, labeled with its cluster id (= the minimum doc id
+    * reachable through pairs). The step after pair generation in every
+    * production dedup: pairs are only LOCAL evidence, and keeping
+    * "the lower id of each pair" over-deletes when dups chain
+    * (A~B, B~C ⇒ {A,B,C} is one cluster with one keeper, not two drops).
+    *
+    * Algorithm: Pregel-style min-label propagation on the symmetrized
+    * edge list — each round every node takes the min of its own and its
+    * neighbors' labels; converges in O(component diameter) rounds, and
+    * near-dup components are shallow (star-like around a template doc).
+    * Each round is one shuffle join + agg, nothing driver-sized: the
+    * only driver traffic is the scalar convergence count. Lineage is
+    * truncated every round (`localCheckpoint`) so plan depth stays O(1)
+    * instead of O(rounds) — the classic iterative-join blowup; on a
+    * cluster with dynamic executors, swap in reliable `checkpoint()`
+    * via `spark.sparkContext.setCheckpointDir`. For adversarial deep
+    * chains at 100 TB, the O(log n) upgrade is large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce", SoCC'14) —
+    * same output contract.
+    */
+  def dupClusters(pairs: DataFrame, d1: String = "d1", d2: String = "d2",
+      id: String = "doc_id"): DataFrame = {
+    val edges = pairs.select(col(d1).as("a"), col(d2).as("b"))
+      .union(pairs.select(col(d2).as("a"), col(d1).as("b")))
+      .distinct().persist()
+    edges.count()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var prev = labels
+    var changed = 1L
+    while (changed > 0) {
+      val nmin = edges.join(labels.withColumnRenamed("node", "b"), "b")
+        .groupBy(col("a")).agg(min(col("label")).as("nmin"))
+      val next = labels
+        .join(nmin.withColumnRenamed("a", "node"), Seq("node"), "left")
+        .select(col("node"), col("label").as("old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.filter(col("label") < col("old")).count()
+      prev.unpersist(blocking = false)
+      prev = next
+      labels = next.select(col("node"), col("label"))
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("node").as(id), col("label").as("cluster_id"))
+  }
+
   /** End-to-end near-dup detection: LSH candidates verified by word-set
     * Jaccard. The expensive O(n·shingles) work happens once (the candidate
     * table is persisted, and the band self-join inside reuses one shuffle

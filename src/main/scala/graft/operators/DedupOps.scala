@@ -236,6 +236,23 @@ object DedupOps {
         .orderBy($"d1", $"d2")
     }),
 
+    // Duplicate clusters: connected components over the VERIFIED
+    // near-dup pairs (transitive closure — A~B, B~C puts A,B,C in one
+    // cluster with one keeper, where the naive drop-the-higher-id rule
+    // over-deletes). cluster_id = min doc id in the component.
+    "llm_dup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = graft.api.GraftPipelines
+        .nearDuplicates(Tables.documents(s, dir), 0.7)
+      val clusters = graft.api.GraftPipelines.dupClusters(pairs)
+      val sizes = clusters.groupBy($"cluster_id")
+        .agg(count(lit(1)).as("csize"))
+      clusters.join(sizes, "cluster_id")
+        .select($"doc_id", $"cluster_id", $"csize",
+          ($"doc_id" === $"cluster_id").cast("int").as("is_keeper"))
+        .orderBy($"doc_id")
+    }),
+
     // n-gram Jaccard similarity for adjacent docs within a source —
     // the verify step a MinHash candidate pair would go through.
     "llm_jaccard_adjacent" -> ((s, dir) => {
@@ -363,6 +380,39 @@ object DedupOps {
          |  JOIN sets s1 ON d1 = s1.doc_id
          |  JOIN sets s2 ON d2 = s2.doc_id)
          |WHERE jaccard >= 0.7 ORDER BY d1, d2""".stripMargin,
+
+    // Transitive closure (small at test scale) mirrors the engine's
+    // min-label-propagation connected components exactly: both define
+    // cluster_id = min doc id reachable through verified pairs.
+    "llm_dup_clusters" ->
+      s"""WITH RECURSIVE $shinglesSql, $minhashSql, $bandsSql,
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+         |  FROM bands l JOIN bands r ON l.b = r.b AND l.doc_id < r.doc_id),
+         |sets AS (
+         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset
+         |  FROM documents),
+         |vpairs AS (
+         |  SELECT d1, d2 FROM cands
+         |  JOIN sets s1 ON d1 = s1.doc_id
+         |  JOIN sets s2 ON d2 = s2.doc_id
+         |  WHERE CAST(len(list_intersect(s1.wset, s2.wset)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(s1.wset, s2.wset))) >= 0.7),
+         |edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM vpairs
+         |  UNION SELECT d2, d1 FROM vpairs),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |clusters AS (
+         |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+         |SELECT doc_id, cluster_id, csize,
+         | CAST(doc_id = cluster_id AS INTEGER) AS is_keeper
+         |FROM clusters
+         |JOIN (SELECT cluster_id, count(*) AS csize FROM clusters GROUP BY 1)
+         |  USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "llm_jaccard_adjacent" ->
       """SELECT source, d1, d2, n_common, n_union,

@@ -53,6 +53,27 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
+    // Relative quality gate: keep docs strictly above their source's
+    // median composite score — the rank-based sibling of curate()'s
+    // absolute threshold (robust to per-source score-scale drift).
+    // groupedPercentiles(exact = true) is safe here because groups =
+    // sources (bounded); the 100 TB path flips the same call to the
+    // approx_percentile sketch.
+    "llm_quality_filter" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val scores = graft.api.GraftPipelines
+        .qualityScores(docs, EN_MARKERS)
+        .join(docs.select($"doc_id", $"source"), "doc_id")
+      val med = graft.api.GraftPipelines.groupedPercentiles(
+          scores, "source", "score", Seq(0.5), exact = true)
+        .withColumnRenamed("p50", "src_median")
+      scores.join(med, "source")
+        .filter($"score" > $"src_median")
+        .select($"doc_id", $"source", $"score", $"src_median")
+        .orderBy($"doc_id")
+    }),
+
     // Token counting: whitespace tokens and regex word tokens, per source.
     "llm_token_count" -> ((s, dir) => {
       import s.implicits._
@@ -154,6 +175,29 @@ object TextOps {
          |     list_sum(list_transform(w, x -> length(x))) AS sum_len,
          |     len(list_filter(w, x -> x IN ($markersInList))) AS n_stop
          |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))
+         |ORDER BY doc_id""".stripMargin,
+
+    "llm_quality_filter" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |   (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.5 +
+         |   (CAST(len(list_filter(w, x -> x IN ($markersInList))) AS DOUBLE)
+         |      / len(w)) * 0.3 +
+         |   (CASE WHEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+         |              / len(w) >= 3.0
+         |          AND CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+         |              / len(w) <= 8.0
+         |         THEN 0.2 ELSE 0.0 END) AS score
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         |scored AS (
+         |  SELECT q.doc_id, d.source, q.score
+         |  FROM q JOIN documents d ON q.doc_id = d.doc_id),
+         |med AS (
+         |  SELECT source, quantile_cont(score, 0.5) AS src_median
+         |  FROM scored GROUP BY source)
+         |SELECT doc_id, source, score, src_median
+         |FROM scored JOIN med USING (source)
+         |WHERE score > src_median
          |ORDER BY doc_id""".stripMargin,
 
     "llm_token_count" ->

@@ -127,6 +127,17 @@ class DedupOpsSpec extends SparkSpec {
     assert(fp1(1L) != fp1(3L))
   }
 
+  test("dupClusters: chains collapse transitively, components stay apart") {
+    // path graph 1-2-3-4-5 (diameter 4 forces multiple propagation
+    // rounds) plus a separate pair {10,11}
+    val pairs = Seq((2L, 3L), (1L, 2L), (4L, 5L), (3L, 4L), (10L, 11L))
+      .toDF("d1", "d2")
+    val out = api.GraftPipelines.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("curate: drops low-quality, short, exact-dup and near-dup docs") {
     val lowQuality = "aa aa aa aa aa aa" // ttr 1/6, no stopwords, len 2
     val short = "hello world"           // n_words 2 < 5
