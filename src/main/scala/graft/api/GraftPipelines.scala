@@ -313,6 +313,74 @@ object GraftPipelines {
       .withColumn("n_tokens", size(split(col(text), " ")))
   }
 
+  /** Benchmark decontamination: for every corpus doc, the number of
+    * distinct word n-grams it shares with an evaluation set — the
+    * overlap check every pretraining pipeline runs before training so
+    * eval answers don't leak into the corpus.
+    *
+    * Both sides reduce their grams to distinct 60-bit md5 half-hashes
+    * BEFORE the join, so the shuffle carries one long per (doc, gram)
+    * instead of the gram text, and the join output is exactly the
+    * distinct shared-gram count (no post-join dedup). The corpus side
+    * shuffles on the gram hash; the eval side is typically small but is
+    * NOT hint-broadcast — eval suites grow, and AQE broadcasts at
+    * runtime when genuinely small.
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, n: Int = 5,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val cg = shingle(corpus, n, id, text, repartitionFirst = false)
+      .select(col(id),
+        VectorExpressions.md5Half60(col("s"), upperHalf = false).as("g"))
+      .distinct()
+    val eg = shingle(evalSet, n, id, text, repartitionFirst = false)
+      .select(VectorExpressions.md5Half60(col("s"), upperHalf = false).as("g"))
+      .distinct()
+    val hits = cg.join(eg, "g")
+      .groupBy(col(id)).agg(count(lit(1)).as("n_eval_grams"))
+    corpus.select(col(id))
+      .join(hits, Seq(id), "left")
+      .withColumn("n_eval_grams", coalesce(col("n_eval_grams"), lit(0L)))
+      .withColumn("is_contaminated", (col("n_eval_grams") > 0).cast("int"))
+  }
+
+  /** Deterministic stratified sampling for data mixing: keep each doc
+    * with its source's rate, decided by a salted content-id hash — not
+    * `rand()`, so reruns, retries, and both engines of an oracle pair
+    * select the SAME rows. Rates are per-mille (0..1000). The rate
+    * table is caller-bounded (one row per source), the filter is pure
+    * map-side projection — no shuffle at all.
+    */
+  def stratifiedSample(docs: DataFrame, ratesPerMille: Map[String, Int],
+      salt: String = "smp", stratum: String = "source",
+      id: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rates = ratesPerMille.toSeq.toDF(stratum, "__rate")
+    docs.join(broadcast(rates), Seq(stratum))
+      .filter(pmod(VectorExpressions.md5Half60Prefixed(
+        salt + "|", col(id).cast("string"), upperHalf = false), lit(1000))
+        < col("__rate"))
+      .drop("__rate")
+  }
+
+  /** Greedy contiguous sequence packing: assign docs (in id order within
+    * each stratum) to fixed token-budget bins — the batch-shaping step
+    * between curation and tokenization. A doc starts a new bin when the
+    * running token total before it crosses the budget; bin id =
+    * floor(exclusive-prefix-sum / budget). One window over
+    * (stratum, id) — same shuffle profile as any partitioned window,
+    * no driver state.
+    */
+  def packSequences(docs: DataFrame, budget: Int,
+      tokens: String = "n_tokens", stratum: String = "source",
+      id: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(stratum)).orderBy(col(id))
+    docs.withColumn("__cum",
+        sum(col(tokens)).over(w) - col(tokens))
+      .withColumn("bin", floor(col("__cum") / budget).cast("int"))
+      .drop("__cum")
+  }
+
   /** Connected components over a near-dup pair list: every doc that
     * appears in a pair, labeled with its cluster id (= the minimum doc id
     * reachable through pairs). The step after pair generation in every

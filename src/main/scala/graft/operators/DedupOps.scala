@@ -253,6 +253,18 @@ object DedupOps {
         .orderBy($"doc_id")
     }),
 
+    // Benchmark decontamination: 5-gram overlap of every corpus doc
+    // (sources src0..src18) against the held-out eval set (src19) —
+    // the leak check every pretraining corpus runs before training.
+    "llm_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      graft.api.GraftPipelines.decontaminate(
+          docs.filter($"source" =!= "src19"),
+          docs.filter($"source" === "src19"), 5)
+        .orderBy($"doc_id")
+    }),
+
     // n-gram Jaccard similarity for adjacent docs within a source —
     // the verify step a MinHash candidate pair would go through.
     "llm_jaccard_adjacent" -> ((s, dir) => {
@@ -380,6 +392,30 @@ object DedupOps {
          |  JOIN sets s1 ON d1 = s1.doc_id
          |  JOIN sets s2 ON d2 = s2.doc_id)
          |WHERE jaccard >= 0.7 ORDER BY d1, d2""".stripMargin,
+
+    "llm_decontaminate" -> {
+      val gram5 =
+        "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]"
+      def grams(pred: String) =
+        s"""SELECT DISTINCT doc_id,
+           |   CAST(md5_number_lower(s) % 1152921504606846976 AS BIGINT) AS g
+           |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+           |           i -> $gram5)) AS s
+           |        FROM (SELECT doc_id, string_split(text, ' ') AS w
+           |              FROM documents WHERE $pred)
+           |        WHERE len(w) >= 5)""".stripMargin
+      s"""WITH cg AS (${grams("source <> 'src19'")}),
+         |eg AS (SELECT DISTINCT g FROM (${grams("source = 'src19'")})),
+         |hits AS (
+         |  SELECT doc_id, count(*) AS n_eval_grams
+         |  FROM cg JOIN eg USING (g) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         | CAST(coalesce(n_eval_grams, 0) AS BIGINT) AS n_eval_grams,
+         | CAST(coalesce(n_eval_grams, 0) > 0 AS INTEGER) AS is_contaminated
+         |FROM (SELECT doc_id FROM documents WHERE source <> 'src19') d
+         |LEFT JOIN hits USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // Transitive closure (small at test scale) mirrors the engine's
     // min-label-propagation connected components exactly: both define

@@ -98,6 +98,33 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
+    // Deterministic stratified sampling for data mixing: per-source
+    // keep rates (100‰/300‰/500‰/700‰ cycling by source index) decided
+    // by a salted doc-id hash, never rand() — reruns and the oracle
+    // select identical rows.
+    "llm_sample_stratified" -> ((s, dir) => {
+      import s.implicits._
+      val rates = (0 until 20)
+        .map(i => s"src$i" -> ((i % 4) * 200 + 100)).toMap
+      graft.api.GraftPipelines
+        .stratifiedSample(Tables.documents(s, dir), rates)
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    }),
+
+    // Greedy contiguous sequence packing: docs in id order fill
+    // 2048-token bins per source — the batch-shaping step between
+    // curation and tokenization.
+    "llm_pack_sequences" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.GraftPipelines.packSequences(
+          Tables.documents(s, dir)
+            .withColumn("n_tokens", size(split($"text", " "))),
+          2048)
+        .select($"doc_id", $"source", $"n_tokens", $"bin")
+        .orderBy($"doc_id")
+    }),
+
     // Array/higher-order function surface over the tokenized documents
     // (slice/sort/reverse/contains/element_at; string-joined outputs so
     // the oracle compare is scalar).
@@ -212,6 +239,24 @@ object TextOps {
          | CAST(len(regexp_extract_all(text, '$pat')) AS INTEGER) AS n_bpe
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "llm_sample_stratified" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(md5_number_lower('smp|' || CAST(doc_id AS VARCHAR))
+        |           % 1152921504606846976 AS BIGINT) % 1000
+        |      < (CAST(substr(source, 4) AS INTEGER) % 4) * 200 + 100
+        |ORDER BY doc_id""".stripMargin,
+
+    "llm_pack_sequences" ->
+      """SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+        | CAST(floor(cum / 2048.0) AS INTEGER) AS bin
+        |FROM (
+        |  SELECT doc_id, source, n_tokens,
+        |   sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+        |     - n_tokens AS cum
+        |  FROM (SELECT doc_id, source,
+        |         len(string_split(text, ' ')) AS n_tokens FROM documents))
+        |ORDER BY doc_id""".stripMargin,
 
     "llm_array_funcs" ->
       """SELECT doc_id,

@@ -19,6 +19,44 @@ class TextMultimodalSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("stop_ratio") - 2.0 / 6) < 1e-12)
   }
 
+  test("decontaminate: shared 5-gram flags the corpus doc, others clean") {
+    val leak = "alpha beta gamma delta epsilon" // the eval 5-gram
+    val corpus = Seq(
+      (1L, s"intro words then $leak and more trailing words"),
+      (2L, "totally unrelated content with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, s"question about $leak indeed")).toDF("doc_id", "text")
+    val out = api.GraftPipelines.decontaminate(corpus, eval, 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out(1L)._1 >= 1L && out(1L)._2 == 1)
+    assert(out(2L) == (0L, 0))
+  }
+
+  test("stratifiedSample: deterministic, rate-0 empty, rate-1000 full") {
+    val df = (0L until 50L).map(i => (i, s"src${i % 2}"))
+      .toDF("doc_id", "source")
+    val none = api.GraftPipelines.stratifiedSample(df,
+      Map("src0" -> 0, "src1" -> 0)).count()
+    val all = api.GraftPipelines.stratifiedSample(df,
+      Map("src0" -> 1000, "src1" -> 1000)).count()
+    assert(none == 0L && all == 50L)
+    val pick = (1 to 2).map(_ => api.GraftPipelines.stratifiedSample(df,
+      Map("src0" -> 500, "src1" -> 200)).collect()
+      .map(_.getAs[Long]("doc_id")).toSet)
+    assert(pick(0) == pick(1)) // salted hash, not rand(): reruns agree
+  }
+
+  test("packSequences: bins fill greedily in id order per stratum") {
+    val df = Seq((1L, "a", 600), (2L, "a", 600), (3L, "a", 600),
+      (4L, "a", 600), (5L, "b", 2000), (6L, "b", 100))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = api.GraftPipelines.packSequences(df, 1000).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("bin")).toMap
+    // stratum a: cum-before = 0,600,1200,1800 -> bins 0,0,1,1
+    // stratum b: cum-before = 0,2000 -> bins 0,2
+    assert(out == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 0, 6L -> 2))
+  }
+
   test("llm_token_count: whitespace vs regex tokenization diverge on digits") {
     val df = Seq((1L, "abc 123 def9x", "en", "s0", 13L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
