@@ -303,10 +303,16 @@ object GraftPipelines {
         .filter(col("score") >= minScore && col("n_words") >= minWords)
         .select(col(id)),
       Seq(id), "left_semi")
+    // Materialize the exact-dedup survivors once (localCheckpoint:
+    // eager, lineage-truncating): nearDuplicates consumes them on three
+    // paths (both band self-join sides + the word-set build) and the
+    // final anti-join reads them again — left lazy, the quality HOFs
+    // and the digest-partition window recompute on every path.
     val exact = kept
       .withColumn("__rn", row_number().over(
         Window.partitionBy(md5(col(text))).orderBy(col(id))))
       .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint()
     val dropIds = nearDuplicates(exact, minJaccard, id, text)
       .select(col("d2").as(id)).distinct()
     exact.join(dropIds, Seq(id), "left_anti")
