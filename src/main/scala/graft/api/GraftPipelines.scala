@@ -260,6 +260,28 @@ object GraftPipelines {
         col("ttr"), col("stop_ratio"), col("score"))
   }
 
+  /** Per-document n-gram repetition stats — the "repeated phrase"
+    * quality signal (most-frequent n-gram, its count, and its share of
+    * all n-grams); boilerplate and spam score high. Deterministic
+    * tie-break: highest count, then lexicographically-first gram.
+    * Explode + two bounded aggs + one per-doc window — shuffle-friendly
+    * at any scale. Docs shorter than `n` words emit no row (no grams).
+    */
+  def repetitionStats(docs: DataFrame, n: Int = 2, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val counts = shingle(docs, n, id, text, repartitionFirst = false)
+      .groupBy(col(id), col("s")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col(id)).agg(sum(col("cnt")).as("n_grams"))
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("cnt").desc, col("s").asc)
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .join(totals, Seq(id))
+      .select(col(id), col("s").as("top_gram"), col("cnt").as("top_n"),
+        col("n_grams"),
+        (col("cnt").cast("double") / col("n_grams")).as("rep_ratio"))
+  }
+
   /** Winnowing-style fingerprint from 2-gram shingle min-hashes
     * (numeric 60-bit mins → HashAggregate, digested into one md5).
     */

@@ -98,6 +98,16 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
+    // Repeated-phrase quality signal: most frequent 2-gram per doc and
+    // its share of all 2-grams (boilerplate/spam scores high) — the
+    // repetition filter of Gopher-style quality pipelines.
+    "llm_repetition" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.GraftPipelines
+        .repetitionStats(Tables.documents(s, dir), 2)
+        .orderBy($"doc_id")
+    }),
+
     // Deterministic stratified sampling for data mixing: per-source
     // keep rates (100‰/300‰/500‰/700‰ cycling by source index) decided
     // by a salted doc-id hash, never rand() — reruns and the oracle
@@ -239,6 +249,24 @@ object TextOps {
          | CAST(len(regexp_extract_all(text, '$pat')) AS INTEGER) AS n_bpe
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "llm_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |           i -> w[i] || ' ' || w[i+1])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 2),
+        |c AS (SELECT doc_id, s, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |t AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams
+        |      FROM c GROUP BY 1),
+        |top AS (
+        |  SELECT doc_id, s, cnt FROM (
+        |    SELECT doc_id, s, cnt, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY cnt DESC, s) AS rn FROM c)
+        |  WHERE rn = 1)
+        |SELECT doc_id, s AS top_gram, CAST(cnt AS BIGINT) AS top_n,
+        | n_grams, CAST(cnt AS DOUBLE) / n_grams AS rep_ratio
+        |FROM top JOIN t USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "llm_sample_stratified" ->
       """SELECT doc_id, source FROM documents

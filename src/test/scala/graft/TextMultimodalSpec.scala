@@ -57,6 +57,20 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 0, 6L -> 2))
   }
 
+  test("repetitionStats: hand-computed top gram with deterministic tie-break") {
+    // 2-grams of "a b a b a c": [a b, b a, a b, b a, a c] — "a b" and
+    // "b a" tie at 2; lexicographic order picks "a b". ratio = 2/5.
+    val df = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val r = api.GraftPipelines.repetitionStats(df, 2).collect().head
+    assert(r.getAs[String]("top_gram") == "a b")
+    assert(r.getAs[Long]("top_n") == 2L)
+    assert(r.getAs[Long]("n_grams") == 5L)
+    assert(math.abs(r.getAs[Double]("rep_ratio") - 0.4) < 1e-12)
+    // shorter than n words -> no grams, no row
+    assert(api.GraftPipelines.repetitionStats(
+      Seq((2L, "solo")).toDF("doc_id", "text"), 2).count() == 0L)
+  }
+
   test("llm_token_count: whitespace vs regex tokenization diverge on digits") {
     val df = Seq((1L, "abc 123 def9x", "en", "s0", 13L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
