@@ -82,6 +82,39 @@ object GraftProperties extends Properties("graft") {
     if a.exists(_ != 0f) && b.exists(_ != 0f)
   } yield (a, b)
 
+  // Random undirected graphs: the distributed min-label propagation must
+  // agree with a driver-side union-find on every component.
+  private val edgeGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.chooseNum(2, 20)
+    m <- Gen.chooseNum(1, 25)
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.chooseNum(0L, n.toLong - 1)
+      b <- Gen.chooseNum(0L, n.toLong - 1)
+      if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield edges
+
+  property("dupClusters matches a union-find reference on random graphs") =
+    Prop.forAll(edgeGen) { edges =>
+      edges.isEmpty || {
+        import spark.implicits._
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(x => x -> find(x)).toMap
+        val got = graft.api.GraftPipelines
+          .dupClusters(edges.toDF("d1", "d2")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == expected
+      }
+    }
+
   property("cosine symmetric, bounded, self-sim ≈ 1") =
     Prop.forAll(vecGen) { case (a, b) =>
       import spark.implicits._
