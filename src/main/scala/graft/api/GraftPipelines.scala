@@ -315,7 +315,10 @@ object GraftPipelines {
     * `n_tokens`. Every stage is shuffle-bounded (quality is map-side,
     * dedup keys on the digest, near-dup is the bucketed pipeline), so
     * the composition scales exactly as its pieces do. Inherits
-    * [[nearDuplicates]]'s eager materialization.
+    * [[nearDuplicates]]'s eager materialization; the survivor set is
+    * `localCheckpoint`ed (it feeds four consumers) — on a cluster with
+    * dynamic executors swap in reliable `checkpoint()`, as with
+    * [[dupClusters]].
     */
   def curate(docs: DataFrame, stopwords: Seq[String] = DefaultStopwords,
       minScore: Double = 0.45, minWords: Int = 5, minJaccard: Double = 0.7,
@@ -376,7 +379,9 @@ object GraftPipelines {
     * `rand()`, so reruns, retries, and both engines of an oracle pair
     * select the SAME rows. Rates are per-mille (0..1000). The rate
     * table is caller-bounded (one row per source), the filter is pure
-    * map-side projection — no shuffle at all.
+    * map-side projection — no shuffle at all. Strata absent from the
+    * rate map are dropped (the inner join IS the mix definition: a
+    * source not in the recipe contributes nothing).
     */
   def stratifiedSample(docs: DataFrame, ratesPerMille: Map[String, Int],
       salt: String = "smp", stratum: String = "source",
