@@ -45,6 +45,26 @@ class EdgeCasesSpec extends SparkSpec {
     assert(q("llm_dedup_exact", dir).count() == 3)
   }
 
+  test("round-3 pipeline ops handle empty and degenerate inputs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // dupClusters on no pairs: terminates, returns no rows
+    assert(api.GraftPipelines.dupClusters(
+      Seq.empty[(Long, Long)].toDF("d1", "d2")).count() == 0L)
+    // decontaminate with an empty eval set: all docs clean
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val clean = api.GraftPipelines.decontaminate(docs, empty, 5).collect()
+    assert(clean.length == 1 && clean.head.getInt(2) == 0)
+    // curate on an empty corpus: empty out, no crash in the checkpoint path
+    assert(api.GraftPipelines.curate(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source"))
+      .count() == 0L)
+    // packSequences: docs larger than the budget each take their own bin
+    val big = Seq((1L, "a", 5000), (2L, "a", 5000)).toDF("doc_id", "source", "n_tokens")
+    val bins = api.GraftPipelines.packSequences(big, 2048).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("bin")).toMap
+    assert(bins == Map(1L -> 0, 2L -> 2))
+  }
+
   test("pre-epoch timestamps keep ordering and negative epoch millis") {
     val events = Seq(
       (1L, -86400L * 1000000000L, 1L, "alpha", 1.0, "{}"), // 1969-12-31
