@@ -305,10 +305,16 @@ object GraftPipelines {
     *  1. keep docs with composite quality score ≥ `minScore` and at
     *     least `minWords` words ([[qualityScores]]);
     *  2. exact dedup — one survivor (lowest id) per content digest;
-    *  3. drop the higher id of every VERIFIED near-dup pair
+    *  3. drop near-duplicates of the verified pairs
     *     ([[nearDuplicates]]: LSH candidates, word-set Jaccard ≥
-    *     `minJaccard`) — a deterministic rule needing no transitive
-    *     closure;
+    *     `minJaccard`). Two policies: the default drops the higher id
+    *     of every pair — deterministic, no transitive closure, but it
+    *     UNDER-deletes when dups chain only through a third doc
+    *     (component {A,B,C} with pairs (A,C),(B,C) keeps both A and
+    *     B). `clusterKeepers = true` runs [[dupClusters]] and keeps
+    *     exactly one doc (the component min) per connected component —
+    *     the full-strength policy, at the cost of the propagation
+    *     rounds;
     *  4. annotate survivors with their whitespace token count.
     *
     * Returns the surviving rows with all original columns plus
@@ -322,6 +328,7 @@ object GraftPipelines {
     */
   def curate(docs: DataFrame, stopwords: Seq[String] = DefaultStopwords,
       minScore: Double = 0.45, minWords: Int = 5, minJaccard: Double = 0.7,
+      clusterKeepers: Boolean = false,
       id: String = "doc_id", text: String = "text"): DataFrame = {
     val kept = docs.join(
       qualityScores(docs, stopwords, id, text)
@@ -338,8 +345,12 @@ object GraftPipelines {
         Window.partitionBy(md5(col(text))).orderBy(col(id))))
       .filter(col("__rn") === 1).drop("__rn")
       .localCheckpoint()
-    val dropIds = nearDuplicates(exact, minJaccard, id, text)
-      .select(col("d2").as(id)).distinct()
+    val pairs = nearDuplicates(exact, minJaccard, id, text)
+    val dropIds =
+      if (clusterKeepers)
+        dupClusters(pairs, id = id)
+          .filter(col(id) =!= col("cluster_id")).select(col(id))
+      else pairs.select(col("d2").as(id)).distinct()
     exact.join(dropIds, Seq(id), "left_anti")
       .withColumn("n_tokens", size(split(col(text), " ")))
   }

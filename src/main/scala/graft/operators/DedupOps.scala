@@ -121,6 +121,45 @@ object DedupOps {
        |sh AS (SELECT doc_id, source, $value AS simhash FROM simagg)""".stripMargin
   }
 
+  // Shared CTE chain for the curate oracles: quality gate → exact dedup
+  // → LSH candidates over the survivors → Jaccard-verified pairs.
+  private val curatePrefixSql = {
+    val stopList = graft.api.GraftPipelines.DefaultStopwords
+      .map(w => s"'$w'").mkString(", ")
+    s"""q AS (
+       |  SELECT doc_id, len(w) AS n_words,
+       |   (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.5 +
+       |   (CAST(len(list_filter(w, x -> x IN ($stopList))) AS DOUBLE)
+       |      / len(w)) * 0.3 +
+       |   (CASE WHEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+       |              / len(w) >= 3.0
+       |          AND CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+       |              / len(w) <= 8.0
+       |         THEN 0.2 ELSE 0.0 END) AS score
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |kept AS (
+       |  SELECT d.* FROM documents d JOIN q USING (doc_id)
+       |  WHERE q.score >= 0.45 AND q.n_words >= 5),
+       |exact AS (
+       |  SELECT doc_id, source, text FROM (
+       |    SELECT doc_id, source, text,
+       |     row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM kept) WHERE rn = 1),
+       |${shinglesSqlFrom("exact")}, $minhashSql, $bandsSql,
+       |cands AS (
+       |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+       |  FROM bands l JOIN bands r ON l.b = r.b AND l.doc_id < r.doc_id),
+       |sets AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset
+       |  FROM exact),
+       |vpairs AS (
+       |  SELECT d1, d2 FROM cands
+       |  JOIN sets s1 ON d1 = s1.doc_id
+       |  JOIN sets s2 ON d2 = s2.doc_id
+       |  WHERE CAST(len(list_intersect(s1.wset, s2.wset)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(s1.wset, s2.wset))) >= 0.7)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group by content digest, keep lowest doc_id.
     "llm_dedup_exact" -> ((s, dir) => {
@@ -157,6 +196,18 @@ object DedupOps {
     "llm_curate" -> ((s, dir) => {
       import s.implicits._
       graft.api.GraftPipelines.curate(Tables.documents(s, dir))
+        .select($"doc_id", $"source", $"n_tokens")
+        .orderBy($"doc_id")
+    }),
+
+    // Cluster-keeper curation: same gates, but the near-dup drop keeps
+    // exactly one doc (component min) per VERIFIED-pair connected
+    // component — the full-strength policy where the pairwise rule
+    // under-deletes on chained dups.
+    "llm_curate_clustered" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.GraftPipelines
+        .curate(Tables.documents(s, dir), clusterKeepers = true)
         .select($"doc_id", $"source", $"n_tokens")
         .orderBy($"doc_id")
     }),
@@ -320,47 +371,33 @@ object DedupOps {
          |  ON d.doc_id = p.batch_id
          |ORDER BY batch_id""".stripMargin,
 
-    "llm_curate" -> {
-      val stopList = graft.api.GraftPipelines.DefaultStopwords
-        .map(w => s"'$w'").mkString(", ")
-      s"""WITH q AS (
-         |  SELECT doc_id, len(w) AS n_words,
-         |   (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.5 +
-         |   (CAST(len(list_filter(w, x -> x IN ($stopList))) AS DOUBLE)
-         |      / len(w)) * 0.3 +
-         |   (CASE WHEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
-         |              / len(w) >= 3.0
-         |          AND CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
-         |              / len(w) <= 8.0
-         |         THEN 0.2 ELSE 0.0 END) AS score
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-         |kept AS (
-         |  SELECT d.* FROM documents d JOIN q USING (doc_id)
-         |  WHERE q.score >= 0.45 AND q.n_words >= 5),
-         |exact AS (
-         |  SELECT doc_id, source, text FROM (
-         |    SELECT doc_id, source, text,
-         |     row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-         |    FROM kept) WHERE rn = 1),
-         |${shinglesSqlFrom("exact")}, $minhashSql, $bandsSql,
-         |cands AS (
-         |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
-         |  FROM bands l JOIN bands r ON l.b = r.b AND l.doc_id < r.doc_id),
-         |sets AS (
-         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset
-         |  FROM exact),
-         |drops AS (
-         |  SELECT DISTINCT d2 FROM cands
-         |  JOIN sets s1 ON d1 = s1.doc_id
-         |  JOIN sets s2 ON d2 = s2.doc_id
-         |  WHERE CAST(len(list_intersect(s1.wset, s2.wset)) AS DOUBLE)
-         |        / len(list_distinct(list_concat(s1.wset, s2.wset))) >= 0.7)
+    "llm_curate" ->
+      s"""WITH $curatePrefixSql,
+         |drops AS (SELECT DISTINCT d2 FROM vpairs)
          |SELECT doc_id, source,
          | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
          |FROM exact
          |WHERE doc_id NOT IN (SELECT d2 FROM drops)
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
+
+    // Same gates; the drop step is the connected-component closure over
+    // the verified pairs (keep only each component's min id).
+    "llm_curate_clustered" ->
+      s"""WITH RECURSIVE $curatePrefixSql,
+         |edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM vpairs
+         |  UNION SELECT d2, d1 FROM vpairs),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |drops AS (
+         |  SELECT a AS doc_id FROM reach GROUP BY a HAVING a <> min(b))
+         |SELECT doc_id, source,
+         | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+         |FROM exact
+         |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+         |ORDER BY doc_id""".stripMargin,
 
     "llm_simhash" ->
       s"""WITH $simhashSql

@@ -138,6 +138,25 @@ class DedupOpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("curate policies: pairwise under-deletes on a chain, clusters keep one") {
+    // C is near-dup of both A and B (2 word substitutions each, jaccard
+    // 12/16 = 0.75), but A vs B differ in 4 words (10/18 ≈ 0.56 < 0.7).
+    val c = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november"
+    val a = c.replace("alpha", "zulu").replace("bravo", "yankee")
+    val b = c.replace("mike", "xray").replace("november", "whiskey")
+    val src = docs((1L, a, "s0"), (2L, b, "s0"), (3L, c, "s0"),
+      (4L, distinct, "s0")).toDF()
+    def ids(clusterKeepers: Boolean): Set[Long] =
+      api.GraftPipelines.curate(src, clusterKeepers = clusterKeepers)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+    // sanity: the verified pairs form the chain (1,3), (2,3) only
+    val pairs = api.GraftPipelines.nearDuplicates(src, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L), (2L, 3L)))
+    assert(ids(clusterKeepers = false) == Set(1L, 2L, 4L)) // drops d2 = 3 only
+    assert(ids(clusterKeepers = true) == Set(1L, 4L))      // one keeper per component
+  }
+
   test("curate: drops low-quality, short, exact-dup and near-dup docs") {
     val lowQuality = "aa aa aa aa aa aa" // ttr 1/6, no stopwords, len 2
     val short = "hello world"           // n_words 2 < 5
