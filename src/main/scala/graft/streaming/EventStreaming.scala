@@ -129,6 +129,52 @@ object EventStreaming {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(dim, Seq(key), "left")
 
+  /** Streaming near-dup ingest against a self-maintaining persisted band
+    * index: the production loop [[graft.api.GraftPipelines.incrementalDedup]]
+    * describes, as running code. Per micro-batch of documents:
+    *
+    *  1. read the corpus band index from `indexPath` (empty on bootstrap);
+    *  2. flag the batch against it
+    *     ([[graft.api.GraftPipelines.incrementalDedupWithIndex]]) and
+    *     materialize the flags BEFORE the index changes (localCheckpoint);
+    *  3. hand the flagged batch to the caller's sink;
+    *  4. append the bands of the batch's NEW docs (is_new = 1) to the
+    *     index — duplicates contribute no index entries, so the index
+    *     grows with unique content, not ingest volume.
+    *
+    * Only the batch is re-hashed per trigger; the corpus text is never
+    * re-scanned. A foreachBatch replay after a sink failure can append a
+    * batch's bands twice — harmless for flag semantics, because the
+    * candidate count dedups (batch, corpus) doc pairs before counting.
+    */
+  def ingestDedupLoop(docs: DataFrame, indexPath: String,
+      checkpointDir: Option[String] = None, shingleN: Int = 3,
+      seeds: Int = 8, bands: Int = 4, id: String = "doc_id",
+      text: String = "text")
+      (sink: (Dataset[Row], Long) => Unit): StreamingQuery =
+    deliver(docs, checkpointDir) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      val index =
+        try spark.read.parquet(indexPath)
+        catch {
+          case _: org.apache.spark.sql.AnalysisException => // bootstrap
+            graft.api.GraftPipelines.bandIndex(
+              batch.toDF.limit(0), shingleN, seeds, bands, id, text)
+        }
+      val flagged = graft.api.GraftPipelines
+        .incrementalDedupWithIndex(index, batch.toDF,
+          shingleN, seeds, bands, id, text)
+        .localCheckpoint()
+      sink(flagged, batchId)
+      val survivors = batch.toDF.join(
+        flagged.filter(col("is_new") === 1)
+          .select(col("batch_id").as(id)),
+        Seq(id), "left_semi")
+      graft.api.GraftPipelines
+        .bandIndex(survivors, shingleN, seeds, bands, id, text)
+        .write.mode("append").parquet(indexPath)
+    }
+
   /** Incremental delivery via foreachBatch — the caller's sink sees each
     * micro-batch as (batchDF, batchId), the non-blocking poll loop of the
     * reference UI (src/main.cpp:1273) in Spark form. Pass a

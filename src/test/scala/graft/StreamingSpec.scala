@@ -244,6 +244,40 @@ class StreamingSpec extends SparkSpec {
       s"restart must not reprocess f0: ${second.toList}")
   }
 
+  test("ingestDedupLoop: batches flag against the growing band index") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_band_idx").toString + "/idx"
+    val flags = scala.collection.mutable.Map[Long, (Long, Int)]()
+    val query = EventStreaming.ingestDedupLoop(docs, idxDir) { (batch, _) =>
+      batch.collect().foreach { r =>
+        flags.synchronized {
+          flags(r.getAs[Long]("batch_id")) =
+            (r.getAs[Long]("n_corpus_dups"), r.getAs[Int]("is_new"))
+        }
+      }
+    }
+    try {
+      mem.addData((1L, "aa bb cc dd ee"), (2L, "ww xx yy zz qq"))
+      query.processAllAvailable()
+      // bootstrap batch: empty index, everything new
+      assert(flags.synchronized(flags.toMap) ==
+        Map(1L -> (0L, 1), 2L -> (0L, 1)))
+      // next ingest: doc 3 duplicates doc 1's content, doc 4 is new
+      mem.addData((3L, "aa bb cc dd ee"), (4L, "gg hh ii jj kk"))
+      query.processAllAvailable()
+      val f = flags.synchronized(flags.toMap)
+      assert(f(3L)._1 >= 1L && f(3L)._2 == 0, s"dup flagged: $f")
+      assert(f(4L) == (0L, 1), s"new doc passes: $f")
+      // the index holds bands for NEW docs only — 3 contributed nothing
+      val idxIds = spark.read.parquet(idxDir)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(idxIds == Set(1L, 2L, 4L))
+    } finally query.stop()
+  }
+
   test("batch and streaming tumbling agg agree on the same data") {
     val ev = graft.operators.EventOps.events(spark, sf)
       .select($"ts", $"event_type", $"user_id", $"value")
