@@ -53,6 +53,30 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
+    // Corpus health report: the per-source dashboard panel a curation
+    // run ends with — volume (docs/tokens), exact-dup rate, and the
+    // quality-score distribution, in one bounded aggregation. Score
+    // stats are min/median/max (order-independent, bit-exact in both
+    // engines) — never avg() over raw doubles, whose summation order
+    // is partition-dependent.
+    "llm_corpus_report" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val scored = graft.api.GraftPipelines
+        .qualityScores(docs, EN_MARKERS)
+        .join(docs.select($"doc_id", $"source", $"text"), "doc_id")
+      scored.groupBy($"source").agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_words".cast("long")).as("sum_tokens"),
+          countDistinct(md5($"text")).as("n_unique_texts"),
+          (lit(1.0) - countDistinct(md5($"text")).cast("double")
+            / count(lit(1))).as("dup_rate"),
+          min($"score").as("min_score"),
+          expr("percentile(score, 0.5)").as("median_score"),
+          max($"score").as("max_score"))
+        .orderBy($"source")
+    }),
+
     // Relative quality gate: keep docs strictly above their source's
     // median composite score — the rank-based sibling of curate()'s
     // absolute threshold (robust to per-source score-scale drift).
@@ -213,6 +237,29 @@ object TextOps {
          |     len(list_filter(w, x -> x IN ($markersInList))) AS n_stop
          |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))
          |ORDER BY doc_id""".stripMargin,
+
+    "llm_corpus_report" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, len(w) AS n_words,
+         |   (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.5 +
+         |   (CAST(len(list_filter(w, x -> x IN ($markersInList))) AS DOUBLE)
+         |      / len(w)) * 0.3 +
+         |   (CASE WHEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+         |              / len(w) >= 3.0
+         |          AND CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+         |              / len(w) <= 8.0
+         |         THEN 0.2 ELSE 0.0 END) AS score
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+         |SELECT d.source, count(*) AS n_docs,
+         | CAST(sum(q.n_words) AS BIGINT) AS sum_tokens,
+         | count(DISTINCT md5(d.text)) AS n_unique_texts,
+         | 1.0 - CAST(count(DISTINCT md5(d.text)) AS DOUBLE) / count(*)
+         |   AS dup_rate,
+         | min(q.score) AS min_score,
+         | quantile_cont(q.score, 0.5) AS median_score,
+         | max(q.score) AS max_score
+         |FROM documents d JOIN q USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "llm_quality_filter" ->
       s"""WITH q AS (
