@@ -304,6 +304,33 @@ object DedupOps {
         .orderBy($"doc_id")
     }),
 
+    // Sub-document span dedup: chunk every doc into fixed 10-word
+    // windows (stride 10, trailing partial dropped) and report each
+    // doc's fraction of chunks that also appear verbatim in ANOTHER
+    // doc — the span-level scrub (boilerplate headers, licence blocks)
+    // that doc-level near-dup misses. Chunk identity is md5, grouping
+    // is chunk-hash keyed — shuffle-bounded at any scale.
+    "llm_span_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val tagged = Tables.documents(s, dir)
+        .filter(size(split($"text", " ")) >= 10)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(split(text, ' ')) div 10), " +
+            "i -> concat_ws(' ', slice(split(text, ' '), (i-1)*10+1, 10)))"))
+          .as("chunk"))
+        .select($"doc_id", md5($"chunk").as("h"))
+      val dupH = tagged.groupBy($"h")
+        .agg(countDistinct($"doc_id").as("nd"))
+        .filter($"nd" > 1).select($"h", lit(1).as("isdup"))
+      tagged.join(dupH, Seq("h"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(coalesce($"isdup", lit(0))).as("n_dup_chunks"))
+        .withColumn("dup_frac",
+          $"n_dup_chunks".cast("double") / $"n_chunks")
+        .orderBy($"doc_id")
+    }),
+
     // Benchmark decontamination: 5-gram overlap of every corpus doc
     // (sources src0..src18) against the held-out eval set (src19) —
     // the leak check every pretraining corpus runs before training.
@@ -429,6 +456,21 @@ object DedupOps {
          |  JOIN sets s1 ON d1 = s1.doc_id
          |  JOIN sets s2 ON d2 = s2.doc_id)
          |WHERE jaccard >= 0.7 ORDER BY d1, d2""".stripMargin,
+
+    "llm_span_dedup" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) // 10 + 1),
+        |           i -> array_to_string(w[(i-1)*10+1 : (i-1)*10+10], ' '))) AS chunk
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 10),
+        |t AS (SELECT doc_id, md5(chunk) AS h FROM ch),
+        |d AS (SELECT h FROM t GROUP BY h HAVING count(DISTINCT doc_id) > 1)
+        |SELECT doc_id, count(*) AS n_chunks,
+        | CAST(sum(CASE WHEN h IN (SELECT h FROM d) THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_dup_chunks,
+        | CAST(sum(CASE WHEN h IN (SELECT h FROM d) THEN 1 ELSE 0 END)
+        |   AS DOUBLE) / count(*) AS dup_frac
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "llm_decontaminate" -> {
       val gram5 =

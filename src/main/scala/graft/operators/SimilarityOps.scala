@@ -65,6 +65,28 @@ object SimilarityOps {
         .orderBy($"qid", $"rn")
     }),
 
+    // Hybrid retrieval: vector top-k restricted to quality-gated docs
+    // (documents ⋈ embeddings 1:1 on id) — the filtered-search shape
+    // every RAG / data-selection pipeline runs. The query vector is a
+    // 1-row scalar (the sanctioned crossJoin shape); top-k is a global
+    // ORDER BY + LIMIT → TakeOrderedAndProject, never a full sort.
+    "llm_hybrid_search" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val good = graft.api.GraftPipelines
+        .qualityScores(docs, graft.api.GraftPipelines.DefaultStopwords)
+        .filter($"score" >= 0.45).select($"doc_id", $"score")
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+      good.join(emb, $"doc_id" === $"vec_id")
+        .filter($"doc_id" =!= 0)
+        .crossJoin(broadcast(qv))
+        .withColumn("cosine",
+          graft.api.GraftPipelines.cosine($"qv", $"embedding"))
+        .select($"doc_id", $"score", $"cosine")
+        .orderBy($"cosine".desc, $"doc_id").limit(10)
+    }),
+
     // LSH bucket histogram — the partitioning the scale path relies on.
     "llm_embed_lsh_hist" -> ((s, dir) => {
       import s.implicits._
@@ -220,6 +242,30 @@ object SimilarityOps {
          |  FROM embeddings c
          |  JOIN embeddings q ON q.vec_id < $NQ AND c.vec_id <> q.vec_id)
          |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+
+    "llm_hybrid_search" -> {
+      val stopList = graft.api.GraftPipelines.DefaultStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |   (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.5 +
+         |   (CAST(len(list_filter(w, x -> x IN ($stopList))) AS DOUBLE)
+         |      / len(w)) * 0.3 +
+         |   (CASE WHEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+         |              / len(w) >= 3.0
+         |          AND CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+         |              / len(w) <= 8.0
+         |         THEN 0.2 ELSE 0.0 END) AS score
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT g.doc_id, g.score,
+         | ${cosineSql("qv.qe", "e.embedding")} AS cosine
+         |FROM (SELECT doc_id, score FROM q WHERE score >= 0.45) g
+         |JOIN embeddings e ON g.doc_id = e.vec_id
+         |CROSS JOIN qv
+         |WHERE g.doc_id <> 0
+         |ORDER BY cosine DESC, g.doc_id LIMIT 10""".stripMargin
+    },
 
     "llm_embed_lsh_hist" ->
       s"""SELECT ${bucketSql("embedding")} AS bucket, count(*) AS n

@@ -127,6 +127,19 @@ class DedupOpsSpec extends SparkSpec {
     assert(fp1(1L) != fp1(3L))
   }
 
+  test("llm_span_dedup: shared 10-word window flags both docs, unique stays clean") {
+    val chunkA = (1 to 10).map(i => s"wa$i").mkString(" ")
+    val chunkB = (1 to 10).map(i => s"wb$i").mkString(" ")
+    val chunkC = (1 to 10).map(i => s"wc$i").mkString(" ")
+    val chunkD = (1 to 10).map(i => s"wd$i").mkString(" ")
+    val dir = tempSfDir("documents" -> docs(
+      (1L, s"$chunkA $chunkB", "s0"), (2L, s"$chunkA $chunkC", "s0"),
+      (3L, chunkD, "s0"), (4L, "too short", "s0")))
+    val out = q("llm_span_dedup", dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> (2L, 1L), 2L -> (2L, 1L), 3L -> (1L, 0L)))
+  }
+
   test("dupClusters: chains collapse transitively, components stay apart") {
     // path graph 1-2-3-4-5 (diameter 4 forces multiple propagation
     // rounds) plus a separate pair {10,11}

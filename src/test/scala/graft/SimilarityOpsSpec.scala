@@ -43,6 +43,24 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("llm_hybrid_search: the quality gate excludes a perfect-cosine match") {
+    val e0 = Array.tabulate(64)(i => if (i == 0) 1f else 0f)
+    // doc 1 passes the gate; doc 2 (degenerate repetition) fails it —
+    // both embeddings are IDENTICAL to the query vector
+    val good = "the quick brown fox jumps over a lazy dog near the river today"
+    val bad = (1 to 12).map(_ => "aa").mkString(" ")
+    val docs = Seq((0L, good, "en", "s0", 1L), (1L, good + " x", "en", "s0", 1L),
+      (2L, bad, "en", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val emb = Seq((0L, e0, 0), (1L, e0, 0), (2L, e0, 0))
+      .toDF("vec_id", "embedding", "label")
+    val dir = tempSfDir("documents" -> docs, "embeddings" -> emb)
+    val out = q("llm_hybrid_search", dir).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L),
+      "only the quality-passing doc surfaces, query doc 0 excluded")
+    assert(math.abs(out.head.getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+
   test("llm_embed_lsh_hist: buckets within [0,255], counts sum to table") {
     val rows = q("llm_embed_lsh_hist").collect()
     rows.foreach { r =>
