@@ -23,7 +23,8 @@ object Bench {
     "rel_percentile", "rel_corr",
     "llm_dedup_exact", "llm_minhash_pairs", "llm_neardup_verified",
     "llm_dup_clusters", "llm_curate", "llm_decontaminate",
-    "llm_sample_stratified", "llm_pack_sequences",
+    "llm_span_dedup", "llm_sample_stratified", "llm_pack_sequences",
+    "llm_hybrid_search", "llm_corpus_report",
     "llm_simhash", "llm_simhash_pairs", "llm_embed_topk",
     "llm_embed_lsh_knn", "llm_embed_lsh_knn2",
     "llm_embed_neardup", "llm_embed_neardup_lsh", "llm_lang_id", "llm_tfidf",
