@@ -407,6 +407,28 @@ object GraftPipelines {
       .drop("__rate")
   }
 
+  /** Deterministic train/val/test assignment: each doc lands in a split
+    * by salted content-id hash against cumulative per-mille weights —
+    * the same no-`rand()` contract as [[stratifiedSample]], so the
+    * split is stable across reruns, engines, and cluster sizes (a doc
+    * never migrates between train and eval when the corpus is
+    * re-processed). Pure map-side projection.
+    */
+  def hashSplit(docs: DataFrame,
+      weightsPerMille: Seq[(String, Int)] =
+        Seq("train" -> 800, "val" -> 100, "test" -> 100),
+      salt: String = "spl", id: String = "doc_id"): DataFrame = {
+    require(weightsPerMille.map(_._2).sum == 1000, "weights must sum to 1000")
+    val bucket = pmod(VectorExpressions.md5Half60Prefixed(
+      salt + "|", col(id).cast("string"), upperHalf = false), lit(1000))
+    val bounds = weightsPerMille.scanLeft(0)(_ + _._2).tail
+    val split = weightsPerMille.map(_._1).zip(bounds)
+      .foldRight(lit(weightsPerMille.last._1)) { case ((name, hi), acc) =>
+        when(bucket < hi, name).otherwise(acc)
+      }
+    docs.withColumn("split", split)
+  }
+
   /** Greedy contiguous sequence packing: assign docs (in id order within
     * each stratum) to fixed token-budget bins — the batch-shaping step
     * between curation and tokenization. A doc starts a new bin when the

@@ -146,6 +146,16 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
+    // Deterministic train/val/test split (80/10/10 by salted doc-id
+    // hash): per source × split counts — stable across reruns and
+    // engines, so no doc ever migrates between train and eval.
+    "llm_split" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.GraftPipelines.hashSplit(Tables.documents(s, dir))
+        .groupBy($"source", $"split").agg(count(lit(1)).as("n"))
+        .orderBy($"source", $"split")
+    }),
+
     // Greedy contiguous sequence packing: docs in id order fill
     // 2048-token bins per source — the batch-shaping step between
     // curation and tokenization.
@@ -321,6 +331,17 @@ object TextOps {
         |           % 1152921504606846976 AS BIGINT) % 1000
         |      < (CAST(substr(source, 4) AS INTEGER) % 4) * 200 + 100
         |ORDER BY doc_id""".stripMargin,
+
+    "llm_split" ->
+      """SELECT source,
+        | CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+        |      ELSE 'test' END AS split,
+        | count(*) AS n
+        |FROM (SELECT source,
+        |       CAST(md5_number_lower('spl|' || CAST(doc_id AS VARCHAR))
+        |            % 1152921504606846976 AS BIGINT) % 1000 AS b
+        |      FROM documents)
+        |GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
 
     "llm_pack_sequences" ->
       """SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,

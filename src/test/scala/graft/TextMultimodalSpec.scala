@@ -46,6 +46,21 @@ class TextMultimodalSpec extends SparkSpec {
     assert(pick(0) == pick(1)) // salted hash, not rand(): reruns agree
   }
 
+  test("hashSplit: partitions are exhaustive, disjoint, and rerun-stable") {
+    val df = (0L until 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val a = api.GraftPipelines.hashSplit(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    val b = api.GraftPipelines.hashSplit(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    assert(a == b)                                   // deterministic
+    assert(a.size == 200)                            // exhaustive
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(a.values.count(_ == "train") > a.values.count(_ == "val"))
+    intercept[IllegalArgumentException] {            // weights must sum
+      api.GraftPipelines.hashSplit(df, Seq("a" -> 500, "b" -> 400))
+    }
+  }
+
   test("packSequences: bins fill greedily in id order per stratum") {
     val df = Seq((1L, "a", 600), (2L, "a", 600), (3L, "a", 600),
       (4L, "a", 600), (5L, "b", 2000), (6L, "b", 100))
