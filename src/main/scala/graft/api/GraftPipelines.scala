@@ -187,6 +187,57 @@ object GraftPipelines {
       when(element_at(vec, offset + i) >= 0f, lit(1 << (i - 1))).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Deterministic Lloyd's k-means over an `array<float>` embedding
+    * column: `iters` assign→update rounds, then a final assignment.
+    * Returns one row per vector: (id, `cluster`, `ccos` = cosine to its
+    * final centroid). The cluster column is the coarse partitioner
+    * SemDeDup-style semantic dedup needs (self-join WITHIN clusters,
+    * never across — candidate pairs scale as Σ cluster², not O(n²)).
+    *
+    * Engine-parity design (every step bit-identical to an unrolled SQL
+    * mirror, no RNG):
+    *  - init = the first k vectors (like the IVF coarse quantizer);
+    *  - assignment = argmax cosine, ties to the lower cluster id;
+    *  - update = per-dimension mean computed as an EXACT decimal sum
+    *    (float → double widening is exact, double → decimal(28,14) is
+    *    locale-free and engine-identical) cast back through double to
+    *    float, so the next round's centroids carry no summation-order
+    *    noise. Clusters that lose every member drop out (both engines
+    *    agree: no group row → no centroid).
+    *
+    * 100 TB shape: centroids are k rows — bounded by construction, so
+    * the assignment crossJoin broadcasts them (map-side, no shuffle of
+    * the big table); the update is one hash aggregation with 64 partial
+    * sums per cluster (map-side combine, n rows shuffled — the explode
+    * form would shuffle n·dim). Iteration count is a constant, so the
+    * whole fit is O(iters) passes over the data.
+    */
+  def kmeans(emb: DataFrame, k: Int, iters: Int, dim: Int = 64,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cluster"))
+      emb.select(col(id), col(vec))
+        .crossJoin(broadcast(cent))
+        .withColumn("ccos", cosine(col(vec), col("c")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") === 1)
+        .select(col(id), col(vec), col("cluster"), col("ccos"))
+    }
+    def update(assigned: DataFrame): DataFrame = {
+      val sums = (1 to dim).map(d =>
+        sum(element_at(col(vec), d).cast("double").cast("decimal(28,14)"))
+          .as(s"s$d"))
+      val g = assigned.groupBy(col("cluster"))
+        .agg(sums.head, sums.tail :+ count(lit(1)).as("n"): _*)
+      g.select(col("cluster"), array((1 to dim).map(d =>
+        (col(s"s$d").cast("double") / col("n")).cast("float")): _*).as("c"))
+    }
+    val init = emb.filter(col(id) < k)
+      .select(col(id).cast("int").as("cluster"), col(vec).as("c"))
+    val fitted = (1 to iters).foldLeft(init)((c, _) => update(assign(c)))
+    assign(fitted).select(col(id), col("cluster"), col("ccos"))
+  }
+
   // ---------------- percentiles ----------------
 
   /** Grouped percentiles with an explicit exact/approx switch.

@@ -31,6 +31,8 @@ object SimilarityOps {
   private val LSH_BITS = 8
   private val NC = 16   // IVF coarse centroids: vec_id < NC
   private val NPROBE = 2
+  private val KM_K = 8      // k-means clusters (init = first KM_K vectors)
+  private val KM_ITERS = 2  // Lloyd assign→update rounds before final assign
 
   /** Codegen'd one-pass cosine; bit-identical to the unrolled/oracle form
     * (see [[graft.functions.VectorExpressions]]).
@@ -214,6 +216,42 @@ object SimilarityOps {
         .filter($"cosine" > 0.35)
         .select(col("l.vec_id").as("d1"), col("r.vec_id").as("d2"),
           col("l.bucket").as("bucket"), $"cosine")
+        .orderBy($"d1", $"d2")
+    }),
+
+    // Deterministic Lloyd's k-means (KM_ITERS rounds, exact-decimal
+    // centroid means — see GraftPipelines.kmeans): per-cluster size and
+    // mean cosine-to-centroid. The clustering that SemDeDup-style
+    // semantic dedup and IVF index builds start from.
+    "llm_embed_kmeans" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.GraftPipelines
+        .kmeans(Tables.embeddings(s, dir), KM_K, KM_ITERS, DIM)
+        .groupBy($"cluster")
+        .agg(count(lit(1)).as("n"),
+          (sum($"ccos".cast("decimal(28,14)")).cast("double") /
+            count(lit(1))).as("mean_cos"))
+        .orderBy($"cluster")
+    }),
+
+    // SemDeDup-style semantic dedup: near-dup pairs found WITHIN k-means
+    // clusters only. The cluster id is the coarse partitioner — the
+    // self-join meets Σ cluster² candidates instead of O(n²), which is
+    // the published answer (Abbas et al., 2023, public arXiv) to
+    // embedding dedup at corpus scale; the exact cosine is the residual.
+    "llm_semdedup" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val a = graft.api.GraftPipelines.kmeans(emb, KM_K, KM_ITERS, DIM)
+        .join(emb, "vec_id")
+        .select($"vec_id", $"cluster", $"embedding")
+      a.as("l").join(a.as("r"),
+          col("l.cluster") === col("r.cluster") &&
+          col("l.vec_id") < col("r.vec_id"))
+        .withColumn("cosine", cosine(col("l.embedding"), col("r.embedding")))
+        .filter($"cosine" > 0.35)
+        .select(col("l.vec_id").as("d1"), col("r.vec_id").as("d2"),
+          col("l.cluster").as("cluster"), $"cosine")
         .orderBy($"d1", $"d2")
     }),
 
