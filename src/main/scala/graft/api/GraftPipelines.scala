@@ -29,18 +29,20 @@ object GraftPipelines {
 
   /** Word n-gram shingles (id, s); docs shorter than n yield none.
     *
-    * With `repartitionFirst` (the default), docs are hash-repartitioned
-    * on `id` BEFORE the ~n·words explode: the shuffle moves the small
-    * pre-explosion rows, spreads the downstream md5/min work across all
-    * cores even when the source is a single parquet row group, and
-    * co-partitions the data with the per-doc aggregation that follows
-    * (no second exchange). The shuffle only pays when the per-shingle
-    * work is heavy (MinHash: 4+ digests/shingle); light consumers
-    * (fingerprints: 2 digests over 2-grams) measurably lose to it and
-    * pass false — see docs/PLANS.md "Pre-explode repartition".
+    * `repartitionFirst` hash-repartitions docs on `id` BEFORE the
+    * ~n·words explode — it spreads per-shingle work across all cores
+    * even when the source is a single parquet row group, at the price of
+    * shuffling the full corpus text. It paid under the round-2 per-seed
+    * digest family (4 MD5s/shingle); with the KM single-digest scheme
+    * ([[minhashSignature]]) per-shingle work is light enough that the
+    * unrepartitioned form wins at sf0.1 AND ships only per-doc signature
+    * rows at scale (the explode preserves row locality, so map-side
+    * partial aggregation reduces each doc to its minima in place) — so
+    * the default is now false. See docs/PLANS.md "Pre-explode
+    * repartition" for the measurements.
     */
   def shingle(docs: DataFrame, n: Int, id: String = "doc_id",
-      text: String = "text", repartitionFirst: Boolean = true): DataFrame = {
+      text: String = "text", repartitionFirst: Boolean = false): DataFrame = {
     val gram = (0 until n).map(j => s"w[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
     val src = docs.select(col(id), col(text))
     (if (repartitionFirst) src.repartition(col(id)) else src)
@@ -50,21 +52,29 @@ object GraftPipelines {
         explode(expr(s"transform(sequence(0, size(w)-$n), i -> $gram)")).as("s"))
   }
 
-  /** MinHash signature: `seeds` long-typed min-hash columns. Two 60-bit
-    * values come from each MD5 (lower/upper half —
-    * [[graft.functions.VectorExpressions.Md5Half60]]), halving digest work,
-    * and long mins aggregate in HashAggregate (string mins would fall back
-    * to SortAggregate).
+  /** MinHash signature: `seeds` long-typed min-hash columns from ONE MD5
+    * digest per shingle. The digest's two 60-bit halves (u, v) seed a
+    * Kirsch–Mitzenmacher family `h_i = (u + i·v) mod 2^60`
+    * ([[graft.functions.VectorExpressions.Md5Km]]) — KM hashes preserve
+    * sketch quality with any number of derived functions, so the per-seed
+    * digest family (seeds/2 digests per shingle) collapses to one digest
+    * plus long arithmetic. At 100 TB the digest IS the MinHash CPU
+    * bottleneck; this is a seeds/2× cut. Long mins aggregate in
+    * HashAggregate (string mins would fall back to SortAggregate), and
+    * the DuckDB oracle reproduces every value exactly with
+    * `md5_number_lower/upper(s) % 2^60` + BIGINT arithmetic.
+    *
+    * The KM array is projected ONCE below the aggregate (`hs`); the
+    * optimizer keeps it there because duplicating a non-cheap expression
+    * into 8 aggregate children fails `CollapseProject`'s cost check — so
+    * the plan digests each shingle exactly once.
     */
   def minhashSignature(shingles: DataFrame, seeds: Int,
       id: String = "doc_id"): DataFrame = {
-    require(seeds % 2 == 0, "seeds come in md5-half pairs")
-    val aggs = (0 until seeds).map { i =>
-      min(VectorExpressions.md5Half60Prefixed(
-        s"${i / 2}|", col("s"), upperHalf = i % 2 == 1))
-        .as(s"h$i")
-    }
-    shingles.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+    val hashed = shingles.select(col(id),
+      VectorExpressions.md5Km(col("s"), seeds).as("hs"))
+    val aggs = (0 until seeds).map(i => min(col("hs")(i)).as(s"h$i"))
+    hashed.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band table (id, b) from a minhash signature. */
@@ -334,15 +344,14 @@ object GraftPipelines {
   }
 
   /** Winnowing-style fingerprint from 2-gram shingle min-hashes
-    * (numeric 60-bit mins → HashAggregate, digested into one md5).
+    * (4 KM hashes from one digest per shingle — see [[minhashSignature]] —
+    * numeric 60-bit mins → HashAggregate, digested into one md5).
     */
   def fingerprints(docs: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame = {
     val sh = shingle(docs, 2, id, text, repartitionFirst = false)
-    val mins = (0 until 4).map(i =>
-      min(VectorExpressions.md5Half60Prefixed(
-        s"${i / 2}|", col("s"), upperHalf = i % 2 == 1))
-        .as(s"m$i"))
+      .select(col(id), VectorExpressions.md5Km(col("s"), 4).as("hs"))
+    val mins = (0 until 4).map(i => min(col("hs")(i)).as(s"m$i"))
     sh.groupBy(col(id)).agg(mins.head, mins.tail: _*)
       .select(col(id),
         md5(concat_ws(",", col("m0"), col("m1"), col("m2"), col("m3")))

@@ -44,4 +44,33 @@ object HashUtils {
     while (k >= 0) { v = (v << 8) | (digest(off + k) & 0xffL); k -= 1 }
     v & MASK60
   }
+
+  /** `k` Kirsch–Mitzenmacher hashes from ONE MD5 digest:
+    * `h_i = (lower60 + i·upper60) mod 2^60` (KM, CACM 2008 — two base
+    * hashes simulate any number of independent ones with no loss for
+    * sketching). One digest per shingle replaces the per-seed digest
+    * family — at 100 TB the digest is the MinHash bottleneck, so this is
+    * a k× cut in hash CPU. `lower60 + 7·upper60 ≤ 8·(2^60−1) < 2^63−1`,
+    * so the sum never overflows a signed long and the DuckDB oracle's
+    * BIGINT arithmetic reproduces every value exactly.
+    */
+  def md5Km(s: UTF8String, k: Int): Array[Long] = {
+    val md = mdPool.get()
+    md.reset()
+    val digest = md.digest(s.getBytes)
+    var lo = 0L
+    var hi = 0L
+    var j = 7
+    while (j >= 0) {
+      lo = (lo << 8) | (digest(8 + j) & 0xffL)
+      hi = (hi << 8) | (digest(j) & 0xffL)
+      j -= 1
+    }
+    lo &= MASK60
+    hi &= MASK60
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) { out(i) = (lo + i * hi) & MASK60; i += 1 }
+    out
+  }
 }

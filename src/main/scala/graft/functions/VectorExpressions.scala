@@ -187,6 +187,38 @@ object VectorExpressions {
         newChild: Expression): Expression = copy(child = newChild)
   }
 
+  /** `k` Kirsch–Mitzenmacher min-hash bases from ONE MD5 digest
+    * (see [[HashUtils.md5Km]]): `array(h_0 … h_{k-1})` with
+    * `h_i = (md5_lower60 + i·md5_upper60) mod 2^60`. Replaces the
+    * per-seed digest family in MinHash signatures — one digest per
+    * shingle instead of `k/2`, with bit-exact DuckDB oracle mirroring
+    * via `md5_number_lower/upper(s) % 2^60` + BIGINT arithmetic.
+    */
+  case class Md5Km(child: Expression, numHashes: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with ExpectsInputTypes {
+    require(numHashes >= 1 && numHashes <= 8,
+      "lower60 + 7*upper60 is the overflow-free KM bound")
+
+    override def inputTypes: Seq[BridgeTypes.AbstractDataType] = Seq(StringType)
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+    override def prettyName: String = "md5_km"
+
+    override def nullSafeEval(input: Any): Any =
+      ArrayData.toArrayData(HashUtils.md5Km(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        numHashes))
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        "org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+          s"graft.functions.HashUtils.md5Km($c, $numHashes))")
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
+
   /** Column-level API. */
   def cosineSimilarity(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
@@ -199,4 +231,7 @@ object VectorExpressions {
 
   def md5Half60Prefixed(prefix: String, s: Column, upperHalf: Boolean): Column =
     Bridge.column(Md5Half60Prefixed(prefix, Bridge.expression(s), upperHalf))
+
+  def md5Km(s: Column, numHashes: Int): Column =
+    Bridge.column(Md5Km(Bridge.expression(s), numHashes))
 }

@@ -86,14 +86,19 @@ object DedupOps {
 
   private val shinglesSql = shinglesSqlFrom("documents")
 
-  // 60-bit numeric min-hashes: md5_number_lower/upper % 2^60 mirrors the
-  // engine's Md5Half60 expression bit-for-bit.
+  // 60-bit numeric min-hashes, Kirsch–Mitzenmacher family from ONE md5
+  // per shingle: u/v = md5_number_lower/upper % 2^60 mirror the engine's
+  // Md5Km expression bit-for-bit, and h_i = (u + i·v) % 2^60 stays inside
+  // BIGINT (u + 7v < 2^63), so the arithmetic is exact on both sides.
   private val minhashSql = {
     val aggs = SEEDS.map { i =>
-      val half = if (i % 2 == 1) "upper" else "lower"
-      s"min(CAST(md5_number_$half('${i / 2}|' || s) % 1152921504606846976 AS BIGINT)) AS h$i"
+      s"min(CAST((u + $i * v) % 1152921504606846976 AS BIGINT)) AS h$i"
     }.mkString(", ")
-    s"mh AS (SELECT doc_id, $aggs FROM sh GROUP BY doc_id)"
+    s"""mh AS (SELECT doc_id, $aggs FROM (
+       |  SELECT doc_id,
+       |   CAST(md5_number_lower(s) % 1152921504606846976 AS BIGINT) AS u,
+       |   CAST(md5_number_upper(s) % 1152921504606846976 AS BIGINT) AS v
+       |  FROM sh) GROUP BY doc_id)""".stripMargin
   }
 
   private val bandsSql = {

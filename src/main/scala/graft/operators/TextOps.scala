@@ -385,15 +385,19 @@ object TextOps {
         |     CAST(m2 AS VARCHAR) || ',' || CAST(m3 AS VARCHAR)) AS fingerprint
         |FROM (
         |  SELECT doc_id,
-        |   min(CAST(md5_number_lower('0|' || s) % 1152921504606846976 AS BIGINT)) AS m0,
-        |   min(CAST(md5_number_upper('0|' || s) % 1152921504606846976 AS BIGINT)) AS m1,
-        |   min(CAST(md5_number_lower('1|' || s) % 1152921504606846976 AS BIGINT)) AS m2,
-        |   min(CAST(md5_number_upper('1|' || s) % 1152921504606846976 AS BIGINT)) AS m3
+        |   min(CAST((u + 0 * v) % 1152921504606846976 AS BIGINT)) AS m0,
+        |   min(CAST((u + 1 * v) % 1152921504606846976 AS BIGINT)) AS m1,
+        |   min(CAST((u + 2 * v) % 1152921504606846976 AS BIGINT)) AS m2,
+        |   min(CAST((u + 3 * v) % 1152921504606846976 AS BIGINT)) AS m3
         |  FROM (
+        |   SELECT doc_id,
+        |    CAST(md5_number_lower(s) % 1152921504606846976 AS BIGINT) AS u,
+        |    CAST(md5_number_upper(s) % 1152921504606846976 AS BIGINT) AS v
+        |   FROM (
         |    SELECT doc_id, unnest(list_transform(range(1, len(w)),
         |             i -> w[i] || ' ' || w[i+1])) AS s
         |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-        |    WHERE len(w) >= 2)
+        |    WHERE len(w) >= 2))
         |  GROUP BY doc_id)
         |ORDER BY doc_id""".stripMargin
   )
