@@ -197,6 +197,32 @@ object GraftPipelines {
       when(element_at(vec, offset + i) >= 0f, lit(1 << (i - 1))).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Embedding preprocessing: L2 norm + symmetric int8 quantization —
+    * the storage/serving step between embedding generation and ANN
+    * indexing (4× smaller vectors, dot products in integer SIMD on a
+    * real serving stack). Per vector: `l2norm = sqrt(Σ x_i²)` (the
+    * codegen'd [[VectorExpressions.DotProduct]] of the vector with
+    * itself — left-associated, bit-identical to the oracle's unrolled
+    * chain), `scale = max |x_i|`, and quantized components
+    * `floor((x_i / scale) · 127) ∈ [-127, 127]` (floor, not round —
+    * round-half semantics differ across engines; floor is exact).
+    * Quantized vectors are emitted as a comma-joined string: portable
+    * and hash-safe. Pure map-side projection — no shuffle at all.
+    */
+  def quantizeEmbeddings(emb: DataFrame, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    val xd = transform(col(vec), x => abs(x.cast("double")))
+    val scale = array_max(xd)
+    val q = transform(col(vec), x =>
+      floor((x.cast("double") / col("__scale")) * lit(127.0)).cast("long"))
+    emb.select(col(id), col(vec),
+        sqrt(VectorExpressions.dotProduct(col(vec), col(vec))).as("l2norm"),
+        scale.as("__scale"))
+      .select(col(id), col("l2norm"),
+        when(col("__scale") === 0d, lit(""))
+          .otherwise(array_join(q, ",")).as("q8"))
+  }
+
   /** Deterministic Lloyd's k-means over an `array<float>` embedding
     * column: `iters` assign→update rounds, then a final assignment.
     * Returns one row per vector: (id, `cluster`, `ccos` = cosine to its
@@ -358,6 +384,81 @@ object GraftPipelines {
           .as("fingerprint"))
   }
 
+  /** Inverted index over word unigrams: one row per term with its
+    * document frequency and the sorted posting list — the artifact a
+    * keyword-search layer serves from (and [[bm25]] conceptually probes).
+    * Postings are emitted as a comma-joined string: deterministic,
+    * engine-portable, and safe to hash-compare. At scale this is one
+    * explode + two aggregations, all map-side partial; per-term posting
+    * lists are the only wide rows, and `minDf` drops the hapax tail
+    * where the list payload is pure overhead.
+    */
+  def invertedIndex(docs: DataFrame, minDf: Long = 1, id: String = "doc_id",
+      text: String = "text"): DataFrame =
+    docs.select(col(id), explode(array_distinct(split(col(text), " "))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        array_join(array_sort(collect_list(col(id))), ",").as("postings"))
+      .filter(col("df") >= minDf)
+
+  /** BM25 keyword retrieval over word unigrams — the lexical complement
+    * to the vector-similarity family (and the scoring half of hybrid
+    * retrieval). Rational-idf variant: per term,
+    * `idf = (N - df + 0.5) / (df + 0.5)` — the Robertson idf without the
+    * log. The log is a per-term monotone transform, so single-term
+    * rankings are identical, and dropping it keeps every arithmetic step
+    * an exact IEEE-double expression both engines evaluate bit-identically
+    * (log differs in the last ulp across libm implementations, which a
+    * hash-comparing oracle cannot tolerate). Per-term contributions are
+    * pivoted to fixed columns and summed in query-term order, so the
+    * double addition order is deterministic — never a shuffle-order
+    * `sum()` over doubles.
+    *
+    * Scale shape: tf is explode → filter-to-query-terms → groupBy —
+    * the filter cuts the exploded stream to ~|terms|/|vocab| before any
+    * shuffle; df and avgdl are 1-row scalar aggregates (broadcast by
+    * construction); the final score is map-side projection + top-k
+    * (`TakeOrderedAndProject`).
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], topK: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16, "bounded query-term set")
+    val lens = docs.select(col(id),
+      size(split(col(text), " ")).cast("long").as("dl"))
+    // 1-row corpus stats: N and mean doc length (exact long sums).
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("len_sum"))
+      .select(col("n_docs"),
+        (col("len_sum").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    val tf = docs.select(col(id), explode(split(col(text), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    // per-term df pivoted to one row (bounded by |terms|).
+    val dfRow = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .groupBy().pivot("term", terms).agg(first(col("df")))
+      .select(terms.map(t => coalesce(col(s"`$t`"), lit(0L)).as(s"df_$t")): _*)
+    val tfRow = tf.groupBy(col(id)).pivot("term", terms).agg(first(col("tf")))
+      .select(col(id) +: terms.map(t =>
+        coalesce(col(s"`$t`"), lit(0L)).as(s"tf_$t")): _*)
+    val scored = lens.join(tfRow, Seq(id), "left")
+      .na.fill(0L, terms.map(t => s"tf_$t"))
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(dfRow))
+    // idf_t * (tf*(k1+1)) / (tf + k1*((1-b) + b*(dl/avgdl))) — constants
+    // pre-folded, parenthesization mirrored exactly in the oracle SQL.
+    val contribs = terms.map { t =>
+      val tfD = col(s"tf_$t").cast("double")
+      val idf = (col("n_docs").cast("double") - col(s"df_$t").cast("double") + lit(0.5)) /
+        (col(s"df_$t").cast("double") + lit(0.5))
+      idf * ((tfD * lit(k1 + 1)) /
+        (tfD + lit(k1) * (lit(1 - b) + lit(b) * (col("dl").cast("double") / col("avgdl")))))
+    }
+    scored.select(col(id), col("dl"),
+        contribs.reduceLeft(_ + _).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col(id)).limit(topK)
+  }
+
   /** End-to-end training-data curation: quality gate → exact dedup →
     * verified near-dup drop → token budget. The full pipeline every
     * pretraining corpus runs, composed from the verified pieces:
@@ -465,6 +566,58 @@ object GraftPipelines {
         salt + "|", col(id).cast("string"), upperHalf = false), lit(1000))
         < col("__rate"))
       .drop("__rate")
+  }
+
+  /** Temperature-flattened source mixing (α = 0.5): per-source keep
+    * rates `rate_s = sqrt(n_min / n_s)` — the smallest source keeps
+    * everything, larger sources are downsampled toward equal share,
+    * exactly the T=2 temperature rebalancing multilingual/multi-source
+    * pretraining uses to stop the biggest crawl from drowning the tail.
+    * α is fixed at 0.5 because `sqrt` is IEEE-correctly-rounded in both
+    * engines (a general `pow(x, α)` is not, and would break the
+    * hash-compared oracle); the ratio `n_min/n_s` is an exact int→double
+    * division, so the rate is bit-identical everywhere. Selection uses
+    * the same salted-hash contract as [[stratifiedSample]] at
+    * parts-per-million resolution (`floor(rate·1e6)` — floor is exact).
+    *
+    * Returns the per-source mixing report (n_docs, rate_ppm, n_kept);
+    * the kept rows themselves are the same filter without the final
+    * rollup. Two scans of a counts-sized table + one map-side filter —
+    * no data-scaled shuffle beyond the per-source count.
+    */
+  def temperatureMix(docs: DataFrame, salt: String = "tmix",
+      stratum: String = "source", id: String = "doc_id"): DataFrame = {
+    val counts = docs.groupBy(col(stratum)).agg(count(lit(1)).as("n_docs"))
+    val withMin = counts.crossJoin(broadcast(
+      counts.agg(min(col("n_docs")).as("n_min"))))
+    val rates = withMin.select(col(stratum), col("n_docs"),
+      floor(sqrt(col("n_min").cast("double") / col("n_docs").cast("double"))
+        * lit(1000000)).cast("long").as("rate_ppm"))
+    val kept = docs.join(broadcast(rates), Seq(stratum))
+      .filter(pmod(VectorExpressions.md5Half60Prefixed(
+        salt + "|", col(id).cast("string"), upperHalf = false), lit(1000000))
+        < col("rate_ppm"))
+    kept.groupBy(col(stratum)).agg(count(lit(1)).as("n_kept"))
+      .join(rates, Seq(stratum), "right")
+      .select(col(stratum), col("n_docs"), col("rate_ppm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** Exact-budget deterministic sampling: the k docs per stratum with
+    * the smallest salted id hash — rank-based where [[stratifiedSample]]
+    * is rate-based, for recipes quoted in absolute document counts
+    * ("50k docs per source"). Same no-`rand()` stability contract: the
+    * chosen set never changes across reruns, engines, or cluster sizes.
+    * One partitioned window (rank over hash) — the same shuffle profile
+    * as any per-group top-k; no global sort, no driver state.
+    */
+  def sampleTopKPerStratum(docs: DataFrame, k: Int, salt: String = "topk",
+      stratum: String = "source", id: String = "doc_id"): DataFrame = {
+    val h = VectorExpressions.md5Half60Prefixed(
+      salt + "|", col(id).cast("string"), upperHalf = false)
+    val w = Window.partitionBy(col(stratum)).orderBy(h.asc, col(id).asc)
+    docs.withColumn("sample_rank", row_number().over(w).cast("int"))
+      .filter(col("sample_rank") <= k)
   }
 
   /** Deterministic train/val/test assignment: each doc lands in a split

@@ -223,6 +223,17 @@ object SimilarityOps {
     // centroid means — see GraftPipelines.kmeans): per-cluster size and
     // mean cosine-to-centroid. The clustering that SemDeDup-style
     // semantic dedup and IVF index builds start from.
+    // Embedding preprocessing: L2 norm + symmetric int8 quantization
+    // (floor, not round — round-half semantics differ across engines).
+    // The storage/serving step between embedding generation and ANN
+    // indexing; pure map-side projection.
+    "llm_embed_quantize" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.GraftPipelines
+        .quantizeEmbeddings(Tables.embeddings(s, dir))
+        .orderBy($"vec_id")
+    }),
+
     "llm_embed_kmeans" -> ((s, dir) => {
       import s.implicits._
       graft.api.GraftPipelines
@@ -373,6 +384,20 @@ object SimilarityOps {
          |  FROM cand JOIN embeddings c ON c.vec_id = cand.vec_id
          |            JOIN embeddings q ON q.vec_id = cand.qid)
          |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    "llm_embed_quantize" ->
+      s"""SELECT vec_id,
+         | sqrt(${dotUnrolledSql("embedding", "embedding", DIM)}) AS l2norm,
+         | CASE WHEN m = 0 THEN '' ELSE
+         |  array_to_string(list_transform(embedding,
+         |    x -> CAST(floor((CAST(x AS DOUBLE) / m) * 127.0) AS BIGINT)), ',')
+         | END AS q8
+         |FROM (
+         |  SELECT vec_id, embedding,
+         |   list_max(list_transform(embedding,
+         |     x -> abs(CAST(x AS DOUBLE)))) AS m
+         |  FROM embeddings)
+         |ORDER BY vec_id""".stripMargin,
 
     "llm_embed_neardup_lsh" ->
       s"""WITH b AS (SELECT vec_id, embedding,

@@ -29,6 +29,10 @@ object TextOps {
   private val BPE_PAT =
     "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
 
+  /** BM25 demo query: two common terms + the rare 'dup' marker (df≈5%
+    * of docs), so the idf spread is visible in the ranking. */
+  private val BM25_TERMS = Seq("spark", "merge", "dup")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Language-ID heuristic: stopword-ratio → 'en' / 'und'; confusion
     // counts against the labeled lang column.
@@ -214,6 +218,43 @@ object TextOps {
       import s.implicits._
       graft.api.GraftPipelines.fingerprints(Tables.documents(s, dir))
         .orderBy($"doc_id")
+    }),
+
+    // Inverted index: term → document frequency + sorted posting list —
+    // the serving artifact of the keyword-search layer.
+    "llm_inverted_index" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.GraftPipelines.invertedIndex(Tables.documents(s, dir), minDf = 2)
+        .orderBy($"term")
+    }),
+
+    // BM25 keyword retrieval (rational-idf variant — see the pipeline
+    // scaladoc): top 10 docs for a 3-term query mixing common terms
+    // with the rare 'dup' marker (high idf dominates).
+    "llm_bm25" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.GraftPipelines.bm25(Tables.documents(s, dir), BM25_TERMS)
+    }),
+
+    // Temperature-flattened source mixing (α=0.5): per-source keep
+    // rate sqrt(n_min/n_s) at ppm resolution + realized kept counts —
+    // the standard rebalance that stops the biggest source from
+    // drowning the tail.
+    "llm_mix_temperature" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.GraftPipelines.temperatureMix(Tables.documents(s, dir))
+        .orderBy($"source")
+    }),
+
+    // Exact-budget deterministic sampling: the 5 docs per source with
+    // the smallest salted id hash — rank-based sibling of the rate-based
+    // stratified sample.
+    "llm_sample_topk" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.GraftPipelines
+        .sampleTopKPerStratum(Tables.documents(s, dir), 5)
+        .select($"source", $"sample_rank", $"doc_id")
+        .orderBy($"source", $"sample_rank")
     })
   )
 
@@ -399,6 +440,78 @@ object TextOps {
         |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
         |    WHERE len(w) >= 2))
         |  GROUP BY doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "llm_inverted_index" ->
+      """SELECT term, count(*) AS df,
+        | string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |FROM (SELECT doc_id,
+        |        unnest(list_distinct(string_split(text, ' '))) AS term
+        |      FROM documents)
+        |GROUP BY term HAVING count(*) >= 2 ORDER BY term""".stripMargin,
+
+    "llm_bm25" -> {
+      val terms = BM25_TERMS
+      val (k1, b) = (1.2, 0.75)
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      def pivotMax(v: String) = terms.map(t =>
+        s"coalesce(max(CASE WHEN term = '$t' THEN $v END), 0) AS ${v}_$t")
+        .mkString(", ")
+      val contribs = terms.map { t =>
+        s"""(((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) /
+           |   (CAST(df_$t AS DOUBLE) + 0.5)) *
+           |  ((CAST(coalesce(tf_$t, 0) AS DOUBLE) * ${k1 + 1}) /
+           |   (CAST(coalesce(tf_$t, 0) AS DOUBLE) +
+           |    $k1 * (${1 - b} + $b * (CAST(dl AS DOUBLE) / avgdl)))))""".stripMargin
+      }.mkString(" +\n")
+      s"""WITH lens AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |  FROM documents),
+         |stats AS (
+         |  SELECT count(*) AS n_docs,
+         |   CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM lens),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |    FROM documents)
+         |  WHERE term IN ($inList) GROUP BY doc_id, term),
+         |dfrow AS (SELECT ${pivotMax("df")} FROM
+         |  (SELECT term, count(*) AS df FROM tf GROUP BY term)),
+         |tfrow AS (SELECT doc_id, ${pivotMax("tf")} FROM tf GROUP BY doc_id)
+         |SELECT doc_id, dl, score FROM (
+         |  SELECT l.doc_id, l.dl,
+         |   ($contribs) AS score
+         |  FROM lens l LEFT JOIN tfrow t ON l.doc_id = t.doc_id
+         |  CROSS JOIN stats CROSS JOIN dfrow)
+         |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    },
+
+    "llm_mix_temperature" ->
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |rates AS (
+        |  SELECT source, n_docs,
+        |   CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |              * 1000000) AS BIGINT) AS rate_ppm
+        |  FROM counts CROSS JOIN (SELECT min(n_docs) AS n_min FROM counts)),
+        |kept AS (
+        |  SELECT source, count(*) AS n_kept FROM documents
+        |  WHERE CAST(md5_number_lower('tmix|' || CAST(doc_id AS VARCHAR))
+        |             % 1152921504606846976 AS BIGINT) % 1000000
+        |        < (SELECT rate_ppm FROM rates r WHERE r.source = documents.source)
+        |  GROUP BY source)
+        |SELECT r.source, r.n_docs, r.rate_ppm,
+        | coalesce(k.n_kept, 0) AS n_kept
+        |FROM rates r LEFT JOIN kept k ON r.source = k.source
+        |ORDER BY r.source""".stripMargin,
+
+    "llm_sample_topk" ->
+      """SELECT source, CAST(rn AS INTEGER) AS sample_rank, doc_id FROM (
+        |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |    ORDER BY CAST(md5_number_lower('topk|' || CAST(doc_id AS VARCHAR))
+        |             % 1152921504606846976 AS BIGINT), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY source, rn""".stripMargin
   )
 }

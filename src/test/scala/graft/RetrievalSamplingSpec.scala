@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** BM25 / inverted index / temperature mixing / top-k sampling /
+  * embedding quantization — the round-3 retrieval + mixing additions.
+  */
+class RetrievalSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("source", lit("s0"))
+
+  test("bm25: hand-computed scores, rare term outranks repeated common term") {
+    val df = docsDf(
+      1L -> "dup spark",
+      2L -> "spark spark spark merge",
+      3L -> "other words only")
+    val out = api.GraftPipelines.bm25(df, Seq("spark", "merge", "dup"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // N=3, avgdl=3, df(spark)=2, df(merge)=df(dup)=1 — same formula, by hand
+    def contrib(tf: Long, df: Long, dl: Long): Double = {
+      val idf = (3.0 - df.toDouble + 0.5) / (df.toDouble + 0.5)
+      idf * ((tf.toDouble * 2.2) /
+        (tf.toDouble + 1.2 * (0.25 + 0.75 * (dl.toDouble / 3.0))))
+    }
+    val d1 = contrib(1, 2, 2) + contrib(0, 1, 2) + contrib(1, 1, 2)
+    val d2 = contrib(3, 2, 4) + contrib(1, 1, 4) + contrib(0, 1, 4)
+    assert(math.abs(out(1L) - d1) < 1e-12)
+    assert(math.abs(out(2L) - d2) < 1e-12)
+    assert(!out.contains(3L)) // no query terms → score 0 → filtered
+    assert(out(1L) > out(2L)) // one rare 'dup' beats three common 'spark's
+  }
+
+  test("invertedIndex: exact postings, minDf drops the hapax tail") {
+    val df = docsDf(5L -> "b a", 2L -> "a c", 9L -> "a b")
+    val idx = api.GraftPipelines.invertedIndex(df, minDf = 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(idx("a") == (3L, "2,5,9")) // sorted numerically, not lexically
+    assert(idx("b") == (2L, "5,9"))
+    assert(!idx.contains("c")) // df=1 < minDf
+  }
+
+  test("temperatureMix: sqrt rates, smallest source keeps everything") {
+    val df = ((0L until 100L).map(i => (i, "big")) ++
+      (100L until 125L).map(i => (i, "small")))
+      .toDF("doc_id", "source").withColumn("text", lit("x"))
+    val mix = api.GraftPipelines.temperatureMix(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // rate(small) = sqrt(25/25) = 1 → 1e6 ppm, every doc kept
+    assert(mix("small").getAs[Long]("rate_ppm") == 1000000L)
+    assert(mix("small").getAs[Long]("n_kept") == 25L)
+    // rate(big) = sqrt(25/100) = 0.5 exactly
+    assert(mix("big").getAs[Long]("rate_ppm") == 500000L)
+    val kept = mix("big").getAs[Long]("n_kept")
+    assert(kept > 0 && kept < 100)
+    // deterministic: rerun selects the identical count
+    val rerun = api.GraftPipelines.temperatureMix(df).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_kept")).toMap
+    assert(rerun("big") == kept)
+  }
+
+  test("sampleTopKPerStratum: exact k per stratum, rerun-stable ranks") {
+    val df = (0L until 40L).map(i => (i, s"src${i % 2}", s"t$i"))
+      .toDF("doc_id", "source", "text")
+    val s1 = api.GraftPipelines.sampleTopKPerStratum(df, 5).collect()
+    assert(s1.length == 10)
+    val bySrc = s1.groupBy(_.getAs[String]("source"))
+    bySrc.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("sample_rank")).sorted.toSeq == (1 to 5))
+    }
+    val s2 = api.GraftPipelines.sampleTopKPerStratum(df, 5).collect()
+    assert(s1.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("sample_rank")))
+      .toSet == s2.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("sample_rank"))).toSet)
+  }
+
+  test("quantizeEmbeddings: known norm and components, zero vector guarded") {
+    val df = Seq(
+      (1L, Array(3.0f, -4.0f)),
+      (2L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = api.GraftPipelines.quantizeEmbeddings(df).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(out(1L)._1 == 5.0) // sqrt(9 + 16), exact
+    // scale = 4: floor(3/4*127) = floor(95.25) = 95; floor(-127.0) = -127
+    assert(out(1L)._2 == "95,-127")
+    assert(out(2L) == (0.0, "")) // zero vector → empty quantization
+  }
+}
