@@ -26,7 +26,7 @@ object Bench {
     "llm_span_dedup", "llm_sample_stratified", "llm_pack_sequences",
     "llm_hybrid_search", "llm_corpus_report",
     "llm_bm25", "llm_inverted_index", "llm_mix_temperature",
-    "llm_sample_topk", "llm_embed_quantize",
+    "llm_sample_topk", "llm_embed_quantize", "llm_chunk",
     "llm_simhash", "llm_simhash_pairs", "llm_embed_topk",
     "llm_embed_lsh_knn", "llm_embed_lsh_knn2",
     "llm_embed_neardup", "llm_embed_neardup_lsh", "llm_lang_id", "llm_tfidf",

@@ -459,6 +459,34 @@ object GraftPipelines {
       .orderBy(col("score").desc, col(id)).limit(topK)
   }
 
+  /** Sliding-window document chunking: fixed `size`-word chunks every
+    * `stride` words — the retrieval/embedding preprocessing step (RAG
+    * chunking, long-doc embedding, context-window packing all consume
+    * this shape). Chunk count per doc is
+    * `1 + ceil(max(n - size, 0) / stride)` (the final chunk is the only
+    * short one); `chunk_idx` is 0-based and `(id, chunk_idx)` is the
+    * stable chunk key. Pure per-row explode — no shuffle at all, and
+    * the explode fan-out is ~n/stride rows per doc (bounded, unlike
+    * shingling's ~n), so the operator is strictly lighter than the
+    * dedup family at any scale.
+    */
+  def chunkDocuments(docs: DataFrame, width: Int, stride: Int,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(width >= 1 && stride >= 1 && stride <= width,
+      "chunks must advance and cover the doc")
+    docs.select(col(id), split(col(text), " ").as("w"))
+      .withColumn("n_chunks",
+        lit(1) + ceil(greatest(size(col("w")) - width, lit(0))
+          .cast("double") / stride).cast("int"))
+      .select(col(id),
+        explode(expr(s"transform(sequence(0, n_chunks - 1), i -> " +
+          s"struct(i AS chunk_idx, " +
+          s"slice(w, i * $stride + 1, $width) AS cw))")).as("c"))
+      .select(col(id), col("c.chunk_idx").cast("int").as("chunk_idx"),
+        size(col("c.cw")).as("chunk_words"),
+        concat_ws(" ", col("c.cw")).as("chunk_text"))
+  }
+
   /** End-to-end training-data curation: quality gate → exact dedup →
     * verified near-dup drop → token budget. The full pipeline every
     * pretraining corpus runs, composed from the verified pieces:

@@ -246,6 +246,16 @@ object TextOps {
         .orderBy($"source")
     }),
 
+    // Sliding-window chunking (20-word chunks, stride 15): the RAG /
+    // long-doc-embedding preprocessing step; (doc_id, chunk_idx) is the
+    // stable chunk key.
+    "llm_chunk" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.GraftPipelines
+        .chunkDocuments(Tables.documents(s, dir), 20, 15)
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
     // Exact-budget deterministic sampling: the 5 docs per source with
     // the smallest salted id hash — rank-based sibling of the rate-based
     // stratified sample.
@@ -505,6 +515,17 @@ object TextOps {
         | coalesce(k.n_kept, 0) AS n_kept
         |FROM rates r LEFT JOIN kept k ON r.source = k.source
         |ORDER BY r.source""".stripMargin,
+
+    "llm_chunk" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        | CAST(len(w[(i * 15 + 1):(i * 15 + 20)]) AS INTEGER) AS chunk_words,
+        | array_to_string(w[(i * 15 + 1):(i * 15 + 20)], ' ') AS chunk_text
+        |FROM (
+        |  SELECT doc_id, w,
+        |   unnest(range(0, 1 + CAST(ceil(CAST(greatest(len(w) - 20, 0)
+        |     AS DOUBLE) / 15) AS INTEGER))) AS i
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "llm_sample_topk" ->
       """SELECT source, CAST(rn AS INTEGER) AS sample_rank, doc_id FROM (

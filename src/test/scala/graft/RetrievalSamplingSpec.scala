@@ -74,6 +74,34 @@ class RetrievalSamplingSpec extends SparkSpec {
       .toSet == s2.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("sample_rank"))).toSet)
   }
 
+  test("chunkDocuments: coverage, overlap, and short-doc invariants") {
+    // 11 words, width 4, stride 3 → full chunks at 0,3,6 + short at 9
+    val words = (1 to 11).map(i => s"w$i")
+    val df = docsDf(1L -> words.mkString(" "), 2L -> "a b")
+    val out = api.GraftPipelines.chunkDocuments(df, 4, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getString(3)))
+      .toMap
+    assert(out((1L, 0)) == (4, "w1 w2 w3 w4"))
+    assert(out((1L, 1)) == (4, "w4 w5 w6 w7"))
+    assert(out((1L, 2)) == (4, "w7 w8 w9 w10"))
+    assert(out((1L, 3)) == (2, "w10 w11")) // final short chunk
+    assert(out((2L, 0)) == (2, "a b")) // doc shorter than width → 1 chunk
+    assert(out.size == 5)
+    // every word of doc 1 appears in some chunk (coverage)
+    val covered = out.collect { case ((1L, _), (_, t)) => t.split(" ") }
+      .flatten.toSet
+    assert(covered == words.toSet)
+  }
+
+  test("bm25: score strictly increases with tf of a query term") {
+    // identical-length docs, increasing 'dup' counts
+    val df = docsDf(
+      1L -> "dup x x x", 2L -> "dup dup x x", 3L -> "dup dup dup x")
+    val out = api.GraftPipelines.bm25(df, Seq("dup"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(3L) > out(2L) && out(2L) > out(1L))
+  }
+
   test("quantizeEmbeddings: known norm and components, zero vector guarded") {
     val df = Seq(
       (1L, Array(3.0f, -4.0f)),
