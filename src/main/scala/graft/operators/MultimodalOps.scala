@@ -64,6 +64,22 @@ object MultimodalOps {
         .orderBy($"doc_id")
     }),
 
+    // Multimodal exact dedup: digest over the OPAQUE binary payload —
+    // the first pass of any media pipeline (identical bytes collapse
+    // before any decode/feature work is spent). Payloads never shuffle:
+    // the digest is map-side projection, the groupBy carries 16-byte
+    // hashes + ids only.
+    "mm_payload_dedup" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", encode($"text", "utf-8").as("payload"))
+        .groupBy(md5($"payload").as("h"))
+        .agg(min($"doc_id").as("keeper"),
+          count(lit(1)).as("n_copies"),
+          sum(octet_length($"payload")).as("total_bytes"))
+        .orderBy($"keeper")
+    }),
+
     // Feature extraction via the stubbed decoder, run as a partition-wise
     // typed transform (the mapInPandas/batch-UDF analog in Scala Spark).
     "mm_image_features" -> ((s, dir) => {
@@ -122,6 +138,15 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // md5(VARCHAR) hashes the string's UTF-8 bytes — identical to the
+    // engine's md5 over the encoded payload.
+    "mm_payload_dedup" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keeper,
+        | count(*) AS n_copies,
+        | CAST(sum(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT)
+        |   AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+
     "mm_binary_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

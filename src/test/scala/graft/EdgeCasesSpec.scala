@@ -65,6 +65,32 @@ class EdgeCasesSpec extends SparkSpec {
     assert(bins == Map(1L -> 0, 2L -> 2))
   }
 
+  test("retrieval/mixing ops handle degenerate inputs") {
+    // bm25: a term absent from the whole corpus contributes nothing
+    val docs = Seq((1L, "spark x"), (2L, "y z")).toDF("doc_id", "text")
+    val hits = api.GraftPipelines.bm25(docs, Seq("spark", "nosuchterm"))
+      .collect()
+    assert(hits.map(_.getLong(0)).toSeq == Seq(1L)) // doc 2 scores 0
+    assert(hits.head.getDouble(2) > 0)
+    // chunk: 1-word and empty-string docs yield exactly one chunk
+    val tiny = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    val chunks = api.GraftPipelines.chunkDocuments(tiny, 20, 15).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(3))).toMap
+    assert(chunks(1L) == (0, "solo"))
+    assert(chunks(2L) == (0, "")) // split("") = [""] — mirrored in DuckDB
+    // temperatureMix: single source → rate exactly 1e6, everything kept
+    val one = Seq((1L, "s0", "a"), (2L, "s0", "b"))
+      .toDF("doc_id", "source", "text")
+    val mix = api.GraftPipelines.temperatureMix(one).collect().head
+    assert(mix.getAs[Long]("rate_ppm") == 1000000L)
+    assert(mix.getAs[Long]("n_kept") == 2L)
+    // sampleTopKPerStratum: k larger than the stratum keeps everything
+    assert(api.GraftPipelines.sampleTopKPerStratum(one, 100).count() == 2L)
+    // invertedIndex on empty corpus: no terms, no crash
+    assert(api.GraftPipelines.invertedIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).count() == 0L)
+  }
+
   test("pre-epoch timestamps keep ordering and negative epoch millis") {
     val events = Seq(
       (1L, -86400L * 1000000000L, 1L, "alpha", 1.0, "{}"), // 1969-12-31
