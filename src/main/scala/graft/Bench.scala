@@ -19,7 +19,7 @@ object Bench {
     "ev_value_histogram", "ev_heatmap",
     "rel_q1_pricing", "rel_q3_shipping", "rel_q5_region_volume",
     "rel_q6_forecast", "rel_q10_returns", "rel_q18_large_orders",
-    "rel_window_rank", "rel_join_broadcast", "rel_rollup",
+    "rel_window_rank", "rel_window_range", "rel_join_broadcast", "rel_rollup",
     "rel_percentile", "rel_corr",
     "llm_dedup_exact", "llm_minhash_pairs", "llm_neardup_verified",
     "llm_dup_clusters", "llm_curate", "llm_decontaminate",
@@ -31,7 +31,7 @@ object Bench {
     "llm_embed_lsh_knn", "llm_embed_lsh_knn2",
     "llm_embed_neardup", "llm_embed_neardup_lsh", "llm_lang_id", "llm_tfidf",
     "llm_quality_score", "llm_token_count", "llm_fingerprint",
-    "mm_image_features", "mm_frame_sample")
+    "mm_image_features", "mm_frame_sample", "mm_payload_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -719,28 +719,32 @@ object GraftPipelines {
       .union(pairs.select(col(d2).as("a"), col(d1).as("b")))
       .distinct().repartition(col("b")).persist()
     edges.count()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Init = round 1 fused into the node-list aggregation: every node
+    // starts at min(self, neighbors) rather than self, so the loop
+    // below only runs for multi-hop propagation — one fewer full pass
+    // at any scale (and the first pass touches every node; later ones
+    // only chase chains).
+    var labels = edges.groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("label"))
+      .withColumnRenamed("a", "node")
       .localCheckpoint()
     var prev = labels
     var changed = 1L
     while (changed > 0) {
       val nmin = edges.join(labels.withColumnRenamed("node", "b"), "b")
         .groupBy(col("a")).agg(min(col("label")).as("nmin"))
-      // The convergence count rides the checkpoint job via observe() —
-      // one Spark job per round, not a materialize + a recount (the
-      // count was ~40% of each round's fixed cost at test scale, and
-      // at 100 TB it saved a full pass over the label table per round).
-      val obs = org.apache.spark.sql.Observation()
+      // Convergence check = a count() over the just-checkpointed rows —
+      // cached data, no recompute. An observe()-fused metric was tried
+      // and REVERTED: Observation.get blocks on the async listener bus,
+      // which lags whole seconds per round under load (dup_clusters
+      // 7.0 → 11.4 s measured at the official config), far more than
+      // the cached recount it saves.
       val next = labels
         .join(nmin.withColumnRenamed("a", "node"), Seq("node"), "left")
         .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .observe(obs, coalesce(sum(
-          when(col("label") < col("old"), 1L).otherwise(0L)), lit(0L))
-          .as("n_changed"))
         .localCheckpoint()
-      changed = obs.get("n_changed").asInstanceOf[Long]
+      changed = next.filter(col("label") < col("old")).count()
       prev.unpersist(blocking = false)
       prev = next
       labels = next.select(col("node"), col("label"))

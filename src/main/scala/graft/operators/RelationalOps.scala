@@ -213,6 +213,23 @@ object RelationalOps {
     }),
 
     // Running-frame window: cumulative count + exact cumulative sum.
+    // RANGE-frame window: value-based frame bounds (all rows within 5
+    // quantity units below the current row's quantity). Unlike ROWS
+    // frames, RANGE frames include ALL peers of the current value, so
+    // the result is deterministic under ORDER BY ties with no explicit
+    // tie-break column.
+    "rel_window_range" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+          $"l_quantity".cast("int").as("qty"))
+      val w = Window.partitionBy($"l_returnflag").orderBy($"qty")
+        .rangeBetween(-5, Window.currentRow)
+      li.withColumn("n_in_range", count(lit(1)).over(w))
+        .withColumn("sum_in_range", sum($"qty").over(w))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
     "rel_window_running" -> ((s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"o_custkey")
@@ -506,6 +523,16 @@ object RelationalOps {
         |                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "rel_window_range" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, qty,
+        | count(*) OVER w AS n_in_range,
+        | CAST(sum(qty) OVER w AS BIGINT) AS sum_in_range
+        |FROM (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |       CAST(l_quantity AS INTEGER) AS qty FROM lineitem)
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY qty
+        |             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "rel_window_running" ->
       """SELECT o_custkey, o_orderkey,
