@@ -395,7 +395,23 @@ object GraftPipelines {
     */
   def invertedIndex(docs: DataFrame, minDf: Long = 1, id: String = "doc_id",
       text: String = "text"): DataFrame =
-    docs.select(col(id), explode(array_distinct(split(col(text), " "))).as("term"))
+    invertedIndexFromPostings(postingsOf(docs, id, text), minDf, id)
+
+  /** (id, term) posting rows of a doc set — the unit an append-only
+    * postings log accumulates (see `EventStreaming.indexIngestLoop`). */
+  def postingsOf(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame =
+    docs.select(col(id),
+      explode(array_distinct(split(col(text), " "))).as("term"))
+
+  /** [[invertedIndex]] from raw posting rows. The leading `distinct`
+    * makes the read side idempotent under log replays: a foreachBatch
+    * retry that appends a batch's postings twice changes nothing — the
+    * same contract as the band-index ingest loop.
+    */
+  def invertedIndexFromPostings(postings: DataFrame, minDf: Long = 1,
+      id: String = "doc_id"): DataFrame =
+    postings.select(col(id), col("term")).distinct()
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"),
         array_join(array_sort(collect_list(col(id))), ",").as("postings"))

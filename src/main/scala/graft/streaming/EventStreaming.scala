@@ -175,6 +175,29 @@ object EventStreaming {
         .write.mode("append").parquet(indexPath)
     }
 
+  /** Streaming inverted-index maintenance: per micro-batch, append the
+    * batch docs' (id, term) posting rows to an append-only parquet log —
+    * the segment model of every production search index (writers only
+    * append; readers compact). The serving view is
+    * [[graft.api.GraftPipelines.invertedIndexFromPostings]] over the log,
+    * whose leading distinct makes reads idempotent under foreachBatch
+    * replays (a retried batch appends its postings twice, the read-side
+    * dedup cancels it). Per-trigger work is O(batch terms) — the corpus
+    * is never re-tokenized, and the log grows with corpus content, not
+    * with read traffic.
+    */
+  def indexIngestLoop(docs: DataFrame, postingsPath: String,
+      checkpointDir: Option[String] = None, id: String = "doc_id",
+      text: String = "text")
+      (sink: (Dataset[Row], Long) => Unit): StreamingQuery =
+    deliver(docs, checkpointDir) { (batch, batchId) =>
+      val postings = graft.api.GraftPipelines
+        .postingsOf(batch.toDF, id, text)
+        .localCheckpoint()
+      postings.write.mode("append").parquet(postingsPath)
+      sink(postings, batchId)
+    }
+
   /** Incremental delivery via foreachBatch — the caller's sink sees each
     * micro-batch as (batchDF, batchId), the non-blocking poll loop of the
     * reference UI (src/main.cpp:1273) in Spark form. Pass a

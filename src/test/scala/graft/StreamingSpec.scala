@@ -278,6 +278,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("indexIngestLoop: serving view equals batch index, replay-idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val logDir = java.nio.file.Files
+      .createTempDirectory("graft_postings").toString + "/log"
+    var batches = 0
+    val query = EventStreaming.indexIngestLoop(docs, logDir) { (_, _) =>
+      synchronized { batches += 1 }
+    }
+    try {
+      mem.addData((1L, "a b c"), (2L, "b c d"))
+      query.processAllAvailable()
+      mem.addData((3L, "c d e"))
+      query.processAllAvailable()
+      assert(synchronized(batches) == 2)
+      // serving view over the log == batch-computed index of all docs
+      val all = Seq((1L, "a b c"), (2L, "b c d"), (3L, "c d e"))
+        .toDF("doc_id", "text")
+      val expect = api.GraftPipelines.invertedIndex(all).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      def serving = api.GraftPipelines
+        .invertedIndexFromPostings(spark.read.parquet(logDir)).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(serving == expect)
+      assert(expect(("c", 3L, "1,2,3")))
+      // replayed append (sink retry) changes nothing on the read side
+      api.GraftPipelines.postingsOf(Seq((3L, "c d e")).toDF("doc_id", "text"))
+        .write.mode("append").parquet(logDir)
+      assert(serving == expect)
+    } finally query.stop()
+  }
+
   test("batch and streaming tumbling agg agree on the same data") {
     val ev = graft.operators.EventOps.events(spark, sf)
       .select($"ts", $"event_type", $"user_id", $"value")
