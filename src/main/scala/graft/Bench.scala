@@ -15,6 +15,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "ev_flagship", "ev_catalog", "ev_sessionize", "ev_tumbling_1h",
     "ev_sliding_1h15m", "ev_session_window", "ev_asof_join", "ev_range_join",
+    "ev_interval_join",
     "ev_transitions",
     "ev_value_histogram", "ev_heatmap",
     "rel_q1_pricing", "rel_q3_shipping", "rel_q5_region_volume",

@@ -74,6 +74,49 @@ object JoinOps {
           $"ts_ns" > $"sig_ns" && $"ts_ns" <= $"sig_ns" + hourNs)
         .groupBy($"sig_id").agg(count(lit(1)).as("n_follow"))
         .orderBy($"sig_id")
+    }),
+
+    // Interval-overlap join, cell-bucketed: user sessions (gap-based
+    // intervals) × error-incident hours (hours containing ≥1 error) —
+    // "how many sessions were active during each incident hour, and for
+    // how long" (blast radius). The scalable shape: each session
+    // explodes into the fixed 1 h cells it covers (bounded fan-out:
+    // duration/1h cells per session), then an EQUI-join on the cell id
+    // — never an inequality cross product, so candidate pairs track
+    // actual overlaps. The hour table is unhinted (data-scaled in trace
+    // duration): statistics decide broadcast vs shuffle.
+    "ev_interval_join" -> ((s, dir) => {
+      import s.implicits._
+      // All interval arithmetic at ms resolution: the oracle's parquet
+      // reader keeps µs timestamp precision, so ns endpoints differ in
+      // the last three digits; ns→ms truncation agrees exactly in both
+      // engines (session BOUNDARIES still form at full ns like
+      // ev_sessionize).
+      val HOUR_MS = 3600000L
+      val ev = EventOps.events(s, dir)
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+      val sess = ev
+        .withColumn("prev_ns", lag($"ts_ns", 1).over(w))
+        .withColumn("new_sess", when($"prev_ns".isNull ||
+          ($"ts_ns" - $"prev_ns") > 1800000000000L, 1).otherwise(0))
+        .withColumn("sess_id", sum($"new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sess_id")
+        .agg(expr("min(ts_ns) div 1000000").as("start_ms"),
+          expr("max(ts_ns) div 1000000").as("end_ms"))
+      val errHours = ev.filter($"event_type" === "error")
+        .select(expr(s"(ts_ns div 1000000) div $HOUR_MS").as("cell_h"))
+        .distinct()
+      val cells = sess.select($"user_id", $"start_ms", $"end_ms",
+        explode(sequence(expr(s"start_ms div $HOUR_MS"),
+          expr(s"end_ms div $HOUR_MS"))).as("cell_h"))
+      cells.join(errHours, "cell_h")
+        .withColumn("w_start_ms", $"cell_h" * HOUR_MS)
+        .groupBy($"w_start_ms")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(least($"end_ms", $"w_start_ms" + HOUR_MS) -
+            greatest($"start_ms", $"w_start_ms")).as("overlap_ms"))
+        .orderBy($"w_start_ms")
     })
   )
 
@@ -107,6 +150,41 @@ object JoinOps {
         | AND s.event_type = 'signup'
         | AND epoch_ns(e.ts) > epoch_ns(s.ts)
         | AND epoch_ns(e.ts) <= epoch_ns(s.ts) + 3600000000000
-        |GROUP BY s.event_id ORDER BY sig_id""".stripMargin
+        |GROUP BY s.event_id ORDER BY sig_id""".stripMargin,
+
+    // the oracle joins on the naive overlap predicate (session's hour
+    // span contains the cell); the engine's cell-explode equi-join must
+    // produce the identical result set
+    "ev_interval_join" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS ns,
+        |   CASE WHEN lag(epoch_ns(ts)) OVER
+        |          (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        |        IS NULL OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+        |          (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        |        > 1800000000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, sess_id,
+        |   min(ns) // 1000000 AS start_ms, max(ns) // 1000000 AS end_ms
+        |  FROM (SELECT user_id, ns,
+        |         sum(new_sess) OVER (PARTITION BY user_id
+        |           ORDER BY ns, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS sess_id
+        |        FROM marked)
+        |  GROUP BY user_id, sess_id),
+        |hrs AS (
+        |  SELECT DISTINCT (epoch_ns(ts) // 1000000) // 3600000 AS cell_h
+        |  FROM events WHERE event_type = 'error')
+        |SELECT cell_h * 3600000 AS w_start_ms,
+        | count(*) AS n_sessions,
+        | CAST(sum(least(end_ms, cell_h * 3600000 + 3600000)
+        |        - greatest(start_ms, cell_h * 3600000)) AS BIGINT)
+        |   AS overlap_ms
+        |FROM sess JOIN hrs
+        |  ON start_ms // 3600000 <= cell_h
+        | AND cell_h <= end_ms // 3600000
+        |GROUP BY cell_h ORDER BY w_start_ms""".stripMargin
   )
 }

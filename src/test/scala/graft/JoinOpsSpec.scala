@@ -66,6 +66,30 @@ class JoinOpsSpec extends SparkSpec {
     }
   }
 
+  test("ev_interval_join: cell-bucketed overlap matches hand math") {
+    import spark.implicits._
+    val h = 3600000000000L // 1h in ns
+    // user 1: one session 00:30–01:30 (events 30 min apart stay joined);
+    // errors at 00:10 and 01:40 → incident hours 0 and 1
+    val m20 = 1200000000000L // 20 min in ns — gaps stay under 30 min
+    val events = Seq(
+      (1L, h / 2, 1L, "click", 0.0, "{}"),
+      (2L, h / 2 + m20, 1L, "click", 0.0, "{}"),
+      (3L, h / 2 + 2 * m20, 1L, "click", 0.0, "{}"),
+      (4L, h / 2 + 3 * m20, 1L, "click", 0.0, "{}"),
+      (5L, h / 6, 99L, "error", 0.0, "{}"),
+      (6L, h + 2 * h / 3, 99L, "error", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tempSfDir("events" -> events)
+    val out = q("ev_interval_join", dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // hour 0: sessions of user 1 (00:30–01:30 clipped to 00:30–01:00 =
+    // 30 min) and user 99 (error events are sessions too: 00:10, len 0)
+    assert(out(0L) == (2L, 1800000L))
+    // hour 1: user 1 clipped 01:00–01:30 + user 99's 01:40 point session
+    assert(out(3600000L) == (2L, 1800000L))
+  }
+
   test("rel_pivot: cells equal the filtered sums") {
     val rows = q("rel_pivot").collect()
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
