@@ -301,6 +301,57 @@ object EventOps {
         .orderBy($"event_type")
     }),
 
+    // Funnel analysis: signup → view → purchase, strictly ordered per
+    // user (each stage's first event must follow the previous stage's).
+    // Three keyed aggregates chained on user_id — every stage is one
+    // groupBy at user cardinality, no window over the full event
+    // stream, no cross-stage join explosion. ms domain (oracle parquet
+    // precision).
+    "ev_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+        .select($"user_id", $"event_type",
+          expr("ts_ns div 1000000").as("ms"))
+      val s1 = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"ms").as("s1"))
+      val s2 = ev.filter($"event_type" === "view")
+        .join(s1, "user_id").filter($"ms" > $"s1")
+        .groupBy($"user_id").agg(min($"ms").as("s2"), min($"s1").as("s1b"))
+      val s3 = ev.filter($"event_type" === "purchase")
+        .join(s2, "user_id").filter($"ms" > $"s2")
+        .groupBy($"user_id").agg(min($"ms").as("s3"), min($"s2").as("s2b"))
+      val r1 = s1.agg(count(lit(1)).as("n_users"),
+        lit(0L).as("total_lag_ms")).withColumn("stage", lit("1_signup"))
+      val r2 = s2.agg(count(lit(1)).as("n_users"),
+        sum($"s2" - $"s1b").as("total_lag_ms"))
+        .withColumn("stage", lit("2_view"))
+      val r3 = s3.agg(count(lit(1)).as("n_users"),
+        sum($"s3" - $"s2b").as("total_lag_ms"))
+        .withColumn("stage", lit("3_purchase"))
+      r1.unionByName(r2).unionByName(r3)
+        .select($"stage", $"n_users", $"total_lag_ms")
+        .orderBy($"stage")
+    }),
+
+    // Retention cohorts: users grouped by first-signup day; n distinct
+    // users active k days later (k = 0..6). One distinct + one groupBy
+    // at (user, day) cardinality — the standard cohort matrix.
+    "ev_retention" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+        .select($"user_id", $"event_type",
+          expr("(ts_ns div 1000000) div 86400000").as("day"))
+      val cohort = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"day").as("cohort_day"))
+      ev.select($"user_id", $"day").distinct()
+        .join(cohort, "user_id")
+        .withColumn("day_offset", ($"day" - $"cohort_day").cast("int"))
+        .filter($"day_offset" >= 0 && $"day_offset" <= 6)
+        .groupBy($"cohort_day", $"day_offset")
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort_day", $"day_offset")
+    }),
+
     // §2.2 P7 (EventWriteString, reference src/main.cpp:583-592): an
     // event type whose payload is a bare string, not a keyed record —
     // decoded by the registry to the single `message` column. The
@@ -490,6 +541,42 @@ object EventOps {
          |      FROM events)
          |GROUP BY event_type ORDER BY event_type""".stripMargin
     },
+
+    "ev_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS ms
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(ms) AS s1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(ms) AS s2, min(s1) AS s1b
+        |       FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE event_type = 'view' AND ms > s1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(ms) AS s3, min(s2) AS s2b
+        |       FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE event_type = 'purchase' AND ms > s2 GROUP BY e.user_id)
+        |SELECT stage, n_users, total_lag_ms FROM (
+        |  SELECT '1_signup' AS stage, count(*) AS n_users,
+        |   CAST(0 AS BIGINT) AS total_lag_ms FROM s1
+        |  UNION ALL SELECT '2_view', count(*),
+        |   CAST(sum(s2 - s1b) AS BIGINT) FROM s2
+        |  UNION ALL SELECT '3_purchase', count(*),
+        |   CAST(sum(s3 - s2b) AS BIGINT) FROM s3)
+        |ORDER BY stage""".stripMargin,
+
+    "ev_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |   (epoch_ns(ts) // 1000000) // 86400000 AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e
+        |      WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT cohort_day, CAST(day - cohort_day AS INTEGER) AS day_offset,
+        | count(DISTINCT a.user_id) AS n_users
+        |FROM (SELECT DISTINCT user_id, day FROM e) a
+        |JOIN c ON a.user_id = c.user_id
+        |WHERE day - cohort_day BETWEEN 0 AND 6
+        |GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
 
     "ev_string_props" ->
       """SELECT event_id,
