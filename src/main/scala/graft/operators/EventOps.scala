@@ -301,6 +301,32 @@ object EventOps {
         .orderBy($"event_type")
     }),
 
+    // Anomaly scan: events whose value sits more than 3 population
+    // standard deviations from their type's mean. Moments come from
+    // EXACT decimal sums (partition-order independent, bit-identical to
+    // the oracle — the rel_corr pattern); the z-score math is the same
+    // double expression in both engines, and n is widened to double
+    // before n·n (a long product overflows at ~3e9 rows per group at
+    // 100 TB). Stats are one bounded row per event type; the join back
+    // is statistics-driven, never hinted.
+    "ev_anomaly" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+      val stats = ev.groupBy($"event_type").agg(
+          count(lit(1)).as("n"),
+          sum(dec2($"value")).cast("double").as("sx"),
+          sum(dec2($"value") * dec2($"value")).cast("double").as("sxx"))
+        .withColumn("mean", $"sx" / $"n")
+        .withColumn("sd", sqrt(
+          (($"n".cast("double") * $"sxx") - ($"sx" * $"sx")) /
+            ($"n".cast("double") * $"n".cast("double"))))
+      ev.join(stats, "event_type")
+        .withColumn("z", ($"value" - $"mean") / $"sd")
+        .filter(abs($"z") > 3.0)
+        .select($"event_id", $"event_type", $"value", $"z")
+        .orderBy($"event_id")
+    }),
+
     // Funnel analysis: signup → view → purchase, strictly ordered per
     // user (each stage's first event must follow the previous stage's).
     // Three keyed aggregates chained on user_id — every stage is one
@@ -541,6 +567,21 @@ object EventOps {
          |      FROM events)
          |GROUP BY event_type ORDER BY event_type""".stripMargin
     },
+
+    "ev_anomaly" ->
+      """WITH stats AS (
+        |  SELECT event_type, count(*) AS n,
+        |   CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |   CAST(sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+        |  FROM events GROUP BY event_type),
+        |scored AS (
+        |  SELECT event_id, e.event_type, value,
+        |   (value - (sx / n)) /
+        |   sqrt(((CAST(n AS DOUBLE) * sxx) - (sx * sx)) /
+        |        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS z
+        |  FROM events e JOIN stats s ON e.event_type = s.event_type)
+        |SELECT event_id, event_type, value, z FROM scored
+        |WHERE abs(z) > 3.0 ORDER BY event_id""".stripMargin,
 
     "ev_funnel" ->
       """WITH e AS (
