@@ -108,6 +108,29 @@ object RelationalOps2 {
     // exact/approx switch. exact=true is the oracle-parity choice here
     // (5 bounded groups); approx_percentile is the production default at
     // high group cardinality (see GraftPipelines.groupedPercentiles).
+    // TPC-H Q14 shape on the testdata's type vocabulary: per ship
+    // month, the percentage of revenue from ECONOMY-type parts —
+    // join + conditional-revenue ratio. Sums are exact decimal
+    // (order-independent); only the final ratio is double, with the
+    // identical expression in both engines.
+    "rel_q14_type_share" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir).select($"p_partkey", $"p_type")
+      li.join(p, $"l_partkey" === $"p_partkey")
+        .withColumn("m", month($"l_shipdate".cast("timestamp")).cast("int"))
+        .groupBy($"m")
+        .agg(
+          sum(when($"p_type" === "ECONOMY",
+            revenue($"l_extendedprice", $"l_discount"))
+            .otherwise(lit(0).cast("decimal(12,2)"))).as("econ_rev"),
+          sum(revenue($"l_extendedprice", $"l_discount")).as("total_rev"))
+        .select($"m",
+          ((lit(100.0) * $"econ_rev".cast("double")) /
+            $"total_rev".cast("double")).as("econ_share_pct"))
+        .orderBy($"m")
+    }),
+
     "rel_percentile" -> ((s, dir) => {
       import s.implicits._
       graft.api.GraftPipelines.groupedPercentiles(
@@ -215,6 +238,22 @@ object RelationalOps2 {
         |   CAST(sum(CAST(c_acctbal AS DECIMAL(12,2)) * c_nationkey) AS DOUBLE) AS sxy
         |  FROM customer GROUP BY c_mktsegment)
         |ORDER BY c_mktsegment""".stripMargin,
+
+    "rel_q14_type_share" ->
+      """SELECT m,
+        | (100.0 * CAST(econ_rev AS DOUBLE)) / CAST(total_rev AS DOUBLE)
+        |   AS econ_share_pct
+        |FROM (
+        |  SELECT CAST(month(CAST(l_shipdate AS TIMESTAMP)) AS INTEGER) AS m,
+        |   sum(CASE WHEN p_type = 'ECONOMY'
+        |        THEN CAST(l_extendedprice AS DECIMAL(12,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |        ELSE CAST(0 AS DECIMAL(12,2)) END) AS econ_rev,
+        |   sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |       * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1)
+        |ORDER BY m""".stripMargin,
 
     "rel_percentile" ->
       """SELECT o_orderpriority,

@@ -115,6 +115,29 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  private val chunkGen: Gen[(Int, Int, Int)] = for {
+    width <- Gen.chooseNum(1, 12)
+    stride <- Gen.chooseNum(1, width)
+    nWords <- Gen.chooseNum(1, 40)
+  } yield (width, stride, nWords)
+
+  property("chunking covers every word, respects width, stable keys") =
+    Prop.forAll(chunkGen) { case (width, stride, nWords) =>
+      import spark.implicits._
+      val words = (1 to nWords).map(i => s"w$i")
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val chunks = graft.api.GraftPipelines
+        .chunkDocuments(df, width, stride).collect()
+        .map(r => r.getInt(1) -> r.getString(3)).toMap
+      val nChunks = 1 + math.ceil(math.max(nWords - width, 0).toDouble / stride).toInt
+      val covered = chunks.values.flatMap(_.split(" ")).toSet
+      chunks.keySet == (0 until nChunks).toSet &&       // contiguous idx
+        covered == words.toSet &&                        // full coverage
+        chunks.values.forall(_.split(" ").length <= width) &&
+        chunks.filter(_._1 < nChunks - 1)                // only the tail short
+          .values.forall(_.split(" ").length == width)
+    }
+
   property("cosine symmetric, bounded, self-sim ≈ 1") =
     Prop.forAll(vecGen) { case (a, b) =>
       import spark.implicits._
