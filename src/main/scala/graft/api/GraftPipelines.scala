@@ -560,6 +560,28 @@ object GraftPipelines {
       .withColumn("n_tokens", size(split(col(text), " ")))
   }
 
+  /** [[curate]] with a decontamination pre-gate: drop every doc sharing
+    * an n-gram with the eval set ([[decontaminate]]), then run the full
+    * quality → dedup → near-dup → budget chain. The five-stage pipeline
+    * a production pretraining corpus actually runs, composed from the
+    * independently-verified pieces; stage order matters — contamination
+    * is checked against the RAW corpus so a near-dup of a contaminated
+    * doc can still be caught by its own grams, not masked by an earlier
+    * drop.
+    */
+  def curateClean(docs: DataFrame, evalSet: DataFrame,
+      stopwords: Seq[String] = DefaultStopwords, nGram: Int = 5,
+      minScore: Double = 0.45, minWords: Int = 5, minJaccard: Double = 0.7,
+      clusterKeepers: Boolean = false,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val clean = docs.join(
+      decontaminate(docs, evalSet, nGram, id, text)
+        .filter(col("is_contaminated") === 1).select(col(id)),
+      Seq(id), "left_anti")
+    curate(clean, stopwords, minScore, minWords, minJaccard,
+      clusterKeepers, id, text)
+  }
+
   /** Benchmark decontamination: for every corpus doc, the number of
     * distinct word n-grams it shares with an evaluation set — the
     * overlap check every pretraining pipeline runs before training so

@@ -128,7 +128,10 @@ object DedupOps {
 
   // Shared CTE chain for the curate oracles: quality gate → exact dedup
   // → LSH candidates over the survivors → Jaccard-verified pairs.
-  private val curatePrefixSql = {
+  /** Curate CTE chain rooted at `base` (any relation with the documents
+    * schema): quality gate -> exact dedup -> LSH candidates -> verified
+    * pairs. */
+  private def curatePrefixSqlFrom(base: String) = {
     val stopList = graft.api.GraftPipelines.DefaultStopwords
       .map(w => s"'$w'").mkString(", ")
     s"""q AS (
@@ -141,9 +144,9 @@ object DedupOps {
        |          AND CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
        |              / len(w) <= 8.0
        |         THEN 0.2 ELSE 0.0 END) AS score
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $base)),
        |kept AS (
-       |  SELECT d.* FROM documents d JOIN q USING (doc_id)
+       |  SELECT d.* FROM $base d JOIN q USING (doc_id)
        |  WHERE q.score >= 0.45 AND q.n_words >= 5),
        |exact AS (
        |  SELECT doc_id, source, text FROM (
@@ -164,6 +167,8 @@ object DedupOps {
        |  WHERE CAST(len(list_intersect(s1.wset, s2.wset)) AS DOUBLE)
        |        / len(list_distinct(list_concat(s1.wset, s2.wset))) >= 0.7)""".stripMargin
   }
+
+  private val curatePrefixSql = curatePrefixSqlFrom("documents")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group by content digest, keep lowest doc_id.
@@ -201,6 +206,19 @@ object DedupOps {
     "llm_curate" -> ((s, dir) => {
       import s.implicits._
       graft.api.GraftPipelines.curate(Tables.documents(s, dir))
+        .select($"doc_id", $"source", $"n_tokens")
+        .orderBy($"doc_id")
+    }),
+
+    // Five-stage curation: decontaminate (vs the held-out src19 eval
+    // set) → quality gate → exact dedup → verified near-dup drop →
+    // token budget — the complete production chain in one composition.
+    "llm_curate_full" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      graft.api.GraftPipelines.curateClean(
+          docs.filter($"source" =!= "src19"),
+          docs.filter($"source" === "src19"))
         .select($"doc_id", $"source", $"n_tokens")
         .orderBy($"doc_id")
     }),
@@ -411,6 +429,35 @@ object DedupOps {
          |FROM exact
          |WHERE doc_id NOT IN (SELECT d2 FROM drops)
          |ORDER BY doc_id""".stripMargin,
+
+    // Decontamination pre-gate composed onto the curate chain (the
+    // 5-gram overlap CTEs mirror llm_decontaminate; the curate chain is
+    // rooted at the cleaned base relation).
+    "llm_curate_full" -> {
+      val gram5 =
+        "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]"
+      def grams(pred: String) =
+        s"""SELECT DISTINCT doc_id,
+           |   CAST(md5_number_lower(s) % 1152921504606846976 AS BIGINT) AS g
+           |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+           |           i -> $gram5)) AS s
+           |        FROM (SELECT doc_id, string_split(text, ' ') AS w
+           |              FROM documents WHERE $pred)
+           |        WHERE len(w) >= 5)""".stripMargin
+      s"""WITH cg AS (${grams("source <> 'src19'")}),
+         |eg AS (SELECT DISTINCT g FROM (${grams("source = 'src19'")})),
+         |contaminated AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (g)),
+         |base AS (
+         |  SELECT * FROM documents WHERE source <> 'src19'
+         |   AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |${curatePrefixSqlFrom("base")},
+         |drops AS (SELECT DISTINCT d2 FROM vpairs)
+         |SELECT doc_id, source,
+         | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+         |FROM exact
+         |WHERE doc_id NOT IN (SELECT d2 FROM drops)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // Same gates; the drop step is the connected-component closure over
     // the verified pairs (keep only each component's min id).

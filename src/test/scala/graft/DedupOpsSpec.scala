@@ -185,4 +185,20 @@ class DedupOpsSpec extends SparkSpec {
     assert(out == Map(1L -> base.split(" ").length,
       6L -> distinct.split(" ").length))
   }
+
+  test("curateClean: planted eval leak is dropped before the quality gates") {
+    val spark = this.spark
+    import spark.implicits._
+    val leak = "alpha beta gamma delta epsilon" // shared 5-gram
+    val corpus = Seq(
+      (1L, s"the document with $leak inside it and the more padding words", "s0"),
+      (2L, base, "s0"))
+      .toDF("doc_id", "text", "source")
+    val eval = Seq((100L, s"an eval question about $leak here", "ev"))
+      .toDF("doc_id", "text", "source")
+    val kept = api.GraftPipelines.curateClean(corpus, eval)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc 1 passes every quality/dedup gate but leaks an eval 5-gram
+    assert(kept == Set(2L))
+  }
 }
