@@ -18,7 +18,7 @@ object Bench {
     "ev_interval_join",
     "ev_transitions",
     "ev_value_histogram", "ev_heatmap", "ev_funnel", "ev_retention",
-    "ev_anomaly",
+    "ev_anomaly", "ev_rate_1m",
     "rel_q1_pricing", "rel_q3_shipping", "rel_q5_region_volume",
     "rel_q6_forecast", "rel_q10_returns", "rel_q18_large_orders",
     "rel_window_rank", "rel_window_range", "rel_join_broadcast", "rel_rollup",
@@ -28,7 +28,7 @@ object Bench {
     "llm_span_dedup", "llm_sample_stratified", "llm_pack_sequences",
     "llm_hybrid_search", "llm_corpus_report",
     "llm_bm25", "llm_inverted_index", "llm_mix_temperature",
-    "llm_sample_topk", "llm_embed_quantize", "llm_chunk",
+    "llm_sample_topk", "llm_embed_quantize", "llm_chunk", "llm_bigram_lm",
     "llm_simhash", "llm_simhash_pairs", "llm_embed_topk",
     "llm_embed_lsh_knn", "llm_embed_lsh_knn2",
     "llm_embed_neardup", "llm_embed_neardup_lsh", "llm_lang_id", "llm_tfidf",

@@ -301,6 +301,28 @@ object EventOps {
         .orderBy($"event_type")
     }),
 
+    // Gap-filled rate series: events per minute over a dense time axis
+    // (minutes with no events appear as explicit zeros — the shape a
+    // rate plot consumes; a bare groupBy leaves holes). The dense axis
+    // comes from ONE sequence() explode off the 1-row min/max aggregate
+    // — rows scale with the time span, not the event count — and the
+    // counts join back on the minute key. Bounded to the first day to
+    // keep the oracle diff readable; the shape is span-agnostic.
+    "ev_rate_1m" -> ((s, dir) => {
+      import s.implicits._
+      val MIN_MS = 60000L
+      val ev = events(s, dir)
+        .select(expr("(ts_ns div 1000000) div 60000").as("minute"))
+      val bounds = ev.agg(min($"minute").as("lo"), max($"minute").as("hi"))
+        .select($"lo", least($"hi", $"lo" + 1439).as("hi"))
+      val axis = bounds.select(explode(sequence($"lo", $"hi")).as("minute"))
+      val counts = ev.groupBy($"minute").agg(count(lit(1)).as("n"))
+      axis.join(counts, Seq("minute"), "left")
+        .select(($"minute" * MIN_MS).as("minute_ms"),
+          coalesce($"n", lit(0L)).as("n"))
+        .orderBy($"minute_ms")
+    }),
+
     // Anomaly scan: events whose value sits more than 3 population
     // standard deviations from their type's mean. Moments come from
     // EXACT decimal sums (partition-order independent, bit-identical to
@@ -567,6 +589,19 @@ object EventOps {
          |      FROM events)
          |GROUP BY event_type ORDER BY event_type""".stripMargin
     },
+
+    "ev_rate_1m" ->
+      """WITH m AS (
+        |  SELECT epoch_ns(ts) // 1000000 // 60000 AS minute FROM events),
+        |bounds AS (
+        |  SELECT lo, least(hi, lo + 1439) AS hi FROM
+        |   (SELECT min(minute) AS lo, max(minute) AS hi FROM m)),
+        |axis AS (
+        |  SELECT unnest(range(lo, hi + 1)) AS minute FROM bounds),
+        |counts AS (SELECT minute, count(*) AS n FROM m GROUP BY minute)
+        |SELECT axis.minute * 60000 AS minute_ms, coalesce(n, 0) AS n
+        |FROM axis LEFT JOIN counts ON axis.minute = counts.minute
+        |ORDER BY minute_ms""".stripMargin,
 
     "ev_anomaly" ->
       """WITH stats AS (

@@ -246,6 +246,33 @@ object TextOps {
         .orderBy($"source")
     }),
 
+    // Bigram LM table: P(w2 | w1) = count(w1 w2) / count(w1 ·), top-3
+    // continuations per word — the n-gram language-model statistics a
+    // KenLM-style filter or synthetic-data detector builds. Counts are
+    // exact ints; the probability is one int/int division, identical in
+    // both engines. Explode + two aggs + per-group top-k — all
+    // shuffle-bounded, no driver state.
+    "llm_bigram_lm" -> ((s, dir) => {
+      import s.implicits._
+      val bi = Tables.documents(s, dir)
+        .select(split($"text", " ").as("w"))
+        .filter(size($"w") >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+          .as("b"))
+        .select($"b.w1", $"b.w2")
+      val n12 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("n12"))
+      val n1 = bi.groupBy($"w1").agg(count(lit(1)).as("n1"))
+      val w = Window.partitionBy($"w1")
+        .orderBy($"n12".desc, $"w2".asc)
+      n12.join(n1, "w1")
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .filter($"rn" <= 3)
+        .select($"w1", $"rn", $"w2", $"n12", $"n1",
+          ($"n12".cast("double") / $"n1".cast("double")).as("p"))
+        .orderBy($"w1", $"rn")
+    }),
+
     // Sliding-window chunking (20-word chunks, stride 15): the RAG /
     // long-doc-embedding preprocessing step; (doc_id, chunk_idx) is the
     // stable chunk key.
@@ -515,6 +542,24 @@ object TextOps {
         | coalesce(k.n_kept, 0) AS n_kept
         |FROM rates r LEFT JOIN kept k ON r.source = k.source
         |ORDER BY r.source""".stripMargin,
+
+    "llm_bigram_lm" ->
+      """WITH bi AS (
+        |  SELECT b['w1'] AS w1, b['w2'] AS w2 FROM (
+        |    SELECT unnest(list_transform(range(1, len(w)),
+        |             i -> {'w1': w[i], 'w2': w[i+1]})) AS b
+        |    FROM (SELECT string_split(text, ' ') AS w FROM documents)
+        |    WHERE len(w) >= 2)),
+        |n12 AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY w1, w2),
+        |n1 AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY w1)
+        |SELECT w1, CAST(rn AS INTEGER) AS rn, w2, n12, n1,
+        | CAST(n12 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p
+        |FROM (
+        |  SELECT n12.w1, w2, n12, n1,
+        |   row_number() OVER (PARTITION BY n12.w1
+        |     ORDER BY n12 DESC, w2) AS rn
+        |  FROM n12 JOIN n1 ON n12.w1 = n1.w1)
+        |WHERE rn <= 3 ORDER BY w1, rn""".stripMargin,
 
     "llm_chunk" ->
       """SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
