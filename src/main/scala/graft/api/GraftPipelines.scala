@@ -388,14 +388,21 @@ object GraftPipelines {
     * document frequency and the sorted posting list — the artifact a
     * keyword-search layer serves from (and [[bm25]] conceptually probes).
     * Postings are emitted as a comma-joined string: deterministic,
-    * engine-portable, and safe to hash-compare. At scale this is one
-    * explode + two aggregations, all map-side partial; per-term posting
-    * lists are the only wide rows, and `minDf` drops the hapax tail
-    * where the list payload is pure overhead.
+    * engine-portable, and safe to hash-compare.
+    *
+    * Scale contract: the (id, term) posting ROWS ([[postingsOf]], or the
+    * streaming log `EventStreaming.indexIngestLoop` maintains) are the
+    * source of truth and scale to any corpus; this compacted list view
+    * is a serving convenience whose per-term row is df-sized. `maxDf`
+    * exists for exactly that hazard — a stop-word term's list is
+    * corpus-sized, so production compactions cap or shard it (stop-word
+    * postings are useless for retrieval anyway); `minDf` drops the
+    * hapax tail where the list payload is pure overhead.
     */
-  def invertedIndex(docs: DataFrame, minDf: Long = 1, id: String = "doc_id",
+  def invertedIndex(docs: DataFrame, minDf: Long = 1,
+      maxDf: Long = Long.MaxValue, id: String = "doc_id",
       text: String = "text"): DataFrame =
-    invertedIndexFromPostings(postingsOf(docs, id, text), minDf, id)
+    invertedIndexFromPostings(postingsOf(docs, id, text), minDf, maxDf, id)
 
   /** (id, term) posting rows of a doc set — the unit an append-only
     * postings log accumulates (see `EventStreaming.indexIngestLoop`). */
@@ -410,12 +417,17 @@ object GraftPipelines {
     * same contract as the band-index ingest loop.
     */
   def invertedIndexFromPostings(postings: DataFrame, minDf: Long = 1,
-      id: String = "doc_id"): DataFrame =
-    postings.select(col(id), col("term")).distinct()
-      .groupBy(col("term"))
-      .agg(count(lit(1)).as("df"),
-        array_join(array_sort(collect_list(col(id))), ",").as("postings"))
-      .filter(col("df") >= minDf)
+      maxDf: Long = Long.MaxValue, id: String = "doc_id"): DataFrame = {
+    val p = postings.select(col(id), col("term")).distinct()
+    // df gate BEFORE list building: an out-of-band term (stop word) must
+    // never materialize its corpus-sized list just to be dropped.
+    val dfs = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+    p.join(dfs, Seq("term"))
+      .groupBy(col("term"), col("df"))
+      .agg(array_join(array_sort(collect_list(col(id))), ",").as("postings"))
+      .select(col("term"), col("df"), col("postings"))
+  }
 
   /** BM25 keyword retrieval over word unigrams — the lexical complement
     * to the vector-similarity family (and the scoring half of hybrid
@@ -659,7 +671,12 @@ object GraftPipelines {
     val rates = withMin.select(col(stratum), col("n_docs"),
       floor(sqrt(col("n_min").cast("double") / col("n_docs").cast("double"))
         * lit(1000000)).cast("long").as("rate_ppm"))
-    val kept = docs.join(broadcast(rates), Seq(stratum))
+    // No broadcast hint on the rate table: its cardinality is the
+    // DISTINCT stratum count, which is data-scaled (per-domain
+    // stratification at 100 TB is millions of rows) — unlike
+    // stratifiedSample's caller-bounded recipe map. Statistics/AQE
+    // broadcast it when actually small.
+    val kept = docs.join(rates, Seq(stratum))
       .filter(pmod(VectorExpressions.md5Half60Prefixed(
         salt + "|", col(id).cast("string"), upperHalf = false), lit(1000000))
         < col("rate_ppm"))
