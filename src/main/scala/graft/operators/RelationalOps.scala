@@ -214,16 +214,19 @@ object RelationalOps {
 
     // Running-frame window: cumulative count + exact cumulative sum.
     // RANGE-frame window: value-based frame bounds (all rows within 5
-    // quantity units below the current row's quantity). Unlike ROWS
-    // frames, RANGE frames include ALL peers of the current value, so
-    // the result is deterministic under ORDER BY ties with no explicit
-    // tie-break column.
+    // quantity units below the current row's quantity, per supplier).
+    // Unlike ROWS frames, RANGE frames include ALL peers of the current
+    // value, so the result is deterministic under ORDER BY ties with no
+    // explicit tie-break column. Partitioned by supplier — a key whose
+    // cardinality grows with the data — NOT by the 3-value return flag,
+    // which would funnel a third of the table through one sort task at
+    // 100 TB.
     "rel_window_range" -> ((s, dir) => {
       import s.implicits._
       val li = Tables.lineitem(s, dir)
-        .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+        .select($"l_orderkey", $"l_linenumber", $"l_suppkey",
           $"l_quantity".cast("int").as("qty"))
-      val w = Window.partitionBy($"l_returnflag").orderBy($"qty")
+      val w = Window.partitionBy($"l_suppkey").orderBy($"qty")
         .rangeBetween(-5, Window.currentRow)
       li.withColumn("n_in_range", count(lit(1)).over(w))
         .withColumn("sum_in_range", sum($"qty").over(w))
@@ -525,12 +528,12 @@ object RelationalOps {
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
 
     "rel_window_range" ->
-      """SELECT l_orderkey, l_linenumber, l_returnflag, qty,
+      """SELECT l_orderkey, l_linenumber, l_suppkey, qty,
         | count(*) OVER w AS n_in_range,
         | CAST(sum(qty) OVER w AS BIGINT) AS sum_in_range
-        |FROM (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |FROM (SELECT l_orderkey, l_linenumber, l_suppkey,
         |       CAST(l_quantity AS INTEGER) AS qty FROM lineitem)
-        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY qty
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY qty
         |             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
