@@ -274,6 +274,49 @@ object GraftPipelines {
     assign(fitted).select(col(id), col("cluster"), col("ccos"))
   }
 
+  // ---------------- data profiling ----------------
+
+  /** Per-column data profile — row count, null count, distinct count,
+    * min/max (numeric columns as double, string columns lexically) —
+    * the table-observability panel a pipeline runs before trusting a
+    * new source (Deequ-style). ONE pass over the table: every metric
+    * for every column lives in a single aggregate (Spark plans the
+    * multiple DISTINCTs via one Expand), and the per-column rows are
+    * unstacked from the 1-row result with a bounded explode — never one
+    * scan per column.
+    */
+  def profile(df: DataFrame, numericCols: Seq[String],
+      stringCols: Seq[String]): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      (numericCols ++ stringCols).flatMap { c =>
+        Seq(sum(col(c).isNull.cast("long")).as(s"__null_$c"),
+          countDistinct(col(c)).as(s"__dist_$c"))
+      } ++
+      numericCols.flatMap { c =>
+        Seq(min(col(c)).cast("double").as(s"__min_$c"),
+          max(col(c)).cast("double").as(s"__max_$c"))
+      } ++
+      stringCols.flatMap { c =>
+        Seq(min(col(c)).as(s"__smin_$c"), max(col(c)).as(s"__smax_$c"))
+      }
+    val rows = numericCols.map { c =>
+      struct(lit(c).as("column"), col("__n").as("n"),
+        col(s"__null_$c").as("n_null"), col(s"__dist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_num"), col(s"__max_$c").as("max_num"),
+        lit(null).cast("string").as("min_str"),
+        lit(null).cast("string").as("max_str"))
+    } ++ stringCols.map { c =>
+      struct(lit(c).as("column"), col("__n").as("n"),
+        col(s"__null_$c").as("n_null"), col(s"__dist_$c").as("n_distinct"),
+        lit(null).cast("double").as("min_num"),
+        lit(null).cast("double").as("max_num"),
+        col(s"__smin_$c").as("min_str"), col(s"__smax_$c").as("max_str"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("p"))
+      .select(col("p.*"))
+  }
+
   // ---------------- percentiles ----------------
 
   /** Grouped percentiles with an explicit exact/approx switch.
@@ -685,6 +728,21 @@ object GraftPipelines {
       .select(col(stratum), col("n_docs"), col("rate_ppm"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
+
+  /** Quality-weighted sampling: each doc keeps with probability equal
+    * to a caller-supplied per-row weight in [0, 1] (typically the
+    * composite quality score — better docs survive more often, junk
+    * still contributes occasionally, the soft alternative to a hard
+    * score threshold). Same salted-hash determinism contract as
+    * [[stratifiedSample]] at ppm resolution: the weight is computed
+    * identically everywhere, `floor(w·1e6)` is exact, so reruns and
+    * both oracle engines keep the SAME rows. Pure map-side.
+    */
+  def weightedSample(docs: DataFrame, weight: Column,
+      salt: String = "wsmp", id: String = "doc_id"): DataFrame =
+    docs.filter(pmod(VectorExpressions.md5Half60Prefixed(
+      salt + "|", col(id).cast("string"), upperHalf = false), lit(1000000))
+      < floor(weight * lit(1000000)).cast("long"))
 
   /** Exact-budget deterministic sampling: the k docs per stratum with
     * the smallest salted id hash — rank-based where [[stratifiedSample]]

@@ -108,6 +108,17 @@ object RelationalOps2 {
     // exact/approx switch. exact=true is the oracle-parity choice here
     // (5 bounded groups); approx_percentile is the production default at
     // high group cardinality (see GraftPipelines.groupedPercentiles).
+    // Data profile (Deequ-style observability panel): per-column row /
+    // null / distinct counts and min-max, ONE pass over the table —
+    // the check a pipeline runs before trusting a new source.
+    "rel_profile" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.GraftPipelines.profile(Tables.orders(s, dir),
+          numericCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+          stringCols = Seq("o_orderstatus", "o_orderpriority"))
+        .orderBy($"column")
+    }),
+
     // TPC-H Q14 shape on the testdata's type vocabulary: per ship
     // month, the percentage of revenue from ECONOMY-type parts —
     // join + conditional-revenue ratio. Sums are exact decimal
@@ -238,6 +249,29 @@ object RelationalOps2 {
         |   CAST(sum(CAST(c_acctbal AS DECIMAL(12,2)) * c_nationkey) AS DOUBLE) AS sxy
         |  FROM customer GROUP BY c_mktsegment)
         |ORDER BY c_mktsegment""".stripMargin,
+
+    "rel_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n,
+           | count(*) - count($c) AS n_null,
+           | count(DISTINCT $c) AS n_distinct,
+           | CAST(min($c) AS DOUBLE) AS min_num,
+           | CAST(max($c) AS DOUBLE) AS max_num,
+           | CAST(NULL AS VARCHAR) AS min_str,
+           | CAST(NULL AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n,
+           | count(*) - count($c) AS n_null,
+           | count(DISTINCT $c) AS n_distinct,
+           | CAST(NULL AS DOUBLE) AS min_num,
+           | CAST(NULL AS DOUBLE) AS max_num,
+           | min($c) AS min_str, max($c) AS max_str
+           |FROM orders""".stripMargin
+      (Seq("o_orderkey", "o_custkey", "o_totalprice").map(num) ++
+        Seq("o_orderstatus", "o_orderpriority").map(str))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
 
     "rel_q14_type_share" ->
       """SELECT m,

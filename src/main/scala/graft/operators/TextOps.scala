@@ -246,6 +246,22 @@ object TextOps {
         .orderBy($"source")
     }),
 
+    // Quality-weighted sampling: keep probability = the composite
+    // quality score (soft alternative to a hard threshold; junk still
+    // contributes occasionally). Deterministic salted hash — reruns and
+    // the oracle keep identical rows.
+    "llm_sample_weighted" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val scored = docs.join(
+        graft.api.GraftPipelines.qualityScores(docs, EN_MARKERS)
+          .select($"doc_id", $"score"),
+        "doc_id")
+      graft.api.GraftPipelines.weightedSample(scored, $"score")
+        .select($"doc_id", $"source", $"score")
+        .orderBy($"doc_id")
+    }),
+
     // Bigram LM table: P(w2 | w1) = count(w1 w2) / count(w1 ·), top-3
     // continuations per word — the n-gram language-model statistics a
     // KenLM-style filter or synthetic-data detector builds. Counts are
@@ -542,6 +558,25 @@ object TextOps {
         | coalesce(k.n_kept, 0) AS n_kept
         |FROM rates r LEFT JOIN kept k ON r.source = k.source
         |ORDER BY r.source""".stripMargin,
+
+    "llm_sample_weighted" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |   ((CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.5) +
+         |   ((CAST(len(list_filter(w, x -> x IN ($markersInList))) AS DOUBLE)
+         |      / len(w)) * 0.3) +
+         |   (CASE WHEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+         |              / len(w) >= 3.0
+         |          AND CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+         |              / len(w) <= 8.0
+         |         THEN 0.2 ELSE 0.0 END) AS score
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+         |SELECT d.doc_id, d.source, s.score
+         |FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+         |WHERE CAST(md5_number_lower('wsmp|' || CAST(d.doc_id AS VARCHAR))
+         |           % 1152921504606846976 AS BIGINT) % 1000000
+         |      < CAST(floor(s.score * 1000000) AS BIGINT)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "llm_bigram_lm" ->
       """WITH bi AS (

@@ -102,6 +102,31 @@ class RetrievalSamplingSpec extends SparkSpec {
     assert(out(3L) > out(2L) && out(2L) > out(1L))
   }
 
+  test("profile: hand-computed metrics incl. nulls, one row per column") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None),
+      (None, Some("b")), (Some(2L), Some("a")))
+      .toDF("k", "s")
+    val p = api.GraftPipelines.profile(df, Seq("k"), Seq("s")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val k = p("k")
+    assert(k.getLong(1) == 4 && k.getLong(2) == 1 && k.getLong(3) == 2)
+    assert(k.getDouble(4) == 1.0 && k.getDouble(5) == 2.0)
+    assert(k.isNullAt(6) && k.isNullAt(7))
+    val s = p("s")
+    assert(s.getLong(2) == 1 && s.getLong(3) == 2)
+    assert(s.getString(6) == "a" && s.getString(7) == "b")
+  }
+
+  test("weightedSample: weight 0 drops all, weight 1 keeps all, rerun-stable") {
+    val df = (0L until 60L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    assert(api.GraftPipelines.weightedSample(df, lit(0.0)).count() == 0L)
+    assert(api.GraftPipelines.weightedSample(df, lit(1.0)).count() == 60L)
+    val half = (1 to 2).map(_ => api.GraftPipelines
+      .weightedSample(df, lit(0.5)).collect().map(_.getLong(0)).toSet)
+    assert(half(0) == half(1) && half(0).nonEmpty && half(0).size < 60)
+  }
+
   test("quantizeEmbeddings: known norm and components, zero vector guarded") {
     val df = Seq(
       (1L, Array(3.0f, -4.0f)),
