@@ -827,10 +827,13 @@ object GraftPipelines {
     // Cached pre-partitioned on the probe key: every propagation round
     // joins edges on `b`, and InMemoryRelation preserves the hash
     // layout, so rounds shuffle only the (node, label) table — the big
-    // edge table crosses the network once, not once per round.
+    // edge table crosses the network once, not once per round. No
+    // dedup pass: min-label propagation is idempotent under duplicate
+    // edges (min over a multiset), so a distinct() here would be a
+    // whole wasted shuffle of the edge list.
     val edges = pairs.select(col(d1).as("a"), col(d2).as("b"))
       .union(pairs.select(col(d2).as("a"), col(d1).as("b")))
-      .distinct().repartition(col("b")).persist()
+      .repartition(col("b")).persist()
     edges.count()
     // Init = round 1 fused into the node-list aggregation: every node
     // starts at min(self, neighbors) rather than self, so the loop
