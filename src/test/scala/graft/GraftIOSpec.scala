@@ -72,6 +72,35 @@ class GraftIOSpec extends SparkSpec {
     }
   }
 
+  test("bucketed band index: per-ingest dedup never re-shuffles the corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 40L).map(i => (i, s"w$i x$i y$i z$i common tail"))
+      .toDF("doc_id", "text")
+    val batch = (100L until 110L).map(i => (i, s"w$i x$i y$i z$i common tail"))
+      .toDF("doc_id", "text")
+    // the persisted artifact a recurring ingest maintains, bucketed on
+    // the band hash (4 buckets = the spec session's shuffle partitions)
+    GraftIO.writeBucketed(
+      api.GraftPipelines.bandIndex(docs), "band_idx", "b", 4)
+    try {
+      val bucketed = api.GraftPipelines
+        .incrementalDedupWithIndex(spark.table("band_idx"), batch)
+      val unbucketed = api.GraftPipelines
+        .incrementalDedupWithIndex(api.GraftPipelines.bandIndex(docs), batch)
+      def bandExchanges(df: org.apache.spark.sql.DataFrame) =
+        "Exchange hashpartitioning\\(b#".r
+          .findAllIn(df.queryExecution.executedPlan.toString()).size
+      // recomputed index: BOTH band-join sides shuffle; bucketed index:
+      // only the batch side does — the corpus never crosses the network
+      assert(bandExchanges(unbucketed) == 2)
+      assert(bandExchanges(bucketed) == 1,
+        s"corpus side must read in place:\n${bucketed.queryExecution.executedPlan.toString().take(900)}")
+      // and the answers agree
+      assert(bucketed.orderBy(col("batch_id")).collect().toSeq ==
+        unbucketed.orderBy(col("batch_id")).collect().toSeq)
+    } finally spark.sql("DROP TABLE IF EXISTS band_idx")
+  }
+
   test("orc round-trip via the generic reader") {
     val dir = Files.createTempDirectory("graft_io").toString
     val src = lineitem.select($"l_orderkey", $"l_quantity")
