@@ -14,7 +14,8 @@ object DevExplain {
     spark.sparkContext.setLogLevel("WARN")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("ev_flagship", "rel_q5_region_volume", "llm_embed_topk")
+      else Seq("ev_flagship", "rel_q5_region_volume", "llm_embed_topk",
+        "llm_bm25", "ev_interval_join", "llm_minhash_pairs")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sf).explain("formatted")

@@ -35,6 +35,22 @@ object GraftIO {
       schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** JSON lines, corruption-tolerant: malformed lines land in
+    * `_corrupt_record` instead of nulling silently or failing the job —
+    * at 100 TB a crawl ALWAYS contains broken lines, and the triage
+    * query (`WHERE _corrupt_record IS NOT NULL`) needs them captured,
+    * not dropped. PERMISSIVE is Spark's default mode; what this wrapper
+    * adds is the explicit capture column wired into the caller's schema
+    * so the contract is visible at the call site.
+    */
+  def readJsonPermissive(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** Snappy parquet writer, optionally hash-partitioned into a bounded
     * file count and/or hive-partitioned by columns for pruned reads.
     */

@@ -101,6 +101,25 @@ class GraftIOSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS band_idx")
   }
 
+  test("permissive json: malformed lines captured, valid rows unharmed") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.json"),
+      java.util.Arrays.asList(
+        """{"id": 1, "name": "ok"}""",
+        """{"id": 2, "name": "also ok"}""",
+        """{"id": 3, "name": BROKEN"""))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val df = GraftIO.readJsonPermissive(spark, dir, schema).cache()
+    try {
+      assert(df.count() == 3)
+      assert(df.filter("_corrupt_record IS NOT NULL").count() == 1)
+      assert(df.filter("_corrupt_record IS NULL")
+        .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    } finally df.unpersist()
+  }
+
   test("orc round-trip via the generic reader") {
     val dir = Files.createTempDirectory("graft_io").toString
     val src = lineitem.select($"l_orderkey", $"l_quantity")
