@@ -280,17 +280,26 @@ object GraftPipelines {
     * min/max (numeric columns as double, string columns lexically) —
     * the table-observability panel a pipeline runs before trusting a
     * new source (Deequ-style). ONE pass over the table: every metric
-    * for every column lives in a single aggregate (Spark plans the
-    * multiple DISTINCTs via one Expand), and the per-column rows are
-    * unstacked from the 1-row result with a bounded explode — never one
-    * scan per column.
+    * for every column lives in a single aggregate, and the per-column
+    * rows are unstacked from the 1-row result with a bounded explode —
+    * never one scan per column.
+    *
+    * `exactDistinct` is the same exact↔sketch switch as
+    * [[groupedPercentiles]]: exact `countDistinct` is what the
+    * hash-compared oracle needs, but Spark plans k exact DISTINCTs via
+    * one Expand that multiplies every input row (k+1)× through the
+    * aggregate — a real cost at 100 TB. The production default is the
+    * HLL sketch (`approx_count_distinct`, ~2% error), which keeps the
+    * pass Expand-free.
     */
   def profile(df: DataFrame, numericCols: Seq[String],
-      stringCols: Seq[String]): DataFrame = {
+      stringCols: Seq[String], exactDistinct: Boolean = true): DataFrame = {
+    def dist(c: String) =
+      (if (exactDistinct) countDistinct(col(c))
+       else approx_count_distinct(col(c))).as(s"__dist_$c")
     val aggs = Seq(count(lit(1)).as("__n")) ++
       (numericCols ++ stringCols).flatMap { c =>
-        Seq(sum(col(c).isNull.cast("long")).as(s"__null_$c"),
-          countDistinct(col(c)).as(s"__dist_$c"))
+        Seq(sum(col(c).isNull.cast("long")).as(s"__null_$c"), dist(c))
       } ++
       numericCols.flatMap { c =>
         Seq(min(col(c)).cast("double").as(s"__min_$c"),

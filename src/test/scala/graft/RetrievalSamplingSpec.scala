@@ -116,6 +116,11 @@ class RetrievalSamplingSpec extends SparkSpec {
     val s = p("s")
     assert(s.getLong(2) == 1 && s.getLong(3) == 2)
     assert(s.getString(6) == "a" && s.getString(7) == "b")
+    // sketch path (the 100 TB default): within HLL tolerance of exact
+    val approx = api.GraftPipelines
+      .profile(df, Seq("k"), Seq("s"), exactDistinct = false).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(math.abs(approx("k") - 2L) <= 1 && math.abs(approx("s") - 2L) <= 1)
   }
 
   test("weightedSample: weight 0 drops all, weight 1 keeps all, rerun-stable") {
