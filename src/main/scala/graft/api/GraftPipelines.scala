@@ -543,7 +543,7 @@ object GraftPipelines {
     * `stride` words — the retrieval/embedding preprocessing step (RAG
     * chunking, long-doc embedding, context-window packing all consume
     * this shape). Chunk count per doc is
-    * `1 + ceil(max(n - size, 0) / stride)` (the final chunk is the only
+    * `1 + ceil(max(n - width, 0) / stride)` (the final chunk is the only
     * short one); `chunk_idx` is 0-based and `(id, chunk_idx)` is the
     * stable chunk key. Pure per-row explode — no shuffle at all, and
     * the explode fan-out is ~n/stride rows per doc (bounded, unlike
