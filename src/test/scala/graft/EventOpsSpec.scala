@@ -121,4 +121,30 @@ class EventOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_sessions") == 2)
     assert(r.getAs[Long]("n_events") == 4)
   }
+
+  test("ev_funnel: stages are strictly ordered per user") {
+    val s = 1000000000L // 1s in ns
+    val events = Seq(
+      // user 7: view BEFORE signup must not count; the t=3 view does.
+      (1L, 1 * s, 7L, "view", 1.0, "{}"),
+      (2L, 2 * s, 7L, "signup", 1.0, "{}"),
+      (3L, 3 * s, 7L, "view", 1.0, "{}"),
+      (4L, 4 * s, 7L, "purchase", 1.0, "{}"),
+      // user 8: purchase before the first qualifying view → stage 2 only
+      (5L, 1 * s, 8L, "signup", 1.0, "{}"),
+      (6L, 2 * s, 8L, "purchase", 1.0, "{}"),
+      (7L, 3 * s, 8L, "view", 1.0, "{}"),
+      // user 9: never signs up → no stage at all
+      (8L, 1 * s, 9L, "view", 1.0, "{}"),
+      (9L, 2 * s, 9L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tempSfDir("events" -> events)
+    val out = q("ev_funnel", dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("1_signup") == (2L, 0L))     // users 7 and 8
+    // user 7 converts at t=3 (lag 1s); user 8's view at t=3 also follows
+    // signup → both reach stage 2 (lags 1s + 2s)
+    assert(out("2_view") == (2L, 3000L))
+    assert(out("3_purchase") == (1L, 1000L)) // only user 7 purchases after
+  }
 }
