@@ -138,6 +138,38 @@ object GraftProperties extends Properties("graft") {
           .values.forall(_.split(" ").length == width)
     }
 
+  private val corpusGen: Gen[List[String]] = {
+    val word = Gen.oneOf("spark", "merge", "dup", "x", "y", "z")
+    Gen.listOfN(8, Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" "))))
+  }
+
+  property("bm25 matches an independent in-memory reference") =
+    Prop.forAll(corpusGen) { texts =>
+      import spark.implicits._
+      val terms = Seq("spark", "merge", "dup")
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // plain-Scala reference, same formula and operation order
+      val n = docs.size.toDouble
+      val words = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val avgdl = words.values.map(_.size.toLong).sum.toDouble / n
+      val dfm = terms.map(t =>
+        t -> docs.count { case (id, _) => words(id).contains(t) }.toDouble).toMap
+      val expect = docs.map { case (id, _) =>
+        val dl = words(id).size.toDouble
+        id -> terms.map { t =>
+          val tf = words(id).count(_ == t).toDouble
+          val idf = (n - dfm(t) + 0.5) / (dfm(t) + 0.5)
+          idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+        }.reduceLeft(_ + _)
+      }.filter(_._2 > 0).toMap
+      val got = api.GraftPipelines
+        .bm25(docs.toDF("doc_id", "text"), terms, topK = 100)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      got.keySet == expect.keySet &&
+        got.forall { case (id, s) => math.abs(s - expect(id)) < 1e-12 }
+    }
+
   property("cosine symmetric, bounded, self-sim ≈ 1") =
     Prop.forAll(vecGen) { case (a, b) =>
       import spark.implicits._
