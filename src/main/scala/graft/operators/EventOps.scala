@@ -301,6 +301,23 @@ object EventOps {
         .orderBy($"event_type")
     }),
 
+    // Per-user behavioral sequences: the time-ordered event-type string
+    // each user produced — the export a sequence model trains on. The
+    // ordering is carried INSIDE the aggregation (sort_array over
+    // (ts, event_id, type) structs — struct order is lexicographic, so
+    // the tuple is its own tie-break), never a global sort: one
+    // user-keyed shuffle, map-side partial collect.
+    "ev_user_sequences" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).cast("int").as("n_events"),
+          array_join(expr(
+            "transform(sort_array(collect_list(struct(ts_ns, event_id, event_type))), x -> x.event_type)"),
+            " ").as("sequence"))
+        .orderBy($"user_id")
+    }),
+
     // Gap-filled rate series: events per minute over a dense time axis
     // (minutes with no events appear as explicit zeros — the shape a
     // rate plot consumes; a bare groupBy leaves holes). The dense axis
@@ -589,6 +606,12 @@ object EventOps {
          |      FROM events)
          |GROUP BY event_type ORDER BY event_type""".stripMargin
     },
+
+    "ev_user_sequences" ->
+      """SELECT user_id, CAST(count(*) AS INTEGER) AS n_events,
+        | string_agg(event_type, ' ' ORDER BY epoch_ns(ts), event_id)
+        |   AS sequence
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "ev_rate_1m" ->
       """WITH m AS (

@@ -88,6 +88,49 @@ object EventStreaming {
       }
   }
 
+  final case class BucketItem(bucket: Int, item: String)
+  final case class HeavyHitter(item: String, count: Long, maxError: Long)
+
+  /** Streaming heavy hitters with BOUNDED state: each of `buckets`
+    * hash-partitioned groups maintains a capacity-`k` Space-Saving
+    * summary (Metwally et al., ICDT'05) over its items, so total state
+    * is buckets × k counters no matter how many distinct items the
+    * stream carries — the property a `groupBy(item).count` loses the
+    * moment item cardinality is unbounded (every distinct key lives in
+    * state forever). Per update: present items increment; a new item
+    * evicts the current minimum and inherits its count, recording that
+    * count as `maxError` (Space-Saving's overestimate bound:
+    * `count - maxError ≤ true ≤ count`). Items hash to a fixed bucket,
+    * so a true heavy hitter always lands in ONE summary and is
+    * guaranteed present once its frequency exceeds bucket_size/k.
+    */
+  def heavyHitters(items: Dataset[String], k: Int, buckets: Int = 8,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+      : Dataset[HeavyHitter] = {
+    import items.sparkSession.implicits._
+    items
+      .map(s => BucketItem(math.floorMod(s.hashCode, buckets), s))
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Update(), timeout) {
+        (_: Int, rows: Iterator[BucketItem],
+            state: GroupState[Map[String, (Long, Long)]]) =>
+          var summary = state.getOption.getOrElse(Map.empty)
+          rows.foreach { r =>
+            summary.get(r.item) match {
+              case Some((n, e)) => summary += r.item -> (n + 1, e)
+              case None if summary.size < k => summary += r.item -> (1L, 0L)
+              case None =>
+                // evict the minimum (ties: lexicographic — deterministic),
+                // inherit its count as the new item's error bound
+                val (minItem, (minN, _)) = summary.minBy { case (i, (n, _)) => (n, i) }
+                summary = summary - minItem + (r.item -> (minN + 1, minN))
+            }
+          }
+          state.update(summary)
+          summary.iterator.map { case (i, (n, e)) => HeavyHitter(i, n, e) }
+      }
+  }
+
   /** Output-mode helper used by the tests and any foreachBatch consumer. */
   val appendMode: OutputMode = OutputMode.Append()
 

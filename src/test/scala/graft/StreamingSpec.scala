@@ -311,6 +311,35 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("heavyHitters: bounded state, overestimate bound, cross-batch carry") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // batch form first: the Space-Saving math on one skewed group
+    val skew = Seq.fill(40)("hot") ++ (1 to 20).map(i => s"cold$i")
+    val batchOut = EventStreaming
+      .heavyHitters(skew.toDS(), k = 4, buckets = 1).collect()
+      .map(h => h.item -> h).toMap
+    assert(batchOut.size <= 4) // capacity bound
+    val hot = batchOut("hot")
+    assert(hot.count >= 40)                    // never undercounts
+    assert(hot.count - hot.maxError <= 40)     // overestimate bound
+    // streaming: counts accumulate across micro-batches
+    val mem = MemoryStream[String]
+    val q = EventStreaming.heavyHitters(mem.toDS(), k = 4, buckets = 2)
+      .writeStream.format("memory").queryName("hh")
+      .outputMode("update").start()
+    try {
+      mem.addData(Seq.fill(10)("hot") ++ Seq("a", "b"): _*)
+      q.processAllAvailable()
+      mem.addData(Seq.fill(15)("hot") ++ Seq("c", "d"): _*)
+      q.processAllAvailable()
+      val rows = spark.table("hh")
+        .groupBy($"item").agg(org.apache.spark.sql.functions.max($"count").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows("hot") == 25) // exact for an always-resident item
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling agg agree on the same data") {
     val ev = graft.operators.EventOps.events(spark, sf)
       .select($"ts", $"event_type", $"user_id", $"value")
