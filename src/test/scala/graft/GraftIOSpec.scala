@@ -101,6 +101,21 @@ class GraftIOSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS band_idx")
   }
 
+  test("schema evolution: mergeSchema unifies old and new parquet layouts") {
+    import spark.implicits._
+    // a long-lived dataset gains a column mid-life; old files lack it
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/batch=old")
+    Seq((2L, "b", "en")).toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/batch=new")
+    val df = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(df.columns.toSet == Set("doc_id", "text", "lang", "batch"))
+    val rows = df.collect().map(r =>
+      r.getAs[Long]("doc_id") -> Option(r.getAs[String]("lang"))).toMap
+    assert(rows(1L).isEmpty && rows(2L).contains("en")) // old rows null-fill
+  }
+
   test("permissive json: malformed lines captured, valid rows unharmed") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
