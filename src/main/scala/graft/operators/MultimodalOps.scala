@@ -93,6 +93,32 @@ object MultimodalOps {
         .orderBy($"doc_id")
     }),
 
+    // Resize planning: the decode → aspect-preserving fit → re-encode
+    // step of every image pipeline. The decoder stays stubbed (no
+    // codecs in the container) but the resize math is the real
+    // contract: scale = min(target/w, target/h) without upscaling,
+    // output dims floor(dim·scale), RGB buffer size out_w·out_h·3.
+    // Division order is mirrored exactly in the oracle, floor is exact,
+    // and the whole stage is map-side projection (payloads never
+    // shuffle).
+    "mm_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      import StubImageDecoder._
+      val target = 224.0
+      Tables.documents(s, dir)
+        .select($"doc_id", encode($"text", "utf-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, payload) => decode(id, payload) })
+        .toDF()
+        .withColumn("scale",
+          least(lit(target) / $"width", lit(target) / $"height", lit(1.0)))
+        .withColumn("out_w", floor($"width" * $"scale").cast("int"))
+        .withColumn("out_h", floor($"height" * $"scale").cast("int"))
+        .select($"doc_id", $"width", $"height", $"scale", $"out_w", $"out_h",
+          ($"out_w".cast("long") * $"out_h" * 3L).as("out_bytes"))
+        .orderBy($"doc_id")
+    }),
+
     // Audio-column plumbing: PCM-shaped binary + typed audio metadata
     // (sample rate, channel count), windowed into 20 ms analysis frames.
     // All metadata math is exact integer arithmetic; the sample decode
@@ -164,6 +190,22 @@ object MultimodalOps {
         |        i -> ascii(substr(text, i, 1)))) AS DOUBLE)
         |   / least(length(text), 32) AS brightness
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_image_resize" ->
+      """SELECT doc_id, width, height, scale,
+        | CAST(floor(width * scale) AS INTEGER) AS out_w,
+        | CAST(floor(height * scale) AS INTEGER) AS out_h,
+        | CAST(floor(width * scale) AS BIGINT)
+        |   * CAST(floor(height * scale) AS INTEGER) * 3 AS out_bytes
+        |FROM (
+        |  SELECT doc_id, width, height,
+        |   least(224.0 / width, 224.0 / height, 1.0) AS scale
+        |  FROM (
+        |    SELECT doc_id,
+        |     CAST(64 * (1 + ascii(substr(text, 1, 1)) % 16) AS INTEGER) AS width,
+        |     CAST(64 * (1 + ascii(substr(text, 2, 1)) % 16) AS INTEGER) AS height
+        |    FROM documents))
+        |ORDER BY doc_id""".stripMargin,
 
     "mm_audio_windows" ->
       """SELECT doc_id, sample_rate, channels, n_samples,
