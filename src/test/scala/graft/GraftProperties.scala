@@ -170,6 +170,34 @@ object GraftProperties extends Properties("graft") {
         got.forall { case (id, s) => math.abs(s - expect(id)) < 1e-12 }
     }
 
+  property("quantized components bounded, extreme hits ±127, norm ≥ max|x|") =
+    Prop.forAll(vecGen) { case (a, _) =>
+      import spark.implicits._
+      val out = graft.api.GraftPipelines
+        .quantizeEmbeddings(Seq((1L, a.toArray)).toDF("vec_id", "embedding"))
+        .collect().head
+      val q = out.getString(2).split(",").map(_.toLong)
+      val maxAbs = a.map(x => math.abs(x.toDouble)).max
+      q.forall(v => v >= -127 && v <= 127) &&
+        q.exists(v => math.abs(v) >= 126) && // the max-|x| component
+        out.getDouble(1) >= maxAbs - 1e-9    // l2norm dominates any |x_i|
+    }
+
+  property("temperature rates: bigger sources get smaller keep rates") =
+    Prop.forAll(Gen.listOfN(3, Gen.chooseNum(5, 60))) { sizes =>
+      import spark.implicits._
+      val docs = sizes.zipWithIndex.flatMap { case (n, s) =>
+        (0 until n).map(i => (s * 1000L + i, s"src$s", "text"))
+      }.toDF("doc_id", "source", "text")
+      val rates = graft.api.GraftPipelines.temperatureMix(docs).collect()
+        .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"),
+          r.getAs[Long]("rate_ppm"))).toMap
+      val byN = rates.values.toSeq.sortBy(_._1)
+      byN.zip(byN.tail).forall { case ((n1, r1), (n2, r2)) =>
+        (n1 == n2 && r1 == r2) || (n1 < n2 && r1 >= r2)
+      } && rates.values.map(_._2).max == 1000000L // smallest keeps all
+    }
+
   property("cosine symmetric, bounded, self-sim ≈ 1") =
     Prop.forAll(vecGen) { case (a, b) =>
       import spark.implicits._
