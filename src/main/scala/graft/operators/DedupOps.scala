@@ -180,6 +180,20 @@ object DedupOps {
         .orderBy($"h")
     }),
 
+    // Prefix dedup: group by the digest of the first 10 words — the
+    // shared-header case (mirrored boilerplate, templated openings)
+    // that whole-document digests miss and near-dup thresholds may not
+    // reach. Same map-side digest + keyed groupBy shape as exact dedup.
+    "llm_dedup_prefix" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy(md5(concat_ws(" ",
+          slice(split($"text", " "), 1, 10))).as("h"))
+        .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_docs"))
+        .filter($"n_docs" > 1)
+        .orderBy($"keeper")
+    }),
+
     // Exact dedup, distinct-rows form: survivors per source.
     "llm_dedup_distinct" -> ((s, dir) => {
       import s.implicits._
@@ -390,6 +404,12 @@ object DedupOps {
     "llm_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+
+    "llm_dedup_prefix" ->
+      """SELECT md5(array_to_string(w[1:10], ' ')) AS h,
+        | min(doc_id) AS keeper, count(*) AS n_docs
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |GROUP BY 1 HAVING count(*) > 1 ORDER BY keeper""".stripMargin,
 
     "llm_dedup_distinct" ->
       """SELECT source, count(*) AS n_unique
