@@ -147,4 +147,32 @@ class EventOpsSpec extends SparkSpec {
     assert(out("2_view") == (2L, 3000L))
     assert(out("3_purchase") == (1L, 1000L)) // only user 7 purchases after
   }
+
+  test("ev_retention: cohort day from first signup, offsets windowed to a week") {
+    val day = 86400L * 1000000000L
+    val events = Seq(
+      (1L, 0 * day, 7L, "signup", 1.0, "{}"),       // cohort day 0
+      (2L, 0 * day + 5, 7L, "click", 1.0, "{}"),     // active offset 0
+      (3L, 2 * day, 7L, "click", 1.0, "{}"),         // active offset 2
+      (4L, 9 * day, 7L, "click", 1.0, "{}"),         // offset 9 > 6 → dropped
+      (5L, 1 * day, 8L, "signup", 1.0, "{}"),        // cohort day 1
+      (6L, 1 * day + 5, 8L, "purchase", 1.0, "{}"))  // active offset 0
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tempSfDir("events" -> events)
+    val out = q("ev_retention", dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out == Map((0L, 0) -> 1L, (0L, 2) -> 1L, (1L, 0) -> 1L))
+  }
+
+  test("ev_anomaly: the planted outlier is flagged, the bulk is not") {
+    val s = 1000000000L
+    val bulk = (1L to 20L).map(i =>
+      (i, i * s, i, "click", 10.0 + (i % 2), "{}")) // values 10.0 / 11.0
+    val events = (bulk :+ ((99L, 99 * s, 99L, "click", 500.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tempSfDir("events" -> events)
+    val out = q("ev_anomaly", dir).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(99L))
+    assert(out.head.getDouble(3) > 3.0) // z of the planted spike
+  }
 }
