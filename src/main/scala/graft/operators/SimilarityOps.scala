@@ -89,6 +89,39 @@ object SimilarityOps {
         .orderBy($"cosine".desc, $"doc_id").limit(10)
     }),
 
+    // Reciprocal-rank fusion: the canonical lexical + vector hybrid —
+    // BM25 top-50 and cosine top-50 fused as Σ 1/(60 + rank) (Cormack
+    // et al., SIGIR'09 RRF with the standard k=60). Ranks are assigned
+    // AFTER each side's bounded top-k (TakeOrderedAndProject), so the
+    // single-partition rank window only ever sees 50 rows — never a
+    // global sort of the corpus. 1/(60+rank) is an int→double division
+    // and the fusion sum has a fixed two-term order, so every score is
+    // bit-identical in the oracle.
+    "llm_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val bTop = graft.api.GraftPipelines
+        .bm25(docs, Seq("spark", "merge", "dup"), topK = 50)
+        .withColumn("rank_b", row_number().over(
+          Window.orderBy($"score".desc, $"doc_id")))
+        .select($"doc_id", $"rank_b")
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+      val vTop = emb.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(qv))
+        .withColumn("cosine", cosine($"qv", $"embedding"))
+        .orderBy($"cosine".desc, $"vec_id").limit(50)
+        .withColumn("rank_v", row_number().over(
+          Window.orderBy($"cosine".desc, $"vec_id")))
+        .select($"vec_id".as("doc_id"), $"rank_v")
+      bTop.join(vTop, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + $"rank_b"), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + $"rank_v"), lit(0.0)))
+        .select($"doc_id", $"rank_b", $"rank_v", $"rrf")
+        .orderBy($"rrf".desc, $"doc_id").limit(10)
+    }),
+
     // LSH bucket histogram — the partitioning the scale path relies on.
     "llm_embed_lsh_hist" -> ((s, dir) => {
       import s.implicits._
@@ -384,6 +417,62 @@ object SimilarityOps {
          |  FROM cand JOIN embeddings c ON c.vec_id = cand.vec_id
          |            JOIN embeddings q ON q.vec_id = cand.qid)
          |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+
+    // the BM25 CTEs mirror llm_bm25 (same terms/constants); ranks are
+    // assigned with the same (score DESC, id) keys as each side's top-k
+    "llm_hybrid_rrf" -> {
+      val terms = Seq("spark", "merge", "dup")
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      def pivotMax(v: String) = terms.map(t =>
+        s"coalesce(max(CASE WHEN term = '$t' THEN $v END), 0) AS ${v}_$t")
+        .mkString(", ")
+      val contribs = terms.map { t =>
+        s"""(((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) /
+           |   (CAST(df_$t AS DOUBLE) + 0.5)) *
+           |  ((CAST(coalesce(tf_$t, 0) AS DOUBLE) * 2.2) /
+           |   (CAST(coalesce(tf_$t, 0) AS DOUBLE) +
+           |    1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))))""".stripMargin
+      }.mkString(" +\n")
+      s"""WITH lens AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |  FROM documents),
+         |stats AS (
+         |  SELECT count(*) AS n_docs,
+         |   CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM lens),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |    FROM documents)
+         |  WHERE term IN ($inList) GROUP BY doc_id, term),
+         |dfrow AS (SELECT ${pivotMax("df")} FROM
+         |  (SELECT term, count(*) AS df FROM tf GROUP BY term)),
+         |tfrow AS (SELECT doc_id, ${pivotMax("tf")} FROM tf GROUP BY doc_id),
+         |b50 AS (
+         |  SELECT doc_id,
+         |   CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+         |     AS rank_b
+         |  FROM (
+         |    SELECT l.doc_id, ($contribs) AS score
+         |    FROM lens l LEFT JOIN tfrow t ON l.doc_id = t.doc_id
+         |    CROSS JOIN stats CROSS JOIN dfrow)
+         |  WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 50),
+         |v50 AS (
+         |  SELECT doc_id,
+         |   CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INTEGER)
+         |     AS rank_v
+         |  FROM (
+         |    SELECT c.vec_id AS doc_id,
+         |     ${cosineSql("q.embedding", "c.embedding")} AS cosine
+         |    FROM embeddings c JOIN embeddings q ON q.vec_id = 0
+         |    WHERE c.vec_id <> 0)
+         |  ORDER BY cosine DESC, doc_id LIMIT 50)
+         |SELECT doc_id, rank_b, rank_v,
+         | coalesce(1.0 / (60 + rank_b), 0.0)
+         |  + coalesce(1.0 / (60 + rank_v), 0.0) AS rrf
+         |FROM b50 FULL OUTER JOIN v50 USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+    },
 
     "llm_embed_quantize" ->
       s"""SELECT vec_id,
