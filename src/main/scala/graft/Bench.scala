@@ -62,6 +62,9 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val t = (System.nanoTime() - t0) / 1e9
+      // per-query recording on stderr: survives even if the final JSON
+      // line is lost to log truncation (it was, in round 3's artifact)
+      System.err.println(f"[bench] $name%s ${t}%.3f s")
       // isolate measurements: drop tables persisted inside operators
       spark.catalog.clearCache()
       name -> t
@@ -69,7 +72,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // also durably on disk: round 3's official artifact lost the total
+    // line to sbt log-tail truncation; the file is immune to that
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_result.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_result.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -481,15 +481,22 @@ object GraftPipelines {
       .select(col("term"), col("df"), col("postings"))
   }
 
-  /** BM25 keyword retrieval over word unigrams — the lexical complement
-    * to the vector-similarity family (and the scoring half of hybrid
-    * retrieval). Rational-idf variant: per term,
-    * `idf = (N - df + 0.5) / (df + 0.5)` — the Robertson idf without the
+  /** BM25-family keyword retrieval over word unigrams — the lexical
+    * complement to the vector-similarity family (and the scoring half of
+    * hybrid retrieval). The name says what the idf is: the RATIONAL
+    * Robertson idf, `idf = (N - df + 0.5) / (df + 0.5)`, WITHOUT the
     * log. The log is a per-term monotone transform, so single-term
-    * rankings are identical, and dropping it keeps every arithmetic step
-    * an exact IEEE-double expression both engines evaluate bit-identically
-    * (log differs in the last ulp across libm implementations, which a
-    * hash-comparing oracle cannot tolerate). Per-term contributions are
+    * rankings are identical to standard BM25 — but MULTI-term rankings
+    * are NOT comparable to log-idf BM25 (a rare term's idf is amplified
+    * linearly instead of logarithmically, so it dominates composite
+    * scores more than textbook BM25 would let it; [[SimilarityOps]]'s
+    * RRF hybrid fuses these rankings and inherits the same bias).
+    * Dropping the log is a deliberate oracle-parity trade: it keeps
+    * every arithmetic step an exact IEEE-double expression both engines
+    * evaluate bit-identically (log differs in the last ulp across libm
+    * implementations, which a hash-comparing oracle cannot tolerate).
+    * For textbook scores, wrap the per-term contribution in `log()` —
+    * same plan shape, no scale difference. Per-term contributions are
     * pivoted to fixed columns and summed in query-term order, so the
     * double addition order is deterministic — never a shuffle-order
     * `sum()` over doubles.
@@ -500,7 +507,7 @@ object GraftPipelines {
     * construction); the final score is map-side projection + top-k
     * (`TakeOrderedAndProject`).
     */
-  def bm25(docs: DataFrame, terms: Seq[String], topK: Int = 10,
+  def bm25RationalIdf(docs: DataFrame, terms: Seq[String], topK: Int = 10,
       k1: Double = 1.2, b: Double = 0.75, id: String = "doc_id",
       text: String = "text"): DataFrame = {
     require(terms.nonEmpty && terms.size <= 16, "bounded query-term set")

@@ -30,6 +30,21 @@ object Fns {
   def revenue(price: Column, discount: Column): Column =
     dec2(price) * (lit(1) - rate(discount))
 
+  /** SQL text of an exact FLOOR division of an integral expression by a
+    * positive constant, in pure long arithmetic. Spark's `div` truncates
+    * toward zero while the DuckDB oracle's `//` floors — the two differ
+    * on negative inputs (pre-epoch ns timestamps, which EdgeCasesSpec
+    * pins as supported). `e - pmod(e, d)` is an exact multiple of `d`
+    * for either sign (pmod is non-negative), so the trailing `div` is an
+    * exact floor; nothing routes through double, where a ns timestamp
+    * (> 2^53) would silently lose precision.
+    */
+  def floorDivSql(e: String, d: Long): String =
+    s"(($e) - pmod(($e), ${d}L)) div ${d}L"
+
+  /** Column form of [[floorDivSql]]: floor(e / d) over longs. */
+  def floorDiv(e: String, d: Long): Column = expr(floorDivSql(e, d))
+
   /** Strictly left-to-right dot product over two float-array columns,
     * unrolled so Spark and the SQL oracle share one summation order →
     * bit-identical doubles. `dim` is the fixed embedding dimensionality.

@@ -37,10 +37,13 @@ object EventOps {
     if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
           .forall(_ != "true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FLOOR division (not `div`'s truncate-toward-zero): pre-epoch
+    // (negative ns) events must land in the same ms/µs bucket the
+    // oracle's `//` and epoch_ms() compute — see Fns.floorDivSql.
     Tables.events(spark, sfDir)
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_ms", expr("ts_ns div 1000000"))
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withColumn("ts_ms", floorDiv("ts_ns", 1000000L))
+      .withColumn("ts", timestamp_micros(floorDiv("ts_ns", 1000L)))
   }
 
   private def k(c: Column): Column = get_json_object(c, "$.k").cast("int")
@@ -329,7 +332,7 @@ object EventOps {
       import s.implicits._
       val MIN_MS = 60000L
       val ev = events(s, dir)
-        .select(expr("(ts_ns div 1000000) div 60000").as("minute"))
+        .select(floorDiv(floorDivSql("ts_ns", 1000000L), 60000L).as("minute"))
       val bounds = ev.agg(min($"minute").as("lo"), max($"minute").as("hi"))
         .select($"lo", least($"hi", $"lo" + 1439).as("hi"))
       val axis = bounds.select(explode(sequence($"lo", $"hi")).as("minute"))
@@ -376,7 +379,7 @@ object EventOps {
       import s.implicits._
       val ev = events(s, dir)
         .select($"user_id", $"event_type",
-          expr("ts_ns div 1000000").as("ms"))
+          floorDiv("ts_ns", 1000000L).as("ms"))
       val s1 = ev.filter($"event_type" === "signup")
         .groupBy($"user_id").agg(min($"ms").as("s1"))
       val s2 = ev.filter($"event_type" === "view")
@@ -405,7 +408,7 @@ object EventOps {
       import s.implicits._
       val ev = events(s, dir)
         .select($"user_id", $"event_type",
-          expr("(ts_ns div 1000000) div 86400000").as("day"))
+          floorDiv(floorDivSql("ts_ns", 1000000L), 86400000L).as("day"))
       val cohort = ev.filter($"event_type" === "signup")
         .groupBy($"user_id").agg(min($"day").as("cohort_day"))
       ev.select($"user_id", $"day").distinct()
@@ -437,6 +440,36 @@ object EventOps {
         .select($"event_id", $"message",
           length($"message").as("msg_len"))
         .orderBy($"event_id").limit(500)
+    }),
+
+    // §1.2 full-range uint64 (TDH UINT64/HEXINT64/POINTER/SIZET,
+    // reference src/main.cpp:195-196, 207-208, 217-218, 243-244):
+    // LongType overflows at the top bit, so pointer-typed fields decode
+    // to DECIMAL(20,0) — §7.4 names this a risk and this entry exercises
+    // it end-to-end. The pointer value is derived in-query from md5 of
+    // the event key (full-range by construction: about half the rows
+    // exceed Long.MaxValue), serialized as a JSON number, and decoded
+    // through the REAL path — from_json with a DECIMAL(20,0) field.
+    // Renders are engine-portable: the decimal as text, and the
+    // canonical 16-digit hex from the value's two's-complement bits
+    // (hex() of the signed-long bit pattern IS the unsigned render).
+    "ev_uint64_decode" -> ((s, dir) => {
+      import s.implicits._
+      val md = md5(concat(lit("ptr|"), $"event_id".cast("string")))
+      val twoTo64 = lit(new java.math.BigDecimal("18446744073709551616"))
+      val topBit = lit(new java.math.BigDecimal("9223372036854775808"))
+      events(s, dir)
+        .withColumn("pjson", concat(lit("{\"ptr\":"),
+          conv(substring(md, 17, 16), 16, 10), lit("}")))
+        .withColumn("ptr",
+          from_json($"pjson", lit("ptr DECIMAL(20,0)")).getField("ptr"))
+        .withColumn("bits",
+          when($"ptr" >= topBit, ($"ptr" - twoTo64).cast("long"))
+            .otherwise($"ptr".cast("long")))
+        .select($"event_id", $"ptr".cast("string").as("ptr_dec"),
+          lpad(hex($"bits"), 16, "0").as("ptr_hex"),
+          ($"ptr" >= topBit).cast("int").as("is_top_bit"))
+        .orderBy($"event_id")
     })
   )
 
@@ -686,6 +719,19 @@ object EventOps {
         |   '"user ' || user_id || ' signed up k=' ||
         |   CAST(json_extract_string(props, '$.k') AS INTEGER) || '"' AS praw
         |  FROM events WHERE event_type = 'signup')
-        |ORDER BY event_id LIMIT 500""".stripMargin
+        |ORDER BY event_id LIMIT 500""".stripMargin,
+
+    // the oracle computes the value directly as UBIGINT (full 64-bit
+    // unsigned) — if the engine's DECIMAL(20,0) decode or hex render
+    // mishandles top-bit values, the hashes diverge
+    "ev_uint64_decode" ->
+      """SELECT event_id, CAST(u AS VARCHAR) AS ptr_dec,
+        | lpad(hex(u), 16, '0') AS ptr_hex,
+        | CAST(u >= 9223372036854775808 AS INTEGER) AS is_top_bit
+        |FROM (SELECT event_id,
+        |       CAST('0x' || substring(md5('ptr|' || CAST(event_id AS VARCHAR)), 17, 16)
+        |         AS UBIGINT) AS u
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Fns.{floorDiv, floorDivSql}
+
 /** Temporal join operators the reference lacks entirely (SURVEY.md §2.5
   * "range/as-of joins absent") — the standard event-log enrichment shapes.
   *
@@ -35,7 +37,7 @@ object JoinOps {
       ev.withColumn("last_sig_ns", last($"sig_ns", ignoreNulls = true).over(w))
         .filter($"err_id".isNotNull)
         .select($"err_id".as("event_id"), $"user_id",
-          expr("last_sig_ns div 1000000").as("signup_ms"))
+          floorDiv("last_sig_ns", 1000000L).as("signup_ms"))
         .orderBy($"event_id")
     }),
 
@@ -102,14 +104,14 @@ object JoinOps {
         .withColumn("sess_id", sum($"new_sess").over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy($"user_id", $"sess_id")
-        .agg(expr("min(ts_ns) div 1000000").as("start_ms"),
-          expr("max(ts_ns) div 1000000").as("end_ms"))
+        .agg(floorDiv("min(ts_ns)", 1000000L).as("start_ms"),
+          floorDiv("max(ts_ns)", 1000000L).as("end_ms"))
       val errHours = ev.filter($"event_type" === "error")
-        .select(expr(s"(ts_ns div 1000000) div $HOUR_MS").as("cell_h"))
+        .select(floorDiv(floorDivSql("ts_ns", 1000000L), HOUR_MS).as("cell_h"))
         .distinct()
       val cells = sess.select($"user_id", $"start_ms", $"end_ms",
-        explode(sequence(expr(s"start_ms div $HOUR_MS"),
-          expr(s"end_ms div $HOUR_MS"))).as("cell_h"))
+        explode(sequence(floorDiv("start_ms", HOUR_MS),
+          floorDiv("end_ms", HOUR_MS))).as("cell_h"))
       cells.join(errHours, "cell_h")
         .withColumn("w_start_ms", $"cell_h" * HOUR_MS)
         .groupBy($"w_start_ms")

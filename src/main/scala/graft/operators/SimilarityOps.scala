@@ -101,7 +101,7 @@ object SimilarityOps {
       import s.implicits._
       val docs = Tables.documents(s, dir)
       val bTop = graft.api.GraftPipelines
-        .bm25(docs, Seq("spark", "merge", "dup"), topK = 50)
+        .bm25RationalIdf(docs, Seq("spark", "merge", "dup"), topK = 50)
         .withColumn("rank_b", row_number().over(
           Window.orderBy($"score".desc, $"doc_id")))
         .select($"doc_id", $"rank_b")

@@ -233,7 +233,7 @@ object TextOps {
     // with the rare 'dup' marker (high idf dominates).
     "llm_bm25" -> ((s, dir) => {
       import s.implicits._
-      graft.api.GraftPipelines.bm25(Tables.documents(s, dir), BM25_TERMS)
+      graft.api.GraftPipelines.bm25RationalIdf(Tables.documents(s, dir), BM25_TERMS)
     }),
 
     // Temperature-flattened source mixing (α=0.5): per-source keep

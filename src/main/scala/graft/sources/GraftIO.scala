@@ -42,6 +42,12 @@ object GraftIO {
     * not dropped. PERMISSIVE is Spark's default mode; what this wrapper
     * adds is the explicit capture column wired into the caller's schema
     * so the contract is visible at the call site.
+    *
+    * The returned frame is CACHED: Spark raises an AnalysisException for
+    * queries that reference only the corrupt-record column of a raw JSON
+    * relation (the parser would never materialize the record), so the
+    * advertised triage query works only against a persisted frame. The
+    * caller owns the cache lifetime — `.unpersist()` when done.
     */
   def readJsonPermissive(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
@@ -50,6 +56,7 @@ object GraftIO {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
+      .cache()
 
   /** Snappy parquet writer, optionally hash-partitioned into a bounded
     * file count and/or hive-partitioned by columns for pruned reads.

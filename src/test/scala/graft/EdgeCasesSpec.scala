@@ -68,7 +68,7 @@ class EdgeCasesSpec extends SparkSpec {
   test("retrieval/mixing ops handle degenerate inputs") {
     // bm25: a term absent from the whole corpus contributes nothing
     val docs = Seq((1L, "spark x"), (2L, "y z")).toDF("doc_id", "text")
-    val hits = api.GraftPipelines.bm25(docs, Seq("spark", "nosuchterm"))
+    val hits = api.GraftPipelines.bm25RationalIdf(docs, Seq("spark", "nosuchterm"))
       .collect()
     assert(hits.map(_.getLong(0)).toSeq == Seq(1L)) // doc 2 scores 0
     assert(hits.head.getDouble(2) > 0)
@@ -102,6 +102,43 @@ class EdgeCasesSpec extends SparkSpec {
       .orderBy($"ts_ns").select($"event_id", $"ts_ms").collect()
     assert(flag.map(_.getLong(0)).sameElements(Array(1L, 2L, 3L)))
     assert(flag.head.getLong(1) == -86400000L)
+  }
+
+  test("pre-epoch ns floor into the oracle's buckets, never toward zero") {
+    // -1 ns lives in millisecond -1 (floor, = DuckDB's `//` and
+    // epoch_ms), not millisecond 0 (Spark `div`'s truncate-toward-zero)
+    val events = Seq(
+      (1L, -1L, 1L, "alpha", 1.0, "{}"),
+      (2L, -1000000L, 1L, "alpha", 1.0, "{}"),    // exactly -1 ms
+      (3L, -1000001L, 1L, "alpha", 1.0, "{}"),    // just below → -2 ms
+      (4L, 999999L, 1L, "alpha", 1.0, "{}"))      // positive, still 0 ms
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tempSfDir("events" -> events)
+    val ms = operators.EventOps.events(spark, dir)
+      .select($"event_id", $"ts_ms").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ms == Map(1L -> -1L, 2L -> -1L, 3L -> -2L, 4L -> 0L))
+  }
+
+  test("ev_uint64_decode round-trips top-bit pointers through DECIMAL(20,0)") {
+    val events = Seq.tabulate(16)(i =>
+      (i.toLong, 1000000000L * i, 1L, "alpha", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tempSfDir("events" -> events)
+    val rows = q("ev_uint64_decode", dir).collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      val dec = BigInt(r.getAs[String]("ptr_dec"))
+      val hex = BigInt(r.getAs[String]("ptr_hex"), 16)
+      assert(dec == hex, s"hex render diverged for $dec")
+      assert(r.getAs[String]("ptr_hex").length == 16)
+      assert(r.getAs[Int]("is_top_bit") ==
+        (if (dec > BigInt(Long.MaxValue)) 1 else 0))
+    }
+    // md5-derived values are uniform: 16 rows all below the top bit has
+    // probability 2^-16 — the fixture genuinely exercises the overflow range
+    assert(rows.exists(_.getAs[Int]("is_top_bit") == 1))
+    assert(rows.exists(_.getAs[Int]("is_top_bit") == 0))
   }
 
   test("uint64 top-bit values round-trip through Decimal(20,0)") {

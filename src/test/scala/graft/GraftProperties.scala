@@ -164,7 +164,7 @@ object GraftProperties extends Properties("graft") {
         }.reduceLeft(_ + _)
       }.filter(_._2 > 0).toMap
       val got = api.GraftPipelines
-        .bm25(docs.toDF("doc_id", "text"), terms, topK = 100)
+        .bm25RationalIdf(docs.toDF("doc_id", "text"), terms, topK = 100)
         .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
       got.keySet == expect.keySet &&
         got.forall { case (id, s) => math.abs(s - expect(id)) < 1e-12 }

@@ -16,7 +16,7 @@ class RetrievalSamplingSpec extends SparkSpec {
       1L -> "dup spark",
       2L -> "spark spark spark merge",
       3L -> "other words only")
-    val out = api.GraftPipelines.bm25(df, Seq("spark", "merge", "dup"))
+    val out = api.GraftPipelines.bm25RationalIdf(df, Seq("spark", "merge", "dup"))
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     // N=3, avgdl=3, df(spark)=2, df(merge)=df(dup)=1 — same formula, by hand
     def contrib(tf: Long, df: Long, dl: Long): Double = {
@@ -97,7 +97,7 @@ class RetrievalSamplingSpec extends SparkSpec {
     // identical-length docs, increasing 'dup' counts
     val df = docsDf(
       1L -> "dup x x x", 2L -> "dup dup x x", 3L -> "dup dup dup x")
-    val out = api.GraftPipelines.bm25(df, Seq("dup"))
+    val out = api.GraftPipelines.bm25RationalIdf(df, Seq("dup"))
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(out(3L) > out(2L) && out(2L) > out(1L))
   }

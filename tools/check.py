@@ -30,10 +30,11 @@ def run_verify():
     jar = "/root/repo/target/scala-2.13/etllensspark_2.13-0.1.0.jar"
     cp = "/opt/spark/jars/*:" + jar
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    extra = [",".join(ONLY)] if ONLY else []
     r = subprocess.run(["java", *ADD_OPENS, "-Xmx8g",
                         "-Dspark.ui.enabled=false",
                         "-Dspark.sql.session.timeZone=UTC",
-                        "-cp", cp, "graft.Verify", SF, OUT], env=env)
+                        "-cp", cp, "graft.Verify", SF, OUT, *extra], env=env)
     if r.returncode != 0:
         sys.exit("graft.Verify failed")
 
