@@ -234,12 +234,22 @@ object GraftPipelines {
     * mirror, no RNG):
     *  - init = the first k vectors (like the IVF coarse quantizer);
     *  - assignment = argmax cosine, ties to the lower cluster id;
-    *  - update = per-dimension mean computed as an EXACT decimal sum
-    *    (float → double widening is exact, double → decimal(28,14) is
-    *    locale-free and engine-identical) cast back through double to
-    *    float, so the next round's centroids carry no summation-order
-    *    noise. Clusters that lose every member drop out (both engines
-    *    agree: no group row → no centroid).
+    *  - update = per-dimension mean over an EXACT fixed-point sum:
+    *    each component is scaled by 2^28 (a power-of-two multiply of a
+    *    float-widened double is EXACT — no rounding step exists for an
+    *    oracle to disagree on) and FLOORED to an integer before the
+    *    decimal sum. Floor replaces the earlier decimal(28,14) cast
+    *    because rounding a double to decimal HITS TIES on real float
+    *    data (measured: 18 exact half-ties in the sf0.1 embeddings) and
+    *    Spark rounds HALF_UP where DuckDB rounds half-even — floor has
+    *    no tie to disagree on. The sum is order-independent (integers),
+    *    and the mean (sum/n/2^28, one IEEE division then an exact
+    *    power-of-two division) reconverts to float identically in both
+    *    engines while n·max|x|·2^28 < 2^53 (~10^7 rows per cluster per
+    *    unit magnitude — far beyond any oracle SF; at 100 TB only the
+    *    final double conversion can differ in the last ulp, and nothing
+    *    cross-checks there). Clusters that lose every member drop out
+    *    (both engines agree: no group row → no centroid).
     *
     * 100 TB shape: centroids are k rows — bounded by construction, so
     * the assignment crossJoin broadcasts them (map-side, no shuffle of
@@ -260,13 +270,15 @@ object GraftPipelines {
         .select(col(id), col(vec), col("cluster"), col("ccos"))
     }
     def update(assigned: DataFrame): DataFrame = {
+      val scale = 268435456.0 // 2^28: exact multiply, see scaladoc
       val sums = (1 to dim).map(d =>
-        sum(element_at(col(vec), d).cast("double").cast("decimal(28,14)"))
-          .as(s"s$d"))
+        sum(floor(element_at(col(vec), d).cast("double") * lit(scale))
+          .cast("decimal(28,0)")).as(s"s$d"))
       val g = assigned.groupBy(col("cluster"))
         .agg(sums.head, sums.tail :+ count(lit(1)).as("n"): _*)
       g.select(col("cluster"), array((1 to dim).map(d =>
-        (col(s"s$d").cast("double") / col("n")).cast("float")): _*).as("c"))
+        (col(s"s$d").cast("double") / col("n") / lit(scale)).cast("float")): _*)
+        .as("c"))
     }
     val init = emb.filter(col(id) < k)
       .select(col(id).cast("int").as("cluster"), col(vec).as("c"))

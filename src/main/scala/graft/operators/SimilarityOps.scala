@@ -33,6 +33,8 @@ object SimilarityOps {
   private val NPROBE = 2
   private val KM_K = 8      // k-means clusters (init = first KM_K vectors)
   private val KM_ITERS = 2  // Lloyd assign→update rounds before final assign
+  private val COS_SCALE = 1073741824.0 // 2^30 fixed-point for cosine means
+  private val COS_SCALE_SQL = "1073741824.0"
 
   /** Codegen'd one-pass cosine; bit-identical to the unrolled/oracle form
     * (see [[graft.functions.VectorExpressions]]).
@@ -56,6 +58,59 @@ object SimilarityOps {
     (1 to LSH_BITS).map { i =>
       s"(CASE WHEN $e[${offset + i}] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** DuckDB mirror of [[graft.api.GraftPipelines.kmeans]], fully
+    * unrolled: init = first KM_K vectors as 64 centroid columns, then
+    * KM_ITERS assign→update rounds, then the final assignment CTE `af`
+    * (vec_id, cluster, ccos). Every arithmetic step is the exact twin
+    * of the engine's (left-assoc double cosine; floor-at-2^28
+    * fixed-point centroid means — power-of-two multiplies are exact and
+    * floor has no rounding tie, so both engines produce bit-identical
+    * float centroids). ~40 KB of generated SQL — the price of hashing
+    * the engine's one remaining iterative-arithmetic family.
+    */
+  private def kmeansOracleCtes: String = {
+    val S = "268435456.0" // 2^28, = GraftPipelines.kmeans update scale
+    def cosToCentroid(v: String, c: String): String = {
+      val dot = (1 to DIM)
+        .map(i => s"CAST($v.embedding[$i] AS DOUBLE)*CAST($c.c$i AS DOUBLE)")
+        .mkString(" + ")
+      val nv = dotUnrolledSql(s"$v.embedding", s"$v.embedding", DIM)
+      val nc = (1 to DIM)
+        .map(i => s"CAST($c.c$i AS DOUBLE)*CAST($c.c$i AS DOUBLE)")
+        .mkString(" + ")
+      s"($dot) / (sqrt($nv) * sqrt($nc))"
+    }
+    // ccos is computed ONCE in the innermost select; the window ranks it
+    def assign(name: String, cent: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, cluster, ccos FROM (
+         |    SELECT vec_id, cluster, ccos,
+         |     row_number() OVER (PARTITION BY vec_id
+         |       ORDER BY ccos DESC, cluster) AS crn
+         |    FROM (SELECT v.vec_id, c.cluster,
+         |           ${cosToCentroid("v", "c")} AS ccos
+         |          FROM embeddings v CROSS JOIN $cent c))
+         |  WHERE crn = 1)""".stripMargin
+    def update(name: String, asg: String): String = {
+      val cols = (1 to DIM).map(i =>
+        s"CAST(CAST(sum(CAST(floor(CAST(e.embedding[$i] AS DOUBLE) * $S) " +
+          s"AS DECIMAL(28,0))) AS DOUBLE) / count(*) / $S AS REAL) AS c$i")
+        .mkString(",\n   ")
+      s"""$name AS (
+         |  SELECT a.cluster,
+         |   $cols
+         |  FROM $asg a JOIN embeddings e ON a.vec_id = e.vec_id
+         |  GROUP BY a.cluster)""".stripMargin
+    }
+    val init = s"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, " +
+      (1 to DIM).map(i => s"embedding[$i] AS c$i").mkString(", ") +
+      s" FROM embeddings WHERE vec_id < $KM_K)"
+    val rounds = (1 to KM_ITERS).flatMap(r => Seq(
+      assign(s"a$r", if (r == 1) "c0" else s"u${r - 1}"),
+      update(s"u$r", s"a$r")))
+    (Seq(init) ++ rounds :+ assign("af", s"u$KM_ITERS")).mkString(",\n")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-10 per query vector (the exact baseline).
@@ -269,12 +324,15 @@ object SimilarityOps {
 
     "llm_embed_kmeans" -> ((s, dir) => {
       import s.implicits._
+      // mean cosine via the same tie-free fixed-point sum as the
+      // centroid update (floor at 2^30 — cosines are in [-1,1], so the
+      // scaled sum stays double-exact to ~8M rows per cluster)
       graft.api.GraftPipelines
         .kmeans(Tables.embeddings(s, dir), KM_K, KM_ITERS, DIM)
         .groupBy($"cluster")
         .agg(count(lit(1)).as("n"),
-          (sum($"ccos".cast("decimal(28,14)")).cast("double") /
-            count(lit(1))).as("mean_cos"))
+          (sum(floor($"ccos" * lit(COS_SCALE)).cast("decimal(28,0)"))
+            .cast("double") / count(lit(1)) / lit(COS_SCALE)).as("mean_cos"))
         .orderBy($"cluster")
     }),
 
@@ -503,6 +561,31 @@ object SimilarityOps {
          |FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
          |WHERE l.vec_id < 200 AND r.vec_id < 200
          |  AND ${cosineSql("l.embedding", "r.embedding")} > 0.35
-         |ORDER BY d1, d2""".stripMargin
+         |ORDER BY d1, d2""".stripMargin,
+
+    // the engine's full KM_ITERS-round Lloyd fit, unrolled as CTEs —
+    // hash-matching cluster sizes AND the fixed-point mean cosine pins
+    // every assignment and every centroid component across both engines
+    "llm_embed_kmeans" ->
+      s"""WITH $kmeansOracleCtes
+         |SELECT cluster, count(*) AS n,
+         | CAST(sum(CAST(floor(ccos * $COS_SCALE_SQL) AS DECIMAL(28,0))) AS DOUBLE)
+         |   / count(*) / $COS_SCALE_SQL AS mean_cos
+         |FROM af GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    // SemDeDup over the oracled k-means assignment: within-cluster
+    // pairs above the cosine threshold — the pair list hash-checks the
+    // per-vector cluster labels, not just aggregate sizes
+    "llm_semdedup" ->
+      s"""WITH $kmeansOracleCtes,
+         |asg AS (
+         |  SELECT a.vec_id, a.cluster, e.embedding
+         |  FROM af a JOIN embeddings e ON a.vec_id = e.vec_id)
+         |SELECT d1, d2, cluster, cosine FROM (
+         |  SELECT l.vec_id AS d1, r.vec_id AS d2, l.cluster AS cluster,
+         |   ${cosineSql("l.embedding", "r.embedding")} AS cosine
+         |  FROM asg l JOIN asg r
+         |    ON l.cluster = r.cluster AND l.vec_id < r.vec_id)
+         |WHERE cosine > 0.35 ORDER BY d1, d2""".stripMargin
   )
 }
