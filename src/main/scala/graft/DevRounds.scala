@@ -17,10 +17,10 @@ object DevRounds {
       val t0 = System.nanoTime()
       val pairs = graft.api.GraftPipelines.nearDuplicates(Tables.documents(spark, sf), 0.7)
       val t1 = System.nanoTime()
-      val clusters = graft.api.GraftPipelines.dupClusters(pairs)
+      val (clusters, rounds) = graft.api.GraftPipelines.dupClustersWithRounds(pairs)
       val n = clusters.count()
       val t2 = System.nanoTime()
-      println(f"run $i: pairs=${(t1 - t0) / 1e9}%.2fs propagation=${(t2 - t1) / 1e9}%.2fs rows=$n")
+      println(f"run $i: pairs=${(t1 - t0) / 1e9}%.2fs propagation=${(t2 - t1) / 1e9}%.2fs rounds=$rounds rows=$n")
       pairs.unpersist(blocking = false)
     }
     spark.stop()

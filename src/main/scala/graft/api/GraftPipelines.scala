@@ -836,65 +836,92 @@ object GraftPipelines {
     * "the lower id of each pair" over-deletes when dups chain
     * (A~B, B~C ⇒ {A,B,C} is one cluster with one keeper, not two drops).
     *
-    * Algorithm: Pregel-style min-label propagation on the symmetrized
-    * edge list — each round every node takes the min of its own and its
-    * neighbors' labels; converges in O(component diameter) rounds, and
-    * near-dup components are shallow (star-like around a template doc).
-    * Each round is one shuffle join + agg, nothing driver-sized: the
-    * only driver traffic is the scalar convergence count. Lineage is
-    * truncated every round (`localCheckpoint`) so plan depth stays O(1)
-    * instead of O(rounds) — the classic iterative-join blowup; on a
-    * cluster with dynamic executors, swap in reliable `checkpoint()`
-    * via `spark.sparkContext.setCheckpointDir`. For adversarial deep
-    * chains at 100 TB, the O(log n) upgrade is large-star/small-star
-    * (Kiveris et al., "Connected Components in MapReduce", SoCC'14) —
-    * same output contract.
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14).
+    * Round 3 shipped O(component-diameter) min-label propagation —
+    * fine for the shallow star-shaped components near-dup data actually
+    * produces, but an adversarial chain of length d cost d scheduled
+    * rounds; this is the O(log n)-round upgrade that verdict item
+    * already named, with the same output contract (hash-identical).
+    * Each round rewrites the edge set toward stars rooted at component
+    * minima:
+    *  - large-star: every node points its LARGER neighbors at its
+    *    neighborhood minimum (incl. itself) — long chains halve;
+    *  - small-star: every node points its smaller neighbors and itself
+    *    at its smallest neighbor — stars compact onto their root.
+    * Both phases are one groupBy + one self-join on the SAME node key
+    * (the shuffle exchange is reused between them) over an edge table
+    * that only ever shrinks-or-stays near the input pair count — no
+    * label table, no data-scaled driver traffic (only scalar counts).
+    * The fixed point is the star forest (child → component-min root),
+    * read off directly as the label map. Lineage is truncated per
+    * round (`localCheckpoint`; on a cluster with dynamic executors swap
+    * in reliable `checkpoint()` via `setCheckpointDir`); convergence is
+    * an exact set-equality check (cached cardinality compare + one
+    * anti-join) — with O(log n) rounds the check never dominates.
     */
   def dupClusters(pairs: DataFrame, d1: String = "d1", d2: String = "d2",
-      id: String = "doc_id"): DataFrame = {
-    // Cached pre-partitioned on the probe key: every propagation round
-    // joins edges on `b`, and InMemoryRelation preserves the hash
-    // layout, so rounds shuffle only the (node, label) table — the big
-    // edge table crosses the network once, not once per round. No
-    // dedup pass: min-label propagation is idempotent under duplicate
-    // edges (min over a multiset), so a distinct() here would be a
-    // whole wasted shuffle of the edge list.
-    val edges = pairs.select(col(d1).as("a"), col(d2).as("b"))
-      .union(pairs.select(col(d2).as("a"), col(d1).as("b")))
-      .repartition(col("b")).persist()
-    edges.count()
-    // Init = round 1 fused into the node-list aggregation: every node
-    // starts at min(self, neighbors) rather than self, so the loop
-    // below only runs for multi-hop propagation — one fewer full pass
-    // at any scale (and the first pass touches every node; later ones
-    // only chase chains).
-    var labels = edges.groupBy(col("a"))
-      .agg(least(col("a"), min(col("b"))).as("label"))
-      .withColumnRenamed("a", "node")
+      id: String = "doc_id"): DataFrame =
+    dupClustersWithRounds(pairs, d1, d2, id)._1
+
+  /** [[dupClusters]] plus the converged round count — exposed so specs
+    * can pin the O(log n) bound on adversarial path graphs.
+    */
+  private[graft] def dupClustersWithRounds(pairs: DataFrame,
+      d1: String = "d1", d2: String = "d2",
+      id: String = "doc_id"): (DataFrame, Int) = {
+    // large-star: (v, min(Γ(u) ∪ {u})) for every v ∈ Γ(u), v > u.
+    // Output edges always point big → small and carry no self loops
+    // (v > u ≥ m). The groupBy and the join shuffle the symmetrized
+    // table on the same key with an identical child plan → one exchange.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy(col("a"))
+        .agg(least(min(col("b")), col("a")).as("m"))
+      // no distinct here: small-star's trailing distinct dedups the
+      // round, and min-aggregation is idempotent under duplicate edges
+      sym.join(mins, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+    }
+    // small-star: orient each edge toward its larger endpoint, then
+    // point that endpoint and all its smaller neighbors at the smallest
+    // neighbor. Self loops (the root re-labeling itself) are dropped.
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      val mins = dir.groupBy(col("a")).agg(min(col("b")).as("m"))
+      dir.join(mins, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(mins.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+    var edges = pairs.select(col(d1).as("a"), col(d2).as("b")).distinct()
       .localCheckpoint()
-    var prev = labels
+    var edgeCount = edges.count()
+    var rounds = 0
     var changed = 1L
     while (changed > 0) {
-      val nmin = edges.join(labels.withColumnRenamed("node", "b"), "b")
-        .groupBy(col("a")).agg(min(col("label")).as("nmin"))
-      // Convergence check = a count() over the just-checkpointed rows —
-      // cached data, no recompute. An observe()-fused metric was tried
-      // and REVERTED: Observation.get blocks on the async listener bus,
-      // which lags whole seconds per round under load (dup_clusters
-      // 7.0 → 11.4 s measured at the official config), far more than
-      // the cached recount it saves.
-      val next = labels
-        .join(nmin.withColumnRenamed("a", "node"), Seq("node"), "left")
-        .select(col("node"), col("label").as("old"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint()
-      changed = next.filter(col("label") < col("old")).count()
-      prev.unpersist(blocking = false)
-      prev = next
-      labels = next.select(col("node"), col("label"))
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextCount = next.count() // cached rows — cheap; carried forward
+      rounds += 1
+      // exact set equality vs the previous round, both sides cached:
+      // same cardinality AND nothing outside the previous set
+      changed =
+        if (nextCount != edgeCount) 1L
+        else next.join(edges, Seq("a", "b"), "left_anti").count()
+      edges.unpersist(blocking = false)
+      edges = next
+      edgeCount = nextCount
     }
-    edges.unpersist(blocking = false)
-    labels.select(col("node").as(id), col("label").as("cluster_id"))
+    // the star forest IS the label map: children point at their root,
+    // roots label themselves
+    val labels = edges.select(col("a").as("node"), col("b").as("label"))
+      .union(edges.select(col("b").as("node"), col("b").as("label")))
+      .distinct()
+    (labels.select(col("node").as(id), col("label").as("cluster_id")),
+      rounds)
   }
 
   /** End-to-end near-dup detection: LSH candidates verified by word-set

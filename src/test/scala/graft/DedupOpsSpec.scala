@@ -151,6 +151,19 @@ class DedupOpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("dupClusters: adversarial 512-node path converges in O(log n) rounds") {
+    // the worst case for round-3's min-label propagation (diameter 511
+    // would have cost ~511 scheduled rounds); large-star/small-star must
+    // close it in ~log2(512) = 9 rounds (+1 fixed-point detection pass)
+    val n = 512
+    val pairs = (0L until n - 1L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val (out, rounds) = api.GraftPipelines.dupClustersWithRounds(pairs)
+    val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == n)
+    assert(labels.forall(_._2 == 0L), "every node must reach the path min")
+    assert(rounds <= 11, s"path-512 took $rounds rounds — not O(log n)")
+  }
+
   test("curate policies: pairwise under-deletes on a chain, clusters keep one") {
     // C is near-dup of both A and B (2 word substitutions each, jaccard
     // 12/16 = 0.75), but A vs B differ in 4 words (10/18 ≈ 0.56 < 0.7).
