@@ -816,8 +816,13 @@ object GraftPipelines {
     * between curation and tokenization. A doc starts a new bin when the
     * running token total before it crosses the budget; bin id =
     * floor(exclusive-prefix-sum / budget). One window over
-    * (stratum, id) — same shuffle profile as any partitioned window,
-    * no driver state.
+    * (stratum, id) — the shuffle profile of any partitioned window,
+    * WITH that family's skew ceiling stated plainly: the running sum
+    * sorts each stratum in ONE task, so a corpus where one source is
+    * 80% of 100 TB pushes that whole stratum through a single sort.
+    * That ceiling is inherent to greedy packing that is CONTIGUOUS
+    * across the full stratum; when a hot stratum matters more than
+    * strict id-adjacency, use [[packSequencesSalted]].
     */
   def packSequences(docs: DataFrame, budget: Int,
       tokens: String = "n_tokens", stratum: String = "source",
@@ -827,6 +832,35 @@ object GraftPipelines {
         sum(col(tokens)).over(w) - col(tokens))
       .withColumn("bin", floor(col("__cum") / budget).cast("int"))
       .drop("__cum")
+  }
+
+  /** [[packSequences]] for hot strata: salted two-level packing.
+    * Each stratum splits into `salts` deterministic sub-strata (salted
+    * content-id hash — the [[stratifiedSample]] no-RNG contract, so the
+    * layout is stable across reruns and engines), each sub-stratum packs
+    * independently with the same greedy rule, and bin ids interleave as
+    * `local_bin * salts + salt` — bins stay disjoint across sub-strata,
+    * so every bin still holds docs from exactly ONE sub-stratum and the
+    * token-budget invariant is preserved bin-by-bin. The 80%-source
+    * sort now spreads over `salts` tasks. The trade is explicit: docs
+    * are id-contiguous per SUB-stratum, not per stratum — packing
+    * density is unchanged (same greedy rule, same budget), only the
+    * cross-salt adjacency of ids inside a stratum is given up.
+    */
+  def packSequencesSalted(docs: DataFrame, budget: Int, salts: Int,
+      tokens: String = "n_tokens", stratum: String = "source",
+      id: String = "doc_id"): DataFrame = {
+    require(salts >= 1, "salts must be positive")
+    val w = Window.partitionBy(col(stratum), col("__salt")).orderBy(col(id))
+    docs.withColumn("__salt",
+        pmod(VectorExpressions.md5Half60Prefixed(
+          "pck|", col(id).cast("string"), upperHalf = false),
+          lit(salts)).cast("int"))
+      .withColumn("__cum", sum(col(tokens)).over(w) - col(tokens))
+      .withColumn("bin",
+        (floor(col("__cum") / budget).cast("int") * salts + col("__salt"))
+          .cast("int"))
+      .drop("__cum", "__salt")
   }
 
   /** Connected components over a near-dup pair list: every doc that

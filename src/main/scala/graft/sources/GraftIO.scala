@@ -85,4 +85,34 @@ object GraftIO {
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** JDBC read — the completion of the reference's vendored relational
+    * store (it ships SQLite as a first-class dependency,
+    * /root/reference/src/main.cpp:37 + third_party/sqlite3/): the Spark
+    * analog of "query the trace next to a relational DB" is the JDBC
+    * datasource (exercised against embedded Derby in GraftIOSpec).
+    * Filters and column pruning push into the remote query
+    * (`PushedFilters`/`ReadSchema` on the JDBC scan node — asserted in
+    * the spec), so a WHERE on an indexed column runs in the database,
+    * not in Spark.
+    */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  /** Partition-parallel JDBC read: `numPartitions` concurrent range
+    * queries over `partitionCol` (each task fetches one range) — the
+    * scale path; a single-connection JDBC read is a one-task bottleneck
+    * at any data volume.
+    */
+  def readJdbcPartitioned(spark: SparkSession, url: String, table: String,
+      partitionCol: String, lower: Long, upper: Long, numPartitions: Int,
+      props: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, partitionCol, lower, upper, numPartitions,
+      props)
+
+  /** JDBC write (drop-and-recreate semantics under `overwrite`). */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties): Unit =
+    df.write.mode("overwrite").jdbc(url, table, props)
 }

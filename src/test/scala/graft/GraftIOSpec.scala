@@ -135,6 +135,31 @@ class GraftIOSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("jdbc round-trip against embedded Derby, filters pushed to the DB") {
+    // Derby writes its log to cwd unless told otherwise
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val url = "jdbc:derby:memory:graftio;create=true"
+    val src = (1L to 100L).map(i => (i, i % 7, s"name_$i"))
+      .toDF("id", "grp", "name")
+    GraftIO.writeJdbc(src, url, "t_docs")
+    val back = GraftIO.readJdbc(spark, url, "t_docs")
+    assert(back.count() == 100)
+    assert(back.agg(sum($"id")).collect()(0).getLong(0) == 5050L)
+    // predicate pushdown: the WHERE runs in the database — the JDBC
+    // scan node advertises it as a pushed filter
+    val filtered = back.filter($"id" > 90 && $"grp" === 0).select($"id")
+    val plan = filtered.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(id,90)"),
+      s"filter must reach the JDBC scan:\n${plan.take(800)}")
+    assert(filtered.collect().map(_.getLong(0)).toSet == Set(91L, 98L))
+    // partition-parallel read: 4 concurrent range queries, same rows
+    val par = GraftIO.readJdbcPartitioned(spark, url, "t_docs",
+      "id", 1L, 101L, 4)
+    assert(par.rdd.getNumPartitions == 4)
+    assert(par.count() == 100)
+  }
+
   test("orc round-trip via the generic reader") {
     val dir = Files.createTempDirectory("graft_io").toString
     val src = lineitem.select($"l_orderkey", $"l_quantity")

@@ -72,6 +72,43 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 0, 6L -> 2))
   }
 
+  test("packSequencesSalted: budget invariants hold in every sub-stratum") {
+    import org.apache.spark.sql.functions._
+    val salts = 4
+    val budget = 1000
+    val df = (1L to 200L).map(i =>
+      (i, if (i <= 180) "hot" else "cold", (i % 7 * 100 + 100).toInt))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = api.GraftPipelines.packSequencesSalted(df, budget, salts)
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getAs[Int]("n_tokens"), r.getAs[Int]("bin")))
+    assert(rows.length == 200)
+    // bin -> salt is bin % salts: every bin holds exactly one sub-stratum
+    // and, within it, the SAME greedy rule as packSequences — re-derive
+    // each sub-stratum's packing with a sequential reference and compare
+    val bySub = rows.groupBy { case (_, src, _, bin) => (src, bin % salts) }
+    bySub.foreach { case ((_, salt), docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).foreach { case (_, _, tok, bin) =>
+        assert(bin % salts == salt)
+        assert(bin / salts == cum / budget, s"greedy rule broken at bin $bin")
+        cum += tok
+      }
+    }
+    // determinism: same layout on a rerun
+    val again = api.GraftPipelines.packSequencesSalted(df, budget, salts)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("bin")).toMap
+    assert(rows.map(r => r._1 -> r._4).toMap == again)
+    // salts = 1 degenerates to exactly packSequences (bin ids included)
+    val plain = api.GraftPipelines.packSequences(df, budget)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("bin")).toMap
+    val salted1 = api.GraftPipelines.packSequencesSalted(df, budget, 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("bin")).toMap
+    assert(plain == salted1)
+    // the hot stratum actually spreads across all sub-strata
+    assert(rows.filter(_._2 == "hot").map(_._4 % salts).distinct.length == salts)
+  }
+
   test("repetitionStats: hand-computed top gram with deterministic tie-break") {
     // 2-grams of "a b a b a c": [a b, b a, a b, b a, a c] — "a b" and
     // "b a" tie at 2; lexicographic order picks "a b". ratio = 2/5.
