@@ -308,7 +308,10 @@ object GraftPipelines {
       stringCols: Seq[String], exactDistinct: Boolean = true): DataFrame = {
     def dist(c: String) =
       (if (exactDistinct) countDistinct(col(c))
-       else approx_count_distinct(col(c))).as(s"__dist_$c")
+       // rsd 0.01 (not the 0.05 default): the profile's accuracy
+       // contract is ±2% (RelationalOpsSpec pins it); the sketch is
+       // still fixed-size state, just more registers
+       else approx_count_distinct(col(c), rsd = 0.01)).as(s"__dist_$c")
     val aggs = Seq(count(lit(1)).as("__n")) ++
       (numericCols ++ stringCols).flatMap { c =>
         Seq(sum(col(c).isNull.cast("long")).as(s"__null_$c"), dist(c))

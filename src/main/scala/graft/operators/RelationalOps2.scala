@@ -187,6 +187,33 @@ object RelationalOps2 {
         .orderBy($"c_mktsegment")
     }),
 
+    // Production-default twins of rel_profile / rel_percentile: the
+    // exact paths above are what the hash-compared oracle needs; these
+    // sketch paths (HLL distinct, approx_percentile) are the switch the
+    // 100 TB user actually runs — benched as headline entries so the
+    // production config has a recorded figure, with accuracy pinned in
+    // ScalaTest (like rel_approx, sketches are engine-specific → the
+    // driver records a rows-only check).
+    "rel_profile_approx" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.GraftPipelines.profile(Tables.orders(s, dir),
+          numericCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+          stringCols = Seq("o_orderstatus", "o_orderpriority"),
+          exactDistinct = false)
+        .orderBy($"column")
+    }),
+
+    "rel_percentile_approx" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.GraftPipelines.groupedPercentiles(
+          Tables.orders(s, dir), "o_orderpriority", "o_totalprice",
+          Seq(0.5, 0.9), exact = false,
+          extraAggs = Seq(min($"o_totalprice").as("min_price"),
+            max($"o_totalprice").as("max_price")))
+        .withColumnsRenamed(Map("p50" -> "median_price", "p90" -> "p90_price"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // Approximate aggregates — no SQL oracle (HLL/quantile sketches are
     // engine-specific); accuracy is asserted against exact counts in
     // ScalaTest instead, and the driver records a rows-only check.

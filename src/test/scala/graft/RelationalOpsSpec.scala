@@ -72,6 +72,42 @@ class RelationalOpsSpec extends SparkSpec {
     }
   }
 
+  test("rel_profile_approx: HLL distincts within 2% of exact, rest identical") {
+    def byCol(name: String) = q(name).collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    val exact = byCol("rel_profile")
+    val approx = byCol("rel_profile_approx")
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (c, e) =>
+      val a = approx(c)
+      // only the distinct count is sketched — everything else is the
+      // same one-pass aggregate and must match exactly
+      assert(a.getAs[Long]("n") == e.getAs[Long]("n"))
+      assert(a.getAs[Long]("n_null") == e.getAs[Long]("n_null"))
+      assert(a.getAs[Double]("min_num") == e.getAs[Double]("min_num") ||
+        (a.isNullAt(a.fieldIndex("min_num")) && e.isNullAt(e.fieldIndex("min_num"))))
+      val ed = e.getAs[Long]("n_distinct").toDouble
+      val ad = a.getAs[Long]("n_distinct").toDouble
+      assert(math.abs(ad - ed) / ed <= 0.02, s"$c: approx=$ad exact=$ed")
+    }
+  }
+
+  test("rel_percentile_approx: sketch medians within 2.5% of the exact query") {
+    def byPrio(name: String) = q(name).collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Double]("median_price"), r.getAs[Double]("p90_price"))).toMap
+    val exact = byPrio("rel_percentile")
+    val approx = byPrio("rel_percentile_approx")
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, (e50, e90)) =>
+      val (a50, a90) = approx(k)
+      // tolerance dominated by interpolate-vs-member semantics at this
+      // SF (see the groupedPercentiles spec below), not sketch error
+      assert(math.abs(a50 - e50) / e50 < 0.025, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a90 - e90) / e90 < 0.025, s"$k p90: $a90 vs $e90")
+    }
+  }
+
   test("groupedPercentiles: approx sketch path stays within 2.5% of exact") {
     // exact percentile() is the oracle-parity/bounded-groups tool; the
     // approx sketch is the 100 TB path (docs/PLANS.md rel_percentile) —

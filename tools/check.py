@@ -95,7 +95,7 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
-    names = ONLY or sorted(oracle)
+    names = [n for n in (ONLY or sorted(oracle)) if n in oracle]
     n_ok = n_fail = 0
     for name in names:
         pq_dir = f"{OUT}/{name}"
