@@ -77,12 +77,17 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // also durably on disk: round 3's official artifact lost the total
-    // line to sbt log-tail truncation; the file is immune to that
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_result.json"), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_result.json write failed: ${e.getMessage}")
-    }
+    // line to sbt log-tail truncation; the file is immune to that.
+    // FULL headline runs only — a dev-subset run must never overwrite
+    // the official artifact with a partial total that looks complete
+    if (selected == headline)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_result.json"), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] bench_result.json write failed: ${e.getMessage}")
+      }
+    else System.err.println(
+      "[bench] subset run - bench_result.json left untouched")
     spark.stop()
   }
 }

@@ -831,9 +831,11 @@ object GraftPipelines {
       tokens: String = "n_tokens", stratum: String = "source",
       id: String = "doc_id"): DataFrame = {
     val w = Window.partitionBy(col(stratum)).orderBy(col(id))
+    // bin is LONG: at the 100 TB scale this API advertises, a hot
+    // stratum's bin count exceeds Int.MaxValue (20 T tokens / 2048)
     docs.withColumn("__cum",
         sum(col(tokens)).over(w) - col(tokens))
-      .withColumn("bin", floor(col("__cum") / budget).cast("int"))
+      .withColumn("bin", floor(col("__cum") / budget))
       .drop("__cum")
   }
 
@@ -855,14 +857,15 @@ object GraftPipelines {
       id: String = "doc_id"): DataFrame = {
     require(salts >= 1, "salts must be positive")
     val w = Window.partitionBy(col(stratum), col("__salt")).orderBy(col(id))
+    // all-LONG bin arithmetic: local_bin * salts overflows Int exactly
+    // in the hot-stratum case this variant exists for
     docs.withColumn("__salt",
         pmod(VectorExpressions.md5Half60Prefixed(
           "pck|", col(id).cast("string"), upperHalf = false),
           lit(salts)).cast("int"))
       .withColumn("__cum", sum(col(tokens)).over(w) - col(tokens))
       .withColumn("bin",
-        (floor(col("__cum") / budget).cast("int") * salts + col("__salt"))
-          .cast("int"))
+        floor(col("__cum") / budget) * salts + col("__salt"))
       .drop("__cum", "__salt")
   }
 
@@ -934,7 +937,14 @@ object GraftPipelines {
         .filter(col("a") =!= col("b"))
         .distinct()
     }
-    var edges = pairs.select(col(d1).as("a"), col(d2).as("b")).distinct()
+    // Self-pairs (d1 == d2) carry no connectivity but DO assert the doc
+    // exists — the contract labels every doc appearing in any pair, so
+    // they re-enter at label read-off below (the star ops would
+    // otherwise drop them: large-star keeps only b > a edges).
+    val selfNodes = pairs.filter(col(d1) === col(d2))
+      .select(col(d1).as("node"), col(d1).as("label"))
+    var edges = pairs.filter(col(d1) =!= col(d2))
+      .select(col(d1).as("a"), col(d2).as("b")).distinct()
       .localCheckpoint()
     var edgeCount = edges.count()
     var rounds = 0
@@ -953,10 +963,12 @@ object GraftPipelines {
       edgeCount = nextCount
     }
     // the star forest IS the label map: children point at their root,
-    // roots label themselves
+    // roots label themselves; self-pair singletons label themselves
+    // unless connectivity gave them a smaller root (min resolves it)
     val labels = edges.select(col("a").as("node"), col("b").as("label"))
       .union(edges.select(col("b").as("node"), col("b").as("label")))
-      .distinct()
+      .union(selfNodes)
+      .groupBy(col("node")).agg(min(col("label")).as("label"))
     (labels.select(col("node").as(id), col("label").as("cluster_id")),
       rounds)
   }

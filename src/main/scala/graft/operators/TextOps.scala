@@ -439,7 +439,7 @@ object TextOps {
 
     "llm_pack_sequences" ->
       """SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
-        | CAST(floor(cum / 2048.0) AS INTEGER) AS bin
+        | CAST(floor(cum / 2048.0) AS BIGINT) AS bin
         |FROM (
         |  SELECT doc_id, source, n_tokens,
         |   sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)

@@ -43,20 +43,24 @@ object GraftIO {
     * adds is the explicit capture column wired into the caller's schema
     * so the contract is visible at the call site.
     *
-    * The returned frame is CACHED: Spark raises an AnalysisException for
-    * queries that reference only the corrupt-record column of a raw JSON
-    * relation (the parser would never materialize the record), so the
-    * advertised triage query works only against a persisted frame. The
-    * caller owns the cache lifetime — `.unpersist()` when done.
+    * `cacheForTriage` (default true): Spark raises an AnalysisException
+    * for queries that reference only the corrupt-record column of a raw
+    * JSON relation (the parser would never materialize the record), so
+    * the advertised triage query works only against a persisted frame —
+    * the default returns one, and the caller owns the cache lifetime
+    * (`.unpersist()` when done). A one-pass bulk read that never
+    * touches `_corrupt_record` should pass false: pinning a 100 TB
+    * parse in executor storage is not a default anyone wants silently.
     */
   def readJsonPermissive(spark: SparkSession, path: String,
-      schema: StructType): DataFrame =
-    spark.read
+      schema: StructType, cacheForTriage: Boolean = true): DataFrame = {
+    val df = spark.read
       .schema(schema.add("_corrupt_record", "string"))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
-      .cache()
+    if (cacheForTriage) df.cache() else df
+  }
 
   /** Snappy parquet writer, optionally hash-partitioned into a bounded
     * file count and/or hive-partitioned by columns for pruned reads.

@@ -143,12 +143,14 @@ class DedupOpsSpec extends SparkSpec {
   test("dupClusters: chains collapse transitively, components stay apart") {
     // path graph 1-2-3-4-5 (diameter 4 forces multiple propagation
     // rounds) plus a separate pair {10,11}
-    val pairs = Seq((2L, 3L), (1L, 2L), (4L, 5L), (3L, 4L), (10L, 11L))
-      .toDF("d1", "d2")
+    // (20,20) is a self-pair: no connectivity, but the doc appears in a
+    // pair, so the contract labels it (as its own singleton cluster)
+    val pairs = Seq((2L, 3L), (1L, 2L), (4L, 5L), (3L, 4L), (10L, 11L),
+      (20L, 20L)).toDF("d1", "d2")
     val out = api.GraftPipelines.dupClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
-      10L -> 10L, 11L -> 10L))
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
   test("dupClusters: adversarial 512-node path converges in O(log n) rounds") {

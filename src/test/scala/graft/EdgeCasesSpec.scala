@@ -61,8 +61,8 @@ class EdgeCasesSpec extends SparkSpec {
     // packSequences: docs larger than the budget each take their own bin
     val big = Seq((1L, "a", 5000), (2L, "a", 5000)).toDF("doc_id", "source", "n_tokens")
     val bins = api.GraftPipelines.packSequences(big, 2048).collect()
-      .map(r => r.getLong(0) -> r.getAs[Int]("bin")).toMap
-    assert(bins == Map(1L -> 0, 2L -> 2))
+      .map(r => r.getLong(0) -> r.getAs[Long]("bin")).toMap
+    assert(bins == Map(1L -> 0L, 2L -> 2L))
   }
 
   test("retrieval/mixing ops handle degenerate inputs") {

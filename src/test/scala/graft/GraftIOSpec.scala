@@ -126,7 +126,7 @@ class GraftIOSpec extends SparkSpec {
         """{"id": 3, "name": BROKEN"""))
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("name", StringType)))
-    val df = GraftIO.readJsonPermissive(spark, dir, schema).cache()
+    val df = GraftIO.readJsonPermissive(spark, dir, schema) // cached by default
     try {
       assert(df.count() == 3)
       assert(df.filter("_corrupt_record IS NOT NULL").count() == 1)

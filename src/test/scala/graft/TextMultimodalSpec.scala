@@ -66,10 +66,10 @@ class TextMultimodalSpec extends SparkSpec {
       (4L, "a", 600), (5L, "b", 2000), (6L, "b", 100))
       .toDF("doc_id", "source", "n_tokens")
     val out = api.GraftPipelines.packSequences(df, 1000).collect()
-      .map(r => r.getLong(0) -> r.getAs[Int]("bin")).toMap
+      .map(r => r.getLong(0) -> r.getAs[Long]("bin")).toMap
     // stratum a: cum-before = 0,600,1200,1800 -> bins 0,0,1,1
     // stratum b: cum-before = 0,2000 -> bins 0,2
-    assert(out == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 0, 6L -> 2))
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L, 6L -> 2L))
   }
 
   test("packSequencesSalted: budget invariants hold in every sub-stratum") {
@@ -81,7 +81,7 @@ class TextMultimodalSpec extends SparkSpec {
       .toDF("doc_id", "source", "n_tokens")
     val out = api.GraftPipelines.packSequencesSalted(df, budget, salts)
     val rows = out.collect().map(r => (r.getLong(0), r.getString(1),
-      r.getAs[Int]("n_tokens"), r.getAs[Int]("bin")))
+      r.getAs[Int]("n_tokens"), r.getAs[Long]("bin")))
     assert(rows.length == 200)
     // bin -> salt is bin % salts: every bin holds exactly one sub-stratum
     // and, within it, the SAME greedy rule as packSequences — re-derive
@@ -97,13 +97,13 @@ class TextMultimodalSpec extends SparkSpec {
     }
     // determinism: same layout on a rerun
     val again = api.GraftPipelines.packSequencesSalted(df, budget, salts)
-      .collect().map(r => r.getLong(0) -> r.getAs[Int]("bin")).toMap
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("bin")).toMap
     assert(rows.map(r => r._1 -> r._4).toMap == again)
     // salts = 1 degenerates to exactly packSequences (bin ids included)
     val plain = api.GraftPipelines.packSequences(df, budget)
-      .collect().map(r => r.getLong(0) -> r.getAs[Int]("bin")).toMap
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("bin")).toMap
     val salted1 = api.GraftPipelines.packSequencesSalted(df, budget, 1)
-      .collect().map(r => r.getLong(0) -> r.getAs[Int]("bin")).toMap
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("bin")).toMap
     assert(plain == salted1)
     // the hot stratum actually spreads across all sub-strata
     assert(rows.filter(_._2 == "hot").map(_._4 % salts).distinct.length == salts)

@@ -95,6 +95,12 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    # an ONLY name that is neither oracled nor dumped is a typo — fail
+    # loudly instead of reporting a vacuous green run
+    ghosts = [n for n in ONLY
+              if n not in oracle and not os.path.isdir(f"{OUT}/{n}")]
+    if ghosts:
+        sys.exit(f"unknown query name(s): {ghosts}")
     names = [n for n in (ONLY or sorted(oracle)) if n in oracle]
     n_ok = n_fail = 0
     for name in names:
