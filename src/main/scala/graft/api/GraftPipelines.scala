@@ -436,6 +436,41 @@ object GraftPipelines {
         (col("cnt").cast("double") / col("n_grams")).as("rep_ratio"))
   }
 
+  /** PII scrub: replace email / phone-like / SSN-like spans with typed
+    * placeholder tokens and count what was redacted — the privacy pass
+    * every pretraining corpus runs before release. Patterns are
+    * deliberately conservative character-class regexes with no
+    * backreferences or lookaround, the subset Java regex (Spark) and
+    * RE2 (DuckDB, Go, Rust) interpret identically — so the oracle
+    * hash-matches the redacted text byte-for-byte and the same rules
+    * port to any downstream stack. Pure map-side projection: at 100 TB
+    * this runs at scan speed, no shuffle.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    // (name, regex, replacement token)
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("phone", "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"))
+
+  def redactPii(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    // counts are measured on the ORIGINAL text, then redaction applies
+    // in a fixed order (SSN before phone: an SSN is also phone-shaped,
+    // and both engines must agree on which token wins)
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      size(expr(s"regexp_extract_all($text, '${pat.replace("\\", "\\\\")}', 0)"))
+        .as(s"n_$name")
+    }
+    val ordered = Seq("email", "ssn", "phone")
+    val redacted = ordered.foldLeft(col(text)) { (c, name) =>
+      val (_, pat, rep) = PiiPatterns.find(_._1 == name).get
+      regexp_replace(c, pat, rep)
+    }
+    docs.select(Seq(col(id)) ++ counts :+ redacted.as("redacted_text"): _*)
+      .withColumn("has_pii",
+        (ordered.map(n => col(s"n_$n")).reduce(_ + _) > 0).cast("int"))
+  }
+
   /** Winnowing-style fingerprint from 2-gram shingle min-hashes
     * (4 KM hashes from one digest per shingle — see [[minhashSignature]] —
     * numeric 60-bit mins → HashAggregate, digested into one md5).

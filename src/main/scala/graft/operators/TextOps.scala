@@ -173,6 +173,27 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
+    // PII scrub: the privacy pass before corpus release. The synthetic
+    // corpus carries no PII by construction, so deterministic spans are
+    // planted in-query (both engines construct the identical text —
+    // the ev_nested_props pattern) and the scrub must find and redact
+    // exactly those. Conservative character-class regexes only — the
+    // Java-regex/RE2 common subset — so the redacted text hash-matches
+    // byte-for-byte. Pure map-side projection: scan-speed at 100 TB.
+    "llm_pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Tables.documents(s, dir)
+        .withColumn("text", concat($"text",
+          when($"doc_id" % 5 === 0, concat(lit(" contact user"),
+            $"doc_id", lit("@example.com"))).otherwise(lit("")),
+          when($"doc_id" % 7 === 0, lit(" id 123-45-6789"))
+            .otherwise(lit("")),
+          when($"doc_id" % 11 === 0, lit(" call 555-123-4567"))
+            .otherwise(lit(""))))
+      graft.api.GraftPipelines.redactPii(planted)
+        .orderBy($"doc_id")
+    }),
+
     // Array/higher-order function surface over the tokenized documents
     // (slice/sort/reverse/contains/element_at; string-joined outputs so
     // the oracle compare is scalar).
@@ -447,6 +468,36 @@ object TextOps {
         |  FROM (SELECT doc_id, source,
         |         len(string_split(text, ' ')) AS n_tokens FROM documents))
         |ORDER BY doc_id""".stripMargin,
+
+    // patterns come from the SAME PiiPatterns constants the engine
+    // uses; DuckDB '...' literals pass backslashes to RE2 untouched
+    "llm_pii_redact" -> {
+      def pat(n: String): String =
+        graft.api.GraftPipelines.PiiPatterns.find(_._1 == n).get._2
+      def rep(n: String): String =
+        graft.api.GraftPipelines.PiiPatterns.find(_._1 == n).get._3
+      def cnt(n: String): String =
+        s"CAST(len(regexp_extract_all(text, '${pat(n)}')) AS INTEGER)"
+      val redacted = Seq("email", "ssn", "phone").foldLeft("text") {
+        (acc, n) => s"regexp_replace($acc, '${pat(n)}', '${rep(n)}', 'g')"
+      }
+      s"""WITH aug AS (
+         |  SELECT doc_id, text ||
+         |   (CASE WHEN doc_id % 5 = 0 THEN ' contact user' ||
+         |     CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END) ||
+         |   (CASE WHEN doc_id % 7 = 0 THEN ' id 123-45-6789' ELSE '' END) ||
+         |   (CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END)
+         |     AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         | ${cnt("email")} AS n_email,
+         | ${cnt("ssn")} AS n_ssn,
+         | ${cnt("phone")} AS n_phone,
+         | $redacted AS redacted_text,
+         | CAST((${cnt("email")} + ${cnt("ssn")} + ${cnt("phone")}) > 0
+         |   AS INTEGER) AS has_pii
+         |FROM aug ORDER BY doc_id""".stripMargin
+    },
 
     "llm_array_funcs" ->
       """SELECT doc_id,

@@ -109,6 +109,24 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rows.filter(_._2 == "hot").map(_._4 % salts).distinct.length == salts)
   }
 
+  test("redactPii: planted spans redacted exactly, clean docs untouched") {
+    val dirty = "reach me at jane.doe+x@corp.io or 555-123-4567 ssn 987-65-4321 ok"
+    val clean = "no sensitive content in this sentence at all"
+    val df = Seq((1L, dirty), (2L, clean)).toDF("doc_id", "text")
+    val out = api.GraftPipelines.redactPii(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d = out(1L)
+    assert(d.getAs[Int]("n_email") == 1)
+    assert(d.getAs[Int]("n_phone") == 1)
+    assert(d.getAs[Int]("n_ssn") == 1)
+    assert(d.getAs[Int]("has_pii") == 1)
+    assert(d.getAs[String]("redacted_text") ==
+      "reach me at <EMAIL> or <PHONE> ssn <SSN> ok")
+    val c = out(2L)
+    assert(c.getAs[Int]("has_pii") == 0)
+    assert(c.getAs[String]("redacted_text") == clean)
+  }
+
   test("repetitionStats: hand-computed top gram with deterministic tie-break") {
     // 2-grams of "a b a b a c": [a b, b a, a b, b a, a c] — "a b" and
     // "b a" tie at 2; lexicographic order picks "a b". ratio = 2/5.
