@@ -260,15 +260,21 @@ object GraftPipelines {
     */
   def kmeans(emb: DataFrame, k: Int, iters: Int, dim: Int = 64,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    def assign(cent: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cluster"))
+    // argmax as ONE hash aggregate (max_by over the lexicographic
+    // (ccos, -cluster) key — identical tie semantics to a
+    // row_number-over-(ccos DESC, cluster) window, which is what the
+    // unrolled oracle computes), not a window: the window form sorts
+    // the k×n joined rows per partition, the aggregate combines them
+    // map-side. Same result, strictly better plan at scale.
+    def assign(cent: DataFrame): DataFrame =
       emb.select(col(id), col(vec))
         .crossJoin(broadcast(cent))
         .withColumn("ccos", cosine(col(vec), col("c")))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") === 1)
-        .select(col(id), col(vec), col("cluster"), col("ccos"))
-    }
+        .groupBy(col(id))
+        .agg(max_by(struct(col(vec).as("v"), col("cluster"), col("ccos")),
+          struct(col("ccos"), (-col("cluster")).as("nc"))).as("best"))
+        .select(col(id), col("best.v").as(vec),
+          col("best.cluster").as("cluster"), col("best.ccos").as("ccos"))
     def update(assigned: DataFrame): DataFrame = {
       val scale = 268435456.0 // 2^28: exact multiply, see scaladoc
       val sums = (1 to dim).map(d =>

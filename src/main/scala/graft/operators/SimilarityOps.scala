@@ -260,13 +260,24 @@ object SimilarityOps {
       val cent = emb.filter($"vec_id" < NC)
         .select($"vec_id".as("centroid"), $"embedding".as("cv"))
       def nearest(df: DataFrame, idCol: String, vecCol: String, k: Int) = {
-        val w = Window.partitionBy(col(idCol))
-          .orderBy($"ccos".desc, $"centroid")
-        df.crossJoin(broadcast(cent))
+        val scored = df.crossJoin(broadcast(cent))
           .withColumn("ccos", cosine(col(vecCol), $"cv"))
-          .withColumn("crn", row_number().over(w))
-          .filter($"crn" <= k)
-          .select(col(idCol), $"centroid")
+        if (k == 1)
+          // the full-table assignment: argmax as a hash aggregate
+          // (map-side combine) rather than a per-partition sort window —
+          // same (ccos DESC, centroid) tie semantics as the oracle
+          scored.groupBy(col(idCol))
+            .agg(max_by($"centroid", struct($"ccos", (-$"centroid").as("nc")))
+              .as("centroid"))
+            .select(col(idCol), $"centroid")
+        else {
+          // the bounded query side probes k > 1 lists — window is fine
+          val w = Window.partitionBy(col(idCol))
+            .orderBy($"ccos".desc, $"centroid")
+          scored.withColumn("crn", row_number().over(w))
+            .filter($"crn" <= k)
+            .select(col(idCol), $"centroid")
+        }
       }
       val assign = nearest(emb, "vec_id", "embedding", 1)
       val probes = nearest(
