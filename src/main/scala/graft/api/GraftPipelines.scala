@@ -442,6 +442,53 @@ object GraftPipelines {
         (col("cnt").cast("double") / col("n_grams")).as("rep_ratio"))
   }
 
+  /** Exact-substring overlap spans, stride 1 — the Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * public arXiv) signal that fixed-window span dedup misses: a
+    * duplicated passage at ANY word offset. Per doc: total `n`-gram
+    * count, how many of those grams also appear in ANOTHER doc, the
+    * shared fraction, and the longest run of consecutive shared grams
+    * converted back to words (`run + n - 1`) — the length of the
+    * longest exactly-duplicated substring. Docs shorter than `n` words
+    * emit no row (no grams).
+    *
+    * Shape: stride-1 shingling explodes ~wordcount rows per doc (the
+    * price of offset-free detection — 10× the stride-10 span scrub),
+    * but only a 60-bit gram hash and a position ever shuffle, never
+    * gram text; shared-gram detection is one hash-keyed groupBy, and
+    * the longest run is gaps-and-islands (idx − row_number) over each
+    * doc's shared positions — a doc-keyed window, no cross-doc state.
+    */
+  def substringOverlap(docs: DataFrame, n: Int = 10,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val src = docs.select(col(id), split(col(text), " ").as("w"))
+      .filter(size(col("w")) >= n)
+    val grams = src.select(col(id), posexplode(expr(
+        s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))")))
+      .select(col(id), col("pos").as("idx"),
+        VectorExpressions.md5Half60(col("col"), upperHalf = false).as("h"))
+    val shared = grams.groupBy(col("h"))
+      .agg(countDistinct(col(id)).as("nd"))
+      .filter(col("nd") > 1).select(col("h"))
+    val hits = grams.join(shared, Seq("h"), "left_semi")
+    val perDoc = hits.groupBy(col(id)).agg(count(lit(1)).as("n_shared"))
+    val w = Window.partitionBy(col(id)).orderBy(col("idx"))
+    val runs = hits
+      .withColumn("grp", col("idx") - row_number().over(w))
+      .groupBy(col(id), col("grp")).agg(count(lit(1)).as("rl"))
+      .groupBy(col(id)).agg(max(col("rl")).as("max_run"))
+    src.select(col(id), (size(col("w")) - (n - 1)).as("n_grams"))
+      .join(perDoc, Seq(id), "left")
+      .join(runs, Seq(id), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("frac_shared",
+        col("n_shared").cast("double") / col("n_grams"))
+      .withColumn("max_dup_words",
+        when(col("max_run").isNotNull, col("max_run") + (n - 1))
+          .otherwise(lit(0L)))
+      .drop("max_run")
+  }
+
   /** PII scrub: replace email / phone-like / SSN-like spans with typed
     * placeholder tokens and count what was redacted — the privacy pass
     * every pretraining corpus runs before release. Patterns are

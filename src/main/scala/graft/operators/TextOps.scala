@@ -173,6 +173,17 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
+    // Exact-substring overlap, stride 1 (Lee et al. 2021): per doc the
+    // shared-gram fraction and the longest exactly-duplicated substring
+    // length in words — the offset-free signal the stride-10 span scrub
+    // misses. Only 60-bit gram hashes and positions shuffle.
+    "llm_substring_dedup" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.GraftPipelines
+        .substringOverlap(Tables.documents(s, dir), 10)
+        .orderBy($"doc_id")
+    }),
+
     // PII scrub: the privacy pass before corpus release. The synthetic
     // corpus carries no PII by construction, so deterministic spans are
     // planted in-query (both engines construct the identical text —
@@ -467,6 +478,44 @@ object TextOps {
         |     - n_tokens AS cum
         |  FROM (SELECT doc_id, source,
         |         len(string_split(text, ' ')) AS n_tokens FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    // stride-1 grams with positions; shared = distinct-doc count > 1 on
+    // the 60-bit gram hash; longest run via gaps-and-islands
+    "llm_substring_dedup" ->
+      """WITH g0 AS (
+        |  SELECT doc_id, w, unnest(range(0, len(w) - 9)) AS idx
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 10),
+        |g AS (
+        |  SELECT doc_id, idx,
+        |   CAST(md5_number_lower(array_to_string(w[idx+1:idx+10], ' '))
+        |        % 1152921504606846976 AS BIGINT) AS h
+        |  FROM g0),
+        |shared AS (
+        |  SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+        |hits AS (SELECT doc_id, idx FROM g JOIN shared USING (h)),
+        |per_doc AS (
+        |  SELECT doc_id, count(*) AS n_shared FROM hits GROUP BY doc_id),
+        |runs AS (
+        |  SELECT doc_id,
+        |   idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+        |  FROM hits),
+        |mx AS (
+        |  SELECT doc_id, max(rl) AS max_run FROM (
+        |    SELECT doc_id, count(*) AS rl FROM runs GROUP BY doc_id, grp)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | CAST(len(string_split(text, ' ')) - 9 AS INTEGER) AS n_grams,
+        | coalesce(n_shared, 0) AS n_shared,
+        | CAST(coalesce(n_shared, 0) AS DOUBLE)
+        |   / (len(string_split(text, ' ')) - 9) AS frac_shared,
+        | CASE WHEN max_run IS NOT NULL THEN max_run + 9
+        |      ELSE 0 END AS max_dup_words
+        |FROM documents d
+        |LEFT JOIN per_doc USING (doc_id)
+        |LEFT JOIN mx USING (doc_id)
+        |WHERE len(string_split(text, ' ')) >= 10
         |ORDER BY doc_id""".stripMargin,
 
     // patterns come from the SAME PiiPatterns constants the engine

@@ -109,6 +109,29 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rows.filter(_._2 == "hot").map(_._4 % salts).distinct.length == salts)
   }
 
+  test("substringOverlap: shared 12-word run found at different offsets") {
+    // S is a 12-word passage embedded at word 3 of doc 1 and word 0 of
+    // doc 2 — stride-10 span dedup (aligned windows) cannot see it; the
+    // stride-1 scrub must report a 3-gram run = 12 duplicated words
+    val s12 = (1 to 12).map(i => s"s$i").mkString(" ")
+    val doc1 = s"pre1 pre2 pre3 $s12 post1 post2"
+    val doc2 = s"$s12 tail1 tail2 tail3 tail4 tail5"
+    val doc3 = "entirely distinct words one two three four five six seven eight nine"
+    val df = Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+    val out = api.GraftPipelines.substringOverlap(df, 10).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc1: 17 words -> 8 grams; shared = grams fully inside S, i.e.
+    // start positions 3..5 (0-based) -> 3 grams; run 3 -> 12 words
+    assert(out(1L).getAs[Int]("n_grams") == 8)
+    assert(out(1L).getAs[Long]("n_shared") == 3L)
+    assert(out(1L).getAs[Long]("max_dup_words") == 12L)
+    assert(math.abs(out(1L).getAs[Double]("frac_shared") - 3.0 / 8) < 1e-12)
+    assert(out(2L).getAs[Long]("n_shared") == 3L)
+    assert(out(2L).getAs[Long]("max_dup_words") == 12L)
+    assert(out(3L).getAs[Long]("n_shared") == 0L)
+    assert(out(3L).getAs[Long]("max_dup_words") == 0L)
+  }
+
   test("redactPii: planted spans redacted exactly, clean docs untouched") {
     val dirty = "reach me at jane.doe+x@corp.io or 555-123-4567 ssn 987-65-4321 ok"
     val clean = "no sensitive content in this sentence at all"
