@@ -770,15 +770,41 @@ object GraftPipelines {
     * runtime when genuinely small.
     */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, n: Int = 5,
-      id: String = "doc_id", text: String = "text"): DataFrame = {
-    val cg = shingle(corpus, n, id, text, repartitionFirst = false)
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    decontaminateWithIndex(corpusGramIndex(corpus, n, id, text),
+      corpus, evalSet, n, id, text)
+
+  /** Corpus gram index (id, g): the persistable artifact REPEATED
+    * decontamination runs join against — the decontamination twin of
+    * [[bandIndex]]. A pretraining corpus is re-checked against every
+    * new eval suite as benchmarks evolve; re-shingling 100 TB per suite
+    * is the dominant cost, and this index (distinct 60-bit gram half-
+    * hashes per doc) is computed ONCE, written bucketed on `g`
+    * ([[graft.sources.GraftIO.writeBucketed]]), and reused — each new
+    * run shingles only the (small) eval side, and the bucketed layout
+    * makes the gram join shuffle-free on the corpus side (the same
+    * one-exchange contract GraftIOSpec pins for the band index).
+    */
+  def corpusGramIndex(corpus: DataFrame, n: Int = 5,
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    shingle(corpus, n, id, text, repartitionFirst = false)
       .select(col(id),
         VectorExpressions.md5Half60(col("s"), upperHalf = false).as("g"))
       .distinct()
+
+  /** [[decontaminate]] against a precomputed (possibly parquet-
+    * persisted, ideally bucketed-on-`g`) corpus gram index. `corpus`
+    * supplies only the doc-id universe (docs shorter than `n` words
+    * have no grams, hence no index rows, but still report
+    * `is_contaminated = 0`) — column pruning reads just the id column.
+    */
+  def decontaminateWithIndex(corpusIndex: DataFrame, corpus: DataFrame,
+      evalSet: DataFrame, n: Int = 5,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
     val eg = shingle(evalSet, n, id, text, repartitionFirst = false)
       .select(VectorExpressions.md5Half60(col("s"), upperHalf = false).as("g"))
       .distinct()
-    val hits = cg.join(eg, "g")
+    val hits = corpusIndex.join(eg, "g")
       .groupBy(col(id)).agg(count(lit(1)).as("n_eval_grams"))
     corpus.select(col(id))
       .join(hits, Seq(id), "left")

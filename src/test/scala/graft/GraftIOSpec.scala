@@ -101,6 +101,41 @@ class GraftIOSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS band_idx")
   }
 
+  test("bucketed gram index: repeat decontamination never re-shingles the corpus") {
+    import org.apache.spark.sql.functions.col
+    val leak = "alpha beta gamma delta epsilon"
+    val corpus = Seq(
+      (1L, s"intro words then $leak and more trailing words"),
+      (2L, "totally unrelated content with no overlap at all here"),
+      (3L, "tiny")) // < 5 words: no grams, must still report clean
+      .toDF("doc_id", "text")
+    val eval1 = Seq((100L, s"question about $leak indeed")).toDF("doc_id", "text")
+    GraftIO.writeBucketed(
+      api.GraftPipelines.corpusGramIndex(corpus), "gram_idx", "g", 4)
+    try {
+      val bucketed = api.GraftPipelines
+        .decontaminateWithIndex(spark.table("gram_idx"), corpus, eval1)
+      val direct = api.GraftPipelines.decontaminate(corpus, eval1)
+      // the contract is "a new eval suite never re-shingles the corpus":
+      // shingling is a Generate (explode) node — the direct form plans
+      // one per side, the indexed form only the eval side's
+      def shingleGenerates(df: org.apache.spark.sql.DataFrame) =
+        "Generate explode".r
+          .findAllIn(df.queryExecution.executedPlan.toString()).size
+      assert(shingleGenerates(direct) == 2)
+      assert(shingleGenerates(bucketed) == 1,
+        s"corpus grams must come from the index, not a re-shingle:\n${
+          bucketed.queryExecution.executedPlan.toString().take(900)}")
+      val b = bucketed.orderBy(col("doc_id")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2)))
+      val d = direct.orderBy(col("doc_id")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2)))
+      assert(b.sameElements(d))
+      assert(b.toMap.apply(1L)._2 == 1 && b.toMap.apply(2L)._2 == 0)
+      assert(b.toMap.apply(3L) == (0L, 0)) // gram-less doc still reported
+    } finally spark.sql("DROP TABLE IF EXISTS gram_idx")
+  }
+
   test("schema evolution: mergeSchema unifies old and new parquet layouts") {
     import spark.implicits._
     // a long-lived dataset gains a column mid-life; old files lack it
