@@ -198,6 +198,41 @@ object GraftProperties extends Properties("graft") {
       } && rates.values.map(_._2).max == 1000000L // smallest keeps all
     }
 
+  private val overlapDocsGen: Gen[List[(Long, String)]] = for {
+    nDocs <- Gen.chooseNum(2, 5)
+    docs <- Gen.listOfN(nDocs, Gen.chooseNum(3, 20).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("substringOverlap matches a brute-force reference (n=3)") =
+    Prop.forAll(overlapDocsGen) { docs =>
+      import spark.implicits._
+      val n = 3
+      // brute force: every stride-1 3-gram per doc with its position
+      val grams = docs.map { case (id, t) =>
+        val w = t.split(" ")
+        id -> w.sliding(n).map(_.mkString(" ")).zipWithIndex.toList
+      }.toMap
+      val sharedSet = grams.toList
+        .flatMap { case (id, gs) => gs.map(g => (g._1, id)) }
+        .groupBy(_._1).collect { case (g, xs)
+          if xs.map(_._2).distinct.size > 1 => g }.toSet
+      val expected = grams.collect { case (id, gs) if gs.nonEmpty =>
+        val hitIdx = gs.collect { case (g, i) if sharedSet(g) => i }
+        val runs = hitIdx.foldLeft(List.empty[Int]) { (acc, i) =>
+          if (acc.nonEmpty && hitIdx.contains(i - 1)) (acc.head + 1) :: acc.tail
+          else 1 :: acc
+        }
+        id -> (gs.size, hitIdx.size.toLong,
+          if (runs.isEmpty) 0L else runs.max.toLong + (n - 1))
+      }
+      val got = graft.api.GraftPipelines
+        .substringOverlap(docs.toDF("doc_id", "text"), n).collect()
+        .map(r => r.getLong(0) -> (r.getAs[Int]("n_grams"),
+          r.getAs[Long]("n_shared"), r.getAs[Long]("max_dup_words"))).toMap
+      got == expected
+    }
+
   property("cosine symmetric, bounded, self-sim ≈ 1") =
     Prop.forAll(vecGen) { case (a, b) =>
       import spark.implicits._
