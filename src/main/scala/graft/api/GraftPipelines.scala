@@ -800,13 +800,34 @@ object GraftPipelines {
     */
   def decontaminateWithIndex(corpusIndex: DataFrame, corpus: DataFrame,
       evalSet: DataFrame, n: Int = 5,
-      id: String = "doc_id", text: String = "text"): DataFrame = {
-    val eg = shingle(evalSet, n, id, text, repartitionFirst = false)
-      .select(VectorExpressions.md5Half60(col("s"), upperHalf = false).as("g"))
-      .distinct()
-    val hits = corpusIndex.join(eg, "g")
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    flagGramOverlap(corpusIndex, corpus.select(col(id)),
+      shingle(evalSet, n, id, text, repartitionFirst = false)
+        .select(VectorExpressions.md5Half60(col("s"), upperHalf = false)
+          .as("g")),
+      id)
+
+  /** [[decontaminate]] with the EVAL side precomputed as a persisted
+    * gram set — the streaming-gate orientation: the corpus arrives in
+    * micro-batches and the eval suite is the fixed artifact (build it
+    * once as `corpusGramIndex(evalSuite).select("g")` and persist).
+    * Per batch only the batch shingles; see
+    * `EventStreaming.decontaminationGate` for the running loop.
+    */
+  def decontaminateAgainstGrams(docs: DataFrame, evalGrams: DataFrame,
+      n: Int = 5, id: String = "doc_id", text: String = "text"): DataFrame =
+    flagGramOverlap(corpusGramIndex(docs, n, id, text),
+      docs.select(col(id)), evalGrams.select(col("g")), id)
+
+  /** Shared tail of the decontamination family: count distinct-gram
+    * hits per doc against a gram set, and report every doc in the id
+    * universe (0 / clean when gram-less or unmatched).
+    */
+  private def flagGramOverlap(docGrams: DataFrame, docIds: DataFrame,
+      gramSet: DataFrame, id: String): DataFrame = {
+    val hits = docGrams.join(gramSet.distinct(), "g")
       .groupBy(col(id)).agg(count(lit(1)).as("n_eval_grams"))
-    corpus.select(col(id))
+    docIds
       .join(hits, Seq(id), "left")
       .withColumn("n_eval_grams", coalesce(col("n_eval_grams"), lit(0L)))
       .withColumn("is_contaminated", (col("n_eval_grams") > 0).cast("int"))

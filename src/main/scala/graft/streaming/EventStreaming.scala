@@ -218,6 +218,29 @@ object EventStreaming {
         .write.mode("append").parquet(indexPath)
     }
 
+  /** Streaming decontamination gate: flag every arriving doc's n-gram
+    * overlap with a persisted eval gram set at INGEST time — dropping
+    * benchmark leaks before they ever enter the corpus, instead of a
+    * post-hoc scrub over 100 TB. The eval artifact is built once
+    * (`GraftPipelines.corpusGramIndex(evalSuite).select("g")`, written
+    * to `evalGramsPath`) and reread per micro-batch as a static side
+    * (broadcast when small — eval suites usually are); per-trigger work
+    * shingles only the batch. The sink sees each doc with
+    * `n_eval_grams` + `is_contaminated` — same columns as the batch
+    * `llm_decontaminate`.
+    */
+  def decontaminationGate(docs: DataFrame, evalGramsPath: String,
+      checkpointDir: Option[String] = None, n: Int = 5,
+      id: String = "doc_id", text: String = "text")
+      (sink: (Dataset[Row], Long) => Unit): StreamingQuery =
+    deliver(docs, checkpointDir) { (batch, batchId) =>
+      val evalGrams = batch.sparkSession.read.parquet(evalGramsPath)
+      val flagged = graft.api.GraftPipelines
+        .decontaminateAgainstGrams(batch.toDF, evalGrams, n, id, text)
+        .localCheckpoint()
+      sink(flagged, batchId)
+    }
+
   /** Streaming inverted-index maintenance: per micro-batch, append the
     * batch docs' (id, term) posting rows to an append-only parquet log —
     * the segment model of every production search index (writers only

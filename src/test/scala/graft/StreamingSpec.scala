@@ -278,6 +278,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("decontaminationGate: arriving docs flag against the persisted eval grams") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val evalDir = java.nio.file.Files
+      .createTempDirectory("graft_eval_grams").toString + "/grams"
+    val leak = "alpha beta gamma delta epsilon"
+    // the once-built eval artifact: distinct gram hashes of the suite
+    api.GraftPipelines
+      .corpusGramIndex(Seq((100L, s"question about $leak indeed"))
+        .toDF("doc_id", "text"))
+      .select("g").write.parquet(evalDir)
+    val flags = scala.collection.mutable.Map[Long, (Long, Int)]()
+    val query = EventStreaming.decontaminationGate(docs, evalDir) { (batch, _) =>
+      batch.collect().foreach { r =>
+        flags.synchronized {
+          flags(r.getAs[Long]("doc_id")) =
+            (r.getAs[Long]("n_eval_grams"), r.getAs[Int]("is_contaminated"))
+        }
+      }
+    }
+    try {
+      mem.addData((1L, s"intro words then $leak and more trailing words"),
+        (2L, "totally unrelated content with no overlap at all here"))
+      query.processAllAvailable()
+      val f1 = flags.synchronized(flags.toMap)
+      assert(f1(1L)._1 >= 1L && f1(1L)._2 == 1, s"leak must flag: $f1")
+      assert(f1(2L) == (0L, 0), s"clean doc passes: $f1")
+      // later batch: short (gram-less) docs still reported, clean
+      mem.addData((3L, "tiny"), (4L, s"another $leak carrier document here"))
+      query.processAllAvailable()
+      val f2 = flags.synchronized(flags.toMap)
+      assert(f2(3L) == (0L, 0))
+      assert(f2(4L)._2 == 1)
+    } finally query.stop()
+  }
+
   test("indexIngestLoop: serving view equals batch index, replay-idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
