@@ -452,12 +452,17 @@ object GraftPipelines {
     * longest exactly-duplicated substring. Docs shorter than `n` words
     * emit no row (no grams).
     *
-    * Shape: stride-1 shingling explodes ~wordcount rows per doc (the
-    * price of offset-free detection — 10× the stride-10 span scrub),
-    * but only a 60-bit gram hash and a position ever shuffle, never
-    * gram text; shared-gram detection is one hash-keyed groupBy, and
-    * the longest run is gaps-and-islands (idx − row_number) over each
-    * doc's shared positions — a doc-keyed window, no cross-doc state.
+    * Shape: ONE scan, one shingle explode (~wordcount rows per doc —
+    * the price of offset-free detection, 10× the stride-10 span
+    * scrub), and only a 60-bit gram hash and a position ever shuffle,
+    * never gram text. Everything downstream is windows/aggs over that
+    * single stream: "shared" is `min(doc) ≠ max(doc)` over the
+    * hash-partitioned window (no groupBy + join-back, which re-planned
+    * the shingle lineage per consumer — the first cut of this operator
+    * read the corpus FIVE times); per-doc totals, shared counts, and
+    * the gaps-and-islands longest run all fold into one doc-keyed pass
+    * (`grp = idx − running-shared-rank`, null for unshared rows, so
+    * zero-overlap docs survive to the output with 0s).
     */
   def substringOverlap(docs: DataFrame, n: Int = 10,
       id: String = "doc_id", text: String = "text"): DataFrame = {
@@ -467,26 +472,24 @@ object GraftPipelines {
         s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))")))
       .select(col(id), col("pos").as("idx"),
         VectorExpressions.md5Half60(col("col"), upperHalf = false).as("h"))
-    val shared = grams.groupBy(col("h"))
-      .agg(countDistinct(col(id)).as("nd"))
-      .filter(col("nd") > 1).select(col("h"))
-    val hits = grams.join(shared, Seq("h"), "left_semi")
-    val perDoc = hits.groupBy(col(id)).agg(count(lit(1)).as("n_shared"))
-    val w = Window.partitionBy(col(id)).orderBy(col("idx"))
-    val runs = hits
-      .withColumn("grp", col("idx") - row_number().over(w))
-      .groupBy(col(id), col("grp")).agg(count(lit(1)).as("rl"))
-      .groupBy(col(id)).agg(max(col("rl")).as("max_run"))
-    src.select(col(id), (size(col("w")) - (n - 1)).as("n_grams"))
-      .join(perDoc, Seq(id), "left")
-      .join(runs, Seq(id), "left")
-      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
-      .withColumn("frac_shared",
-        col("n_shared").cast("double") / col("n_grams"))
-      .withColumn("max_dup_words",
-        when(col("max_run").isNotNull, col("max_run") + (n - 1))
-          .otherwise(lit(0L)))
-      .drop("max_run")
+    val wH = Window.partitionBy(col("h"))
+    val wDoc = Window.partitionBy(col(id))
+    val wDocOrd = wDoc.orderBy(col("idx"))
+    grams
+      .withColumn("shared",
+        (min(col(id)).over(wH) =!= max(col(id)).over(wH)).cast("long"))
+      .withColumn("n_grams", count(lit(1)).over(wDoc))
+      .withColumn("srn", sum(col("shared")).over(wDocOrd))
+      .withColumn("grp", when(col("shared") === 1, col("idx") - col("srn")))
+      .groupBy(col(id), col("n_grams"), col("grp"))
+      .agg(sum(col("shared")).as("rl"))
+      .groupBy(col(id), col("n_grams"))
+      .agg(sum(col("rl")).as("n_shared"), max(col("rl")).as("max_run"))
+      .select(col(id), col("n_grams").cast("int").as("n_grams"),
+        col("n_shared"),
+        (col("n_shared").cast("double") / col("n_grams")).as("frac_shared"),
+        when(col("max_run") > 0, col("max_run") + (n - 1))
+          .otherwise(lit(0L)).as("max_dup_words"))
   }
 
   /** PII scrub: replace email / phone-like / SSN-like spans with typed
