@@ -27,6 +27,7 @@ object Bench {
     "llm_dedup_exact", "llm_dedup_prefix", "llm_minhash_pairs", "llm_neardup_verified",
     "llm_dup_clusters", "llm_curate", "llm_decontaminate",
     "llm_span_dedup", "llm_sample_stratified", "llm_sample_weighted", "llm_pack_sequences",
+    "llm_pack_salted",
     "llm_hybrid_search", "llm_hybrid_rrf", "llm_corpus_report",
     "llm_bm25", "llm_inverted_index", "llm_mix_temperature",
     "llm_sample_topk", "llm_embed_quantize", "llm_chunk", "llm_bigram_lm",

@@ -173,6 +173,19 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
+    // Salted two-level packing: the hot-stratum escape hatch, with the
+    // whole bin arithmetic (salted sub-strata, interleaved bin ids)
+    // hash-checked against the oracle's mirror of the same md5 salt.
+    "llm_pack_salted" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.GraftPipelines.packSequencesSalted(
+          Tables.documents(s, dir)
+            .withColumn("n_tokens", size(split($"text", " "))),
+          2048, 4)
+        .select($"doc_id", $"source", $"n_tokens", $"bin")
+        .orderBy($"doc_id")
+    }),
+
     // Exact-substring overlap, stride 1 (Lee et al. 2021): per doc the
     // shared-gram fraction and the longest exactly-duplicated substring
     // length in words — the offset-free signal the stride-10 span scrub
@@ -478,6 +491,22 @@ object TextOps {
         |     - n_tokens AS cum
         |  FROM (SELECT doc_id, source,
         |         len(string_split(text, ' ')) AS n_tokens FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    // same salted hash, same per-substratum running sum, same bin
+    // interleave as packSequencesSalted
+    "llm_pack_salted" ->
+      """SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+        | CAST(floor(cum / 2048.0) AS BIGINT) * 4 + salt AS bin
+        |FROM (
+        |  SELECT doc_id, source, n_tokens, salt,
+        |   sum(n_tokens) OVER (PARTITION BY source, salt ORDER BY doc_id)
+        |     - n_tokens AS cum
+        |  FROM (SELECT doc_id, source,
+        |         len(string_split(text, ' ')) AS n_tokens,
+        |         CAST(md5_number_lower('pck|' || CAST(doc_id AS VARCHAR))
+        |              % 1152921504606846976 % 4 AS BIGINT) AS salt
+        |        FROM documents))
         |ORDER BY doc_id""".stripMargin,
 
     // stride-1 grams with positions; shared = distinct-doc count > 1 on
