@@ -31,7 +31,7 @@ object Bench {
     "llm_hybrid_search", "llm_hybrid_rrf", "llm_corpus_report",
     "llm_bm25", "llm_inverted_index", "llm_mix_temperature",
     "llm_sample_topk", "llm_embed_quantize", "llm_chunk", "llm_bigram_lm",
-    "llm_pii_redact", "llm_substring_dedup", "llm_embed_kmeans", "llm_semdedup",
+    "llm_pii_redact", "llm_substring_dedup", "llm_doc_features", "llm_embed_kmeans", "llm_semdedup",
     "llm_simhash", "llm_simhash_pairs", "llm_embed_topk",
     "llm_embed_lsh_knn", "llm_embed_lsh_knn2",
     "llm_embed_neardup", "llm_embed_neardup_lsh", "llm_lang_id", "llm_tfidf",

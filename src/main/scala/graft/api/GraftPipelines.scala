@@ -527,6 +527,36 @@ object GraftPipelines {
         (ordered.map(n => col(s"n_$n")).reduce(_ + _) > 0).cast("int"))
   }
 
+  /** Per-document feature vector: the classifier-training export that
+    * joins every per-doc curation signal this library computes into one
+    * wide row — quality stats + composite score, language prediction
+    * (the stopword-ratio heuristic, derived from the SAME ratio quality
+    * already computed — no extra scan), bigram repetition, stride-1
+    * substring overlap, and PII counts. The standard interface between
+    * a curation pipeline and a learned quality filter: train on these
+    * columns, score the corpus, gate on the model. Each signal is
+    * independently oracle-verified; the composition is doc-keyed LEFT
+    * joins, so short docs carry nulls where a signal is undefined
+    * (< 2 words: no repetition row; < n words: no substring row).
+    */
+  def docFeatures(docs: DataFrame,
+      stopwords: Seq[String] = DefaultStopwords,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val q = qualityScores(docs, stopwords, id, text)
+      .withColumn("pred_lang",
+        when(col("stop_ratio") >= 0.05, lit("en")).otherwise(lit("und")))
+    val rep = repetitionStats(docs, 2, id, text)
+      .select(col(id), col("rep_ratio"))
+    val sub = substringOverlap(docs, 10, id, text)
+      .select(col(id), col("frac_shared"), col("max_dup_words"))
+    val pii = redactPii(docs, id, text)
+      .select(col(id),
+        (col("n_email") + col("n_ssn") + col("n_phone")).as("n_pii"))
+    q.join(rep, Seq(id), "left")
+      .join(sub, Seq(id), "left")
+      .join(pii, Seq(id), "left")
+  }
+
   /** Winnowing-style fingerprint from 2-gram shingle min-hashes
     * (4 KM hashes from one digest per shingle — see [[minhashSignature]] —
     * numeric 60-bit mins → HashAggregate, digested into one md5).

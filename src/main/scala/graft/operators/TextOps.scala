@@ -33,6 +33,83 @@ object TextOps {
     * of docs), so the idf spread is visible in the ranking. */
   private val BM25_TERMS = Seq("spark", "merge", "dup")
 
+  /** Oracle bodies shared between the standalone signal entries and the
+    * composed `llm_doc_features` export (each stays hash-verified on
+    * its own; the composition reuses the IDENTICAL SQL as nested CTEs,
+    * so a drift between the two is impossible by construction). */
+  private lazy val qualitySelectSql: String =
+    s"""SELECT doc_id,
+       | CAST(n_words AS INTEGER) AS n_words,
+       | CAST(n_distinct AS INTEGER) AS n_distinct,
+       | avg_word_len, ttr, stop_ratio,
+       | (ttr * 0.5) + (stop_ratio * 0.3) +
+       |  (CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 8.0
+       |        THEN 0.2 ELSE 0.0 END) AS score
+       |FROM (
+       |  SELECT doc_id, n_words, n_distinct,
+       |   CAST(sum_len AS DOUBLE) / n_words AS avg_word_len,
+       |   CAST(n_distinct AS DOUBLE) / n_words AS ttr,
+       |   CAST(n_stop AS DOUBLE) / n_words AS stop_ratio
+       |  FROM (
+       |    SELECT doc_id, len(w) AS n_words,
+       |     len(list_distinct(w)) AS n_distinct,
+       |     list_sum(list_transform(w, x -> length(x))) AS sum_len,
+       |     len(list_filter(w, x -> x IN ($markersInList))) AS n_stop
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))""".stripMargin
+
+  private lazy val repetitionSelectSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |           i -> w[i] || ' ' || w[i+1])) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 2),
+      |c AS (SELECT doc_id, s, count(*) AS cnt FROM g GROUP BY 1, 2),
+      |t AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams
+      |      FROM c GROUP BY 1),
+      |top AS (
+      |  SELECT doc_id, s, cnt FROM (
+      |    SELECT doc_id, s, cnt, row_number() OVER (
+      |      PARTITION BY doc_id ORDER BY cnt DESC, s) AS rn FROM c)
+      |  WHERE rn = 1)
+      |SELECT doc_id, s AS top_gram, CAST(cnt AS BIGINT) AS top_n,
+      | n_grams, CAST(cnt AS DOUBLE) / n_grams AS rep_ratio
+      |FROM top JOIN t USING (doc_id)""".stripMargin
+
+  private lazy val substringSelectSql: String =
+    """WITH g0 AS (
+      |  SELECT doc_id, w, unnest(range(0, len(w) - 9)) AS idx
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 10),
+      |g AS (
+      |  SELECT doc_id, idx,
+      |   CAST(md5_number_lower(array_to_string(w[idx+1:idx+10], ' '))
+      |        % 1152921504606846976 AS BIGINT) AS h
+      |  FROM g0),
+      |shared AS (
+      |  SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+      |hits AS (SELECT doc_id, idx FROM g JOIN shared USING (h)),
+      |per_doc AS (
+      |  SELECT doc_id, count(*) AS n_shared FROM hits GROUP BY doc_id),
+      |runs AS (
+      |  SELECT doc_id,
+      |   idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+      |  FROM hits),
+      |mx AS (
+      |  SELECT doc_id, max(rl) AS max_run FROM (
+      |    SELECT doc_id, count(*) AS rl FROM runs GROUP BY doc_id, grp)
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id,
+      | CAST(len(string_split(text, ' ')) - 9 AS INTEGER) AS n_grams,
+      | coalesce(n_shared, 0) AS n_shared,
+      | CAST(coalesce(n_shared, 0) AS DOUBLE)
+      |   / (len(string_split(text, ' ')) - 9) AS frac_shared,
+      | CASE WHEN max_run IS NOT NULL THEN max_run + 9
+      |      ELSE 0 END AS max_dup_words
+      |FROM documents d
+      |LEFT JOIN per_doc USING (doc_id)
+      |LEFT JOIN mx USING (doc_id)
+      |WHERE len(string_split(text, ' ')) >= 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Language-ID heuristic: stopword-ratio → 'en' / 'und'; confusion
     // counts against the labeled lang column.
@@ -170,6 +247,17 @@ object TextOps {
             .withColumn("n_tokens", size(split($"text", " "))),
           2048)
         .select($"doc_id", $"source", $"n_tokens", $"bin")
+        .orderBy($"doc_id")
+    }),
+
+    // Per-doc feature vector: every curation signal in one wide row —
+    // the classifier-training export (quality, language, repetition,
+    // substring overlap, PII). Composed from independently-verified
+    // pieces with doc-keyed left joins.
+    "llm_doc_features" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.GraftPipelines
+        .docFeatures(Tables.documents(s, dir), EN_MARKERS)
         .orderBy($"doc_id")
     }),
 
@@ -366,26 +454,7 @@ object TextOps {
          |  FROM (SELECT lang, string_split(text, ' ') AS w FROM documents))
          |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
 
-    "llm_quality_score" ->
-      s"""SELECT doc_id,
-         | CAST(n_words AS INTEGER) AS n_words,
-         | CAST(n_distinct AS INTEGER) AS n_distinct,
-         | avg_word_len, ttr, stop_ratio,
-         | (ttr * 0.5) + (stop_ratio * 0.3) +
-         |  (CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 8.0
-         |        THEN 0.2 ELSE 0.0 END) AS score
-         |FROM (
-         |  SELECT doc_id, n_words, n_distinct,
-         |   CAST(sum_len AS DOUBLE) / n_words AS avg_word_len,
-         |   CAST(n_distinct AS DOUBLE) / n_words AS ttr,
-         |   CAST(n_stop AS DOUBLE) / n_words AS stop_ratio
-         |  FROM (
-         |    SELECT doc_id, len(w) AS n_words,
-         |     len(list_distinct(w)) AS n_distinct,
-         |     list_sum(list_transform(w, x -> length(x))) AS sum_len,
-         |     len(list_filter(w, x -> x IN ($markersInList))) AS n_stop
-         |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))
-         |ORDER BY doc_id""".stripMargin,
+    "llm_quality_score" -> s"$qualitySelectSql\nORDER BY doc_id",
 
     "llm_corpus_report" ->
       s"""WITH q AS (
@@ -446,23 +515,7 @@ object TextOps {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 
-    "llm_repetition" ->
-      """WITH g AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
-        |           i -> w[i] || ' ' || w[i+1])) AS s
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-        |  WHERE len(w) >= 2),
-        |c AS (SELECT doc_id, s, count(*) AS cnt FROM g GROUP BY 1, 2),
-        |t AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams
-        |      FROM c GROUP BY 1),
-        |top AS (
-        |  SELECT doc_id, s, cnt FROM (
-        |    SELECT doc_id, s, cnt, row_number() OVER (
-        |      PARTITION BY doc_id ORDER BY cnt DESC, s) AS rn FROM c)
-        |  WHERE rn = 1)
-        |SELECT doc_id, s AS top_gram, CAST(cnt AS BIGINT) AS top_n,
-        | n_grams, CAST(cnt AS DOUBLE) / n_grams AS rep_ratio
-        |FROM top JOIN t USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "llm_repetition" -> s"$repetitionSelectSql\nORDER BY doc_id",
 
     "llm_sample_stratified" ->
       """SELECT doc_id, source FROM documents
@@ -493,6 +546,31 @@ object TextOps {
         |         len(string_split(text, ' ')) AS n_tokens FROM documents))
         |ORDER BY doc_id""".stripMargin,
 
+    // the composition reuses the standalone entries' SQL bodies as
+    // nested CTEs verbatim — drift between the export and its signals
+    // is impossible by construction
+    "llm_doc_features" -> {
+      def pat(n: String): String =
+        graft.api.GraftPipelines.PiiPatterns.find(_._1 == n).get._2
+      val piiSum = Seq("email", "ssn", "phone")
+        .map(n => s"CAST(len(regexp_extract_all(text, '${pat(n)}')) AS INTEGER)")
+        .mkString(" + ")
+      s"""WITH q AS ($qualitySelectSql),
+         |rep AS ($repetitionSelectSql),
+         |sub AS ($substringSelectSql),
+         |pii AS (SELECT doc_id, $piiSum AS n_pii FROM documents)
+         |SELECT q.doc_id, q.n_words, q.n_distinct, q.avg_word_len,
+         | q.ttr, q.stop_ratio, q.score,
+         | CASE WHEN q.stop_ratio >= 0.05 THEN 'en' ELSE 'und' END
+         |   AS pred_lang,
+         | rep.rep_ratio, sub.frac_shared, sub.max_dup_words, pii.n_pii
+         |FROM q
+         |LEFT JOIN rep USING (doc_id)
+         |LEFT JOIN sub USING (doc_id)
+         |LEFT JOIN pii USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // same salted hash, same per-substratum running sum, same bin
     // interleave as packSequencesSalted
     "llm_pack_salted" ->
@@ -511,41 +589,7 @@ object TextOps {
 
     // stride-1 grams with positions; shared = distinct-doc count > 1 on
     // the 60-bit gram hash; longest run via gaps-and-islands
-    "llm_substring_dedup" ->
-      """WITH g0 AS (
-        |  SELECT doc_id, w, unnest(range(0, len(w) - 9)) AS idx
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-        |  WHERE len(w) >= 10),
-        |g AS (
-        |  SELECT doc_id, idx,
-        |   CAST(md5_number_lower(array_to_string(w[idx+1:idx+10], ' '))
-        |        % 1152921504606846976 AS BIGINT) AS h
-        |  FROM g0),
-        |shared AS (
-        |  SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) > 1),
-        |hits AS (SELECT doc_id, idx FROM g JOIN shared USING (h)),
-        |per_doc AS (
-        |  SELECT doc_id, count(*) AS n_shared FROM hits GROUP BY doc_id),
-        |runs AS (
-        |  SELECT doc_id,
-        |   idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
-        |  FROM hits),
-        |mx AS (
-        |  SELECT doc_id, max(rl) AS max_run FROM (
-        |    SELECT doc_id, count(*) AS rl FROM runs GROUP BY doc_id, grp)
-        |  GROUP BY doc_id)
-        |SELECT d.doc_id,
-        | CAST(len(string_split(text, ' ')) - 9 AS INTEGER) AS n_grams,
-        | coalesce(n_shared, 0) AS n_shared,
-        | CAST(coalesce(n_shared, 0) AS DOUBLE)
-        |   / (len(string_split(text, ' ')) - 9) AS frac_shared,
-        | CASE WHEN max_run IS NOT NULL THEN max_run + 9
-        |      ELSE 0 END AS max_dup_words
-        |FROM documents d
-        |LEFT JOIN per_doc USING (doc_id)
-        |LEFT JOIN mx USING (doc_id)
-        |WHERE len(string_split(text, ' ')) >= 10
-        |ORDER BY doc_id""".stripMargin,
+    "llm_substring_dedup" -> s"$substringSelectSql\nORDER BY doc_id",
 
     // patterns come from the SAME PiiPatterns constants the engine
     // uses; DuckDB '...' literals pass backslashes to RE2 untouched

@@ -109,6 +109,26 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rows.filter(_._2 == "hot").map(_._4 % salts).distinct.length == salts)
   }
 
+  test("docFeatures: signals join per doc, undefined signals stay null") {
+    val longShared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (1L, s"the a of $longShared and to in is"),   // all signals defined
+      (2L, "solo"),                                  // <2 words: no rep, no sub
+      (3L, s"x1 $longShared x2 x3 no-reply@x.io"))   // shares S with doc 1 + pii
+      .toDF("doc_id", "text")
+    val out = api.GraftPipelines.docFeatures(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L)) // quality defines the universe
+    assert(out(1L).getAs[String]("pred_lang") == "en")  // 7 stopwords / 20
+    assert(out(2L).getAs[String]("pred_lang") == "und")
+    assert(out(2L).isNullAt(out(2L).fieldIndex("rep_ratio")))
+    assert(out(2L).isNullAt(out(2L).fieldIndex("frac_shared")))
+    assert(out(1L).getAs[Long]("max_dup_words") >= 12L)
+    assert(out(3L).getAs[Long]("max_dup_words") >= 12L)
+    assert(out(3L).getAs[Int]("n_pii") == 1)
+    assert(out(1L).getAs[Int]("n_pii") == 0)
+  }
+
   test("substringOverlap: shared 12-word run found at different offsets") {
     // S is a 12-word passage embedded at word 3 of doc 1 and word 0 of
     // doc 2 — stride-10 span dedup (aligned windows) cannot see it; the
