@@ -89,6 +89,11 @@ class EdgeCasesSpec extends SparkSpec {
     // invertedIndex on empty corpus: no terms, no crash
     assert(api.GraftPipelines.invertedIndex(
       Seq.empty[(Long, String)].toDF("doc_id", "text")).count() == 0L)
+    // round-4 ops on empty/degenerate corpora: no rows, no crash
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(api.GraftPipelines.substringOverlap(emptyDocs).count() == 0L)
+    assert(api.GraftPipelines.redactPii(emptyDocs).count() == 0L)
+    assert(api.GraftPipelines.docFeatures(emptyDocs).count() == 0L)
   }
 
   test("pre-epoch timestamps keep ordering and negative epoch millis") {
