@@ -143,6 +143,43 @@ object MultimodalOps {
         .orderBy($"doc_id")
     }),
 
+    // Scene-cut detection: the temporal segmentation step of a video
+    // curation pipeline — slice the payload into fixed frames, extract
+    // a per-frame feature (mean of the frame's first 8 bytes, via the
+    // same bytes-as-text contract as the stub decoder), and mark a cut
+    // wherever the feature jumps more than a threshold between
+    // consecutive frames (lag over a doc-keyed window). Scenes = cuts
+    // + 1 — the unit a frame-sampler or clip-embedder consumes.
+    // Payloads never shuffle: the per-frame feature is extracted
+    // map-side, only (doc, pos, feature) rows enter the window.
+    "mm_scene_cuts" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val K = 8          // feature bytes per frame
+      val THR = 10.0     // brightness-jump threshold
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      Tables.documents(s, dir)
+        .filter(length($"text") >= 1)
+        .withColumn("n_frames",
+          expr("cast(ceil(length(text) / 256.0) as int)"))
+        .select($"doc_id", $"n_frames", posexplode(expr(
+          "transform(sequence(0, n_frames - 1), i -> substring(text, i*256 + 1, 256))"))
+          .as(Seq("pos", "frame")))
+        .withColumn("fb",
+          expr(s"aggregate(transform(sequence(1, least($K, length(frame))), " +
+            "j -> ascii(substring(frame, j, 1))), 0, (a, x) -> a + x)")
+            .cast("double") / least(lit(K), length($"frame")))
+        .withColumn("prev_fb", lag($"fb", 1).over(w))
+        .withColumn("cut",
+          when($"prev_fb".isNotNull && abs($"fb" - $"prev_fb") > THR, 1)
+            .otherwise(0))
+        .groupBy($"doc_id", $"n_frames")
+        .agg(sum($"cut").as("n_cuts"))
+        .select($"doc_id", $"n_frames", $"n_cuts",
+          ($"n_cuts" + 1).as("n_scenes"))
+        .orderBy($"doc_id")
+    }),
+
     // Frame sampling: slice payload into 256-byte frames, keep every 4th,
     // aggregate sampled sizes — pos/explode over computed binary slices.
     "mm_frame_sample" -> ((s, dir) => {
@@ -220,6 +257,38 @@ object MultimodalOps {
         |     CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
         |     CAST(1 + (doc_id % 2) AS INTEGER) AS channels
         |    FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    // same frame slicing, same first-8-byte mean, same lag/threshold
+    "mm_scene_cuts" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |   CAST((length(text) + 255) // 256 AS INTEGER) AS n_frames
+        |  FROM documents WHERE length(text) >= 1),
+        |f0 AS (
+        |  SELECT doc_id, n_frames, text,
+        |   unnest(range(0, n_frames)) AS pos FROM base),
+        |f AS (
+        |  SELECT doc_id, n_frames, pos,
+        |   substr(text, CAST(pos*256 + 1 AS INTEGER), 256) AS frame
+        |  FROM f0),
+        |feat AS (
+        |  SELECT doc_id, n_frames, pos,
+        |   CAST(list_sum(list_transform(
+        |          range(1, least(8, length(frame)) + 1),
+        |          j -> ascii(substr(frame, CAST(j AS INTEGER), 1)))) AS DOUBLE)
+        |     / least(8, length(frame)) AS fb
+        |  FROM f),
+        |cuts AS (
+        |  SELECT doc_id, n_frames,
+        |   CASE WHEN prev_fb IS NOT NULL AND abs(fb - prev_fb) > 10.0
+        |        THEN 1 ELSE 0 END AS cut
+        |  FROM (SELECT doc_id, n_frames, fb,
+        |         lag(fb) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_fb
+        |        FROM feat))
+        |SELECT doc_id, n_frames, CAST(sum(cut) AS BIGINT) AS n_cuts,
+        | CAST(sum(cut) + 1 AS BIGINT) AS n_scenes
+        |FROM cuts GROUP BY doc_id, n_frames
         |ORDER BY doc_id""".stripMargin,
 
     "mm_frame_sample" ->

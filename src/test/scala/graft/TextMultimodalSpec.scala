@@ -211,6 +211,22 @@ class TextMultimodalSpec extends SparkSpec {
     assert(math.abs(m1.brightness - expected) < 1e-12)
   }
 
+  test("mm_scene_cuts: brightness jumps between crafted frames count as cuts") {
+    // 3 frames: 256×'A' (fb=65), 256×'z' (fb=122), 88×'A' (fb=65) —
+    // two jumps of 57 > 10 ⇒ 2 cuts, 3 scenes; a flat doc has none
+    val jumpy = "A" * 256 + "z" * 256 + "A" * 88
+    val flat = "B" * 520
+    val df = Seq((1L, jumpy, "en", "s0", jumpy.length.toLong),
+      (2L, flat, "en", "s0", flat.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = q("mm_scene_cuts", tempSfDir("documents" -> df)).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Int]("n_frames"), r.getAs[Long]("n_cuts"),
+          r.getAs[Long]("n_scenes"))).toMap
+    assert(out(1L) == (3, 2L, 3L))
+    assert(out(2L) == (3, 0L, 1L))
+  }
+
   test("mm_frame_sample: frame math matches payload sizes") {
     q("mm_frame_sample").collect().take(50).foreach { r =>
       val nf = r.getAs[Int]("n_frames")
