@@ -168,6 +168,14 @@ class TextMultimodalSpec extends SparkSpec {
     val c = out(2L)
     assert(c.getAs[Int]("has_pii") == 0)
     assert(c.getAs[String]("redacted_text") == clean)
+    // idempotence: placeholders contain no digits or '@', so a second
+    // pass over redacted text finds nothing and changes nothing
+    val again = api.GraftPipelines.redactPii(
+      Seq((1L, d.getAs[String]("redacted_text"))).toDF("doc_id", "text"))
+      .collect().head
+    assert(again.getAs[Int]("has_pii") == 0)
+    assert(again.getAs[String]("redacted_text") ==
+      d.getAs[String]("redacted_text"))
   }
 
   test("repetitionStats: hand-computed top gram with deterministic tie-break") {
