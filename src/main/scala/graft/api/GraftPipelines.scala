@@ -473,18 +473,21 @@ object GraftPipelines {
       .select(col(id), col("pos").as("idx"),
         VectorExpressions.md5Half60(col("col"), upperHalf = false).as("h"))
     val wH = Window.partitionBy(col("h"))
-    val wDoc = Window.partitionBy(col(id))
-    val wDocOrd = wDoc.orderBy(col("idx"))
+    val wDocOrd = Window.partitionBy(col(id)).orderBy(col("idx"))
+    // n_grams needs no window of its own: every gram row lands in
+    // exactly one (id, grp) group, so summing the group sizes at the
+    // per-doc level reproduces the total — one fewer pass over the
+    // stream's largest intermediate
     grams
       .withColumn("shared",
         (min(col(id)).over(wH) =!= max(col(id)).over(wH)).cast("long"))
-      .withColumn("n_grams", count(lit(1)).over(wDoc))
       .withColumn("srn", sum(col("shared")).over(wDocOrd))
       .withColumn("grp", when(col("shared") === 1, col("idx") - col("srn")))
-      .groupBy(col(id), col("n_grams"), col("grp"))
-      .agg(sum(col("shared")).as("rl"))
-      .groupBy(col(id), col("n_grams"))
-      .agg(sum(col("rl")).as("n_shared"), max(col("rl")).as("max_run"))
+      .groupBy(col(id), col("grp"))
+      .agg(sum(col("shared")).as("rl"), count(lit(1)).as("sz"))
+      .groupBy(col(id))
+      .agg(sum(col("sz")).as("n_grams"), sum(col("rl")).as("n_shared"),
+        max(col("rl")).as("max_run"))
       .select(col(id), col("n_grams").cast("int").as("n_grams"),
         col("n_shared"),
         (col("n_shared").cast("double") / col("n_grams")).as("frac_shared"),
@@ -501,30 +504,36 @@ object GraftPipelines {
     * hash-matches the redacted text byte-for-byte and the same rules
     * port to any downstream stack. Pure map-side projection: at 100 TB
     * this runs at scan speed, no shuffle.
+    *
+    * Counting is STAGED: each pattern counts on the text as already
+    * redacted by the patterns before it (the declaration order below),
+    * so `n_<kind>` always equals the number of `<KIND>` tokens in
+    * `redacted_text` — a phone-shaped span inside an email local part
+    * is consumed by the email replacement and counted zero times, not
+    * counted-but-never-redacted.
     */
   val PiiPatterns: Seq[(String, String, String)] = Seq(
-    // (name, regex, replacement token)
+    // (name, regex, replacement token) — applied and counted in order
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
     ("phone", "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"))
 
   def redactPii(docs: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame = {
-    // counts are measured on the ORIGINAL text, then redaction applies
-    // in a fixed order (SSN before phone: an SSN is also phone-shaped,
-    // and both engines must agree on which token wins)
-    val counts = PiiPatterns.map { case (name, pat, _) =>
-      size(expr(s"regexp_extract_all($text, '${pat.replace("\\", "\\\\")}', 0)"))
-        .as(s"n_$name")
-    }
-    val ordered = Seq("email", "ssn", "phone")
-    val redacted = ordered.foldLeft(col(text)) { (c, name) =>
-      val (_, pat, rep) = PiiPatterns.find(_._1 == name).get
-      regexp_replace(c, pat, rep)
-    }
-    docs.select(Seq(col(id)) ++ counts :+ redacted.as("redacted_text"): _*)
+    val staged = PiiPatterns.zipWithIndex.foldLeft(
+      docs.select(col(id), col(text).as("__t0"))) {
+        case (d, ((name, pat, rep), i)) =>
+          d.withColumn(s"n_$name", size(expr(
+              s"regexp_extract_all(__t$i, '${pat.replace("\\", "\\\\")}', 0)")))
+            .withColumn(s"__t${i + 1}",
+              regexp_replace(col(s"__t$i"), pat, rep))
+      }
+    staged.select(
+        Seq(col(id)) ++ PiiPatterns.map(p => col(s"n_${p._1}")) :+
+          col(s"__t${PiiPatterns.size}").as("redacted_text"): _*)
       .withColumn("has_pii",
-        (ordered.map(n => col(s"n_$n")).reduce(_ + _) > 0).cast("int"))
+        (PiiPatterns.map(p => col(s"n_${p._1}")).reduce(_ + _) > 0)
+          .cast("int"))
   }
 
   /** Per-document feature vector: the classifier-training export that

@@ -110,6 +110,24 @@ object TextOps {
       |LEFT JOIN mx USING (doc_id)
       |WHERE len(string_split(text, ' ')) >= 10""".stripMargin
 
+  /** Chained staged-redaction subquery over `srcSelect` (which must
+    * yield `doc_id` and `t0`): one nested select per PiiPattern,
+    * counting on the text as already redacted by earlier patterns —
+    * the exact SQL mirror of `redactPii`'s fold, generated from the
+    * SAME PiiPatterns constants in the same order.
+    */
+  private def piiStagedSql(srcSelect: String): String =
+    graft.api.GraftPipelines.PiiPatterns.zipWithIndex.foldLeft(srcSelect) {
+      case (inner, ((name, pat, rep), i)) =>
+        s"""SELECT *,
+           | CAST(len(regexp_extract_all(t$i, '$pat')) AS INTEGER) AS n_$name,
+           | regexp_replace(t$i, '$pat', '$rep', 'g') AS t${i + 1}
+           |FROM ($inner)""".stripMargin
+    }
+
+  private def piiNames: Seq[String] =
+    graft.api.GraftPipelines.PiiPatterns.map(p => s"n_${p._1}")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Language-ID heuristic: stopword-ratio → 'en' / 'und'; confusion
     // counts against the labeled lang column.
@@ -550,15 +568,12 @@ object TextOps {
     // nested CTEs verbatim — drift between the export and its signals
     // is impossible by construction
     "llm_doc_features" -> {
-      def pat(n: String): String =
-        graft.api.GraftPipelines.PiiPatterns.find(_._1 == n).get._2
-      val piiSum = Seq("email", "ssn", "phone")
-        .map(n => s"CAST(len(regexp_extract_all(text, '${pat(n)}')) AS INTEGER)")
-        .mkString(" + ")
+      val piiSum = piiNames.mkString(" + ")
       s"""WITH q AS ($qualitySelectSql),
          |rep AS ($repetitionSelectSql),
          |sub AS ($substringSelectSql),
-         |pii AS (SELECT doc_id, $piiSum AS n_pii FROM documents)
+         |pii AS (SELECT doc_id, $piiSum AS n_pii
+         |  FROM (${piiStagedSql("SELECT doc_id, text AS t0 FROM documents")}))
          |SELECT q.doc_id, q.n_words, q.n_distinct, q.avg_word_len,
          | q.ttr, q.stop_ratio, q.score,
          | CASE WHEN q.stop_ratio >= 0.05 THEN 'en' ELSE 'und' END
@@ -591,34 +606,23 @@ object TextOps {
     // the 60-bit gram hash; longest run via gaps-and-islands
     "llm_substring_dedup" -> s"$substringSelectSql\nORDER BY doc_id",
 
-    // patterns come from the SAME PiiPatterns constants the engine
-    // uses; DuckDB '...' literals pass backslashes to RE2 untouched
+    // staged mirror of redactPii: each pattern counts on the already-
+    // redacted text, generated from the SAME PiiPatterns constants
     "llm_pii_redact" -> {
-      def pat(n: String): String =
-        graft.api.GraftPipelines.PiiPatterns.find(_._1 == n).get._2
-      def rep(n: String): String =
-        graft.api.GraftPipelines.PiiPatterns.find(_._1 == n).get._3
-      def cnt(n: String): String =
-        s"CAST(len(regexp_extract_all(text, '${pat(n)}')) AS INTEGER)"
-      val redacted = Seq("email", "ssn", "phone").foldLeft("text") {
-        (acc, n) => s"regexp_replace($acc, '${pat(n)}', '${rep(n)}', 'g')"
-      }
+      val n = graft.api.GraftPipelines.PiiPatterns.size
       s"""WITH aug AS (
          |  SELECT doc_id, text ||
          |   (CASE WHEN doc_id % 5 = 0 THEN ' contact user' ||
          |     CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END) ||
          |   (CASE WHEN doc_id % 7 = 0 THEN ' id 123-45-6789' ELSE '' END) ||
          |   (CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END)
-         |     AS text
+         |     AS t0
          |  FROM documents)
-         |SELECT doc_id,
-         | ${cnt("email")} AS n_email,
-         | ${cnt("ssn")} AS n_ssn,
-         | ${cnt("phone")} AS n_phone,
-         | $redacted AS redacted_text,
-         | CAST((${cnt("email")} + ${cnt("ssn")} + ${cnt("phone")}) > 0
-         |   AS INTEGER) AS has_pii
-         |FROM aug ORDER BY doc_id""".stripMargin
+         |SELECT doc_id, ${piiNames.mkString(", ")},
+         | t$n AS redacted_text,
+         | CAST((${piiNames.mkString(" + ")}) > 0 AS INTEGER) AS has_pii
+         |FROM (${piiStagedSql("SELECT doc_id, t0 FROM aug")})
+         |ORDER BY doc_id""".stripMargin
     },
 
     "llm_array_funcs" ->

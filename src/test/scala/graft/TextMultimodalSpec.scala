@@ -176,6 +176,15 @@ class TextMultimodalSpec extends SparkSpec {
     assert(again.getAs[Int]("has_pii") == 0)
     assert(again.getAs[String]("redacted_text") ==
       d.getAs[String]("redacted_text"))
+    // staged counting: a phone-shaped span INSIDE an email local part
+    // is consumed by the email replacement and counted zero times —
+    // n_<kind> always equals the <KIND> tokens actually emitted
+    val nested = api.GraftPipelines.redactPii(
+      Seq((1L, "ping 555-123-4567@mail.com ok")).toDF("doc_id", "text"))
+      .collect().head
+    assert(nested.getAs[Int]("n_email") == 1)
+    assert(nested.getAs[Int]("n_phone") == 0, "consumed span must not count")
+    assert(nested.getAs[String]("redacted_text") == "ping <EMAIL> ok")
   }
 
   test("repetitionStats: hand-computed top gram with deterministic tie-break") {
