@@ -214,6 +214,29 @@ object RelationalOps2 {
         .orderBy($"o_orderpriority")
     }),
 
+    // The vendored-SQLite completion exercised END-TO-END as an oracle
+    // row (GraftIOSpec covers the connector mechanics; this makes it a
+    // green CORRECTNESS entry): stage the nation dimension in an
+    // embedded relational store over JDBC, read it back with a
+    // pushed-down predicate, aggregate — hash-matched against the same
+    // relation read directly, so any JDBC type/value mangling breaks
+    // the compare. jdbc:derby:memory lives in this JVM: exercised in
+    // local mode; a cluster deployment points the same connector at a
+    // networked store.
+    "rel_jdbc_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+      val url = "jdbc:derby:memory:graftq;create=true"
+      graft.sources.GraftIO.writeJdbc(Tables.nation(s, dir), url,
+        "nation_store")
+      graft.sources.GraftIO.readJdbc(s, url, "nation_store")
+        .filter($"n_regionkey" < 3)
+        .groupBy($"n_regionkey")
+        .agg(count(lit(1)).as("n_nations"),
+          array_join(array_sort(collect_list($"n_name")), ",").as("nations"))
+        .orderBy($"n_regionkey")
+    }),
+
     // Approximate aggregates — no SQL oracle (HLL/quantile sketches are
     // engine-specific); accuracy is asserted against exact counts in
     // ScalaTest instead, and the driver records a rows-only check.
@@ -230,6 +253,14 @@ object RelationalOps2 {
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle reads nation directly: if the JDBC round-trip mangles
+    // a type or value, the hashes diverge
+    "rel_jdbc_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS n_nations,
+        | string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation WHERE n_regionkey < 3
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
     "rel_argmax" ->
       """SELECT n_name, min(c_custkey) AS top_custkey, max_bal
         |FROM customer
