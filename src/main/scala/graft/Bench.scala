@@ -24,8 +24,10 @@ object Bench {
     "rel_window_rank", "rel_window_range", "rel_join_broadcast", "rel_rollup",
     "rel_percentile", "rel_corr", "rel_q14_type_share", "rel_profile", "rel_jdbc_roundtrip",
     "rel_profile_approx", "rel_percentile_approx",
-    "llm_dedup_exact", "llm_dedup_prefix", "llm_minhash_pairs", "llm_neardup_verified",
+    "llm_dedup_exact", "llm_dedup_prefix", "llm_dedup_incremental",
+    "llm_minhash_pairs", "llm_neardup_verified",
     "llm_dup_clusters", "llm_curate", "llm_decontaminate",
+    "llm_embed_ivf",
     "llm_span_dedup", "llm_sample_stratified", "llm_sample_weighted", "llm_pack_sequences",
     "llm_pack_salted",
     "llm_hybrid_search", "llm_hybrid_rrf", "llm_corpus_report",
@@ -57,11 +59,19 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.queries("ev_catalog")(spark, sfDir)
       .write.mode("overwrite").format("noop").save()
-    val results = selected.filter(SparkEntry.queries.contains).map { name =>
+    // unknown names fail loudly: selected.filter(queries.contains) would
+    // silently shrink the run (e.g. after a rename) while still writing a
+    // complete-looking artifact — same ghost-name check as tools/check.py
+    val unknown = selected.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown bench query name(s): ${unknown.mkString(", ")}")
+    var failed = 0
+    val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
+        failed += 1
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val t = (System.nanoTime() - t0) / 1e9
@@ -75,14 +85,30 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Health self-description: rel_q1_pricing is the control — one
+    // scan+agg whose healthy-host band is 1.1-1.5 s at sf0.1 (see
+    // BASELINE.md "host noise"). A whole-run tax inflates every query
+    // uniformly INCLUDING the control, so control_sec > band flags the
+    // recording as host-taxed — a taxed driver run can no longer
+    // masquerade as a regression (round 4's 103 s artifact did).
+    val controlSec = results.toMap.get("rel_q1_pricing")
+    val hostTaxed = controlSec.exists(_ > 1.5)
+    val health = controlSec
+      .map(c => f""","control_sec":$c%.3f,"host_taxed":$hostTaxed""")
+      .getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed$health}"""
     println(line)
     // also durably on disk: round 3's official artifact lost the total
     // line to sbt log-tail truncation; the file is immune to that.
     // FULL headline runs only — a dev-subset run must never overwrite
-    // the official artifact with a partial total that looks complete
-    if (selected == headline)
+    // the official artifact with a partial total that looks complete.
+    // A run with ANY failed query is likewise not an artifact: the
+    // failed query contributes a near-zero time, so its "total" lies.
+    if (failed > 0)
+      System.err.println(
+        s"[bench] $failed quer${if (failed == 1) "y" else "ies"} failed - bench_result.json left untouched")
+    else if (selected == headline)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_result.json"), line + "\n")
       catch { case e: Throwable =>

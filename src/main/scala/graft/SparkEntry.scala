@@ -32,4 +32,30 @@ object SparkEntry {
     EventOps.oracles ++ RelationalOps.oracles ++ RelationalOps2.oracles ++
       JoinOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
       TextOps.oracles ++ MultimodalOps.oracles
+
+  /** The queries entries that DELIBERATELY have no oracleSql row: sketch
+    * aggregates (HLL / KLL-style percentile) whose bit-exact output is
+    * engine-specific by construction. Each maps to the machine-checked
+    * evidence that replaces the hash compare: the exact-twin query it is
+    * asserted against, the relative tolerance the ScalaTest spec
+    * enforces on every run, and the spec's location. [[Verify]] dumps
+    * this as `oracle_meta.json` next to `oracle_sql.json`, so a
+    * `no_oracle` row in the correctness artifact is distinguishable
+    * from a broken query without reading the test suite.
+    */
+  final case class RowsOnlyMeta(exactTwin: String, tolerance: String,
+      spec: String)
+  def rowsOnlyMeta: Map[String, RowsOnlyMeta] = Map(
+    "rel_approx" -> RowsOnlyMeta(
+      exactTwin = "countDistinct(o_custkey) per o_orderpriority (inline in spec)",
+      tolerance = "approx_count_distinct within 5% of exact, per group",
+      spec = "src/test/scala/graft/JoinOpsSpec.scala: \"rel_approx: sketches within 5% of exact\""),
+    "rel_profile_approx" -> RowsOnlyMeta(
+      exactTwin = "rel_profile",
+      tolerance = "HLL n_distinct within 2% of exact; n, n_null, min/max bit-identical",
+      spec = "src/test/scala/graft/RelationalOpsSpec.scala: \"rel_profile_approx: HLL distincts within 2% of exact, rest identical\""),
+    "rel_percentile_approx" -> RowsOnlyMeta(
+      exactTwin = "rel_percentile",
+      tolerance = "sketch p50/p90 within 2.5% of exact, per group",
+      spec = "src/test/scala/graft/RelationalOpsSpec.scala: \"rel_percentile_approx: sketch medians within 2.5% of the exact query\""))
 }

@@ -43,6 +43,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Sidecar for the by-design no-oracle entries (sketch aggregates):
+    // records the exact twin, the tolerance the ScalaTest spec asserts,
+    // and where — so a "no_oracle" row in the driver's correctness
+    // artifact is a designed pass, not an indistinguishable error.
+    val meta = SparkEntry.rowsOnlyMeta.map { case (k, m) =>
+      s"${q(k)}: {${q("rows_only")}: true, ${q("exact_twin")}: ${q(m.exactTwin)}, " +
+        s"${q("tolerance")}: ${q(m.tolerance)}, ${q("spec")}: ${q(m.spec)}}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_meta.json"), meta)
     spark.stop()
   }
 }

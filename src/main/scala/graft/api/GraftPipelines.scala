@@ -1114,13 +1114,19 @@ object GraftPipelines {
         .filter(col("a") =!= col("b"))
         .distinct()
     }
+    // Materialize the incoming pairs once: the two derivations below
+    // (loop edges and the self-pair read-off) would otherwise each
+    // re-run the full pipeline feeding this function — for the
+    // standard nearDuplicates caller that is the whole LSH candidate +
+    // verify chain, paid twice.
+    val p = pairs.select(col(d1), col(d2)).localCheckpoint()
     // Self-pairs (d1 == d2) carry no connectivity but DO assert the doc
     // exists — the contract labels every doc appearing in any pair, so
     // they re-enter at label read-off below (the star ops would
     // otherwise drop them: large-star keeps only b > a edges).
-    val selfNodes = pairs.filter(col(d1) === col(d2))
+    val selfNodes = p.filter(col(d1) === col(d2))
       .select(col(d1).as("node"), col(d1).as("label"))
-    var edges = pairs.filter(col(d1) =!= col(d2))
+    var edges = p.filter(col(d1) =!= col(d2))
       .select(col(d1).as("a"), col(d2).as("b")).distinct()
       .localCheckpoint()
     var edgeCount = edges.count()

@@ -212,6 +212,40 @@ object EventOps {
         .orderBy($"event_type")
     }),
 
+    // §2.3 A2 + UI padding: decode ALL event types at once through the
+    // frozen per-type registry (SchemaRegistry.build → decodeAll) into
+    // the union-of-schemas struct — a row whose type lacks a column
+    // carries NULL there, the reference grid's cell-padding semantics
+    // (src/main.cpp:1299-1303). The ragged payload is derived per type
+    // from the flat log (like ev_nested_props) so the oracle computes
+    // identical values; the registry build is the sanctioned
+    // catalog-sized collect (SURVEY §1.1).
+    "ev_decode_all" -> ((s, dir) => {
+      import s.implicits._
+      val kk = k($"props")
+      val ragged = events(s, dir)
+        .withColumn("props",
+          when($"event_type" === "click", concat(
+            lit("{\"a\":"), kk.cast("string"),
+            lit(",\"b\":\"c"), (kk % 5).cast("string"), lit("\"}")))
+          .when($"event_type" === "view", concat(
+            lit("{\"a\":"), kk.cast("string"),
+            lit(",\"c\":"), (kk * 2).cast("string"), lit("}")))
+          .when($"event_type" === "error", concat(
+            lit("{\"c\":"), (kk % 7).cast("string"), lit(",\"d\":\"err\"}")))
+          .when($"event_type" === "purchase", concat(
+            lit("{\"b\":\"buy\",\"d\":\"p"), (kk % 3).cast("string"), lit("\"}")))
+          .otherwise(concat(
+            lit("{\"a\":"), kk.cast("string"), lit(",\"d\":\"s\"}"))))
+      val reg = graft.SchemaRegistry.build(ragged)
+      reg.decodeAll(ragged)
+        .select($"event_id", $"event_type",
+          $"props_struct.a".as("a"), $"props_struct.b".as("b"),
+          $"props_struct.c".as("c"), $"props_struct.d".as("d"))
+        .orderBy($"event_id")
+        .limit(1000)
+    }),
+
     // §2.3 A1 dropDuplicates variant: the first-seen instance per type
     // (deterministic min_by, the engine form of the reference's
     // first-sight metadata capture, src/main.cpp:302-317).
@@ -565,6 +599,21 @@ object EventOps {
       """SELECT event_type, string_agg(DISTINCT key, ',' ORDER BY key) AS prop_keys
         |FROM (SELECT event_type, unnest(json_keys(props)) AS key FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ev_decode_all" ->
+      """SELECT event_id, event_type,
+        | CASE WHEN event_type IN ('error','purchase') THEN NULL ELSE k END AS a,
+        | CASE WHEN event_type = 'click' THEN 'c' || CAST(k % 5 AS VARCHAR)
+        |      WHEN event_type = 'purchase' THEN 'buy' END AS b,
+        | CASE WHEN event_type = 'view' THEN k * 2
+        |      WHEN event_type = 'error' THEN k % 7 END AS c,
+        | CASE WHEN event_type = 'error' THEN 'err'
+        |      WHEN event_type = 'purchase' THEN 'p' || CAST(k % 3 AS VARCHAR)
+        |      WHEN event_type IN ('click','view') THEN NULL ELSE 's' END AS d
+        |FROM (SELECT event_id, event_type,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |ORDER BY event_id LIMIT 1000""".stripMargin,
 
     "ev_first_instance" ->
       """SELECT event_type, event_id, ts_ms, user_id FROM (

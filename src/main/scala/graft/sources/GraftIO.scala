@@ -43,17 +43,17 @@ object GraftIO {
     * adds is the explicit capture column wired into the caller's schema
     * so the contract is visible at the call site.
     *
-    * `cacheForTriage` (default true): Spark raises an AnalysisException
+    * `cacheForTriage` (default false): Spark raises an AnalysisException
     * for queries that reference only the corrupt-record column of a raw
     * JSON relation (the parser would never materialize the record), so
     * the advertised triage query works only against a persisted frame —
-    * the default returns one, and the caller owns the cache lifetime
-    * (`.unpersist()` when done). A one-pass bulk read that never
-    * touches `_corrupt_record` should pass false: pinning a 100 TB
+    * triage call sites pass true and own the cache lifetime
+    * (`.unpersist()` when done). The default stays uncached: a one-pass
+    * bulk read never touches `_corrupt_record`, and pinning a 100 TB
     * parse in executor storage is not a default anyone wants silently.
     */
   def readJsonPermissive(spark: SparkSession, path: String,
-      schema: StructType, cacheForTriage: Boolean = true): DataFrame = {
+      schema: StructType, cacheForTriage: Boolean = false): DataFrame = {
     val df = spark.read
       .schema(schema.add("_corrupt_record", "string"))
       .option("mode", "PERMISSIVE")

@@ -161,7 +161,9 @@ class GraftIOSpec extends SparkSpec {
         """{"id": 3, "name": BROKEN"""))
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("name", StringType)))
-    val df = GraftIO.readJsonPermissive(spark, dir, schema) // cached by default
+    // triage path: opt into caching (the corrupt-record triage query
+    // only works against a persisted frame)
+    val df = GraftIO.readJsonPermissive(spark, dir, schema, cacheForTriage = true)
     try {
       assert(df.count() == 3)
       assert(df.filter("_corrupt_record IS NOT NULL").count() == 1)
