@@ -44,4 +44,24 @@ class TypedAndSkewSpec extends SparkSpec {
       .filter($"k" === 42L).groupBy($"__salt").count().collect()
     assert(saltCounts.length > 1, "hot key should spread over salts")
   }
+
+  test("packSequencesSalted spreads an 80%-hot stratum over sub-strata") {
+    // 4000 docs, 80% in one stratum — the skew shape the salted form
+    // exists for (docs/PLANS.md "skew stress" records the measured
+    // timing + reducer-load delta at 4M rows)
+    val salts = 8
+    val df = (1L to 4000L).map { i =>
+      (i, if (i % 10 < 8) "hot" else s"s${i % 3}", (i % 400 + 50).toInt)
+    }.toDF("doc_id", "source", "n_tokens")
+    val out = GraftPipelines.packSequencesSalted(df, 2048, salts)
+    // bin = local_bin * salts + salt, so bin % salts recovers the
+    // sub-stratum — assert the hot stratum's rows actually spread and
+    // no sub-stratum hogs the sort (each ≤ 1/4 of the stratum at x8)
+    val spread = out.filter($"source" === "hot")
+      .groupBy(pmod($"bin", lit(salts)).as("salt")).count().collect()
+    assert(spread.length == salts, s"expected $salts sub-strata, got ${spread.length}")
+    val hotRows = out.filter($"source" === "hot").count()
+    assert(spread.map(_.getAs[Long]("count")).max <= hotRows / 4,
+      "one sub-stratum carries too much of the hot stratum")
+  }
 }
