@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Probe: write a 10x sf0.1 corpus ("sf1-equivalent") under
+  * target/sf1 for the scaling measurement recorded in BASELINE.md.
+  *
+  * Replication is ID-offset + content-varied so every query's workload
+  * scales LINEARLY instead of mutating shape:
+  *  - keys (order/cust/part/supp/event/user/doc/vec) offset per replica
+  *    so joins stay 1:1-consistent and windows keep per-key sizes;
+  *  - document words char-rotated per replica (stopwords and short
+  *    words kept) — lengths, token counts, stop ratios, TTR, and
+  *    within-replica dup/near-dup/span structure are EXACTLY preserved,
+  *    while cross-replica shingle/minhash similarity vanishes (no
+  *    artificial 10-way duplicate groups that would blow candidate
+  *    pairs superlinearly, and no dead corpus with zero dups either);
+  *  - embeddings circular-shifted per replica — norms and
+  *    within-replica cosine structure exact, cross-replica ~orthogonal;
+  *  - event timestamps shifted by a replica stride so event-time
+  *    windows grow in bucket count, not per-bucket width.
+  */
+object DevScale {
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(10)
+    val src = "/root/testdata/sf0.1"
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/target/sf1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def rep(table: String, offsets: Map[String, Long],
+        custom: (DataFrame, Int) => DataFrame = (d, _) => d,
+        files: Int = 8): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      val cols = base.columns
+      val parts = (0 until reps).map { i =>
+        custom(base, i).select(cols.map { c =>
+          offsets.get(c).map(o => (col(c) + lit(i * o)).cast(base.schema(c).dataType).as(c))
+            .getOrElse(col(c))
+        }: _*)
+      }
+      parts.reduce(_ union _).repartition(files)
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+      println(s"[scale] $table x$reps written")
+    }
+
+    val stop = graft.api.GraftPipelines.DefaultStopwords
+      .map(w => s"'$w'").mkString(", ")
+    rep("documents", Map("doc_id" -> 5000L), (d, i) =>
+      if (i == 0) d
+      else d.withColumn("text", expr(
+        s"""array_join(transform(split(text, ' '), w ->
+           |  CASE WHEN length(w) <= 1 OR w IN ($stop) THEN w
+           |       ELSE concat(substring(w, $i % length(w) + 1, length(w)),
+           |                   substring(w, 1, $i % length(w))) END), ' ')"""
+          .stripMargin)))
+    rep("embeddings", Map("vec_id" -> 2000L), (d, i) =>
+      if (i == 0) d
+      else d.withColumn("embedding", expr(
+        s"concat(slice(embedding, $i + 1, size(embedding) - $i), " +
+          s"slice(embedding, 1, $i))")))
+    // one-week stride: windows/sessions gain buckets, not width
+    rep("events", Map("event_id" -> 100000L, "user_id" -> 1500L,
+      "ts" -> 604800L * 1000000000L))
+    rep("orders", Map("o_orderkey" -> 150000L, "o_custkey" -> 15000L))
+    rep("lineitem", Map("l_orderkey" -> 150000L, "l_partkey" -> 20000L,
+      "l_suppkey" -> 1000L), files = 16)
+    rep("customer", Map("c_custkey" -> 15000L))
+    rep("supplier", Map("s_suppkey" -> 1000L))
+    rep("part", Map("p_partkey" -> 20000L))
+    rep("region", Map.empty, (d, i) => if (i == 0) d else d.limit(0), files = 1)
+    rep("nation", Map.empty, (d, i) => if (i == 0) d else d.limit(0), files = 1)
+    spark.stop()
+  }
+}
