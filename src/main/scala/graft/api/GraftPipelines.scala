@@ -1133,6 +1133,12 @@ object GraftPipelines {
     var rounds = 0
     var changed = 1L
     while (changed > 0) {
+      // exactly ONE alternation per materialization: each star op
+      // references its input twice (symmetrize/orient + the min join),
+      // so composing star ops without a checkpoint between them
+      // re-evaluates the inner subtree combinatorially — a fused
+      // double-step was measured 2x SLOWER per converged run than
+      // paying the extra checkpoint+count job (DevRounds, sf0.1)
       val next = smallStar(largeStar(edges)).localCheckpoint()
       val nextCount = next.count() // cached rows — cheap; carried forward
       rounds += 1

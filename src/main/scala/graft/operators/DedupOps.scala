@@ -332,7 +332,10 @@ object DedupOps {
       import s.implicits._
       val pairs = graft.api.GraftPipelines
         .nearDuplicates(Tables.documents(s, dir), 0.7)
+      // consumed twice below (size agg + join-back): materialize the
+      // label map once — it is pair-count-sized, never corpus-sized
       val clusters = graft.api.GraftPipelines.dupClusters(pairs)
+        .localCheckpoint()
       val sizes = clusters.groupBy($"cluster_id")
         .agg(count(lit(1)).as("csize"))
       clusters.join(sizes, "cluster_id")
