@@ -35,7 +35,7 @@ object Bench {
     "llm_sample_topk", "llm_embed_quantize", "llm_chunk", "llm_bigram_lm",
     "llm_pii_redact", "llm_substring_dedup", "llm_doc_features", "llm_embed_kmeans", "llm_semdedup",
     "llm_simhash", "llm_simhash_pairs", "llm_embed_topk",
-    "llm_embed_lsh_knn", "llm_embed_lsh_knn2",
+    "llm_embed_lsh_knn", "llm_embed_lsh_knn2", "llm_embed_pq",
     "llm_embed_neardup", "llm_embed_neardup_lsh", "llm_lang_id", "llm_tfidf",
     "llm_quality_score", "llm_token_count", "llm_fingerprint",
     "mm_image_features", "mm_image_resize", "mm_frame_sample", "mm_scene_cuts", "mm_payload_dedup")

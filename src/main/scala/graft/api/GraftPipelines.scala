@@ -259,7 +259,17 @@ object GraftPipelines {
     * whole fit is O(iters) passes over the data.
     */
   def kmeans(emb: DataFrame, k: Int, iters: Int, dim: Int = 64,
-      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+      id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    kmeansFit(emb, k, iters, dim, id, vec)._2
+
+  /** [[kmeans]] exposing BOTH the fitted centroid table (cluster,
+    * c: array<float>) and the final assignment — the fit artifact PQ
+    * codebook training ([[pqTopK]]) and any centroid-reusing caller
+    * need. Same arithmetic, same determinism contract.
+    */
+  def kmeansFit(emb: DataFrame, k: Int, iters: Int, dim: Int = 64,
+      id: String = "vec_id", vec: String = "embedding")
+      : (DataFrame, DataFrame) = {
     // argmax as ONE hash aggregate (max_by over the lexicographic
     // (ccos, -cluster) key — identical tie semantics to a
     // row_number-over-(ccos DESC, cluster) window, which is what the
@@ -289,7 +299,73 @@ object GraftPipelines {
     val init = emb.filter(col(id) < k)
       .select(col(id).cast("int").as("cluster"), col(vec).as("c"))
     val fitted = (1 to iters).foldLeft(init)((c, _) => update(assign(c)))
-    assign(fitted).select(col(id), col("cluster"), col("ccos"))
+    (fitted, assign(fitted).select(col(id), col("cluster"), col("ccos")))
+  }
+
+  /** Product-quantization ANN with asymmetric-distance scoring (Jégou,
+    * Douze & Schmid, "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011) — the memory-bound scale path for embedding
+    * search: vectors live as `m` small codes (one byte-ish each), and a
+    * query scans codes against a per-query lookup table instead of
+    * touching float vectors.
+    *
+    *  - Codebooks: the vector splits into `m` contiguous sub-blocks of
+    *    `dim/m` components; each block gets its own [[kmeansFit]]
+    *    (`kSub` centroids, same tie-free fixed-point arithmetic — the
+    *    whole fit stays oracle-hash-comparable).
+    *  - Encoding: a vector's code for block b = its assigned cluster in
+    *    block b's fit (the final-assignment table, so codes are exactly
+    *    the fit's argmax — no re-derivation that could disagree).
+    *  - ADC: per query, dot(query_block, codebook centroid) for every
+    *    (block, centroid) — an m×kSub lookup table, broadcast — then
+    *    score(v) = Σ_b lut_b[code_b(v)] in FIXED block order (float
+    *    determinism), top-k per query by (score DESC, id).
+    *
+    * 100 TB shape: the code table is the only corpus-scaled relation in
+    * the scoring join — m joins against broadcast LUTs of
+    * |queries|·kSub rows, then one per-query window. Codebook training
+    * reuses the bounded-k kmeans contract (centroids broadcast). IVF
+    * composition (route queries to cells first, scan only probed cells'
+    * codes) is [[pqTopK]] over the per-cell slice — the cell gate is
+    * `llm_embed_ivf`'s, unchanged.
+    */
+  def pqTopK(emb: DataFrame, queries: DataFrame, m: Int, kSub: Int,
+      iters: Int, k: Int, dim: Int = 64,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m even blocks")
+    val subDim = dim / m
+    val blocks = (0 until m).map { b =>
+      val sliced = emb.select(col(id),
+        slice(col(vec), b * subDim + 1, subDim).as(vec))
+      val (books, codes) = kmeansFit(sliced, kSub, iters, subDim, id, vec)
+      (b, books, codes)
+    }
+    // one row per vector carrying its m codes — the PQ-compressed corpus
+    val codes = blocks.map { case (b, _, c) =>
+      c.select(col(id), col("cluster").as(s"k$b"))
+    }.reduce(_.join(_, Seq(id)))
+    // per-query LUTs: |queries| x kSub rows per block, broadcast by
+    // construction (kSub is bounded; the query set is the caller's
+    // bounded probe set, same contract as cosineTopK)
+    val luts = blocks.map { case (b, books, _) =>
+      queries.select(col(id).as("qid"),
+          slice(col(vec), b * subDim + 1, subDim).as("qb"))
+        .crossJoin(broadcast(books.select(col("cluster").as(s"k$b"), col("c"))))
+        .select(col("qid"), col(s"k$b"),
+          VectorExpressions.dotProduct(col("qb"), col("c")).as(s"d$b"))
+    }
+    val joined = luts.zipWithIndex.foldLeft(codes) {
+      case (acc, (lut, 0)) => acc.join(broadcast(lut), Seq("k0"))
+      case (acc, (lut, b)) => acc.join(broadcast(lut), Seq("qid", s"k$b"))
+    }
+    val score = (1 until m).foldLeft(col("d0"))((s, b) => s + col(s"d$b"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col(id))
+    joined.filter(col(id) =!= col("qid"))
+      .withColumn("score", score)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col(id), col("score"))
   }
 
   // ---------------- data profiling ----------------

@@ -33,6 +33,11 @@ object SimilarityOps {
   private val NPROBE = 2
   private val KM_K = 8      // k-means clusters (init = first KM_K vectors)
   private val KM_ITERS = 2  // Lloyd assign→update rounds before final assign
+  private val PQ_M = 4      // PQ sub-blocks (64 dims → 4 x 16)
+  private val PQ_K = 4      // centroids per sub-block codebook
+  private val PQ_ITERS = 1  // Lloyd rounds per sub-block fit
+  private val NQ_PQ = 3     // PQ probe queries: vec_id < NQ_PQ
+  private val PQ_TOPK = 10
   private val COS_SCALE = 1073741824.0 // 2^30 fixed-point for cosine means
   private val COS_SCALE_SQL = "1073741824.0"
 
@@ -110,6 +115,79 @@ object SimilarityOps {
       assign(s"a$r", if (r == 1) "c0" else s"u${r - 1}"),
       update(s"u$r", s"a$r")))
     (Seq(init) ++ rounds :+ assign("af", s"u$KM_ITERS")).mkString(",\n")
+  }
+
+  /** DuckDB mirror of [[graft.api.GraftPipelines.pqTopK]]: per block b
+    * (offset b·subDim into the vector) the same init→assign→update→
+    * assign k-means unroll as [[kmeansOracleCtes]] but over the block's
+    * components, then the code table (one row per vector, PQ_M cluster
+    * ids), per-query LUT CTEs (dot of query block against each fitted
+    * centroid — the asymmetric-distance table), and the fixed-order
+    * LUT-sum score. Every float step is the left-assoc double chain the
+    * engine's codegen'd expressions compute.
+    */
+  private def pqOracleCtes: String = {
+    val S = "268435456.0" // 2^28 — GraftPipelines.kmeans update scale
+    val sub = DIM / PQ_M
+    def blockCtes(b: Int): Seq[String] = {
+      val off = b * sub
+      def cosToCentroid(v: String, c: String): String = {
+        val dot = (1 to sub)
+          .map(i => s"CAST($v.embedding[${off + i}] AS DOUBLE)*CAST($c.c$i AS DOUBLE)")
+          .mkString(" + ")
+        val nv = (1 to sub)
+          .map(i => s"CAST($v.embedding[${off + i}] AS DOUBLE)*CAST($v.embedding[${off + i}] AS DOUBLE)")
+          .mkString(" + ")
+        val nc = (1 to sub)
+          .map(i => s"CAST($c.c$i AS DOUBLE)*CAST($c.c$i AS DOUBLE)")
+          .mkString(" + ")
+        s"($dot) / (sqrt($nv) * sqrt($nc))"
+      }
+      def assign(name: String, cent: String): String =
+        s"""$name AS (
+           |  SELECT vec_id, cluster FROM (
+           |    SELECT vec_id, cluster,
+           |     row_number() OVER (PARTITION BY vec_id
+           |       ORDER BY ccos DESC, cluster) AS crn
+           |    FROM (SELECT v.vec_id, c.cluster,
+           |           ${cosToCentroid("v", "c")} AS ccos
+           |          FROM embeddings v CROSS JOIN $cent c))
+           |  WHERE crn = 1)""".stripMargin
+      def update(name: String, asg: String): String = {
+        val cols = (1 to sub).map(i =>
+          s"CAST(CAST(sum(CAST(floor(CAST(e.embedding[${off + i}] AS DOUBLE) * $S) " +
+            s"AS DECIMAL(28,0))) AS DOUBLE) / count(*) / $S AS REAL) AS c$i")
+          .mkString(",\n   ")
+        s"""$name AS (
+           |  SELECT a.cluster,
+           |   $cols
+           |  FROM $asg a JOIN embeddings e ON a.vec_id = e.vec_id
+           |  GROUP BY a.cluster)""".stripMargin
+      }
+      val init = s"pc${b}0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, " +
+        (1 to sub).map(i => s"embedding[${off + i}] AS c$i").mkString(", ") +
+        s" FROM embeddings WHERE vec_id < $PQ_K)"
+      val rounds = (1 to PQ_ITERS).flatMap(r => Seq(
+        assign(s"pa$b$r", if (r == 1) s"pc${b}0" else s"pu$b${r - 1}"),
+        update(s"pu$b$r", s"pa$b$r")))
+      (Seq(init) ++ rounds :+ assign(s"paf$b", s"pu$b$PQ_ITERS"))
+    }
+    def lut(b: Int): String = {
+      val off = b * sub
+      val dot = (1 to sub)
+        .map(i => s"CAST(q.embedding[${off + i}] AS DOUBLE)*CAST(c.c$i AS DOUBLE)")
+        .mkString(" + ")
+      s"""plut$b AS (
+         |  SELECT q.vec_id AS qid, c.cluster AS k$b, ($dot) AS d$b
+         |  FROM embeddings q CROSS JOIN pu$b$PQ_ITERS c
+         |  WHERE q.vec_id < $NQ_PQ)""".stripMargin
+    }
+    val codes = s"pqcodes AS (SELECT a0.vec_id, " +
+      (0 until PQ_M).map(b => s"a$b.cluster AS k$b").mkString(", ") +
+      s" FROM paf0 a0 " +
+      (1 until PQ_M).map(b => s"JOIN paf$b a$b USING (vec_id)").mkString(" ") + ")"
+    ((0 until PQ_M).flatMap(blockCtes) ++ (0 until PQ_M).map(lut) :+ codes)
+      .mkString(",\n")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -331,6 +409,20 @@ object SimilarityOps {
       graft.api.GraftPipelines
         .quantizeEmbeddings(Tables.embeddings(s, dir))
         .orderBy($"vec_id")
+    }),
+
+    // Product-quantization ANN with ADC scoring (Jégou et al., TPAMI
+    // 2011): 4 per-block codebooks (same tie-free fixed-point k-means
+    // as llm_embed_kmeans), vectors as 4 codes, queries scored via
+    // broadcast lookup tables — the memory-bound scale path where even
+    // float vectors are too big to scan. Exact twin of the engine's
+    // full fit+encode+scan, unrolled per block in the oracle.
+    "llm_embed_pq" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      graft.api.GraftPipelines.pqTopK(emb, emb.filter($"vec_id" < NQ_PQ),
+        PQ_M, PQ_K, PQ_ITERS, PQ_TOPK, DIM)
+        .orderBy($"qid", $"rn")
     }),
 
     "llm_embed_kmeans" -> ((s, dir) => {
@@ -577,6 +669,22 @@ object SimilarityOps {
     // the engine's full KM_ITERS-round Lloyd fit, unrolled as CTEs —
     // hash-matching cluster sizes AND the fixed-point mean cosine pins
     // every assignment and every centroid component across both engines
+    "llm_embed_pq" -> {
+      val score = (0 until PQ_M).map(b => s"l$b.d$b").mkString(" + ")
+      val joins = s"FROM pqcodes v JOIN plut0 l0 ON l0.k0 = v.k0 " +
+        (1 until PQ_M).map(b =>
+          s"JOIN plut$b l$b ON l$b.qid = l0.qid AND l$b.k$b = v.k$b")
+          .mkString(" ")
+      s"""WITH $pqOracleCtes
+         |SELECT qid, CAST(rn AS INTEGER) AS rn, vec_id, score FROM (
+         |  SELECT l0.qid, v.vec_id, $score AS score,
+         |   row_number() OVER (PARTITION BY l0.qid
+         |     ORDER BY $score DESC, v.vec_id) AS rn
+         |  $joins
+         |  WHERE v.vec_id <> l0.qid)
+         |WHERE rn <= $PQ_TOPK ORDER BY qid, rn""".stripMargin
+    },
+
     "llm_embed_kmeans" ->
       s"""WITH $kmeansOracleCtes
          |SELECT cluster, count(*) AS n,

@@ -120,4 +120,29 @@ class SimilarityOpsSpec extends SparkSpec {
       assert(r.getAs[Double]("cosine") <= bf(qid) + 1e-12)
     }
   }
+
+  test("llm_embed_pq: deterministic ADC top-10 with real recall against exact") {
+    val rows = q("llm_embed_pq").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    // two independent runs of the full fit+encode+scan agree bit-for-bit
+    // (no RNG anywhere in the codebook training or scoring)
+    assert(rows.map(_.toSeq).sameElements(q("llm_embed_pq").collect().map(_.toSeq)))
+    val exact = q("llm_embed_topk").collect()
+      .filter(_.getAs[Long]("qid") < 3)
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length == 10)
+      // ADC scores arrive ranked
+      val scores = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      // 8-bit codes (4 blocks x 4 centroids) are savage compression;
+      // the ADC ranking must still beat chance by a wide margin:
+      // random-10-of-500 expects 0.2 hits in the exact top-10
+      val hits = rs.map(_.getAs[Long]("vec_id")).toSet
+        .intersect(exact(qid)).size
+      assert(hits >= 1, s"query $qid: PQ top-10 shares $hits with exact top-10")
+    }
+  }
 }
