@@ -24,14 +24,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EventOps.queries ++ RelationalOps.queries ++ RelationalOps2.queries ++
       JoinOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
-      TextOps.queries ++ MultimodalOps.queries
+      TextOps.queries ++ MultimodalOps.queries ++ MaintenanceOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     EventOps.oracles ++ RelationalOps.oracles ++ RelationalOps2.oracles ++
       JoinOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
-      TextOps.oracles ++ MultimodalOps.oracles
+      TextOps.oracles ++ MultimodalOps.oracles ++ MaintenanceOps.oracles
 
   /** The queries entries that DELIBERATELY have no oracleSql row: sketch
     * aggregates (HLL / KLL-style percentile) whose bit-exact output is

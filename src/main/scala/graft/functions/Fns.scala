@@ -62,4 +62,34 @@ object Fns {
     (1 to dim)
       .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
       .mkString(" + ")
+
+  /** 2-D Morton (Z-order) curve via the textbook magic-bits spread
+    * (Morton 1966; the shift-or-mask ladder is the standard public
+    * bit-twiddling identity). Inputs are masked to 21 bits each so the
+    * interleaved code tops out at bit 42 — always a positive BIGINT in
+    * both Spark and the DuckDB oracle. Every step is a codegen'd
+    * built-in (`shiftleft`/`&`/`|`): the encode stays inside
+    * whole-stage codegen, so Z-clustering 100 TB is a pure map-side
+    * projection before the range-partitioned write.
+    *
+    * [[MaintenanceOps]] mirrors the same `(shift, mask)` ladder into
+    * DuckDB SQL from these constants, so the two engines cannot drift.
+    */
+  val MortonMask21: Long = 0x1FFFFFL
+  val SpreadSteps: Seq[(Int, Long)] = Seq(
+    16 -> 0x0000FFFF0000FFFFL,
+    8  -> 0x00FF00FF00FF00FFL,
+    4  -> 0x0F0F0F0F0F0F0F0FL,
+    2  -> 0x3333333333333333L,
+    1  -> 0x5555555555555555L)
+
+  /** Spread the low 21 bits of `c` to even bit positions (x -> x_i at 2i). */
+  def spreadBits(c: Column): Column =
+    SpreadSteps.foldLeft(c.bitwiseAND(lit(MortonMask21))) {
+      case (x, (s, m)) => x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(m))
+    }
+
+  /** Interleaved Z-order code: x on even bits, y on odd bits. */
+  def morton2(x: Column, y: Column): Column =
+    spreadBits(x).bitwiseOR(shiftleft(spreadBits(y), 1))
 }

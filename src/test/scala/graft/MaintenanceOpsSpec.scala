@@ -1,0 +1,164 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns
+
+/** Invariant + layout-evidence specs for [[graft.operators.MaintenanceOps]].
+  *
+  * The oracle harness proves value equality; these specs pin the
+  * STRUCTURAL claims: Morton codes really interleave, Z-clustering
+  * really narrows per-file bounding boxes on both dimensions (the
+  * data-skipping payoff), SCD2 windows really tile each key's history,
+  * MERGE really upserts one row per key, and the incremental rollup
+  * really equals the direct recompute.
+  */
+class MaintenanceOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Plain-loop bit interleave: the independent reference the
+    * magic-bits ladder must reproduce.
+    */
+  private def mortonRef(x: Long, y: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 21) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  test("morton2 matches the plain-loop interleave on boundaries and random points") {
+    val r = new scala.util.Random(7)
+    val pts = Seq((0L, 0L), (Fns.MortonMask21, Fns.MortonMask21),
+      (0L, Fns.MortonMask21), (Fns.MortonMask21, 0L), (5L, 3L), (2000L, 40L)) ++
+      Seq.fill(200)((r.nextInt(1 << 21).toLong, r.nextInt(1 << 21).toLong))
+    pts.toDF("x", "y")
+      .select($"x", $"y", Fns.morton2($"x", $"y").as("z"))
+      .collect()
+      .foreach { row =>
+        assert(row.getLong(2) == mortonRef(row.getLong(0), row.getLong(1)),
+          s"(${row.getLong(0)}, ${row.getLong(1)})")
+      }
+  }
+
+  /** Write `df` in the given layout, read it back, and return the mean
+    * per-file bounding-box width on each axis, normalized by the global
+    * range (1.0 = every file spans everything, i.e. zero skipping).
+    */
+  private def fileWidths(df: DataFrame): (Double, Double, Array[(Long, Long, Long, Long)]) = {
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    df.write.mode("overwrite").parquet(dir)
+    val boxes = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"l_partkey").as("pmin"), max($"l_partkey").as("pmax"),
+        min($"supp20").as("smin"), max($"supp20").as("smax"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val (pLo, pHi) = (boxes.map(_._1).min, boxes.map(_._2).max)
+    val (sLo, sHi) = (boxes.map(_._3).min, boxes.map(_._4).max)
+    val pw = boxes.map(b => (b._2 - b._1).toDouble / (pHi - pLo)).sum / boxes.length
+    val sw = boxes.map(b => (b._4 - b._3).toDouble / (sHi - sLo)).sum / boxes.length
+    (pw, sw, boxes)
+  }
+
+  private def candidates(boxes: Array[(Long, Long, Long, Long)],
+      p: (Long, Long), s: (Long, Long)): Int =
+    boxes.count(b => b._1 <= p._2 && b._2 >= p._1 && b._3 <= s._2 && b._4 >= s._1)
+
+  test("z-ordered layout narrows per-file bounding boxes on BOTH dimensions") {
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_partkey", ($"l_suppkey" * 20).as("supp20"))
+      .withColumn("zval", Fns.morton2($"l_partkey", $"supp20"))
+
+    val (rrP, rrS, rrBox) = fileWidths(li.repartition(8))
+    val (sdP, sdS, sdBox) = fileWidths(
+      li.repartitionByRange(8, $"l_partkey").sortWithinPartitions($"l_partkey"))
+    val (zP, zS, zBox) = fileWidths(
+      li.repartitionByRange(8, $"zval").sortWithinPartitions($"zval"))
+
+    // round-robin: every file spans ~everything on both axes
+    assert(rrP > 0.9 && rrS > 0.9, s"round-robin ($rrP, $rrS)")
+    // single-column sort: partkey collapses, suppkey stays full-width
+    assert(sdP < 0.25, s"single-dim partkey width $sdP")
+    assert(sdS > 0.8, s"single-dim supp width $sdS")
+    // Z-order: BOTH axes narrow — the multi-dimensional skipping claim
+    assert(zP < 0.75 && zS < 0.75, s"zorder ($zP, $zS)")
+    assert(zP < rrP && zS < rrS)
+
+    // 2-D box predicate: Z-layout prunes files; round-robin reads all 8
+    val (pBox, sBox) = ((50L, 99L), (60L, 119L))
+    assert(candidates(rrBox, pBox, sBox) == rrBox.length)
+    assert(candidates(zBox, pBox, sBox) <= 5)
+    // suppkey-only predicate: the single-dim layout reads every file,
+    // Z-order still prunes — the axis a one-column sort cannot serve
+    val anyP = (Long.MinValue / 4, Long.MaxValue / 4)
+    assert(candidates(sdBox, anyP, sBox) == sdBox.length)
+    assert(candidates(zBox, anyP, sBox) < zBox.length)
+  }
+
+  /** NTZ timestamps surface as LocalDateTime; epoch key for sorting. */
+  private def epoch(r: org.apache.spark.sql.Row, i: Int): Long =
+    r.get(i).asInstanceOf[java.time.LocalDateTime]
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+
+  test("rel_scd2: validity windows tile each customer's history") {
+    val rows = q("rel_scd2").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (key, rs) =>
+      val sorted = rs.sortBy(r => (epoch(r, 3), r.getLong(1))).toList
+      assert(sorted.count(_.getInt(5) == 1) == 1, s"custkey $key current-count")
+      assert(sorted.last.isNullAt(4) && sorted.last.getInt(5) == 1)
+      sorted.sliding(2).foreach {
+        case a :: b :: Nil =>
+          assert(a.get(4) == b.get(3),
+            s"custkey $key: valid_to must equal the next valid_from")
+          assert(a.getString(2) != b.getString(2),
+            s"custkey $key: adjacent versions must differ (compression)")
+        case _ =>
+      }
+    }
+  }
+
+  test("rel_merge_upsert: one row per key, correct op accounting, updated balances") {
+    val rows = q("rel_merge_upsert").collect()
+    val bal = Tables.customer(spark, sf).select($"c_custkey", $"c_acctbal")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    val (ins, upd, keep) = (
+      rows.filter(_.getString(4) == "insert"),
+      rows.filter(_.getString(4) == "update"),
+      rows.filter(_.getString(4) == "keep"))
+    assert(rows.length == ins.length + upd.length + keep.length)
+    assert(ins.nonEmpty && upd.nonEmpty && keep.nonEmpty)
+    ins.foreach(r => assert(r.getLong(0) % 3 == 0 && r.getLong(0) % 2 == 0))
+    keep.foreach(r => assert(r.getLong(0) % 3 != 0 && r.getLong(0) % 2 != 0))
+    upd.foreach { r =>
+      assert(r.getDouble(2) == bal(r.getLong(0)) + 100.0)
+      assert(r.getString(3) == "UPSERTED")
+    }
+  }
+
+  test("rel_incremental_agg: merged partials equal the direct recompute") {
+    val merged = q("rel_incremental_agg").collect()
+    val direct = Tables.orders(spark, sf).groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(Fns.dec2($"o_totalprice")).cast("double").as("tp"),
+        min($"o_orderdate").as("fd"), max($"o_orderdate").as("ld"))
+      .orderBy($"o_orderpriority").collect()
+    assert(merged.length == direct.length && merged.nonEmpty)
+    merged.zip(direct).foreach { case (m, d) =>
+      assert(m.getString(0) == d.getString(0))
+      assert(m.getLong(1) == d.getLong(1))
+      assert(m.getDouble(2) == d.getDouble(2))
+      assert(m.getDouble(3) == d.getDouble(2) / d.getLong(1))
+      assert(m.get(4) == d.get(3))
+      assert(m.get(5) == d.get(4))
+    }
+  }
+}
