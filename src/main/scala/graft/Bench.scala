@@ -24,6 +24,8 @@ object Bench {
     "rel_window_rank", "rel_window_range", "rel_join_broadcast", "rel_rollup",
     "rel_percentile", "rel_corr", "rel_q14_type_share", "rel_profile", "rel_jdbc_roundtrip",
     "rel_profile_approx", "rel_percentile_approx",
+    "rel_merge_upsert", "rel_scd2", "rel_incremental_agg",
+    "rel_distinct_incremental", "rel_zorder",
     "llm_dedup_exact", "llm_dedup_prefix", "llm_dedup_incremental",
     "llm_minhash_pairs", "llm_neardup_verified",
     "llm_dup_clusters", "llm_curate", "llm_decontaminate",

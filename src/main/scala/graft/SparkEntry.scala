@@ -57,5 +57,9 @@ object SparkEntry {
     "rel_percentile_approx" -> RowsOnlyMeta(
       exactTwin = "rel_percentile",
       tolerance = "sketch p50/p90 within 2.5% of exact, per group",
-      spec = "src/test/scala/graft/RelationalOpsSpec.scala: \"rel_percentile_approx: sketch medians within 2.5% of the exact query\""))
+      spec = "src/test/scala/graft/RelationalOpsSpec.scala: \"rel_percentile_approx: sketch medians within 2.5% of the exact query\""),
+    "rel_distinct_incremental" -> RowsOnlyMeta(
+      exactTwin = "countDistinct(o_custkey) per o_orderpriority (inline in spec)",
+      tolerance = "merged-batch HLL union == single-pass HLL exactly (bit-identical estimates); both within 2% of exact countDistinct, per group",
+      spec = "src/test/scala/graft/MaintenanceOpsSpec.scala: \"rel_distinct_incremental: merged sketch states equal the single-pass sketch\""))
 }

@@ -135,6 +135,29 @@ object MaintenanceOps {
         .orderBy($"o_orderpriority")
     }),
 
+    // Incremental DISTINCT maintenance: per-batch DataSketches HLL
+    // states merged by union — the sketch twin of rel_incremental_agg
+    // and the reason sketches matter at 100 TB: states are mergeable,
+    // so a new batch re-aggregates against stored per-partition
+    // sketches instead of re-scanning history. Engine-specific binary
+    // states -> rows-only entry (SparkEntry.rowsOnlyMeta); the
+    // MaintenanceOpsSpec pins merged == single-pass EXACTLY (register
+    // max is associative) and within 2% of exact countDistinct.
+    "rel_distinct_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val cut = to_timestamp(lit("1996-07-01 00:00:00"))
+      def partial(df: DataFrame): DataFrame =
+        df.groupBy($"o_orderpriority")
+          .agg(hll_sketch_agg($"o_custkey").as("sk"))
+      val orders = Tables.orders(s, dir)
+      partial(orders.filter($"o_orderdate" < cut))
+        .unionByName(partial(orders.filter($"o_orderdate" >= cut)))
+        .groupBy($"o_orderpriority")
+        .agg(hll_sketch_estimate(hll_union_agg($"sk"))
+          .as("n_customers_est"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // Z-order clustering key: pure map-side codegen'd projection (the
     // shape of the encode stage before repartitionByRange(zval) +
     // sortWithinPartitions at the 100 TB write). Bounded output via

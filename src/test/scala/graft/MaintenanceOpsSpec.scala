@@ -144,6 +144,23 @@ class MaintenanceOpsSpec extends SparkSpec {
     }
   }
 
+  test("rel_distinct_incremental: merged sketch states equal the single-pass sketch") {
+    val merged = q("rel_distinct_incremental").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val single = Tables.orders(spark, sf).groupBy($"o_orderpriority")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"o_custkey")).as("est"),
+        countDistinct($"o_custkey").as("exact"))
+      .collect()
+    assert(single.length == merged.size && merged.nonEmpty)
+    single.foreach { r =>
+      val (prio, est, exact) = (r.getString(0), r.getLong(1), r.getLong(2))
+      // associativity: union of batch states IS the single-pass state
+      assert(merged(prio) == est, s"$prio merged=${merged(prio)} single=$est")
+      assert(math.abs(est - exact).toDouble / exact <= 0.02,
+        s"$prio est=$est exact=$exact")
+    }
+  }
+
   test("rel_incremental_agg: merged partials equal the direct recompute") {
     val merged = q("rel_incremental_agg").collect()
     val direct = Tables.orders(spark, sf).groupBy($"o_orderpriority")
