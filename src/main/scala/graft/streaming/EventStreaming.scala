@@ -264,6 +264,61 @@ object EventStreaming {
       sink(postings, batchId)
     }
 
+  /** Streaming MERGE/upsert maintenance: keep a keyed snapshot current
+    * against an update stream — the streaming twin of the batch
+    * `rel_merge_upsert` ([[graft.operators.MaintenanceOps]]). Per
+    * micro-batch:
+    *
+    *  1. reduce the batch to its latest update per key (`seq` orders
+    *     versions within a key; it must be unique per key within a
+    *     batch, the usual event-version contract);
+    *  2. read the PREVIOUS snapshot version — the greatest `v=` dir
+    *     strictly below this batchId, never one this attempt may have
+    *     half-written, so a foreachBatch replay re-reads intact input
+    *     and overwrites only its own output: exactly-once by
+    *     idempotent rewrite;
+    *  3. full-outer merge on the key, entire-row latest-wins;
+    *  4. write snapshot `v=batchId` — copy-on-write versioning, the
+    *     model production table formats use (old versions remain for
+    *     time travel until vacuumed).
+    *
+    * At 100 TB the per-trigger merge is the same keyed full-outer
+    * shuffle as the batch form (partition-prunable to touched keys);
+    * the version listing is a metadata-only FS call.
+    */
+  def snapshotUpsertLoop(updates: DataFrame, snapshotPath: String,
+      key: String, seq: String, checkpointDir: Option[String] = None)
+      (sink: (Dataset[Row], Long) => Unit = (_, _) => ()): StreamingQuery =
+    deliver(updates, checkpointDir) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      val cols = batch.toDF.columns.toSeq
+      val latest = batch.toDF
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(key)).orderBy(col(seq).desc)))
+        .filter(col("__rn") === 1).drop("__rn")
+      val hPath = new org.apache.hadoop.fs.Path(snapshotPath)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val prev: Option[Long] =
+        if (fs.exists(hPath))
+          fs.listStatus(hPath).toSeq
+            .map(_.getPath.getName).filter(_.startsWith("v="))
+            .map(_.stripPrefix("v=").toLong).filter(_ < batchId)
+            .sorted.lastOption
+        else None
+      val current = prev match {
+        case Some(v) => spark.read.parquet(s"$snapshotPath/v=$v")
+        case None    => batch.toDF.limit(0)
+      }
+      val updatePresent = col(s"u.$seq").isNotNull
+      val merged = current.as("t").join(latest.as("u"),
+          col(s"t.$key") === col(s"u.$key"), "full_outer")
+        .select(cols.map(c =>
+          when(updatePresent, col(s"u.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+      merged.write.mode("overwrite").parquet(s"$snapshotPath/v=$batchId")
+      sink(spark.read.parquet(s"$snapshotPath/v=$batchId"), batchId)
+    }
+
   /** Incremental delivery via foreachBatch — the caller's sink sees each
     * micro-batch as (batchDF, batchId), the non-blocking poll loop of the
     * reference UI (src/main.cpp:1273) in Spark form. Pass a
