@@ -128,6 +128,39 @@ object TextOps {
   private def piiNames: Seq[String] =
     graft.api.GraftPipelines.PiiPatterns.map(p => s"n_${p._1}")
 
+  /** Composed doc-feature SQL (no ORDER BY) — shared between the
+    * `llm_doc_features` export and the `llm_quality_classify`
+    * application so the classifier provably scores the exact exported
+    * features. */
+  private lazy val docFeaturesSql: String = {
+    val piiSum = piiNames.mkString(" + ")
+    s"""WITH q AS ($qualitySelectSql),
+       |rep AS ($repetitionSelectSql),
+       |sub AS ($substringSelectSql),
+       |pii AS (SELECT doc_id, $piiSum AS n_pii
+       |  FROM (${piiStagedSql("SELECT doc_id, text AS t0 FROM documents")}))
+       |SELECT q.doc_id, q.n_words, q.n_distinct, q.avg_word_len,
+       | q.ttr, q.stop_ratio, q.score,
+       | CASE WHEN q.stop_ratio >= 0.05 THEN 'en' ELSE 'und' END
+       |   AS pred_lang,
+       | rep.rep_ratio, sub.frac_shared, sub.max_dup_words, pii.n_pii
+       |FROM q
+       |LEFT JOIN rep USING (doc_id)
+       |LEFT JOIN sub USING (doc_id)
+       |LEFT JOIN pii USING (doc_id)""".stripMargin
+  }
+
+  /** The "trained" linear model: fixed literal weights over the feature
+    * vector, left-associated exactly as the Spark column builds it.
+    * Linear-score-plus-threshold only — no sigmoid: exp() is not
+    * guaranteed bit-identical across libms, and the decision is a
+    * monotone threshold on the linear score anyway. */
+  private lazy val clfScoreSql: String =
+    "1.5 * score + 0.8 * stop_ratio" +
+      " - 2.0 * COALESCE(rep_ratio, 0.0)" +
+      " - 1.0 * COALESCE(frac_shared, 0.0)" +
+      " - 0.25 * COALESCE(n_pii, 0)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Language-ID heuristic: stopword-ratio → 'en' / 'und'; confusion
     // counts against the labeled lang column.
@@ -276,6 +309,27 @@ object TextOps {
       import s.implicits._
       graft.api.GraftPipelines
         .docFeatures(Tables.documents(s, dir), EN_MARKERS)
+        .orderBy($"doc_id")
+    }),
+
+    // Classifier application: the inference half of the doc_features
+    // training export — a fixed (offline-trained) linear model applied
+    // map-side over the SAME feature pipeline. Weights are codegen'd
+    // literals (no broadcast, no UDF); the score repeats the oracle's
+    // literal order term-for-term (IEEE doubles, left-associated), and
+    // the keep decision is a threshold on the linear score — the shape
+    // a fasttext-style quality gate runs over 100 TB.
+    "llm_quality_classify" -> ((s, dir) => {
+      import s.implicits._
+      val f = graft.api.GraftPipelines
+        .docFeatures(Tables.documents(s, dir), EN_MARKERS)
+      val clfScore =
+        lit(1.5) * $"score" + lit(0.8) * $"stop_ratio" -
+          lit(2.0) * coalesce($"rep_ratio", lit(0.0)) -
+          lit(1.0) * coalesce($"frac_shared", lit(0.0)) -
+          lit(0.25) * coalesce($"n_pii", lit(0))
+      f.select($"doc_id", clfScore.as("clf_score"),
+          when(clfScore > 0.5, 1).otherwise(0).as("keep"))
         .orderBy($"doc_id")
     }),
 
@@ -567,24 +621,19 @@ object TextOps {
     // the composition reuses the standalone entries' SQL bodies as
     // nested CTEs verbatim — drift between the export and its signals
     // is impossible by construction
-    "llm_doc_features" -> {
-      val piiSum = piiNames.mkString(" + ")
-      s"""WITH q AS ($qualitySelectSql),
-         |rep AS ($repetitionSelectSql),
-         |sub AS ($substringSelectSql),
-         |pii AS (SELECT doc_id, $piiSum AS n_pii
-         |  FROM (${piiStagedSql("SELECT doc_id, text AS t0 FROM documents")}))
-         |SELECT q.doc_id, q.n_words, q.n_distinct, q.avg_word_len,
-         | q.ttr, q.stop_ratio, q.score,
-         | CASE WHEN q.stop_ratio >= 0.05 THEN 'en' ELSE 'und' END
-         |   AS pred_lang,
-         | rep.rep_ratio, sub.frac_shared, sub.max_dup_words, pii.n_pii
-         |FROM q
-         |LEFT JOIN rep USING (doc_id)
-         |LEFT JOIN sub USING (doc_id)
-         |LEFT JOIN pii USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "llm_doc_features" -> s"$docFeaturesSql\nORDER BY doc_id",
+
+    // the classifier applies on the SAME composed feature SQL; the
+    // linear score repeats the Spark expression's literal order exactly
+    // (IEEE doubles, left-associated — no exp/log, so the decision
+    // threshold is hash-comparable across engines)
+    "llm_quality_classify" ->
+      s"""WITH f AS ($docFeaturesSql)
+         |SELECT doc_id,
+         | $clfScoreSql AS clf_score,
+         | CASE WHEN $clfScoreSql > 0.5 THEN 1 ELSE 0 END AS keep
+         |FROM f
+         |ORDER BY doc_id""".stripMargin,
 
     // same salted hash, same per-substratum running sum, same bin
     // interleave as packSequencesSalted

@@ -201,6 +201,22 @@ class TextMultimodalSpec extends SparkSpec {
       Seq((2L, "solo")).toDF("doc_id", "text"), 2).count() == 0L)
   }
 
+  test("llm_quality_classify: threshold decision, repetition penalized") {
+    val clean = "the quick brown fox jumps over a lazy dog in the warm sun"
+    val reps = Seq.fill(8)("spam spam").mkString(" ")
+    val df = Seq(
+      (1L, clean, "en", "s0", clean.length.toLong),
+      (2L, reps, "en", "s0", reps.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = q("llm_quality_classify", tempSfDir("documents" -> df))
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    // keep IS the threshold decision on the same score
+    rows.values.foreach { case (s, k) => assert(k == (if (s > 0.5) 1 else 0)) }
+    // the all-repetition doc scores strictly below the clean doc
+    assert(rows(2L)._1 < rows(1L)._1)
+  }
+
   test("llm_token_count: whitespace vs regex tokenization diverge on digits") {
     val df = Seq((1L, "abc 123 def9x", "en", "s0", 13L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
