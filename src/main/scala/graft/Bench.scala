@@ -19,6 +19,7 @@ object Bench {
     "ev_transitions",
     "ev_value_histogram", "ev_heatmap", "ev_funnel", "ev_retention",
     "ev_anomaly", "ev_rate_1m", "ev_user_sequences", "ev_uint64_decode",
+    "ev_decode_all",
     "rel_q1_pricing", "rel_q3_shipping", "rel_q5_region_volume",
     "rel_q6_forecast", "rel_q10_returns", "rel_q18_large_orders",
     "rel_window_rank", "rel_window_range", "rel_join_broadcast", "rel_rollup",
@@ -35,7 +36,8 @@ object Bench {
     "llm_hybrid_search", "llm_hybrid_rrf", "llm_corpus_report",
     "llm_bm25", "llm_inverted_index", "llm_mix_temperature",
     "llm_sample_topk", "llm_embed_quantize", "llm_chunk", "llm_bigram_lm",
-    "llm_pii_redact", "llm_substring_dedup", "llm_doc_features", "llm_embed_kmeans", "llm_semdedup",
+    "llm_pii_redact", "llm_substring_dedup", "llm_doc_features",
+    "llm_quality_classify", "llm_embed_kmeans", "llm_semdedup",
     "llm_simhash", "llm_simhash_pairs", "llm_embed_topk",
     "llm_embed_lsh_knn", "llm_embed_lsh_knn2", "llm_embed_pq",
     "llm_embed_neardup", "llm_embed_neardup_lsh", "llm_lang_id", "llm_tfidf",
