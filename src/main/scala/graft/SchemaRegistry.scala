@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, DoubleType, LongType, StringType, StructField, StructType}
 
 /** Per-event-type schema registry — the reference's schema model
   * (SURVEY.md §1.1/§2.3 A2): each event type's column set is inferred from
@@ -40,15 +40,74 @@ final class SchemaRegistry private (
 
   /** Decode all types into a union-of-schemas struct (ragged rows padded
     * with nulls — the UI padding semantics, src/main.cpp:1299-1303).
+    *
+    * Collision rule (deterministic by construction): when two event types
+    * declare the SAME property name with DIFFERENT types, the merged field
+    * takes the widest common readable type via [[SchemaRegistry.widen]] —
+    * equal types pass through, numerics climb long → decimal → double,
+    * structs/arrays merge recursively by field name, and any other mix
+    * falls back to string (Spark's JSON parser renders every JSON value,
+    * including objects and arrays, as its raw text under StringType, so no
+    * row nulls out). `widen` is commutative and associative, so the result
+    * is independent of map iteration order — unlike the reference, whose
+    * per-type frozen schemas (src/main.cpp:302-317) never merge and so
+    * never face the collision.
     */
   def decodeAll(events: DataFrame): DataFrame = {
     val merged = StructType(schemas.values.flatMap(_.fields).toSeq
-      .groupBy(_.name).map(_._2.head).toSeq.sortBy(_.name))
+      .groupBy(_.name)
+      .map { case (_, fields) => fields.reduce(SchemaRegistry.widenFields) }
+      .toSeq.sortBy(_.name))
     events.withColumn("props_struct", from_json(col("props"), merged))
   }
 }
 
 object SchemaRegistry {
+
+  /** Widest common readable type for two JSON-inferred types. Commutative
+    * and associative, so folding over colliding fields in any order yields
+    * the same merged schema (the determinism `decodeAll` documents).
+    * Ladder: equal → itself; long/decimal/double → the wider numeric
+    * (decimal precision covers both operands, overflowing to double);
+    * struct+struct and array+array → recursive field/element merge;
+    * anything else → string, which Spark's JSON parser can read from ANY
+    * JSON value (objects and arrays decode to their raw text).
+    */
+  private[graft] def widen(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (s1: StructType, s2: StructType) =>
+      val byName1 = s1.fields.map(f => f.name -> f).toMap
+      val byName2 = s2.fields.map(f => f.name -> f).toMap
+      StructType((byName1.keySet ++ byName2.keySet).toSeq.sorted.map { n =>
+        (byName1.get(n), byName2.get(n)) match {
+          case (Some(f1), Some(f2)) => widenFields(f1, f2)
+          case (one, other)         => one.orElse(other).get
+        }
+      })
+    case (ArrayType(e1, n1), ArrayType(e2, n2)) =>
+      ArrayType(widen(e1, e2), n1 || n2)
+    case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+    case (d: DecimalType, LongType) => widenDecimal(d, DecimalType(20, 0))
+    case (LongType, d: DecimalType) => widenDecimal(d, DecimalType(20, 0))
+    case (_: DecimalType, DoubleType) | (DoubleType, _: DecimalType) =>
+      DoubleType
+    case (d1: DecimalType, d2: DecimalType) => widenDecimal(d1, d2)
+    case _ => StringType
+  }
+
+  /** Decimal covering both operands' integral and fractional ranges; falls
+    * back to double past the 38-digit cap (Spark's own promotion rule).
+    */
+  private def widenDecimal(d1: DecimalType, d2: DecimalType): DataType = {
+    val scale = math.max(d1.scale, d2.scale)
+    val intDigits = math.max(d1.precision - d1.scale, d2.precision - d2.scale)
+    if (intDigits + scale <= DecimalType.MAX_PRECISION)
+      DecimalType(intDigits + scale, scale)
+    else DoubleType
+  }
+
+  private[graft] def widenFields(f1: StructField, f2: StructField): StructField =
+    StructField(f1.name, widen(f1.dataType, f2.dataType), nullable = true)
 
   /** Build from the event log in ONE Spark job: per type, take the props
     * of the earliest instance (min_by over (ts_ns, event_id) —

@@ -81,6 +81,78 @@ class SchemaRegistrySpec extends SparkSpec {
     assert(msgs == Set((1L, "hello world"), (2L, "second note")))
   }
 
+  test("decodeAll collision: same name, different types widens deterministically") {
+    import org.apache.spark.sql.types.{DoubleType, StringType}
+    // Three event types all declare "code", each with a different type:
+    // long (alpha), double (beta), string (gamma). The merged schema must
+    // take the widest common readable type regardless of map order —
+    // long+double → double; double+string → string.
+    val events = Seq(
+      (1L, 1000000000L, 1L, "alpha", 1.0, """{"code": 7, "n": 1}"""),
+      (2L, 2000000000L, 1L, "beta", 1.0, """{"code": 2.5}"""),
+      (3L, 3000000000L, 2L, "gamma", 2.0, """{"code": "X9"}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val ev = operators.EventOps.events(spark, tempSfDir("events" -> events))
+    val reg = SchemaRegistry.build(ev)
+    // Per-type schemas stay frozen and untouched by the merge.
+    assert(reg("alpha")("code").dataType == LongType)
+    assert(reg("beta")("code").dataType == DoubleType)
+    assert(reg("gamma")("code").dataType == StringType)
+    val all = reg.decodeAll(ev)
+      .select($"event_id", $"props_struct.code".as("code")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // String is the merged type: every row decodes to its raw JSON text,
+    // none nulls out.
+    assert(all == Map(1L -> "7", 2L -> "2.5", 3L -> "X9"))
+  }
+
+  test("decodeAll collision: numeric ladder long+double stays numeric") {
+    import org.apache.spark.sql.types.DoubleType
+    val events = Seq(
+      (1L, 1000000000L, 1L, "alpha", 1.0, """{"v": 7}"""),
+      (2L, 2000000000L, 1L, "beta", 1.0, """{"v": 2.5}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val ev = operators.EventOps.events(spark, tempSfDir("events" -> events))
+    val all = SchemaRegistry.build(ev).decodeAll(ev)
+    assert(all.select($"props_struct.v").schema.head.dataType == DoubleType)
+    val vals = all.select($"event_id", $"props_struct.v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(vals == Map(1L -> 7.0, 2L -> 2.5))
+  }
+
+  test("decodeAll collision: struct fields merge recursively by name") {
+    val events = Seq(
+      (1L, 1000000000L, 1L, "alpha", 1.0, """{"m": {"a": 1}}"""),
+      (2L, 2000000000L, 1L, "beta", 1.0, """{"m": {"b": "x"}}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val ev = operators.EventOps.events(spark, tempSfDir("events" -> events))
+    val all = SchemaRegistry.build(ev).decodeAll(ev)
+      .select($"event_id", $"props_struct.m.a".as("a"),
+        $"props_struct.m.b".as("b")).collect()
+    val alphaRow = all.find(_.getLong(0) == 1L).get
+    val betaRow = all.find(_.getLong(0) == 2L).get
+    // Union of nested field sets with null padding, same as the top level.
+    assert(alphaRow.getLong(1) == 1L && alphaRow.isNullAt(2))
+    assert(betaRow.isNullAt(1) && betaRow.getString(2) == "x")
+  }
+
+  test("widen is commutative and associative over the inferred lattice") {
+    import org.apache.spark.sql.types._
+    val types = Seq(LongType, DoubleType, StringType, BooleanType,
+      DecimalType(20, 0), DecimalType(10, 4), ArrayType(LongType),
+      StructType(Seq(StructField("a", LongType))),
+      StructType(Seq(StructField("a", DoubleType), StructField("b", StringType))))
+    for (a <- types; b <- types) {
+      assert(SchemaRegistry.widen(a, b) == SchemaRegistry.widen(b, a),
+        s"commutativity failed for ($a, $b)")
+      for (c <- types)
+        assert(
+          SchemaRegistry.widen(SchemaRegistry.widen(a, b), c) ==
+            SchemaRegistry.widen(a, SchemaRegistry.widen(b, c)),
+          s"associativity failed for ($a, $b, $c)")
+    }
+  }
+
   test("registry on the real corpus: k inferred as integral for all types") {
     val reg = SchemaRegistry.build(
       operators.EventOps.events(spark, sf))
