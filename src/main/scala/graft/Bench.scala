@@ -90,16 +90,23 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Health self-description: rel_q1_pricing is the control — one
-    // scan+agg whose healthy-host band is 1.1-1.5 s at sf0.1 (see
+    // scan+agg whose healthy-host band is 1.0-1.5 s at sf0.1 (see
     // BASELINE.md "host noise"). A whole-run tax inflates every query
     // uniformly INCLUDING the control, so control_sec > band flags the
     // recording as host-taxed — a taxed driver run can no longer
     // masquerade as a regression (round 4's 103 s artifact did).
+    // The 1.5 s threshold is calibrated ONLY at the sf0.1 headline dir;
+    // any other corpus (e.g. the sf1 scaling probe, where a healthy
+    // control reads ~1.6-4 s) records control_sec without a host_taxed
+    // verdict rather than always reading taxed.
     val controlSec = results.toMap.get("rel_q1_pricing")
-    val hostTaxed = controlSec.exists(_ > 1.5)
-    val health = controlSec
-      .map(c => f""","control_sec":$c%.3f,"host_taxed":$hostTaxed""")
-      .getOrElse("")
+    val health = controlSec.map { c =>
+      val taxed =
+        if (sfDir.stripSuffix("/").endsWith("sf0.1"))
+          s""","host_taxed":${c > 1.5}"""
+        else ""
+      f""","control_sec":$c%.3f$taxed"""
+    }.getOrElse("")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed$health}"""
     println(line)

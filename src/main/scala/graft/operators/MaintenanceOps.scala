@@ -166,7 +166,10 @@ object MaintenanceOps {
       import s.implicits._
       Tables.lineitem(s, dir)
         .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
-          Fns.morton2($"l_partkey", $"l_suppkey" * 20).as("zval"))
+          // widen BEFORE the scale multiply (both sides of the mirror):
+          // the 21-bit mask downstream hides an int overflow at shipped
+          // SFs, but the mirror must not depend on that accident
+          Fns.morton2($"l_partkey", $"l_suppkey".cast("long") * 20).as("zval"))
         .orderBy($"zval", $"l_orderkey", $"l_linenumber")
         .limit(500)
     }))
@@ -217,7 +220,7 @@ object MaintenanceOps {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "rel_zorder" ->
-      s"""${mortonCtes("lineitem", "l_partkey", "l_suppkey * 20",
+      s"""${mortonCtes("lineitem", "l_partkey", "CAST(l_suppkey AS BIGINT) * 20",
             Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))}
          |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
          |       (x | (y << 1)) AS zval

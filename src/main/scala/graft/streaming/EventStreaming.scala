@@ -270,8 +270,10 @@ object EventStreaming {
     * micro-batch:
     *
     *  1. reduce the batch to its latest update per key (`seq` orders
-    *     versions within a key; it must be unique per key within a
-    *     batch, the usual event-version contract);
+    *     versions within a key; it must be non-null and unique per key
+    *     within a batch, the usual event-version contract — ENFORCED:
+    *     a violating batch fails the query rather than silently picking
+    *     an arbitrary winner);
     *  2. read the PREVIOUS snapshot version — the greatest `v=` dir
     *     strictly below this batchId, never one this attempt may have
     *     half-written, so a foreachBatch replay re-reads intact input
@@ -292,11 +294,29 @@ object EventStreaming {
     deliver(updates, checkpointDir) { (batch, batchId) =>
       val spark = batch.sparkSession
       val cols = batch.toDF.columns.toSeq
+      // Latest-wins is only well-defined when every update carries a
+      // non-null seq and (key, seq) is unique within the batch. A null
+      // seq would sort last and silently lose; a duplicate (key, seq)
+      // would let row_number pick a nondeterministic winner. Fail
+      // loudly instead — one small agg job over the micro-batch.
+      val viol = batch.toDF.agg(
+        sum(when(col(seq).isNull, 1L).otherwise(0L)).as("nulls"),
+        (count(lit(1)) - countDistinct(col(key), col(seq))).as("dups"))
+        .head()
+      require(viol.isNullAt(0) || viol.getLong(0) == 0L,
+        s"snapshotUpsertLoop batch $batchId: ${viol.getLong(0)} update " +
+          s"row(s) with null $seq — latest-wins undefined")
+      require(viol.getLong(1) == 0L,
+        s"snapshotUpsertLoop batch $batchId: ${viol.getLong(1)} duplicate " +
+          s"($key, $seq) pair(s) — latest-wins ambiguous")
       val latest = batch.toDF
         .withColumn("__rn", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col(key)).orderBy(col(seq).desc)))
         .filter(col("__rn") === 1).drop("__rn")
+        // Non-null presence marker: the full-outer side test must not
+        // ride on a data column (a null there would misread "absent").
+        .withColumn("__upd", lit(true))
       val hPath = new org.apache.hadoop.fs.Path(snapshotPath)
       val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val prev: Option[Long] =
@@ -310,7 +330,7 @@ object EventStreaming {
         case Some(v) => spark.read.parquet(s"$snapshotPath/v=$v")
         case None    => batch.toDF.limit(0)
       }
-      val updatePresent = col(s"u.$seq").isNotNull
+      val updatePresent = col("u.__upd").isNotNull
       val merged = current.as("t").join(latest.as("u"),
           col(s"t.$key") === col(s"u.$key"), "full_outer")
         .select(cols.map(c =>
