@@ -19,7 +19,7 @@ object Bench {
     "ev_transitions",
     "ev_value_histogram", "ev_heatmap", "ev_funnel", "ev_retention",
     "ev_anomaly", "ev_rate_1m", "ev_user_sequences", "ev_uint64_decode",
-    "ev_decode_all",
+    "ev_decode_all", "ev_partition_pruned",
     "rel_q1_pricing", "rel_q3_shipping", "rel_q5_region_volume",
     "rel_q6_forecast", "rel_q10_returns", "rel_q18_large_orders",
     "rel_window_rank", "rel_window_range", "rel_join_broadcast", "rel_rollup",

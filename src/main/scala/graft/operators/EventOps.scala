@@ -246,6 +246,35 @@ object EventOps {
         .limit(1000)
     }),
 
+    // §2.1 S1/S2 at layout level: hive-partition the event log by day
+    // and read it back through a day predicate — the scan must touch
+    // ONLY that day's files (PartitionFilters in the plan; asserted in
+    // EventOpsSpec with the rest of the pruning evidence in
+    // docs/PLANS.md). This is the first leg of the 100 TB skip story
+    // (partition pruning; Z-order boxes and Bloom filters are the other
+    // two): a day-partitioned 100 TB log serves a one-day query at
+    // 1/30th the IO with zero plan changes. The partitioned copy is
+    // written per call (idempotent overwrite to a temp dir) so the
+    // oracle can recompute the identical aggregate from the flat table.
+    "ev_partition_pruned" -> ((s, dir) => {
+      import s.implicits._
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_events_by_day_" + Integer.toHexString(dir.hashCode))
+        .getAbsolutePath
+      graft.sources.GraftIO.writeParquet(
+        events(s, dir)
+          .select($"event_id", $"ts_ms", $"event_type", $"user_id",
+            $"value", date_format($"ts", "yyyyMMdd").cast("int").as("day")),
+        out, partitionCols = Seq("day"))
+      s.read.parquet(out)
+        .filter($"day" === 20240107)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"user_id").as("sum_uid"),
+          min($"ts_ms").as("first_ms"), max($"ts_ms").as("last_ms"))
+        .orderBy($"event_type")
+    }),
+
     // §2.3 A1 dropDuplicates variant: the first-seen instance per type
     // (deterministic min_by, the engine form of the reference's
     // first-sight metadata capture, src/main.cpp:302-317).
@@ -614,6 +643,14 @@ object EventOps {
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |ORDER BY event_id LIMIT 1000""".stripMargin,
+
+    "ev_partition_pruned" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        | min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms
+        |FROM events
+        |WHERE CAST(strftime(ts, '%Y%m%d') AS INT) = 20240107
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "ev_first_instance" ->
       """SELECT event_type, event_id, ts_ms, user_id FROM (

@@ -28,6 +28,26 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("ev_partition_pruned: day predicate becomes a PartitionFilter " +
+      "and matches the flat-table aggregate") {
+    val df = q("ev_partition_pruned")
+    val plan = df.queryExecution.executedPlan.toString()
+    // the predicate must prune at partition level, not as a data filter
+    // over every file — the 100 TB skip contract
+    assert(plan.contains("PartitionFilters"),
+      s"expected PartitionFilters in:\n${plan.take(900)}")
+    assert(plan.contains("20240107"),
+      s"day predicate must reach the partition filter:\n${plan.take(900)}")
+    // bit-identical to the same aggregate over the unpartitioned log
+    val flat = operators.EventOps.events(spark, sf)
+      .filter(date_format($"ts", "yyyyMMdd").cast("int") === 20240107)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"user_id").as("sum_uid"),
+        min($"ts_ms").as("first_ms"), max($"ts_ms").as("last_ms"))
+      .orderBy($"event_type")
+    assert(df.collect().toSeq == flat.collect().toSeq)
+  }
+
   test("ev_dict_decode: unmapped codes fall back to code_<n>") {
     // enum-map fixture (FIXTURES.md): user 3 maps via the dict,
     // user 27 % 30 = 27 has no dict row → raw-code fallback
