@@ -45,6 +45,68 @@ class TypedAndSkewSpec extends SparkSpec {
     assert(saltCounts.length > 1, "hot key should spread over salts")
   }
 
+  test("AQE OptimizeSkewedJoin splits the hot partition (skew=true) " +
+      "with bit-identical results") {
+    // The runtime twin of the static saltedJoin: on the DevSkew-shaped
+    // 80%-hot fixture, AQE itself must detect the oversized reducer
+    // partition of a shuffle join and split it — the plan's SMJ node
+    // carries skew=true — with results identical to the unoptimized
+    // join. Thresholds are lowered to test scale (the production
+    // defaults are 256 MB / 5x median); broadcast is disabled to force
+    // the shuffle join the optimization exists for.
+    //
+    // When the static salted rewrite is STILL needed (docs/PLANS.md
+    // "skew stress"): AQE splits only join reducer partitions, after
+    // the map side has already written the hot partition, at spill
+    // granularity — it does not help skewed AGGREGATIONS (groupBy on
+    // the hot key), nor plans where the skewed join feeds a same-key
+    // downstream shuffle (splitting would invalidate the partitioning,
+    // so AQE declines unless forceOptimizeSkewedJoin), nor the
+    // map-side pre-spread that packSequencesSalted needs. Salting
+    // remains the static answer for those; AQE covers the plain
+    // dim⋈fact hot-key case with zero query changes.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "512k")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128k")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // 200k rows, 80% on key 42, ~64B payload -> hot partition well
+      // past the lowered threshold
+      val big = spark.range(200000L)
+        .select(when(pmod($"id", lit(10)) < 8, 42L)
+          .otherwise(pmod($"id", lit(1000))).as("k"),
+          concat(lit("p"), lpad($"id".cast("string"), 60, "0")).as("payload"))
+      val small = spark.range(1000L)
+        .select($"id".as("k"), concat(lit("name_"), $"id").as("name"))
+      val joined = big.join(small, Seq("k"))
+        .agg(count(lit(1)).as("n"), sum(length($"payload")).as("bytes"))
+      val optimized = joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${plan.take(1200)}")
+      // same query with skew handling off: identical result
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val baseline = big.join(small, Seq("k"))
+        .agg(count(lit(1)).as("n"), sum(length($"payload")).as("bytes"))
+        .collect()
+      assert(optimized.map(_.toSeq).toSeq == baseline.map(_.toSeq).toSeq)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("packSequencesSalted spreads an 80%-hot stratum over sub-strata") {
     // 4000 docs, 80% in one stratum — the skew shape the salted form
     // exists for (docs/PLANS.md "skew stress" records the measured
