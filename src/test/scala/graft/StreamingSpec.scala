@@ -411,6 +411,60 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("snapshotUpsertLoop: crash after version dir written but before " +
+      "batch commit converges on restart") {
+    import java.nio.file.{Files, Path}
+    // The hard recovery case: an attempt of batch N writes (part of)
+    // snapshot v=N, then dies BEFORE the checkpoint commits batch N.
+    // On restart the source replays batch N; the loop must read v=N-1
+    // as its input (never the poisoned v=N — prev selection is
+    // strictly-below-batchId) and overwrite v=N with the correct merge:
+    // exactly-once by idempotent rewrite.
+    val watched = Files.createTempDirectory("graft_snapcrash_in")
+    val ckpt = Files.createTempDirectory("graft_snapcrash_ck").toString
+    val snapDir = Files.createTempDirectory("graft_snapcrash_out")
+      .toString + "/snap"
+    def appear(name: String, rows: Seq[(Long, Long, Double, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_snapcrash_tmp")
+      rows.toDF("custkey", "ver", "acctbal", "segment")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, watched.resolve(name))
+    }
+    val schema = Seq((0L, 0L, 0.0, "x"))
+      .toDF("custkey", "ver", "acctbal", "segment").schema
+    def start() = EventStreaming.snapshotUpsertLoop(
+      EventStreaming.fileSource(spark, watched.toString, schema),
+      snapDir, "custkey", "ver", Some(ckpt))()
+    // batch 0 commits normally
+    appear("f0.parquet",
+      Seq((1L, 1L, 10.0, "A"), (2L, 1L, 20.0, "A"), (3L, 1L, 30.0, "B")))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(s"$snapDir/v=0").count() == 3)
+    // batch 1's input lands while the query is down, and a crashed
+    // attempt left a half-written v=1 (wrong rows stand in for a
+    // partial file set) with NO checkpoint commit
+    appear("f1.parquet", Seq((2L, 2L, 21.0, "C"), (4L, 1L, 40.0, "D")))
+    Seq((999L, 9L, 0.0, "POISON"))
+      .toDF("custkey", "ver", "acctbal", "segment")
+      .write.mode("overwrite").parquet(s"$snapDir/v=1")
+    // restart: the source replays batch 1, the loop reads v=0 (not the
+    // poisoned v=1) and overwrites v=1 with the correct merge
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val v1 = spark.read.parquet(s"$snapDir/v=1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    assert(v1 == Set((1L, 1L, 10.0, "A"), (2L, 2L, 21.0, "C"),
+      (3L, 1L, 30.0, "B"), (4L, 1L, 40.0, "D")),
+      s"snapshot must converge to the committed merge, got $v1")
+    // v=0 untouched (time travel intact), no poison survivor anywhere
+    assert(spark.read.parquet(s"$snapDir/v=0").count() == 3)
+    assert(!v1.exists(_._4 == "POISON"))
+  }
+
   test("batch and streaming tumbling agg agree on the same data") {
     val ev = graft.operators.EventOps.events(spark, sf)
       .select($"ts", $"event_type", $"user_id", $"value")
