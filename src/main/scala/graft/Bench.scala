@@ -119,6 +119,13 @@ object Bench {
     if (failed > 0)
       System.err.println(
         s"[bench] $failed quer${if (failed == 1) "y" else "ies"} failed - bench_result.json left untouched")
+    else if (selected == headline && !sfDir.stripSuffix("/").endsWith("sf0.1"))
+      // scaling probes (e.g. target/sf1) run the full headline too, but the
+      // official artifact is defined as the sf0.1 recording — an sf1 run
+      // must not clobber it with 10x-corpus times that look like a 4x
+      // regression to anyone reading only the JSON
+      System.err.println(
+        s"[bench] non-sf0.1 corpus ($sfDir) - bench_result.json left untouched")
     else if (selected == headline)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_result.json"), line + "\n")
