@@ -65,8 +65,13 @@ object DevScale {
         s"concat(slice(embedding, $i + 1, size(embedding) - $i), " +
           s"slice(embedding, 1, $i))")))
     // one-week stride: windows/sessions gain buckets, not width
-    rep("events", Map("event_id" -> 100000L, "user_id" -> 1500L,
-      "ts" -> 604800L * 1000000000L))
+    // (ts is layout-dependent — ns-INT64 or TIMESTAMP(µs) — so it shifts
+    // via a custom fn instead of the numeric offsets map)
+    rep("events", Map("event_id" -> 100000L, "user_id" -> 1500L), (d, i) =>
+      if (i == 0) d
+      else if (d.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        d.withColumn("ts", col("ts") + lit(i * 604800L * 1000000000L))
+      else d.withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 7} DAYS")))
     rep("orders", Map("o_orderkey" -> 150000L, "o_custkey" -> 15000L))
     rep("lineitem", Map("l_orderkey" -> 150000L, "l_partkey" -> 20000L,
       "l_suppkey" -> 1000L), files = 16)

@@ -23,9 +23,12 @@ object DevStream {
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.readStream.schema(schema).parquet(dir.toString)
+    // layout-tolerant (see EventOps.events): ns-INT64 or TIMESTAMP(µs)
+    val stream = (
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw.withColumn("ts", col("ts").cast("timestamp")))
       .select(col("ts"), col("event_type"), col("user_id"), col("value"))
     val q = graft.streaming.EventStreaming.tumblingCounts(stream)
       .writeStream.outputMode("append")

@@ -22,26 +22,48 @@ import graft.functions.Fns._
   * Scale notes (100 TB): every aggregation keys on a high-cardinality or
   * bounded-cardinality column with map-side partial aggregation; no
   * driver-side loops; the one dimension join is an explicit broadcast.
-  * Event timestamps are nanosecond INT64 in parquet; Spark reads them as
-  * raw longs (`spark.sql.legacy.parquet.nanosAsLong`) and all oracle-facing
-  * outputs use epoch-millis BIGINT to sidestep µs-vs-ns engine differences.
+  * Event timestamps have shipped in two physical layouts (the corpus
+  * generator changed between rounds): nanosecond INT64 (read as raw longs
+  * via `spark.sql.legacy.parquet.nanosAsLong`) and TIMESTAMP(µs). The
+  * loader normalizes both to the same three derived columns, and all
+  * oracle-facing outputs use epoch-millis BIGINT to sidestep µs-vs-ns
+  * engine differences.
   */
 object EventOps {
 
-  /** events with ts exposed as ts_ns (raw nanos), ts_ms, and µs timestamp. */
+  /** events with ts exposed as ts_ns (epoch nanos), ts_ms, and µs timestamp.
+    *
+    * Layout-tolerant: `ts` may be INT64 nanos (legacy corpus, read as a raw
+    * long) or a TIMESTAMP/TIMESTAMP_NTZ of µs precision (current corpus).
+    * Both normalize to identical `ts_ns`/`ts_ms`/`ts` columns, so every
+    * downstream query and its DuckDB oracle (whose `epoch_ns`/`epoch_ms`
+    * are likewise layout-independent) is unchanged. NTZ→epoch uses the
+    * session zone, which every session here pins to UTC — the conversion is
+    * exact, and µs→ns multiplication loses nothing.
+    */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // Sessions we build (Bench/Verify/EventLog/tests) set nanosAsLong at
     // build time; this guard covers driver-owned sessions only, and skips
     // the conf mutation when it is already in effect (repeated set() per
-    // call was racy-looking and invisible to callers).
+    // call was racy-looking and invisible to callers). Harmless (no-op at
+    // read time) when the corpus ships TIMESTAMP(µs) instead of ns-INT64.
     if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
           .forall(_ != "true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = Tables.events(spark, sfDir)
+    val tsIsLong =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
     // FLOOR division (not `div`'s truncate-toward-zero): pre-epoch
     // (negative ns) events must land in the same ms/µs bucket the
     // oracle's `//` and epoch_ms() compute — see Fns.floorDivSql.
-    Tables.events(spark, sfDir)
-      .withColumnRenamed("ts", "ts_ns")
+    val withNs =
+      if (tsIsLong) raw.withColumnRenamed("ts", "ts_ns")
+      // withColumn-in-place + rename keeps ts_ns at ts's ordinal position,
+      // so both layouts produce byte-identical schemas downstream.
+      else raw.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * 1000L)
+        .withColumnRenamed("ts", "ts_ns")
+    withNs
       .withColumn("ts_ms", floorDiv("ts_ns", 1000000L))
       .withColumn("ts", timestamp_micros(floorDiv("ts_ns", 1000L)))
   }
