@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The events corpus has shipped `ts` in different physical layouts across
+  * driver rounds: INT64 nanoseconds (read as a raw long via the
+  * nanosAsLong legacy conf), and TIMESTAMP(µs) — both plain and NTZ.
+  * EventOps.events must normalize every layout to identical
+  * ts_ns/ts_ms/ts columns so the whole event family (and its DuckDB
+  * oracles, which use layout-independent epoch_ns/epoch_ms) never sees
+  * the difference.
+  */
+class TimestampLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  // µs-aligned nanos (the µs layouts can only carry multiples of 1000),
+  // including a pre-epoch value: floor semantics must hold below zero.
+  private val fixture = Seq(
+    (1L, 1704067200123456000L, 10L, "click", 1.0, """{"k":1}"""),
+    (2L, -86400000001000L, 11L, "error", 2.0, """{"c":3,"d":"err"}"""),
+    (3L, 1704067200123457000L, 10L, "view", 3.0, """{"a":7,"d":"s"}"""))
+
+  private def collectNormalized(dir: String) = {
+    val df = operators.EventOps.events(spark, dir)
+    (df.schema.map(f => f.name -> f.dataType).toList,
+      df.orderBy($"event_id")
+        .select($"event_id", $"ts_ns", $"ts_ms", $"ts", $"user_id",
+          $"event_type", $"value", $"props")
+        .collect().toSeq)
+  }
+
+  test("ns-INT64, TIMESTAMP, and TIMESTAMP_NTZ layouts normalize " +
+      "to identical ts_ns/ts_ms/ts") {
+    val nsDf = fixture.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val tzDf = nsDf.withColumn("ts",
+      timestamp_micros(expr("CAST(floor(ts / 1000) AS BIGINT)")))
+    val ntzDf = tzDf.withColumn("ts", $"ts".cast("timestamp_ntz"))
+
+    val asNs = collectNormalized(tempSfDir("events" -> nsDf))
+    val asTz = collectNormalized(tempSfDir("events" -> tzDf))
+    val asNtz = collectNormalized(tempSfDir("events" -> ntzDf))
+
+    assert(asTz._1 == asNs._1, "TIMESTAMP layout schema must match ns layout")
+    assert(asNtz._1 == asNs._1, "NTZ layout schema must match ns layout")
+    assert(asTz._2 == asNs._2, "TIMESTAMP layout rows must match ns layout")
+    assert(asNtz._2 == asNs._2, "NTZ layout rows must match ns layout")
+  }
+
+  test("normalized ts_ns keeps raw nanos and floor-divides pre-epoch ms") {
+    val dir = tempSfDir("events" ->
+      fixture.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = operators.EventOps.events(spark, dir)
+      .orderBy($"event_id").select($"ts_ns", $"ts_ms").collect()
+    assert(rows(0).getLong(0) == 1704067200123456000L)
+    assert(rows(0).getLong(1) == 1704067200123L)
+    // -86400000001000 ns: floor(-86400000.001 ms) = -86400001, not -86400000
+    assert(rows(1).getLong(0) == -86400000001000L)
+    assert(rows(1).getLong(1) == -86400001L)
+  }
+}
