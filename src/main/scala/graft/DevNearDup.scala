@@ -1,33 +1,52 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.api.GraftPipelines
 
-/** Scratch probe: stage timings inside the near-dup pipeline. */
+/** Dev harness: whole-pipeline and per-phase timing of the near-dup
+  * verify pipeline (merged from the former DevNearDup/DevNeardup
+  * casing twins — one probe, both measurements).
+  */
 object DevNearDup {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .appName("dev-neardup").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val docs = Tables.documents(spark, sf)
-    def timed[T](name: String)(f: => T): T = {
+    def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val cands = timed("cands (band join + distinct + persist/count)") {
-      val c = graft.api.GraftPipelines.minhashCandidates(docs, 3, 8, 4).persist()
+    // warmup
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val docs = Tables.documents(spark, dir)
+    t("whole nearDuplicates") {
+      GraftPipelines.nearDuplicates(docs, 0.7).write.mode("overwrite")
+        .format("noop").save()
+    }
+    // phase timings (second pass; band cache warm from run 1 is gone — new lineage)
+    val cands = t("minhashCandidates+persist") {
+      val c = GraftPipelines.minhashCandidates(docs, 3, 8, 4).persist()
       c.count(); c
     }
-    val inPlay = cands.select(col("d1").as("doc_id"))
-      .union(cands.select(col("d2"))).distinct()
-    val sets = docs.join(inPlay, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("wset"))
-      .select(col("doc_id"), size(col("wset")).as("sz"), col("wset")).persist()
-    timed("sets (in-play word sets, persist/count)") { sets.count() }
-    val words = sets.select(col("doc_id"), explode(col("wset")).as("w"))
-    timed("verify (explode-join-count + sizes + filter)") {
+    val inPlay = t("inPlay collect") {
+      val p = cands.select(col("d1").as("doc_id"))
+        .union(cands.select(col("d2"))).distinct().persist()
+      p.count(); p
+    }
+    val sets = t("sets build+persist") {
+      val s = docs.join(broadcast(inPlay), "doc_id")
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("wset"))
+        .select(col("doc_id"), size(col("wset")).as("sz"), col("wset")).persist()
+      s.count(); s
+    }
+    t("verify joins") {
+      val words = sets.select(col("doc_id"), explode(col("wset")).as("w"))
       val common = cands
         .join(words.withColumnRenamed("doc_id", "d1"), "d1")
         .join(words.withColumnRenamed("doc_id", "d2"), Seq("d2", "w"))
@@ -40,7 +59,8 @@ object DevNearDup {
         .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
         .withColumn("n_union", col("sz1") + col("sz2") - col("n_common"))
         .withColumn("jaccard", col("n_common").cast("double") / col("n_union"))
-        .filter(col("jaccard") >= 0.7).count()
+        .filter(col("jaccard") >= 0.7)
+        .write.mode("overwrite").format("noop").save()
     }
     spark.stop()
   }

@@ -27,7 +27,10 @@ object DevStream {
     // layout-tolerant (see EventOps.events): ns-INT64 or TIMESTAMP(µs)
     val stream = (
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // floor division, matching EventOps: pre-epoch ns must bucket
+        // like the batch path (div truncates toward zero and diverges)
+        raw.withColumn("ts",
+          timestamp_micros(graft.functions.Fns.floorDiv("ts", 1000L)))
       else raw.withColumn("ts", col("ts").cast("timestamp")))
       .select(col("ts"), col("event_type"), col("user_id"), col("value"))
     val q = graft.streaming.EventStreaming.tumblingCounts(stream)

@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
 class TimestampLayoutSpec extends SparkSpec {
   import spark.implicits._
 
+  // Fixture-coverage note: the "ns-INT64" fixture below is a plain BIGINT
+  // column (Spark cannot WRITE a TIMESTAMP(NANOS)-annotated parquet
+  // column), so the nanosAsLong READ path over a truly annotated legacy file
+  // is exercised only by the driver's own legacy corpus, not here. The
+  // conf is still set and harmless; this spec proves the normalization
+  // arithmetic on all three layouts Spark can round-trip.
+  //
   // µs-aligned nanos (the µs layouts can only carry multiples of 1000),
   // including a pre-epoch value: floor semantics must hold below zero.
   private val fixture = Seq(
@@ -45,6 +52,27 @@ class TimestampLayoutSpec extends SparkSpec {
     assert(asNtz._1 == asNs._1, "NTZ layout schema must match ns layout")
     assert(asTz._2 == asNs._2, "TIMESTAMP layout rows must match ns layout")
     assert(asNtz._2 == asNs._2, "NTZ layout rows must match ns layout")
+  }
+
+  test("NTZ layout normalizes identically in a non-UTC session zone") {
+    // Regression for the session-zone hazard: NTZ→epoch must NOT read
+    // spark.sql.session.timeZone (a cast ntz→timestamp would). The
+    // conversion is pure NTZ calendar arithmetic, so flipping the zone
+    // mid-session must change nothing.
+    val nsDf = fixture.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val ntzDf = nsDf.withColumn("ts",
+      timestamp_micros(expr("CAST(floor(ts / 1000) AS BIGINT)"))
+        .cast("timestamp_ntz"))
+    val ntzDir = tempSfDir("events" -> ntzDf)
+    val utc = collectNormalized(ntzDir)
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val la = collectNormalized(ntzDir)
+      assert(la._1 == utc._1, "schema must not depend on session zone")
+      assert(la._2 == utc._2, "NTZ epochs must not shift with session zone")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
   test("normalized ts_ns keeps raw nanos and floor-divides pre-epoch ms") {
