@@ -457,6 +457,39 @@ object RelationalOps {
         .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
         .orderBy($"s_nationkey".asc, $"s_acctbal".desc, $"s_suppkey".asc)
         .limit(50)
+    }),
+
+    // TPC-H Q21-shape: suppliers who kept a finished multi-supplier order
+    // waiting — the classic multi-correlated quantified-predicate chain
+    // (EXISTS + NOT EXISTS against the SAME fact at different aliases).
+    // "Late" is the corpus's l_tax > l_discount analog (it lacks
+    // commit/receipt dates, same substitution as rel_q4). Shape at scale:
+    // both quantified predicates compile to semi/anti joins keyed on
+    // l_orderkey, the same key the probe side is keyed on — one shuffle
+    // layout serves all three fact legs (no cartesian, no re-key);
+    // supplier is a shuffle join AQE may broadcast at small SF.
+    "rel_q21_waiting" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val l1 = li.filter($"l_tax" > $"l_discount")
+        .join(Tables.orders(s, dir).filter($"o_orderstatus" === "F")
+          .select($"o_orderkey"), $"l_orderkey" === $"o_orderkey")
+        .select($"l_orderkey", $"l_suppkey")
+      val l2 = li.select($"l_orderkey".as("l2_orderkey"),
+        $"l_suppkey".as("l2_suppkey"))
+      val l3 = li.filter($"l_tax" > $"l_discount")
+        .select($"l_orderkey".as("l3_orderkey"),
+          $"l_suppkey".as("l3_suppkey"))
+      l1
+        .join(l2, $"l_orderkey" === $"l2_orderkey" &&
+          $"l_suppkey" =!= $"l2_suppkey", "left_semi")
+        .join(l3, $"l_orderkey" === $"l3_orderkey" &&
+          $"l_suppkey" =!= $"l3_suppkey", "left_anti")
+        .join(Tables.supplier(s, dir), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_name")
+        .limit(100)
     })
   )
 
@@ -597,6 +630,22 @@ object RelationalOps {
         |WHERE o_orderkey IN (
         |  SELECT l_orderkey FROM lineitem WHERE l_tax > l_discount)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "rel_q21_waiting" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_tax > l1.l_discount
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_tax > l3.l_discount)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
 
     "rel_q10_returns" ->
       """SELECT c_custkey, c_name, n_name,

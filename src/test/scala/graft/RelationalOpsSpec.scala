@@ -134,4 +134,38 @@ class RelationalOpsSpec extends SparkSpec {
       assert(math.abs(a90 - e90) / e90 < 0.025, s"$k p90: $a90 vs $e90")
     }
   }
+
+  test("rel_q21_waiting: at-scale plan is semi+anti on one shuffle key, no cartesian") {
+    // At bench SFs Catalyst broadcasts the column-pruned fact legs (fine
+    // and fast there). This pins the 100 TB shape: with broadcast off,
+    // both quantified predicates become sort-merge semi/anti joins keyed
+    // on l_orderkey — the probe shuffles ONCE and the anti join consumes
+    // the semi join's partitioning with no re-exchange — and nothing
+    // degenerates to a cartesian (the non-equality suppkey predicate
+    // rides the equi-join as a residual condition).
+    val old = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = q("rel_q21_waiting")
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(plan.contains("SortMergeJoin") && plan.contains("LeftSemi"),
+        s"expected a sort-merge LeftSemi in:\n${plan.take(1500)}")
+      assert(plan.contains("LeftAnti"),
+        s"expected a LeftAnti in:\n${plan.take(1500)}")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        "quantified predicates must stay equi-join-keyed")
+      // probe-side partitioning reuse: 3 fact legs + 1 orders leg shuffle
+      // on the order key; the anti join adds NO extra probe exchange.
+      val orderKeyExchanges =
+        "hashpartitioning\\((?:l_orderkey|o_orderkey|l2_orderkey|l3_orderkey)"
+          .r.findAllIn(plan).size
+      assert(orderKeyExchanges <= 4,
+        s"expected ≤4 order-key exchanges (no probe re-shuffle), got $orderKeyExchanges:\n$plan")
+      assert(df.collect().nonEmpty)
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
