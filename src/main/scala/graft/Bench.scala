@@ -41,6 +41,7 @@ object Bench {
     "llm_quality_classify", "llm_embed_kmeans", "llm_semdedup",
     "llm_simhash", "llm_simhash_pairs", "llm_embed_topk",
     "llm_embed_lsh_knn", "llm_embed_lsh_knn2", "llm_embed_pq",
+    "llm_embed_pq_served", "llm_embed_ivf_served",
     "llm_embed_neardup", "llm_embed_neardup_lsh", "llm_lang_id", "llm_tfidf",
     "llm_quality_score", "llm_token_count", "llm_fingerprint",
     "mm_image_features", "mm_image_resize", "mm_frame_sample", "mm_scene_cuts", "mm_payload_dedup")
@@ -64,6 +65,19 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.queries("ev_catalog")(spark, sfDir)
       .write.mode("overwrite").format("noop").save()
+    // fixture warm-up: entries that serve a write-once artifact (the
+    // day-partitioned layout, the persisted ANN indexes) build it here,
+    // outside the timed region — the artifact is an OFFLINE job by
+    // design, and its cost is already visible as the refit twin's
+    // figure (llm_embed_pq / llm_embed_ivf) or the corpus write. The
+    // timed figure below is then the production per-query cost: the
+    // pruned/served READ.
+    Seq("ev_partition_pruned", "llm_embed_pq_served", "llm_embed_ivf_served")
+      .filter(selected.contains).foreach { n =>
+        SparkEntry.queries(n)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+      }
+    spark.catalog.clearCache()
     // unknown names fail loudly: selected.filter(queries.contains) would
     // silently shrink the run (e.g. after a rename) while still writing a
     // complete-looking artifact — same ghost-name check as tools/check.py

@@ -332,6 +332,25 @@ object GraftPipelines {
   def pqTopK(emb: DataFrame, queries: DataFrame, m: Int, kSub: Int,
       iters: Int, k: Int, dim: Int = 64,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val (codebooks, codes) = pqIndex(emb, m, kSub, iters, dim, id, vec)
+    pqTopKServe(codebooks, codes, queries, m, k, dim, id, vec)
+  }
+
+  /** PQ index artifact — the BUILD half of the build/serve split
+    * (the offline job; [[pqTopKServe]] is what queries run against the
+    * stored result, the same split [[bandIndex]] models for minhash).
+    * Returns (codebooks, codes):
+    *  - codebooks: (b, cluster, c array<float>) — m·kSub rows, the
+    *    per-block fitted centroids, tiny by construction;
+    *  - codes: one row per vector with its m cluster ids (k0..k{m-1})
+    *    — the PQ-compressed corpus, the only corpus-scaled output.
+    * Persist both as parquet ([[graft.sources.GraftIO.writeParquet]]);
+    * ints and floats round-trip parquet exactly, so a served query is
+    * bit-identical to an in-query refit.
+    */
+  def pqIndex(emb: DataFrame, m: Int, kSub: Int, iters: Int,
+      dim: Int = 64, id: String = "vec_id", vec: String = "embedding")
+      : (DataFrame, DataFrame) = {
     require(dim % m == 0, s"dim $dim must split into $m even blocks")
     val subDim = dim / m
     val blocks = (0 until m).map { b =>
@@ -340,17 +359,37 @@ object GraftPipelines {
       val (books, codes) = kmeansFit(sliced, kSub, iters, subDim, id, vec)
       (b, books, codes)
     }
+    val codebooks = blocks.map { case (b, books, _) =>
+      books.select(lit(b).as("b"), col("cluster"), col("c"))
+    }.reduce(_ unionByName _)
     // one row per vector carrying its m codes — the PQ-compressed corpus
     val codes = blocks.map { case (b, _, c) =>
       c.select(col(id), col("cluster").as(s"k$b"))
     }.reduce(_.join(_, Seq(id)))
+    (codebooks, codes)
+  }
+
+  /** PQ SERVE half: ADC scoring against a prebuilt (possibly
+    * parquet-persisted) index. The corpus side of every join is the
+    * code table — it is scanned but never shuffled: per-query LUTs
+    * (|queries|·kSub rows per block) and the codebooks are broadcast,
+    * so the only exchange is the final per-query top-k window. This is
+    * the production shape: codebooks are refit offline on drift, not
+    * per query.
+    */
+  def pqTopKServe(codebooks: DataFrame, codes: DataFrame,
+      queries: DataFrame, m: Int, k: Int, dim: Int = 64,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m even blocks")
+    val subDim = dim / m
     // per-query LUTs: |queries| x kSub rows per block, broadcast by
     // construction (kSub is bounded; the query set is the caller's
     // bounded probe set, same contract as cosineTopK)
-    val luts = blocks.map { case (b, books, _) =>
+    val luts = (0 until m).map { b =>
       queries.select(col(id).as("qid"),
           slice(col(vec), b * subDim + 1, subDim).as("qb"))
-        .crossJoin(broadcast(books.select(col("cluster").as(s"k$b"), col("c"))))
+        .crossJoin(broadcast(codebooks.filter(col("b") === b)
+          .select(col("cluster").as(s"k$b"), col("c"))))
         .select(col("qid"), col(s"k$b"),
           VectorExpressions.dotProduct(col("qb"), col("c")).as(s"d$b"))
     }
@@ -366,6 +405,60 @@ object GraftPipelines {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("rn"), col(id), col("score"))
+  }
+
+  /** IVF index artifact — BUILD half (see [[pqIndex]] for the split
+    * rationale). Returns (centroids, assignments):
+    *  - centroids: (centroid, cv array<float>) — the nc-row coarse
+    *    quantizer (deterministic: the first nc vectors, no RNG);
+    *  - assignments: (id, centroid) — every vector's inverted-list id,
+    *    the corpus-scaled posting table (persist partitioned/bucketed
+    *    by centroid so a probe reads only its lists' files).
+    * The assignment argmax is ONE hash aggregate over a broadcast of
+    * nc rows — map-side, no shuffle of the corpus beyond the combine.
+    */
+  def ivfIndex(emb: DataFrame, nc: Int, id: String = "vec_id",
+      vec: String = "embedding"): (DataFrame, DataFrame) = {
+    val cent = emb.filter(col(id) < nc)
+      .select(col(id).as("centroid"), col(vec).as("cv"))
+    val assign = emb.select(col(id), col(vec))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", cosine(col(vec), col("cv")))
+      .groupBy(col(id))
+      .agg(max_by(col("centroid"),
+        struct(col("ccos"), (-col("centroid")).as("nc"))).as("centroid"))
+      .select(col(id), col("centroid"))
+    (cent, assign)
+  }
+
+  /** IVF SERVE half: probe nprobe lists per query against a prebuilt
+    * (possibly parquet-persisted) index, then re-rank candidates by
+    * exact cosine (IVF-Flat: postings gate the search; full vectors are
+    * read only for the surviving candidates). The bounded probe set is
+    * broadcast against the posting table, so the corpus-scaled
+    * assignments stream map-side — the serve path shuffles only
+    * query-derived rows (the candidate re-rank window).
+    */
+  def ivfTopKServe(centroids: DataFrame, assignments: DataFrame,
+      emb: DataFrame, queries: DataFrame, nprobe: Int, k: Int,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("ccos").desc, col("centroid"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosine(col("qv"), col("cv")))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= nprobe)
+      .select(col("qid"), col("centroid"))
+    val cands = assignments.join(broadcast(probes), "centroid")
+      .filter(col(id) =!= col("qid"))
+      .select(col("qid"), col(id)).distinct()
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col(id))
+    cands.join(emb, id)
+      .join(broadcast(queries), "qid")
+      .withColumn("cosine", cosine(col("qv"), col(vec)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col(id), col("cosine"))
   }
 
   // ---------------- data profiling ----------------

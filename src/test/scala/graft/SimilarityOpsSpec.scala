@@ -145,4 +145,47 @@ class SimilarityOpsSpec extends SparkSpec {
       assert(hits >= 1, s"query $qid: PQ top-10 shares $hits with exact top-10")
     }
   }
+
+  test("persisted ANN index: served results are bit-identical to the in-plan refit") {
+    // the build/serve split's core contract — a query against the
+    // stored artifact returns the SAME rows as the fused build+serve
+    // plan (ints/floats round-trip parquet exactly; no RNG anywhere)
+    def rows(name: String) = q(name).collect().map(_.toSeq).toSeq
+    assert(rows("llm_embed_ivf_served") == rows("llm_embed_ivf"))
+    assert(rows("llm_embed_pq_served") == rows("llm_embed_pq"))
+  }
+
+  test("served ANN plans shuffle only query-derived rows, never the corpus side") {
+    // PQ serve: the code table meets only broadcast LUTs/codebooks; the
+    // sole hash exchange is the per-query top-k window (plus the
+    // presentation sort). IVF serve: the posting table meets a broadcast
+    // of the bounded probe set; exchanges touch candidate rows only.
+    import org.apache.spark.sql.functions.col
+    for (name <- Seq("llm_embed_pq_served", "llm_embed_ivf_served")) {
+      val df = q(name)
+      df.collect() // materialize so AQE settles its final plan
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("ShuffledHashJoin"),
+        s"$name: corpus side must never shuffle into a join:\n${plan.take(2000)}")
+      // every join is a broadcast (LUTs, codebooks, probes, query set)
+      assert(plan.contains("BroadcastHashJoin"), s"$name: expected BHJs")
+      // the index build must NOT be in the serve plan: a kmeans refit
+      // would show up as the fixed-point decimal centroid update
+      assert(!plan.contains("decimal(28,0)"),
+        s"$name: serve plan contains a codebook/centroid refit")
+    }
+    // and the stored IVF postings are actually partition-pruned on probe:
+    // reading one centroid's list must touch only that partition
+    val ix = q("llm_embed_ivf_served") // ensure fixture exists
+    ix.collect()
+    val stamp = new java.io.File(sf, "embeddings.parquet").lastModified
+    val ixDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ivf_index_" + Integer.toHexString((sf, stamp).hashCode))
+    val oneList = spark.read.parquet(s"$ixDir/assignments")
+      .filter(col("centroid") === 3)
+    val scan = oneList.queryExecution.executedPlan.toString()
+    assert(scan.contains("PartitionFilters") && scan.contains("centroid"),
+      s"expected centroid partition pruning in:\n${scan.take(900)}")
+  }
 }
