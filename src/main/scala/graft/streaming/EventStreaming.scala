@@ -172,6 +172,40 @@ object EventStreaming {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(dim, Seq(key), "left")
 
+  /** Watermarked STREAM-STREAM interval join — two live feeds correlated
+    * on key + time band, the streaming twin of the batch `ev_range_join`
+    * (follow-on events within `bandSeconds` after the same user's
+    * signup) and the engine form of the reference's dual live queues
+    * (`src/utils/TaskHandler.h:33-45`: trace events and UI requests
+    * arriving on independent threads, correlated by the session).
+    *
+    * Unlike [[enrich]] (stream-static, stateless), BOTH sides buffer
+    * state. The two watermarks plus the two-sided time bound are what
+    * make that state finite: Spark derives each side's eviction horizon
+    * from the join condition — a buffered signup is dropped once the
+    * event-side watermark passes `sig_ts + band` (no future event can
+    * match it), and a buffered event once the signup-side watermark
+    * passes `ev_ts` (no future signup can precede it). State is
+    * horizon × arrival rate, never stream history — the only viable
+    * contract for an unbounded dual-feed join. Inner join in append
+    * mode: a pair emits as soon as both rows have arrived; rows later
+    * than their side's watermark are dropped, matching the windowed-agg
+    * lateness contract.
+    */
+  def followWithinBand(signups: DataFrame, events: DataFrame,
+      bandSeconds: Long = 3600, late: String = "30 minutes"): DataFrame = {
+    val sig = signups.filter(col("event_type") === "signup")
+      .withWatermark("ts", late)
+      .select(col("ts").as("sig_ts"), col("user_id").as("su"))
+    val ev = events.withWatermark("ts", late)
+      .select(col("ts").as("ev_ts"), col("user_id"), col("event_type"))
+    ev.join(sig,
+        col("user_id") === col("su") &&
+        col("ev_ts") > col("sig_ts") &&
+        col("ev_ts") <= col("sig_ts") + expr(s"INTERVAL $bandSeconds SECONDS"))
+      .select(col("user_id"), col("sig_ts"), col("ev_ts"), col("event_type"))
+  }
+
   /** Streaming near-dup ingest against a self-maintaining persisted band
     * index: the production loop [[graft.api.GraftPipelines.incrementalDedup]]
     * describes, as running code. Per micro-batch of documents:

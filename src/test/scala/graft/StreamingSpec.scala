@@ -208,6 +208,57 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join: in-band pairs only, batch equality, " +
+      "late rows dropped, state evicted") {
+    implicit val sqlCtx = spark.sqlContext
+    val sigMem = MemoryStream[(Timestamp, String, Long, Double)]
+    val evMem = MemoryStream[(Timestamp, String, Long, Double)]
+    def df(m: MemoryStream[(Timestamp, String, Long, Double)]) =
+      m.toDF().toDF("ts", "event_type", "user_id", "value")
+    val q = EventStreaming.followWithinBand(df(sigMem), df(evMem))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_join").start()
+    try {
+      val sigs = Seq((ts(0), "signup", 1L, 0.0), (ts(0), "signup", 2L, 0.0))
+      val evs = Seq(
+        (ts(30), "click", 1L, 1.0),  // within the 1 h band
+        (ts(60), "view", 1L, 1.0),   // boundary: <= sig_ts + band → in
+        (ts(90), "click", 1L, 1.0),  // outside the band
+        (ts(30), "click", 3L, 1.0))  // no signup for user 3
+      sigMem.addData(sigs: _*)
+      evMem.addData(evs: _*)
+      q.processAllAvailable()
+      def pairs(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getAs[Long]("user_id"), r.getAs[Timestamp]("ev_ts").toString,
+          r.getAs[String]("event_type"))).toSet
+      val streamed = pairs(spark.table("ss_join").collect())
+      assert(streamed == Set(
+        (1L, "2024-01-01 00:30:00.0", "click"),
+        (1L, "2024-01-01 01:00:00.0", "view")))
+      // batch ≡ streaming on the same (non-late) data: the same function
+      // over batch frames (watermarks are no-ops there) yields the same set
+      val batch = pairs(EventStreaming.followWithinBand(
+        sigs.toDF("ts", "event_type", "user_id", "value"),
+        evs.toDF("ts", "event_type", "user_id", "value")).collect())
+      assert(batch == streamed, s"batch $batch != streamed $streamed")
+      // advance BOTH watermarks far past sig_ts + band + lateness
+      sigMem.addData((ts(600), "signup", 9L, 0.0))
+      evMem.addData((ts(600), "other", 8L, 1.0))
+      q.processAllAvailable()
+      // in-band follow for user 2's signup, but behind the event-side
+      // watermark → dropped, no pair may appear
+      evMem.addData((ts(10), "click", 2L, 1.0))
+      q.processAllAvailable()
+      assert(!spark.table("ss_join").collect()
+        .exists(_.getAs[Long]("user_id") == 2L),
+        "late row behind the watermark must not join")
+      // eviction observed: the join's state shrank when watermarks moved
+      val removed = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+      assert(removed > 0, "watermark advance must evict buffered join state")
+    } finally q.stop()
+  }
+
   test("checkpointed restart resumes delivery without reprocessing") {
     import java.nio.file.{Files, Path}
     val watched = Files.createTempDirectory("graft_ckpt_in")
