@@ -187,23 +187,32 @@ object EventStreaming {
     * match it), and a buffered event once the signup-side watermark
     * passes `ev_ts` (no future signup can precede it). State is
     * horizon × arrival rate, never stream history — the only viable
-    * contract for an unbounded dual-feed join. Inner join in append
-    * mode: a pair emits as soon as both rows have arrived; rows later
-    * than their side's watermark are dropped, matching the windowed-agg
-    * lateness contract.
+    * contract for an unbounded dual-feed join. In append mode a pair
+    * emits as soon as both rows have arrived; rows later than their
+    * side's watermark are dropped, matching the windowed-agg lateness
+    * contract.
+    *
+    * `joinType`: "inner" emits matches only; "left_outer" ALSO emits
+    * each signup with null event columns once the event-side watermark
+    * has passed `sig_ts + band` — i.e. once no future event can match —
+    * the live "signups that never converted" query (a batch engine
+    * needs a full re-scan for it; here it falls out of state eviction).
     */
   def followWithinBand(signups: DataFrame, events: DataFrame,
-      bandSeconds: Long = 3600, late: String = "30 minutes"): DataFrame = {
+      bandSeconds: Long = 3600, late: String = "30 minutes",
+      joinType: String = "inner"): DataFrame = {
     val sig = signups.filter(col("event_type") === "signup")
       .withWatermark("ts", late)
       .select(col("ts").as("sig_ts"), col("user_id").as("su"))
     val ev = events.withWatermark("ts", late)
       .select(col("ts").as("ev_ts"), col("user_id"), col("event_type"))
-    ev.join(sig,
+    sig.join(ev,
         col("user_id") === col("su") &&
         col("ev_ts") > col("sig_ts") &&
-        col("ev_ts") <= col("sig_ts") + expr(s"INTERVAL $bandSeconds SECONDS"))
-      .select(col("user_id"), col("sig_ts"), col("ev_ts"), col("event_type"))
+        col("ev_ts") <= col("sig_ts") + expr(s"INTERVAL $bandSeconds SECONDS"),
+        joinType)
+      .select(col("su").as("user_id"), col("sig_ts"), col("ev_ts"),
+        col("event_type"))
   }
 
   /** Streaming near-dup ingest against a self-maintaining persisted band

@@ -259,6 +259,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream left-outer: unconverted signups emit with nulls " +
+      "once their band closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val sigMem = MemoryStream[(Timestamp, String, Long, Double)]
+    val evMem = MemoryStream[(Timestamp, String, Long, Double)]
+    def df(m: MemoryStream[(Timestamp, String, Long, Double)]) =
+      m.toDF().toDF("ts", "event_type", "user_id", "value")
+    val q = EventStreaming
+      .followWithinBand(df(sigMem), df(evMem), joinType = "left_outer")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_outer").start()
+    try {
+      sigMem.addData((ts(0), "signup", 1L, 0.0), (ts(0), "signup", 2L, 0.0))
+      evMem.addData((ts(30), "click", 1L, 1.0)) // user 1 converts; user 2 never
+      q.processAllAvailable()
+      // push both watermarks past sig_ts + band + lateness so the join
+      // can PROVE user 2 will never match; outer rows need a subsequent
+      // trigger after eviction, so advance twice
+      sigMem.addData((ts(600), "signup", 8L, 0.0))
+      evMem.addData((ts(600), "other", 9L, 1.0))
+      q.processAllAvailable()
+      sigMem.addData((ts(650), "signup", 8L, 0.0))
+      evMem.addData((ts(650), "other", 9L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ss_outer").collect()
+      val matched = rows.filter(r => r.getAs[Long]("user_id") == 1L)
+      assert(matched.length == 1 &&
+        matched.head.getAs[String]("event_type") == "click")
+      val unconverted = rows.filter(r => r.getAs[Long]("user_id") == 2L)
+      assert(unconverted.length == 1, s"user 2 must emit exactly once: ${rows.toList}")
+      assert(unconverted.head.isNullAt(unconverted.head.fieldIndex("ev_ts")) &&
+        unconverted.head.isNullAt(unconverted.head.fieldIndex("event_type")),
+        "unconverted signup must carry null event columns")
+    } finally q.stop()
+  }
+
   test("checkpointed restart resumes delivery without reprocessing") {
     import java.nio.file.{Files, Path}
     val watched = Files.createTempDirectory("graft_ckpt_in")
