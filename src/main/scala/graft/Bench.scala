@@ -24,7 +24,8 @@ object Bench {
     "rel_q6_forecast", "rel_q10_returns", "rel_q18_large_orders",
     "rel_q21_waiting",
     "rel_window_rank", "rel_window_range", "rel_join_broadcast", "rel_rollup",
-    "rel_percentile", "rel_corr", "rel_q14_type_share", "rel_profile", "rel_jdbc_roundtrip",
+    "rel_percentile", "rel_corr", "rel_q14_type_share", "rel_profile",
+    "rel_constraints", "rel_jdbc_roundtrip",
     "rel_profile_approx", "rel_percentile_approx",
     "rel_merge_upsert", "rel_scd2", "rel_incremental_agg",
     "rel_distinct_incremental", "rel_zorder",

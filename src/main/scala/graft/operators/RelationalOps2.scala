@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -237,6 +237,51 @@ object RelationalOps2 {
         .orderBy($"n_regionkey")
     }),
 
+    // Data-quality constraint gate (Deequ-style verification suite) —
+    // the decision layer on top of rel_profile's observability panel:
+    // a declarative rule set evaluated as ONE aggregate pass per table
+    // plus one anti-join per referential rule, emitting (rule, metric,
+    // passed) so a pipeline can gate promotion of a new source on
+    // `min(passed) = 1`. Shape at 100 TB: the row-level rules ride a
+    // single map-side-combined scan of the fact; uniqueness is one
+    // distinct agg on the dim; referential integrity is a left-anti
+    // keyed on the join key — the same shuffle layout the downstream
+    // joins need anyway. The 1-row aggregate crossJoins are the audited
+    // bounded-scalar pattern.
+    "rel_constraints" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val liAgg = li.agg(
+        count(lit(1)).as("n"),
+        sum(when($"l_quantity".isNull, 1L).otherwise(0L)).as("n_null_qty"),
+        sum(when($"l_discount" >= 0.0 && $"l_discount" <= 0.1, 1L)
+          .otherwise(0L)).as("n_disc_ok"),
+        sum(when($"l_extendedprice" >= 0.0, 1L).otherwise(0L))
+          .as("n_price_ok"))
+      val ordAgg = ord.agg(count(lit(1)).as("n_ord"),
+        countDistinct($"o_orderkey").as("n_ord_keys"))
+      val orphans = li.select($"l_orderkey")
+        .join(ord.select($"o_orderkey"),
+          $"l_orderkey" === $"o_orderkey", "left_anti")
+        .agg(count(lit(1)).as("n_orphan"))
+      val facts = liAgg.crossJoin(ordAgg).crossJoin(orphans)
+      def rule(name: String, metric: Column, passed: Column) =
+        facts.select(lit(name).as("rule"),
+          metric.cast("double").as("metric"), passed.cast("int").as("passed"))
+      rule("complete_l_quantity",
+          $"n_null_qty".cast("double") / $"n", $"n_null_qty" === 0)
+        .unionAll(rule("nonneg_l_extendedprice",
+          $"n_price_ok".cast("double") / $"n", $"n_price_ok" === $"n"))
+        .unionAll(rule("range_l_discount",
+          $"n_disc_ok".cast("double") / $"n", $"n_disc_ok" === $"n"))
+        .unionAll(rule("ri_lineitem_orders",
+          $"n_orphan".cast("double"), $"n_orphan" === 0))
+        .unionAll(rule("unique_o_orderkey",
+          $"n_ord_keys".cast("double") / $"n_ord", $"n_ord_keys" === $"n_ord"))
+        .orderBy($"rule")
+    }),
+
     // Approximate aggregates — no SQL oracle (HLL/quantile sketches are
     // engine-specific); accuracy is asserted against exact counts in
     // ScalaTest instead, and the driver records a rows-only check.
@@ -253,6 +298,32 @@ object RelationalOps2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_constraints" ->
+      """WITH li AS (
+        |  SELECT count(*) AS n,
+        |   sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_null_qty,
+        |   sum(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.1
+        |       THEN 1 ELSE 0 END) AS n_disc_ok,
+        |   sum(CASE WHEN l_extendedprice >= 0.0 THEN 1 ELSE 0 END) AS n_price_ok
+        |  FROM lineitem),
+        |o AS (SELECT count(*) AS n_ord,
+        |       count(DISTINCT o_orderkey) AS n_ord_keys FROM orders),
+        |orph AS (SELECT count(*) AS n_orphan FROM lineitem
+        |         WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |SELECT 'complete_l_quantity' AS rule,
+        |  CAST(n_null_qty AS DOUBLE) / n AS metric,
+        |  CAST(n_null_qty = 0 AS INTEGER) AS passed FROM li
+        |UNION ALL SELECT 'nonneg_l_extendedprice',
+        |  CAST(n_price_ok AS DOUBLE) / n, CAST(n_price_ok = n AS INTEGER) FROM li
+        |UNION ALL SELECT 'range_l_discount',
+        |  CAST(n_disc_ok AS DOUBLE) / n, CAST(n_disc_ok = n AS INTEGER) FROM li
+        |UNION ALL SELECT 'ri_lineitem_orders',
+        |  CAST(n_orphan AS DOUBLE), CAST(n_orphan = 0 AS INTEGER) FROM orph
+        |UNION ALL SELECT 'unique_o_orderkey',
+        |  CAST(n_ord_keys AS DOUBLE) / n_ord,
+        |  CAST(n_ord_keys = n_ord AS INTEGER) FROM o
+        |ORDER BY rule""".stripMargin,
+
     // the oracle reads nation directly: if the JDBC round-trip mangles
     // a type or value, the hashes diverge
     "rel_jdbc_roundtrip" ->
