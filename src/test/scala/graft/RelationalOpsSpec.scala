@@ -135,6 +135,28 @@ class RelationalOpsSpec extends SparkSpec {
     }
   }
 
+  test("rel_constraints: clean corpus passes all rules; a planted orphan " +
+      "fails exactly the referential rule") {
+    val clean = q("rel_constraints").collect()
+      .map(r => r.getAs[String]("rule") -> r.getAs[Int]("passed")).toMap
+    assert(clean.size == 5 && clean.values.forall(_ == 1),
+      s"driver corpus must satisfy every rule: $clean")
+    // corrupt fixture: one lineitem row pointing at a nonexistent order
+    val li = Tables.lineitem(spark, sf)
+    val orphan = li.limit(1).withColumn("l_orderkey",
+      org.apache.spark.sql.functions.lit(-999L))
+    val dir = tempSfDir(
+      "lineitem" -> li.unionByName(orphan),
+      "orders" -> Tables.orders(spark, sf))
+    val bad = SparkEntry.queries("rel_constraints")(spark, dir).collect()
+      .map(r => r.getAs[String]("rule") ->
+        (r.getAs[Double]("metric"), r.getAs[Int]("passed"))).toMap
+    assert(bad("ri_lineitem_orders") == ((1.0, 0)),
+      s"orphan must fail RI with metric 1: ${bad("ri_lineitem_orders")}")
+    assert(bad.filter(_._1 != "ri_lineitem_orders").values.forall(_._2 == 1),
+      s"only the RI rule may fail: $bad")
+  }
+
   test("rel_q21_waiting: at-scale plan is semi+anti on one shuffle key, no cartesian") {
     // At bench SFs Catalyst broadcasts the column-pruned fact legs (fine
     // and fast there). This pins the 100 TB shape: with broadcast off,
