@@ -50,30 +50,34 @@ object EventOps {
     if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
           .forall(_ != "true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // NTZ is a zone-less wall clock whose corpus semantics are UTC, but
+    // every NTZ→epoch route Spark offers goes through the session zone:
+    // a cast ntz→timestamp re-interprets the wall clock in
+    // spark.sql.session.timeZone, and even timestampdiff over two NTZ
+    // operands COERCES them to session-zone timestamps first (visible
+    // as `cast(ts as timestamp), Some(<zone>)` in the plan) — which
+    // only LOOKS zone-free because the two offsets usually cancel; in a
+    // DST zone, summer events sit at a different offset than the 1970
+    // epoch and every such epoch shifts by the offset delta. There is
+    // no zone-free primitive, so the loader pins the session zone to
+    // UTC exactly the way it pins nanosAsLong above: the guard makes
+    // the cast exact in any session, and driver-owned sessions (always
+    // built at UTC) never hit the mutation.
+    if (spark.conf.getOption("spark.sql.session.timeZone")
+          .forall(_ != "UTC"))
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = Tables.events(spark, sfDir)
-    val tsType = raw.schema("ts").dataType
-    val tsIsLong = tsType == org.apache.spark.sql.types.LongType
+    val tsIsLong =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
     // FLOOR division (not `div`'s truncate-toward-zero): pre-epoch
     // (negative ns) events must land in the same ms/µs bucket the
     // oracle's `//` and epoch_ms() compute — see Fns.floorDivSql.
-    //
-    // NTZ is a zone-less wall clock whose corpus semantics are UTC; a
-    // cast ntz→timestamp would re-interpret it in
-    // spark.sql.session.timeZone and silently shift every epoch in a
-    // non-UTC session. timestampdiff between two NTZ values is pure
-    // calendar arithmetic — zone-independent by construction — so the
-    // epoch extraction is exact in ANY session zone. LTZ is already an
-    // instant; unix_micros needs no guard.
-    val tsMicros =
-      if (tsType == org.apache.spark.sql.types.TimestampNTZType)
-        expr("timestampdiff(MICROSECOND, " +
-          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
-      else unix_micros(col("ts"))
     val withNs =
       if (tsIsLong) raw.withColumnRenamed("ts", "ts_ns")
       // withColumn-in-place + rename keeps ts_ns at ts's ordinal position,
       // so both layouts produce byte-identical schemas downstream.
-      else raw.withColumn("ts", tsMicros * 1000L)
+      else raw.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * 1000L)
         .withColumnRenamed("ts", "ts_ns")
     withNs
       .withColumn("ts_ms", floorDiv("ts_ns", 1000000L))

@@ -25,7 +25,13 @@ class TimestampLayoutSpec extends SparkSpec {
   private val fixture = Seq(
     (1L, 1704067200123456000L, 10L, "click", 1.0, """{"k":1}"""),
     (2L, -86400000001000L, 11L, "error", 2.0, """{"c":3,"d":"err"}"""),
-    (3L, 1704067200123457000L, 10L, "view", 3.0, """{"a":7,"d":"s"}"""))
+    (3L, 1704067200123457000L, 10L, "view", 3.0, """{"a":7,"d":"s"}"""),
+    // July date: in a DST session zone this sits at a DIFFERENT offset
+    // than the 1970 epoch, so any zone-relative NTZ→epoch arithmetic
+    // whose offsets merely cancel (instead of being pinned to UTC)
+    // shifts this row by the offset delta — winter-only fixtures can
+    // not catch that failure mode.
+    (4L, 1719792123456789000L, 12L, "view", 4.0, """{"a":1,"d":"s"}"""))
 
   private def collectNormalized(dir: String) = {
     val df = operators.EventOps.events(spark, dir)
@@ -55,10 +61,12 @@ class TimestampLayoutSpec extends SparkSpec {
   }
 
   test("NTZ layout normalizes identically in a non-UTC session zone") {
-    // Regression for the session-zone hazard: NTZ→epoch must NOT read
-    // spark.sql.session.timeZone (a cast ntz→timestamp would). The
-    // conversion is pure NTZ calendar arithmetic, so flipping the zone
-    // mid-session must change nothing.
+    // Regression for the session-zone hazard: every NTZ→epoch route in
+    // Spark goes through the session zone (even timestampdiff coerces
+    // NTZ operands through it), so EventOps.events pins the session to
+    // UTC the same way it pins nanosAsLong. Flipping the zone — to a
+    // DST zone, with a summer row in the fixture whose offset differs
+    // from the epoch's — must change nothing.
     val nsDf = fixture.toDF("event_id", "ts", "user_id", "event_type",
       "value", "props")
     val ntzDf = nsDf.withColumn("ts",
