@@ -407,6 +407,50 @@ object GraftPipelines {
       .select(col("qid"), col("rn"), col(id), col("score"))
   }
 
+  /** Encode NEW vectors against a prebuilt PQ codebook set — the
+    * incremental-ingest half of the index lifecycle (build offline →
+    * serve queries → APPEND arriving vectors without a refit). Pure
+    * map-side: each block's codebook (kSub rows) broadcasts and the
+    * argmax is one hash aggregate; the batch never joins the corpus.
+    * Encoding the original corpus against its own stored codebooks
+    * reproduces the stored code table bit-for-bit (same cosine chain,
+    * same (ccos, -cluster) tie key as the fit's final assignment —
+    * pinned in SimilarityOpsSpec), so appended codes are
+    * indistinguishable from built ones.
+    */
+  def pqEncode(codebooks: DataFrame, vectors: DataFrame, m: Int,
+      dim: Int = 64, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m even blocks")
+    val subDim = dim / m
+    (0 until m).map { b =>
+      vectors.select(col(id),
+          slice(col(vec), b * subDim + 1, subDim).as("vb"))
+        .crossJoin(broadcast(codebooks.filter(col("b") === b)
+          .select(col("cluster"), col("c"))))
+        .withColumn("ccos", cosine(col("vb"), col("c")))
+        .groupBy(col(id))
+        .agg(max_by(col("cluster"),
+          struct(col("ccos"), (-col("cluster")).as("nc"))).as(s"k$b"))
+    }.reduce(_.join(_, Seq(id)))
+  }
+
+  /** Assign NEW vectors to a prebuilt IVF coarse quantizer — the
+    * incremental-ingest twin of [[pqEncode]] for the posting table:
+    * arriving vectors take their inverted-list id map-side against the
+    * broadcast centroids and append to the persisted assignments.
+    * Same argmax/tie contract as [[ivfIndex]]'s build assignment.
+    */
+  def ivfAssign(centroids: DataFrame, vectors: DataFrame,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    vectors.select(col(id), col(vec))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosine(col(vec), col("cv")))
+      .groupBy(col(id))
+      .agg(max_by(col("centroid"),
+        struct(col("ccos"), (-col("centroid")).as("nc"))).as("centroid"))
+      .select(col(id), col("centroid"))
+
   /** IVF index artifact — BUILD half (see [[pqIndex]] for the split
     * rationale). Returns (centroids, assignments):
     *  - centroids: (centroid, cv array<float>) — the nc-row coarse
@@ -421,14 +465,7 @@ object GraftPipelines {
       vec: String = "embedding"): (DataFrame, DataFrame) = {
     val cent = emb.filter(col(id) < nc)
       .select(col(id).as("centroid"), col(vec).as("cv"))
-    val assign = emb.select(col(id), col(vec))
-      .crossJoin(broadcast(cent))
-      .withColumn("ccos", cosine(col(vec), col("cv")))
-      .groupBy(col(id))
-      .agg(max_by(col("centroid"),
-        struct(col("ccos"), (-col("centroid")).as("nc"))).as("centroid"))
-      .select(col(id), col("centroid"))
-    (cent, assign)
+    (cent, ivfAssign(cent, emb, id, vec))
   }
 
   /** IVF SERVE half: probe nprobe lists per query against a prebuilt

@@ -155,6 +155,26 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(rows("llm_embed_pq_served") == rows("llm_embed_pq"))
   }
 
+  test("incremental encode against the stored index reproduces the built codes") {
+    // the APPEND half of the index lifecycle: arriving vectors encode
+    // map-side against broadcast codebooks/centroids with no refit —
+    // valid only if re-encoding the original corpus reproduces the
+    // built artifacts bit-for-bit (same cosine chain, same tie key)
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val (books, codes) = api.GraftPipelines.pqIndex(emb, 4, 4, 1, 64)
+    val reEncoded = api.GraftPipelines.pqEncode(books, emb, 4, 64)
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("k0"), col("k1"), col("k2"), col("k3"))
+        .orderBy(col("vec_id")).collect().map(_.toSeq).toSeq
+    assert(sortedRows(reEncoded) == sortedRows(codes))
+    val (cent, assign) = api.GraftPipelines.ivfIndex(emb, 16)
+    val reAssigned = api.GraftPipelines.ivfAssign(cent, emb)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("vec_id")).collect().map(_.toSeq).toSeq
+    assert(pairs(reAssigned) == pairs(assign))
+  }
+
   test("served ANN plans shuffle only query-derived rows, never the corpus side") {
     // PQ serve: the code table meets only broadcast LUTs/codebooks; the
     // sole hash exchange is the per-query top-k window (plus the
