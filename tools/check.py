@@ -93,7 +93,12 @@ def main():
     if not SKIP: run_verify()
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+        # driver corpora are single files; DevScale corpora (target/sf1)
+        # are Spark-written directories of part files — glob those
+        p = f"{SF}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     # an ONLY name that is neither oracled nor dumped is a typo — fail
     # loudly instead of reporting a vacuous green run
