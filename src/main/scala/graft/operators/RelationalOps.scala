@@ -459,6 +459,58 @@ object RelationalOps {
         .limit(50)
     }),
 
+    // TPC-H Q15-shape: top supplier(s) by quarterly revenue — a derived
+    // aggregate compared against ITS OWN max via scalar subquery (the
+    // CREATE VIEW + max(total_revenue) form of the spec). The revenue
+    // agg computes once; the 1-row max broadcasts back against it, so
+    // the plan is agg → broadcast-scalar semi-filter → dim join, never
+    // a re-aggregation. Equality compares EXACT decimals (sum of
+    // decimal money), so ties and hash parity are safe cross-engine.
+    "rel_q15_top_supplier" -> ((s, dir) => {
+      import s.implicits._
+      val rev = Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= to_timestamp(lit("1998-01-01 00:00:00")) &&
+                $"l_shipdate" < to_timestamp(lit("1998-04-01 00:00:00")))
+        .groupBy($"l_suppkey")
+        .agg(sum(revenue($"l_extendedprice", $"l_discount")).as("total_rev"))
+      val maxRev = rev.agg(max($"total_rev").as("mr"))
+      rev.join(broadcast(maxRev), $"total_rev" === $"mr")
+        .join(Tables.supplier(s, dir), $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name",
+          $"total_rev".cast("double").as("total_revenue"))
+        .orderBy($"s_suppkey")
+    }),
+
+    // TPC-H Q22-shape ("global sales opportunity"): customers from a
+    // fixed set of country codes (nationkey here — the corpus has no
+    // phone column) with above-average positive balances and no RECENT
+    // order (every corpus customer has some order, so the spec's
+    // "no orders" anti becomes "lapsed since 1999" — an anti join on a
+    // FILTERED subquery, the same quantified shape). The above-average
+    // filter compares bal·n > Σbal in EXACT decimals (multiplying
+    // through by the count instead of dividing), so no cross-engine
+    // avg-rounding can flip a boundary row. Shape at scale: one tiny
+    // stats aggregate broadcasts; the anti join keys on custkey;
+    // everything else is map-side.
+    "rel_q22_untapped" -> ((s, dir) => {
+      import s.implicits._
+      val codes = Seq(1, 3, 5, 7, 9, 11, 13)
+      val cust = Tables.customer(s, dir)
+        .filter($"c_nationkey".isin(codes: _*))
+      val stats = cust.filter($"c_acctbal" > 0.0)
+        .agg(sum(dec2($"c_acctbal")).as("s"), count(lit(1)).as("n"))
+      cust
+        .join(Tables.orders(s, dir)
+          .filter($"o_orderdate" >= to_timestamp(lit("1999-01-01 00:00:00")))
+          .select($"o_custkey"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .crossJoin(broadcast(stats))
+        .filter(dec2($"c_acctbal") * $"n" > $"s")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("numcust"), sumMoney($"c_acctbal").as("totacctbal"))
+        .orderBy($"c_nationkey")
+    }),
+
     // TPC-H Q21-shape: suppliers who kept a finished multi-supplier order
     // waiting — the classic multi-correlated quantified-predicate chain
     // (EXISTS + NOT EXISTS against the SAME fact at different aliases).
@@ -630,6 +682,36 @@ object RelationalOps {
         |WHERE o_orderkey IN (
         |  SELECT l_orderkey FROM lineitem WHERE l_tax > l_discount)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "rel_q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |   sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "rel_q22_untapped" ->
+      """WITH cust AS (
+        |  SELECT * FROM customer
+        |  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+        |stats AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS s, count(*) AS n
+        |  FROM cust WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM cust, stats
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |  AND CAST(c_acctbal AS DECIMAL(12,2)) * n > s
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
 
     "rel_q21_waiting" ->
       """SELECT s_name, count(*) AS numwait
