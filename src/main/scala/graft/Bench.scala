@@ -23,6 +23,8 @@ object Bench {
     "rel_q1_pricing", "rel_q3_shipping", "rel_q5_region_volume",
     "rel_q6_forecast", "rel_q10_returns", "rel_q18_large_orders",
     "rel_q21_waiting", "rel_q15_top_supplier", "rel_q22_untapped",
+    "rel_q7_volume", "rel_q8_market_share", "rel_q13_custdist",
+    "rel_q17_small_qty", "rel_q19_disjunctive",
     "rel_window_rank", "rel_window_range", "rel_join_broadcast", "rel_rollup",
     "rel_percentile", "rel_corr", "rel_q14_type_share", "rel_profile",
     "rel_constraints", "rel_jdbc_roundtrip",
