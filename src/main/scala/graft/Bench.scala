@@ -46,6 +46,7 @@ object Bench {
     "llm_embed_lsh_knn", "llm_embed_lsh_knn2", "llm_embed_pq",
     "llm_embed_pq_served", "llm_embed_ivf_served",
     "llm_embed_neardup", "llm_embed_neardup_lsh", "llm_lang_id", "llm_tfidf",
+    "llm_fuzzy_pairs", "llm_sorted_neighborhood",
     "llm_quality_score", "llm_token_count", "llm_fingerprint",
     "mm_image_features", "mm_image_resize", "mm_frame_sample", "mm_scene_cuts", "mm_payload_dedup")
 

@@ -216,4 +216,46 @@ class DedupOpsSpec extends SparkSpec {
     // doc 1 passes every quality/dedup gate but leaks an eval 5-gram
     assert(kept == Set(2L))
   }
+
+  test("llm_fuzzy_pairs: blocked ER join stays equi-keyed on the block key") {
+    val df = SparkEntry.queries("llm_fuzzy_pairs")(spark, "/root/testdata/sf0.01")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must ride the block-key equi join")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "canonical a<b ordering")
+      assert(r.getInt(2) <= 3)
+    }
+  }
+
+  test("llm_sorted_neighborhood: window is block-partitioned, never global") {
+    val df = SparkEntry.queries("llm_sorted_neighborhood")(
+      spark, "/root/testdata/sf0.01")
+    // the 100 TB hazard for SNM is an unpartitioned global-sort window —
+    // assert every Window node carries a non-empty partition spec.
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected a Window node in the SNM plan")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "SNM window must be block-partitioned, never a global sort")
+    assert(df.collect().forall(_.getInt(2) <= 3))
+  }
+
+  test("fuzzy ER: the two candidate generators have complementary recall") {
+    // SNM catches pairs straddling a length band; the blocked join
+    // catches similar names that sort far apart. Neither subsumes the
+    // other on this corpus — the union is the production candidate set.
+    def pairs(name: String) =
+      SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
+        .select("name_a", "name_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    val blocked = pairs("llm_fuzzy_pairs")
+    val snm = pairs("llm_sorted_neighborhood")
+    assert((blocked -- snm).nonEmpty, "blocked join should find sort-distant pairs")
+    assert((snm -- blocked).nonEmpty, "SNM should find band-straddling pairs")
+  }
 }
