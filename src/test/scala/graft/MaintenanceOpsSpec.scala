@@ -178,4 +178,48 @@ class MaintenanceOpsSpec extends SparkSpec {
       assert(m.get(5) == d.get(4))
     }
   }
+
+  test("rel_cdc_apply: last-writer-wins replay with delete tombstones") {
+    val rows = q("rel_cdc_apply").collect()
+    val byKey = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    val keys = Tables.orders(spark, sf).select($"o_orderkey")
+      .collect().map(_.getLong(0))
+    keys.foreach { k =>
+      val expect = k % 10 match {
+        case r if r < 2 => None            // deleted at seq 3
+        case r if r < 6 => Some("U")       // updated at seq 2
+        case _          => Some("I")       // insert only
+      }
+      assert(byKey.get(k) == expect, s"key $k: got ${byKey.get(k)}")
+    }
+    // restated rows carry the exact-decimal bump and the new priority
+    rows.filter(_.getString(1) == "U").take(20).foreach { r =>
+      assert(r.getString(3) == "RESTATED")
+    }
+  }
+
+  test("rel_compact: 64 fragments bin-pack losslessly to the byte-sized target") {
+    val result = q("rel_compact").collect()
+    val direct = Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"user_id").as("sum_uid"),
+        min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+      .orderBy($"event_type").collect()
+    assert(result.map(_.toString).toSeq == direct.map(_.toString).toSeq,
+      "compaction must be lossless")
+    // layout invariants: the fixture fragments into 64 files, the
+    // compacted copy lands at ceil(bytes / 32 MiB) — at sf0.001 that's 1.
+    val srcStamp = new java.io.File(sf, "events.parquet").lastModified
+    val key = Integer.toHexString((sf, srcStamp).hashCode)
+    val tmp = sys.props("java.io.tmpdir")
+    def parquetFiles(d: java.io.File) =
+      d.listFiles.filter(_.getName.endsWith(".parquet"))
+    val frag = new java.io.File(tmp, s"graft_events_frag_$key")
+    val comp = new java.io.File(tmp, s"graft_events_compact_$key")
+    assert(parquetFiles(frag).length == 64)
+    val bytes = parquetFiles(frag).map(_.length).sum
+    val want = math.max(1, math.ceil(bytes / (32.0 * 1024 * 1024)).toInt)
+    assert(parquetFiles(comp).length == want,
+      s"expected $want compacted files, got ${parquetFiles(comp).length}")
+  }
 }
