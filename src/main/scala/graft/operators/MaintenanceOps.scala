@@ -107,6 +107,48 @@ object MaintenanceOps {
         .orderBy($"custkey", $"valid_from", $"anchor_key")
     }),
 
+    // Snapshot diff: CDC EXTRACTION — the inverse of rel_cdc_apply
+    // (that replays a change log; this derives one by diffing two table
+    // versions — the audit op behind "what changed between yesterday's
+    // snapshot and today's"). Deterministic versions off orders: v_old
+    // drops keys %7=0 (arrived later → inserts), v_new drops keys %5=0
+    // (removed → deletes) and restates %3=0 prices (updates). One
+    // full-outer join on the key — the same single-shuffle layout as
+    // rel_merge_upsert — then null-side analysis classifies I/U/D and
+    // null-SAFE equality (<=>) drops unchanged rows (the overwhelming
+    // majority at scale, so the change log stays small even though the
+    // diff scans both versions). Update detection compares EXACT
+    // decimals. At 100 TB both sides are partition-pruned to the
+    // touched partitions first (same copy-on-write story as MERGE).
+    "rel_snapshot_diff" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      val vOld = base.filter($"o_orderkey" % 7 =!= 0)
+        .select($"o_orderkey".as("k_old"),
+          Fns.dec2($"o_totalprice").as("price_old"),
+          $"o_orderpriority".as("prio_old"))
+      val vNew = base.filter($"o_orderkey" % 5 =!= 0)
+        .select($"o_orderkey".as("k_new"),
+          when($"o_orderkey" % 3 === 0,
+            Fns.dec2($"o_totalprice") + Fns.dec2(lit(25.0)))
+            .otherwise(Fns.dec2($"o_totalprice")).as("price_new"),
+          when($"o_orderkey" % 3 === 0, lit("REPRICED"))
+            .otherwise($"o_orderpriority").as("prio_new"))
+      vOld.join(vNew, $"k_old" === $"k_new", "full_outer")
+        .withColumn("op",
+          when($"k_old".isNull, "I")
+            .when($"k_new".isNull, "D")
+            .when(!($"price_old" <=> $"price_new") ||
+                  !($"prio_old" <=> $"prio_new"), "U"))
+        .filter($"op".isNotNull)
+        .select(coalesce($"k_old", $"k_new").as("o_orderkey"), $"op",
+          $"price_old".cast("double").as("price_old"),
+          $"price_new".cast("double").as("price_new"),
+          $"prio_old", $"prio_new")
+        .orderBy($"o_orderkey")
+    }),
+
     // Small-file compaction: the OTHER half of the layout-maintenance
     // story (rel_zorder orders data within files; this bin-packs the
     // files themselves). Streaming ingest leaves a 64-fragment layout
@@ -267,6 +309,35 @@ object MaintenanceOps {
         |            ELSE 'update' END AS op
         |FROM target FULL JOIN src ON c_custkey = s_custkey
         |ORDER BY custkey""".stripMargin,
+
+    "rel_snapshot_diff" ->
+      """WITH v_old AS (
+        |  SELECT o_orderkey AS k_old,
+        |   CAST(o_totalprice AS DECIMAL(12,2)) AS price_old,
+        |   o_orderpriority AS prio_old
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |v_new AS (
+        |  SELECT o_orderkey AS k_new,
+        |   CASE WHEN o_orderkey % 3 = 0
+        |     THEN CAST(o_totalprice AS DECIMAL(12,2))
+        |          + CAST(25.0 AS DECIMAL(12,2))
+        |     ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price_new,
+        |   CASE WHEN o_orderkey % 3 = 0 THEN 'REPRICED'
+        |        ELSE o_orderpriority END AS prio_new
+        |  FROM orders WHERE o_orderkey % 5 <> 0)
+        |SELECT COALESCE(k_old, k_new) AS o_orderkey,
+        | CASE WHEN k_old IS NULL THEN 'I'
+        |      WHEN k_new IS NULL THEN 'D'
+        |      WHEN price_old IS DISTINCT FROM price_new
+        |        OR prio_old IS DISTINCT FROM prio_new THEN 'U' END AS op,
+        | CAST(price_old AS DOUBLE) AS price_old,
+        | CAST(price_new AS DOUBLE) AS price_new,
+        | prio_old, prio_new
+        |FROM v_old FULL JOIN v_new ON k_old = k_new
+        |WHERE (k_old IS NULL OR k_new IS NULL
+        |   OR price_old IS DISTINCT FROM price_new
+        |   OR prio_old IS DISTINCT FROM prio_new)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "rel_compact" ->
       """SELECT event_type, count(*) AS n,

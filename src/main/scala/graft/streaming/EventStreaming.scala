@@ -397,4 +397,23 @@ object EventStreaming {
       .foreachBatch(sink)
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
   }
+
+  /** Bounded catch-up run (Trigger.AvailableNow): process everything the
+    * source holds AT START — respecting its rate limits across as many
+    * micro-batches as that takes, unlike the deprecated Trigger.Once —
+    * then terminate on its own. This is the nightly-backfill primitive:
+    * the same streaming query, checkpoint, and sink as the live run,
+    * executed as a finite job. With a `checkpointDir`, a later backfill
+    * resumes from the recorded offsets and processes ONLY files that
+    * arrived since — exactly-once across runs, which is what lets a
+    * 100 TB backlog drain in resumable rate-limited slices.
+    */
+  def backfill(df: DataFrame, checkpointDir: Option[String] = None)
+      (sink: (Dataset[Row], Long) => Unit): StreamingQuery = {
+    val w = df.writeStream
+      .outputMode(appendMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(sink)
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
 }

@@ -198,6 +198,37 @@ class MaintenanceOpsSpec extends SparkSpec {
     }
   }
 
+  test("rel_snapshot_diff: applying the extracted log to v_old reproduces v_new") {
+    // diff/apply are inverses: rel_snapshot_diff EXTRACTS a change log
+    // from two versions; replaying it (delete D keys, overwrite U rows,
+    // add I rows) onto the old version must reproduce the new one
+    // bit-for-bit. This closes the CDC loop with rel_cdc_apply's
+    // semantics from the other direction.
+    val diff = q("rel_snapshot_diff").collect()
+    val base = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority").collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(2),
+        r.getString(2)))
+    val vOld = base.filter(_._1 % 7 != 0)
+      .map { case (k, p, pr) => k -> ((p, pr)) }.toMap
+    val vNew = base.filter(_._1 % 5 != 0)
+      .map { case (k, p, pr) =>
+        if (k % 3 == 0) k -> ((p + 25.0, "REPRICED")) else k -> ((p, pr))
+      }.toMap
+    val replayed = diff.foldLeft(vOld) { (acc, r) =>
+      val k = r.getLong(0)
+      r.getString(1) match {
+        case "D" => acc - k
+        case _ => acc + (k -> ((BigDecimal(r.getDouble(3)).setScale(2),
+          r.getString(5))))
+      }
+    }
+    assert(replayed == vNew,
+      s"replay mismatch: ${replayed.size} vs ${vNew.size} keys")
+    // and every emitted row is a REAL change (no unchanged-row noise)
+    assert(diff.forall(r => Set("I", "U", "D")(r.getString(1))))
+  }
+
   test("rel_compact: 64 fragments bin-pack losslessly to the byte-sized target") {
     val result = q("rel_compact").collect()
     val direct = Tables.events(spark, sf)

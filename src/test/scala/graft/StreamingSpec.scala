@@ -119,6 +119,50 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("backfill (AvailableNow): drains the backlog rate-limited, " +
+      "self-terminates, and a resumed run processes only new files") {
+    import java.nio.file.{Files, Path}
+    val watched = Files.createTempDirectory("graft_backfill_in")
+    val ckpt = Files.createTempDirectory("graft_backfill_ckpt").toString
+    def appear(name: String, rows: Seq[(Timestamp, String, Long, Double)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_backfill_tmp")
+      rows.toDF("ts", "event_type", "user_id", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, watched.resolve(name))
+    }
+    // a 3-file backlog exists BEFORE the query starts
+    (0 until 3).foreach(i =>
+      appear(s"backlog$i.parquet", Seq((ts(i + 1), "click", i.toLong, 1.0))))
+    val schema = Seq((ts(0), "x", 0L, 0.0))
+      .toDF("ts", "event_type", "user_id", "value").schema
+    // maxFilesPerTrigger=1: AvailableNow must respect the rate limit
+    // (several micro-batches), where Trigger.Once would gulp the backlog
+    val src = EventStreaming.fileSource(spark, watched.toString, schema,
+      maxFilesPerTrigger = 1)
+    val batches = scala.collection.mutable.Buffer[Long]()
+    val q1 = EventStreaming.backfill(src, Some(ckpt)) { (b, _) =>
+      batches.synchronized { batches += b.count() }
+    }
+    assert(q1.awaitTermination(60000), "backfill must self-terminate")
+    val firstRun = batches.synchronized(batches.toList)
+    assert(firstRun.filter(_ > 0).size == 3,
+      s"rate limit → one file per micro-batch: $firstRun")
+    // new data lands AFTER the backfill finished
+    appear("late.parquet", Seq((ts(9), "view", 9L, 1.0)))
+    batches.synchronized(batches.clear())
+    val q2 = EventStreaming.backfill(
+      EventStreaming.fileSource(spark, watched.toString, schema,
+        maxFilesPerTrigger = 1), Some(ckpt)) { (b, _) =>
+      batches.synchronized { batches += b.count() }
+    }
+    assert(q2.awaitTermination(60000), "resumed backfill must self-terminate")
+    val secondRun = batches.synchronized(batches.toList)
+    assert(secondRun.sum == 1,
+      s"checkpoint resume: only the late file processes, got $secondRun")
+  }
+
   test("file source + foreachBatch: files appearing between micro-batches " +
       "are delivered incrementally") {
     import java.nio.file.{Files, Path}
