@@ -343,6 +343,36 @@ object SimilarityOps {
     // the assignment is a one-off index build (persist, bucket by
     // centroid); per-query work is the probed lists only, and recall
     // tunes with NPROBE instead of re-indexing.
+    // ANN EVALUATION: per-query recall@3 of the IVF index against the
+    // brute-force ground truth — the measurement that decides nprobe/NC
+    // before a production rollout (an index you can't score is an index
+    // you can't tune). Both retrievals are deterministic, so recall
+    // itself is ORACLE-CHECKED: DuckDB recomputes exact and approximate
+    // top-3 and the same left-join hit count. Shape at scale: ground
+    // truth only ever computes for the bounded evaluation query set
+    // (brute force over the corpus × |eval| queries — a one-off audit
+    // scan), never per production query; the IVF side is the served
+    // path. hits/3.0 divides identically under IEEE on both engines.
+    "llm_ann_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter($"vec_id" < NQ)
+      val exact = graft.api.GraftPipelines.cosineTopK(emb, queries, 3)
+      val (cent, assign) = graft.api.GraftPipelines.ivfIndex(emb, NC)
+      val approx = graft.api.GraftPipelines
+        .ivfTopKServe(cent, assign, emb,
+          queries.select($"vec_id".as("qid"), $"embedding".as("qv")),
+          NPROBE, 3)
+      exact.select($"qid", $"vec_id")
+        .join(approx.select($"qid".as("aq"), $"vec_id".as("av")),
+          $"qid" === $"aq" && $"vec_id" === $"av", "left_outer")
+        .groupBy($"qid")
+        .agg(count($"av").cast("int").as("hits"))
+        .select($"qid", $"hits", lit(3).as("k"),
+          ($"hits".cast("double") / 3.0).as("recall_at_3"))
+        .orderBy($"qid")
+    }),
+
     "llm_embed_ivf" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
@@ -633,6 +663,23 @@ object SimilarityOps {
          |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
 
     "llm_embed_ivf" -> ivfOracleSql,
+
+    "llm_ann_recall" ->
+      s"""WITH exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |     row_number() OVER (PARTITION BY q.vec_id
+         |       ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC,
+         |         c.vec_id) AS rn
+         |    FROM embeddings c
+         |    JOIN embeddings q ON q.vec_id < $NQ AND c.vec_id <> q.vec_id)
+         |  WHERE rn <= 3),
+         |approx AS ($ivfOracleSql)
+         |SELECT e.qid, CAST(count(a.vec_id) AS INTEGER) AS hits, 3 AS k,
+         | count(a.vec_id) / 3.0 AS recall_at_3
+         |FROM exact e LEFT JOIN approx a
+         |  ON a.qid = e.qid AND a.vec_id = e.vec_id
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
     // the served entry reads the persisted index but must produce the
     // SAME rows — one oracle text for both
     "llm_embed_ivf_served" -> ivfOracleSql,
