@@ -1426,4 +1426,144 @@ object GraftPipelines {
     sets.unpersist(blocking = false)
     result
   }
+
+  // ===== Fuzzy entity resolution (round 8) =====
+
+  /** Dictionary-first blocked fuzzy pairs: distinct values of `nameCol`
+    * (with support counts) self-joined inside (first-char × length-band)
+    * blocks, `levenshtein ≤ maxDist` on within-block candidates only.
+    * Candidates bounded at Σ block²; widen the block key at scale.
+    * Output: name_a < name_b, dist, n_a, n_b.
+    */
+  def fuzzyBlockedPairs(df: DataFrame, nameCol: String, maxDist: Int = 3,
+      lenBand: Int = 4): DataFrame = {
+    val names = df.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n_items"))
+    def side(suffix: String) = names.select(
+      col("name").as(s"name_$suffix"), col("n_items").as(s"n_$suffix"),
+      substring(col("name"), 1, 1).as(s"blk_c_$suffix"),
+      floor(length(col("name")) / lenBand).cast("int").as(s"blk_l_$suffix"))
+    side("a").join(side("b"),
+        col("blk_c_a") === col("blk_c_b") &&
+        col("blk_l_a") === col("blk_l_b") &&
+        col("name_a") < col("name_b"))
+      .filter(levenshtein(col("name_a"), col("name_b")) <= maxDist)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("int").as("dist"),
+        col("n_a"), col("n_b"))
+  }
+
+  /** Sorted-neighborhood fuzzy pairs (Hernández & Stolfo SIGMOD'95):
+    * each distinct value compared to its `window` successors in
+    * block-partitioned sort order — linear in entities. Complementary
+    * recall to [[fuzzyBlockedPairs]]; production unions both.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, nameCol: String,
+      window: Int = 2, maxDist: Int = 3): DataFrame = {
+    val names = df.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n_items"))
+    val w = Window.partitionBy(substring(col("name"), 1, 1))
+      .orderBy(col("name"))
+    val withNbrs = (1 to window).foldLeft(names) { (acc, i) =>
+      acc.withColumn(s"nb$i", lead(col("name"), i).over(w))
+    }
+    val pairs = (1 to window).map { i =>
+      withNbrs.filter(col(s"nb$i").isNotNull)
+        .select(col("name").as("name_a"), col(s"nb$i").as("name_b"))
+    }.reduce(_ unionAll _)
+    pairs.filter(levenshtein(col("name_a"), col("name_b")) <= maxDist)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("int").as("dist"))
+  }
+
+  // ===== CDC both ways + generic snapshot diff (round 8) =====
+
+  /** Replay an insert/update/delete change log to final table state:
+    * per-key last-writer-wins by `seqCol`, keys whose latest op is
+    * `deleteOp` vanish. One shuffle on the key.
+    */
+  def cdcApply(log: DataFrame, keyCols: Seq[String], seqCol: String,
+      opCol: String, deleteOp: String = "D"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol).desc)
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= deleteOp)
+      .drop("__rn")
+  }
+
+  /** Extract an I/U/D change log by diffing two versions of a table on
+    * `keyCols`: one full-outer join, null-side analysis classifies ops,
+    * null-SAFE comparison of every non-key column drops unchanged rows.
+    * Output: the key columns, `op`, and old_/new_-prefixed value
+    * columns. Inverse of [[cdcApply]] by construction.
+    */
+  def snapshotDiff(vOld: DataFrame, vNew: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val valCols = vOld.columns.filterNot(keyCols.contains).toSeq
+    require(vNew.columns.filterNot(keyCols.contains).toSeq == valCols,
+      "snapshotDiff: versions must share the same schema")
+    val o = vOld.select(
+      keyCols.map(k => col(k).as(s"__ko_$k")) ++
+        valCols.map(c => col(c).as(s"old_$c")): _*)
+    val n = vNew.select(
+      keyCols.map(k => col(k).as(s"__kn_$k")) ++
+        valCols.map(c => col(c).as(s"new_$c")): _*)
+    val joinCond = keyCols.map(k => col(s"__ko_$k") === col(s"__kn_$k"))
+      .reduce(_ && _)
+    val changed = valCols.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    o.join(n, joinCond, "full_outer")
+      .withColumn("op",
+        when(col(s"__ko_${keyCols.head}").isNull, "I")
+          .when(col(s"__kn_${keyCols.head}").isNull, "D")
+          .when(changed, "U"))
+      .filter(col("op").isNotNull)
+      .select(
+        keyCols.map(k =>
+          coalesce(col(s"__ko_$k"), col(s"__kn_$k")).as(k)) ++
+          (col("op") +: valCols.flatMap(c =>
+            Seq(col(s"old_$c"), col(s"new_$c")))): _*)
+  }
+
+  // ===== BPE vocabulary induction (round 8) =====
+
+  /** Fit `rounds` BPE merges (Sennrich ACL'16) over a (word, count)
+    * dictionary. Each round: adjacent-symbol pair counts weighted by
+    * word frequency, deterministic argmax (count DESC, pair ASC), merge
+    * applied via a greedy left fold (SQL `aggregate`, init = first
+    * symbol) — the same fold a DuckDB `list_reduce` mirror runs, so
+    * segmentation semantics are engine-identical. Returns one row per
+    * round: (round, sym_a, sym_b, merged, pair_count). Corpus size
+    * enters only the word count; every round is dictionary-local.
+    */
+  def bpeMerges(words: DataFrame, wordCol: String, cntCol: String,
+      rounds: Int): DataFrame = {
+    var dict = words.select(
+      concat_ws(" ", array_remove(split(col(wordCol), ""), "")).as("seg"),
+      col(cntCol).as("cnt"))
+    val bests = (1 to rounds).map { r =>
+      val pairs = dict
+        .withColumn("arr", split(col("seg"), " "))
+        .select(explode(expr(
+          "zip_with(slice(arr, 1, size(arr)-1), slice(arr, 2, size(arr)-1)," +
+          " (x, y) -> concat(x, ' ', y))")).as("pair"), col("cnt"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("pcnt"))
+      val best = pairs.orderBy(col("pcnt").desc, col("pair").asc).limit(1)
+        .select(lit(r).as("round"),
+          split(col("pair"), " ")(0).as("sym_a"),
+          split(col("pair"), " ")(1).as("sym_b"),
+          regexp_replace(col("pair"), " ", "").as("merged"),
+          col("pcnt").cast("long").as("pair_count"))
+      dict = dict.crossJoin(broadcast(best))
+        .select(expr(
+          "aggregate(slice(split(seg, ' '), 2, size(split(seg, ' '))-1)," +
+          " split(seg, ' ')[0]," +
+          " (acc, x) -> CASE WHEN (acc = sym_a" +
+          "   OR endswith(acc, concat(' ', sym_a))) AND x = sym_b" +
+          "  THEN concat(left(acc, length(acc) - length(sym_a)), merged)" +
+          "  ELSE concat(acc, ' ', x) END)").as("seg"), col("cnt"))
+      best
+    }
+    bests.reduce(_ unionAll _)
+  }
 }

@@ -414,20 +414,8 @@ object DedupOps {
     // the corpus doesn't.
     "llm_fuzzy_pairs" -> ((s, dir) => {
       import s.implicits._
-      val names = Tables.part(s, dir)
-        .groupBy($"p_name").agg(count(lit(1)).as("n_items"))
-      val a = names.select($"p_name".as("name_a"), $"n_items".as("n_a"),
-        substring($"p_name", 1, 1).as("blk_c"),
-        floor(length($"p_name") / 4).cast("int").as("blk_l"))
-      val b = names.select($"p_name".as("name_b"), $"n_items".as("n_b"),
-        substring($"p_name", 1, 1).as("blk_c2"),
-        floor(length($"p_name") / 4).cast("int").as("blk_l2"))
-      a.join(b, $"blk_c" === $"blk_c2" && $"blk_l" === $"blk_l2" &&
-          $"name_a" < $"name_b")
-        .filter(levenshtein($"name_a", $"name_b") <= 3)
-        .select($"name_a", $"name_b",
-          levenshtein($"name_a", $"name_b").cast("int").as("dist"),
-          $"n_a", $"n_b")
+      graft.api.GraftPipelines
+        .fuzzyBlockedPairs(Tables.part(s, dir), "p_name", maxDist = 3)
         .orderBy($"name_a", $"name_b")
     }),
 
@@ -444,20 +432,9 @@ object DedupOps {
     // production pipeline unions both candidate sets.
     "llm_sorted_neighborhood" -> ((s, dir) => {
       import s.implicits._
-      val names = Tables.part(s, dir)
-        .groupBy($"p_name").agg(count(lit(1)).as("n_items"))
-      val w = Window.partitionBy(substring($"p_name", 1, 1))
-        .orderBy($"p_name")
-      val seq = names
-        .withColumn("nb1", lead($"p_name", 1).over(w))
-        .withColumn("nb2", lead($"p_name", 2).over(w))
-      val pairs = seq.filter($"nb1".isNotNull)
-          .select($"p_name".as("name_a"), $"nb1".as("name_b"))
-        .unionAll(seq.filter($"nb2".isNotNull)
-          .select($"p_name".as("name_a"), $"nb2".as("name_b")))
-      pairs.filter(levenshtein($"name_a", $"name_b") <= 3)
-        .select($"name_a", $"name_b",
-          levenshtein($"name_a", $"name_b").cast("int").as("dist"))
+      graft.api.GraftPipelines
+        .sortedNeighborhoodPairs(Tables.part(s, dir), "p_name",
+          window = 2, maxDist = 3)
         .orderBy($"name_a", $"name_b")
     })
   )

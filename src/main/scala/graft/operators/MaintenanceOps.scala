@@ -125,27 +125,22 @@ object MaintenanceOps {
       val base = Tables.orders(s, dir)
         .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
       val vOld = base.filter($"o_orderkey" % 7 =!= 0)
-        .select($"o_orderkey".as("k_old"),
-          Fns.dec2($"o_totalprice").as("price_old"),
-          $"o_orderpriority".as("prio_old"))
+        .select($"o_orderkey",
+          Fns.dec2($"o_totalprice").as("price"),
+          $"o_orderpriority".as("prio"))
       val vNew = base.filter($"o_orderkey" % 5 =!= 0)
-        .select($"o_orderkey".as("k_new"),
+        .select($"o_orderkey",
           when($"o_orderkey" % 3 === 0,
             Fns.dec2($"o_totalprice") + Fns.dec2(lit(25.0)))
-            .otherwise(Fns.dec2($"o_totalprice")).as("price_new"),
+            .otherwise(Fns.dec2($"o_totalprice")).as("price"),
           when($"o_orderkey" % 3 === 0, lit("REPRICED"))
-            .otherwise($"o_orderpriority").as("prio_new"))
-      vOld.join(vNew, $"k_old" === $"k_new", "full_outer")
-        .withColumn("op",
-          when($"k_old".isNull, "I")
-            .when($"k_new".isNull, "D")
-            .when(!($"price_old" <=> $"price_new") ||
-                  !($"prio_old" <=> $"prio_new"), "U"))
-        .filter($"op".isNotNull)
-        .select(coalesce($"k_old", $"k_new").as("o_orderkey"), $"op",
-          $"price_old".cast("double").as("price_old"),
-          $"price_new".cast("double").as("price_new"),
-          $"prio_old", $"prio_new")
+            .otherwise($"o_orderpriority").as("prio"))
+      graft.api.GraftPipelines
+        .snapshotDiff(vOld, vNew, Seq("o_orderkey"))
+        .select($"o_orderkey", $"op",
+          $"old_price".cast("double").as("price_old"),
+          $"new_price".cast("double").as("price_new"),
+          $"old_prio".as("prio_old"), $"new_prio".as("prio_new"))
         .orderBy($"o_orderkey")
     }),
 
@@ -220,9 +215,8 @@ object MaintenanceOps {
           lit(null).cast("double").as("price"),
           lit(null).cast("string").as("priority"))
       val log = ins.unionAll(upd).unionAll(del)
-      val w = Window.partitionBy($"o_orderkey").orderBy($"seq".desc)
-      log.withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1 && $"op" =!= "D")
+      graft.api.GraftPipelines
+        .cdcApply(log, Seq("o_orderkey"), "seq", "op")
         .select($"o_orderkey", $"op".as("last_op"), $"price", $"priority")
         .orderBy($"o_orderkey")
     }),

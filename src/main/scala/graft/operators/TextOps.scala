@@ -550,33 +550,8 @@ object TextOps {
         .select(explode(split($"text", " ")).as("word"))
         .filter($"word" =!= "")
         .groupBy($"word").agg(count(lit(1)).as("cnt"))
-      var dict = words.select(
-        concat_ws(" ", array_remove(split($"word", ""), "")).as("seg"),
-        $"cnt")
-      val bests = (1 to 3).map { r =>
-        val pairs = dict
-          .withColumn("arr", split($"seg", " "))
-          .select(explode(expr(
-            "zip_with(slice(arr, 1, size(arr)-1), slice(arr, 2, size(arr)-1)," +
-            " (x, y) -> concat(x, ' ', y))")).as("pair"), $"cnt")
-          .groupBy($"pair").agg(sum($"cnt").as("pcnt"))
-        val best = pairs.orderBy($"pcnt".desc, $"pair".asc).limit(1)
-          .select(lit(r).as("round"),
-            split($"pair", " ")(0).as("sym_a"),
-            split($"pair", " ")(1).as("sym_b"),
-            regexp_replace($"pair", " ", "").as("merged"),
-            $"pcnt".cast("long").as("pair_count"))
-        dict = dict.crossJoin(broadcast(best))
-          .select(expr(
-            "aggregate(slice(split(seg, ' '), 2, size(split(seg, ' '))-1)," +
-            " split(seg, ' ')[0]," +
-            " (acc, x) -> CASE WHEN (acc = sym_a" +
-            "   OR endswith(acc, concat(' ', sym_a))) AND x = sym_b" +
-            "  THEN concat(left(acc, length(acc) - length(sym_a)), merged)" +
-            "  ELSE concat(acc, ' ', x) END)").as("seg"), $"cnt")
-        best
-      }
-      bests.reduce(_ unionAll _).orderBy($"round")
+      graft.api.GraftPipelines.bpeMerges(words, "word", "cnt", 3)
+        .orderBy($"round")
     })
   )
 
