@@ -31,7 +31,7 @@ object Bench {
     "rel_profile_approx", "rel_percentile_approx",
     "rel_merge_upsert", "rel_scd2", "rel_incremental_agg",
     "rel_distinct_incremental", "rel_zorder", "rel_cdc_apply",
-    "rel_snapshot_diff", "rel_compact", "llm_bpe_vocab",
+    "rel_snapshot_diff", "rel_compact", "llm_bpe_vocab", "llm_bpe_apply",
     "llm_dedup_exact", "llm_dedup_prefix", "llm_dedup_incremental",
     "llm_minhash_pairs", "llm_neardup_verified",
     "llm_dup_clusters", "llm_curate", "llm_decontaminate",

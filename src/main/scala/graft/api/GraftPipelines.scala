@@ -1537,8 +1537,23 @@ object GraftPipelines {
     * enters only the word count; every round is dictionary-local.
     */
   def bpeMerges(words: DataFrame, wordCol: String, cntCol: String,
-      rounds: Int): DataFrame = {
-    var dict = words.select(
+      rounds: Int): DataFrame =
+    bpeFit(words, wordCol, cntCol, rounds)._1.reduce(_ unionAll _)
+
+  /** The segmented dictionary AFTER `rounds` merges: (word, seg, cnt)
+    * with `seg` the space-joined symbol sequence. This is the trained
+    * tokenizer artifact — join it against any corpus to tokenize
+    * (see `llm_bpe_apply`); at scale it persists like the band/ANN
+    * indexes and new text tokenizes map-side against the broadcastable
+    * dictionary.
+    */
+  def bpeSegmentations(words: DataFrame, wordCol: String, cntCol: String,
+      rounds: Int): DataFrame =
+    bpeFit(words, wordCol, cntCol, rounds)._2
+
+  private def bpeFit(words: DataFrame, wordCol: String, cntCol: String,
+      rounds: Int): (Seq[DataFrame], DataFrame) = {
+    var dict = words.select(col(wordCol).as("word"),
       concat_ws(" ", array_remove(split(col(wordCol), ""), "")).as("seg"),
       col(cntCol).as("cnt"))
     val bests = (1 to rounds).map { r =>
@@ -1555,7 +1570,7 @@ object GraftPipelines {
           regexp_replace(col("pair"), " ", "").as("merged"),
           col("pcnt").cast("long").as("pair_count"))
       dict = dict.crossJoin(broadcast(best))
-        .select(expr(
+        .select(col("word"), expr(
           "aggregate(slice(split(seg, ' '), 2, size(split(seg, ' '))-1)," +
           " split(seg, ' ')[0]," +
           " (acc, x) -> CASE WHEN (acc = sym_a" +
@@ -1564,6 +1579,6 @@ object GraftPipelines {
           "  ELSE concat(acc, ' ', x) END)").as("seg"), col("cnt"))
       best
     }
-    bests.reduce(_ unionAll _)
+    (bests, dict)
   }
 }

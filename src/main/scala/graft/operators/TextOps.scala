@@ -552,6 +552,29 @@ object TextOps {
         .groupBy($"word").agg(count(lit(1)).as("cnt"))
       graft.api.GraftPipelines.bpeMerges(words, "word", "cnt", 3)
         .orderBy($"round")
+    }),
+
+    // Tokenizer APPLICATION: segment the corpus with the 3 merges
+    // llm_bpe_vocab learned — per-document token counts under the
+    // trained (not heuristic) tokenizer, the train→apply loop closed
+    // the same way DevFit→llm_quality_classify closed the classifier's.
+    // The segmented dictionary is the tokenizer artifact: per-doc
+    // counts come from one explode + one dictionary join + one sum —
+    // at scale the dictionary persists (like the band/ANN indexes) and
+    // broadcasts, so tokenization is map-side.
+    "llm_bpe_apply" -> ((s, dir) => {
+      import s.implicits._
+      val docWords = Tables.documents(s, dir)
+        .select($"doc_id", explode(split($"text", " ")).as("word"))
+        .filter($"word" =!= "")
+      val words = docWords.groupBy($"word").agg(count(lit(1)).as("cnt"))
+      val toks = graft.api.GraftPipelines
+        .bpeSegmentations(words, "word", "cnt", 3)
+        .select($"word".as("tw"), size(split($"seg", " ")).as("n_sym"))
+      docWords.join(toks, $"word" === $"tw")
+        .groupBy($"doc_id")
+        .agg(sum($"n_sym").cast("long").as("n_tokens_bpe"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -574,7 +597,7 @@ object TextOps {
        |   CAST(pcnt AS BIGINT) AS pair_count
        |  FROM pairs$r ORDER BY pcnt DESC, pair ASC LIMIT 1),
        |dict$r AS (
-       |  SELECT list_reduce(string_split(seg, ' '),
+       |  SELECT word, list_reduce(string_split(seg, ' '),
        |    (acc, x) -> CASE WHEN (acc = b.sym_a
        |                       OR ends_with(acc, ' ' || b.sym_a))
        |                      AND x = b.sym_b
@@ -582,6 +605,19 @@ object TextOps {
        |                ELSE acc || ' ' || x END) AS seg, cnt
        |  FROM $prev, best$r b)""".stripMargin
   }
+
+  /** Shared CTE prefix for the two BPE entries (fit to dict3). */
+  private def bpeCtePrefix: String =
+    s"""WITH words AS (
+       |  SELECT word, count(*) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY 1),
+       |dict0 AS (
+       |  SELECT word,
+       |         array_to_string(regexp_split_to_array(word, ''), ' ') AS seg,
+       |         cnt
+       |  FROM words),
+       |${(1 to 3).map(bpeRoundSql).mkString(",\n")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "llm_lang_id" ->
@@ -909,16 +945,21 @@ object TextOps {
         |WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
 
     "llm_bpe_vocab" ->
-      s"""WITH words AS (
-         |  SELECT word, count(*) AS cnt
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-         |  WHERE word <> '' GROUP BY 1),
-         |dict0 AS (
-         |  SELECT array_to_string(regexp_split_to_array(word, ''), ' ') AS seg,
-         |         cnt
-         |  FROM words),
-         |${(1 to 3).map(bpeRoundSql).mkString(",\n")}
+      s"""$bpeCtePrefix
          |SELECT * FROM best1 UNION ALL SELECT * FROM best2
-         |UNION ALL SELECT * FROM best3 ORDER BY round""".stripMargin
+         |UNION ALL SELECT * FROM best3 ORDER BY round""".stripMargin,
+
+    "llm_bpe_apply" ->
+      s"""$bpeCtePrefix,
+         |toks AS (
+         |  SELECT word AS tw,
+         |   CAST(len(string_split(seg, ' ')) AS INTEGER) AS n_sym
+         |  FROM dict3)
+         |SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_tokens_bpe
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |      FROM documents) d
+         |JOIN toks ON d.word = toks.tw
+         |WHERE d.word <> ''
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

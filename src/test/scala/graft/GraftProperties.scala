@@ -246,4 +246,51 @@ object GraftProperties extends Properties("graft") {
       ab == ba && ab >= -1.0000001 && ab <= 1.0000001 &&
         math.abs(aa - 1.0) < 1e-9
     }
+
+  // Two random versions of a keyed table: keys 0..11, each present in
+  // old/new independently, values drawn small so collisions (unchanged
+  // rows) actually occur and exercise the <=> drop path. Some values
+  // null to exercise null-safe comparison.
+  private val versionGen: Gen[(List[(Long, Option[Int], String)],
+      List[(Long, Option[Int], String)])] = {
+    val rowGen = for {
+      v <- Gen.option(Gen.chooseNum(0, 3))
+      s <- Gen.oneOf("a", "b")
+    } yield (v, s)
+    val tableGen = Gen.sequence[List[Option[(Option[Int], String)]],
+        Option[(Option[Int], String)]](
+      (0L until 12L).map(_ => Gen.option(rowGen)).toList)
+      .map(_.zipWithIndex.collect {
+        case (Some((v, s)), k) => (k.toLong, v, s)
+      })
+    for { o <- tableGen; n <- tableGen } yield (o, n)
+  }
+
+  property("snapshotDiff → replay reproduces the new version exactly") =
+    Prop.forAll(versionGen) { case (oldRows, newRows) =>
+      import spark.implicits._
+      val vOld = oldRows.toDF("k", "v", "s")
+      val vNew = newRows.toDF("k", "v", "s")
+      val diff = graft.api.GraftPipelines
+        .snapshotDiff(vOld, vNew, Seq("k")).collect()
+      val oldMap = oldRows.map(r => r._1 -> ((r._2, r._3))).toMap
+      val newMap = newRows.map(r => r._1 -> ((r._2, r._3))).toMap
+      val replayed = diff.foldLeft(oldMap) { (acc, r) =>
+        val k = r.getLong(0)
+        r.getString(1) match {
+          case "D" => acc - k
+          case _ => acc + (k ->
+            ((Option(r.get(3)).map(_.asInstanceOf[Int]), r.getString(5))))
+        }
+      }
+      // inverse property + minimality (every emitted row is a change)
+      replayed == newMap && diff.forall { r =>
+        r.getString(1) match {
+          case "I" => !oldMap.contains(r.getLong(0))
+          case "D" => !newMap.contains(r.getLong(0))
+          case "U" => oldMap(r.getLong(0)) != newMap(r.getLong(0))
+          case _ => false
+        }
+      }
+    }
 }
