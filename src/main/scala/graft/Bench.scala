@@ -18,7 +18,8 @@ object Bench {
     "ev_interval_join",
     "ev_transitions",
     "ev_value_histogram", "ev_heatmap", "ev_funnel", "ev_retention",
-    "ev_anomaly", "ev_rate_1m", "ev_user_sequences", "ev_uint64_decode",
+    "ev_anomaly", "ev_anomaly_mad", "ev_rate_1m", "ev_user_sequences",
+    "ev_uint64_decode",
     "ev_decode_all", "ev_partition_pruned",
     "rel_q1_pricing", "rel_q3_shipping", "rel_q5_region_volume",
     "rel_q6_forecast", "rel_q10_returns", "rel_q18_large_orders",
@@ -31,7 +32,8 @@ object Bench {
     "rel_profile_approx", "rel_percentile_approx",
     "rel_merge_upsert", "rel_scd2", "rel_incremental_agg",
     "rel_distinct_incremental", "rel_zorder", "rel_cdc_apply",
-    "rel_snapshot_diff", "rel_compact", "llm_bpe_vocab", "llm_bpe_apply",
+    "rel_snapshot_diff", "rel_reconcile", "rel_compact",
+    "llm_bpe_vocab", "llm_bpe_apply",
     "llm_dedup_exact", "llm_dedup_prefix", "llm_dedup_incremental",
     "llm_minhash_pairs", "llm_neardup_verified",
     "llm_dup_clusters", "llm_curate", "llm_decontaminate",

@@ -478,6 +478,32 @@ object EventOps {
         .orderBy($"event_id")
     }),
 
+    // Robust outliers: the MAD twin of ev_anomaly's 3σ z-score. Mean/sd
+    // break when the contamination is heavy (outliers inflate σ and
+    // mask each other); median and MAD have a 50% breakdown point, so
+    // this is the gate to trust on dirty sources. Per type: exact
+    // median (one agg), |v−med| (map-side), median of that (second agg
+    // on the same key layout), flag adev > 4.4478·mad (= 3σ-equivalent
+    // via the 1.4826 normal-consistency constant — single multiply, so
+    // both engines compute the identical IEEE boundary). Interpolating
+    // exact percentiles hash-match DuckDB's quantile_cont, the
+    // rel_percentile-proven parity.
+    "ev_anomaly_mad" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+      val med = ev.groupBy($"event_type".as("t1"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = ev.join(med, $"event_type" === $"t1")
+        .withColumn("adev", abs($"value" - $"med"))
+      val mad = dev.groupBy($"event_type".as("t2"))
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(mad, $"event_type" === $"t2")
+        .filter($"adev" > lit(4.4478) * $"mad")
+        .select($"event_id", $"event_type", $"value", $"med",
+          ($"adev" / $"mad").as("mad_score"))
+        .orderBy($"event_id")
+    }),
+
     // Funnel analysis: signup → view → purchase, strictly ordered per
     // user (each stage's first event must follow the previous stage's).
     // Three keyed aggregates chained on user_id — every stage is one
@@ -805,6 +831,21 @@ object EventOps {
         |  FROM events e JOIN stats s ON e.event_type = s.event_type)
         |SELECT event_id, event_type, value, z FROM scored
         |WHERE abs(z) > 3.0 ORDER BY event_id""".stripMargin,
+
+    "ev_anomaly_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT event_id, e.event_type, value, med,
+        |   abs(value - med) AS adev
+        |  FROM events e JOIN med ON e.event_type = med.event_type),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT event_id, d.event_type, value, med, adev / mad AS mad_score
+        |FROM dev d JOIN mad ON d.event_type = mad.event_type
+        |WHERE adev > 4.4478 * mad ORDER BY event_id""".stripMargin,
 
     "ev_funnel" ->
       """WITH e AS (

@@ -107,6 +107,43 @@ object MaintenanceOps {
         .orderBy($"custkey", $"valid_from", $"anchor_key")
     }),
 
+    // Table reconciliation: ORDER-INDEPENDENT per-segment checksums —
+    // the audit that catches replica drift at 100 TB without moving
+    // data (compare |segments| checksum rows, not tables). Row hash =
+    // 60-bit md5 of the canonical row string (the exact value of
+    // DuckDB's md5_number_lower % 2^60, so the oracle reproduces it);
+    // segment checksum = exact decimal SUM of row hashes mod 2^60 —
+    // commutative, so partitioning/order never matters, and the mod
+    // keeps it in a long. The "replica" here perturbs prices on keys
+    // %100=0 (a corrupted restore); the diff isolates exactly the
+    // segments holding corrupt rows — count equality alone would miss
+    // a value-level corruption entirely, which is the point of
+    // checksumming content.
+    "rel_reconcile" -> ((s, dir) => {
+      import s.implicits._
+      def rowHash(price: org.apache.spark.sql.Column) =
+        graft.functions.VectorExpressions.md5Half60(
+          concat_ws("|", $"o_orderkey", Fns.dec2(price).cast("string"),
+            $"o_orderpriority"), upperHalf = false)
+      def segments(df: DataFrame, hash: org.apache.spark.sql.Column,
+          side: String) =
+        df.groupBy($"o_orderpriority".as(s"prio_$side"))
+          .agg((sum(hash.cast("decimal(38,0)")) %
+              lit(1152921504606846976L)).cast("long").as(s"checksum_$side"),
+            count(lit(1)).as(s"n_$side"))
+      val orders = Tables.orders(s, dir)
+      val primary = segments(orders, rowHash($"o_totalprice"), "p")
+      val replica = segments(orders,
+        rowHash(when($"o_orderkey" % 100 === 0 &&
+            $"o_orderpriority" === "3-MEDIUM", $"o_totalprice" + 0.01)
+          .otherwise($"o_totalprice")), "r")
+      primary.join(replica, $"prio_p" === $"prio_r")
+        .select($"prio_p".as("o_orderpriority"), $"n_p", $"n_r",
+          ($"n_p" === $"n_r").cast("int").as("counts_match"),
+          ($"checksum_p" === $"checksum_r").cast("int").as("checksums_match"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // Snapshot diff: CDC EXTRACTION — the inverse of rel_cdc_apply
     // (that replays a change log; this derives one by diffing two table
     // versions — the audit op behind "what changed between yesterday's
@@ -303,6 +340,29 @@ object MaintenanceOps {
         |            ELSE 'update' END AS op
         |FROM target FULL JOIN src ON c_custkey = s_custkey
         |ORDER BY custkey""".stripMargin,
+
+    "rel_reconcile" ->
+      """WITH hashed AS (
+        |  SELECT o_orderpriority,
+        |   CAST(md5_number_lower(
+        |     CAST(o_orderkey AS VARCHAR) || '|' ||
+        |     CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || '|' ||
+        |     o_orderpriority) % 1152921504606846976 AS BIGINT) AS hp,
+        |   CAST(md5_number_lower(
+        |     CAST(o_orderkey AS VARCHAR) || '|' ||
+        |     CAST(CAST(CASE WHEN o_orderkey % 100 = 0
+        |            AND o_orderpriority = '3-MEDIUM'
+        |       THEN o_totalprice + 0.01 ELSE o_totalprice END
+        |       AS DECIMAL(12,2)) AS VARCHAR) || '|' ||
+        |     o_orderpriority) % 1152921504606846976 AS BIGINT) AS hr
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        | count(*) AS n_p, count(*) AS n_r,
+        | 1 AS counts_match,
+        | CAST(sum(hp) % 1152921504606846976 =
+        |      sum(hr) % 1152921504606846976 AS INTEGER) AS checksums_match
+        |FROM hashed GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "rel_snapshot_diff" ->
       """WITH v_old AS (

@@ -159,4 +159,30 @@ class EdgeCasesSpec extends SparkSpec {
       .collect()(0).getDecimal(0)
     assert(BigDecimal(total) == big + BigDecimal("9223372036854775808"))
   }
+
+  test("ev_anomaly_mad: flags contamination the 3-sigma z-score masks") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 6 inliers around 10 + two 500s: mean≈132, sd≈200 → max |z|≈1.8,
+    // the z-gate (|z|>3) sees NOTHING (outliers inflate σ and mask each
+    // other). median=10, mad=0.5 → the 500s score adev/mad=980 ≫ 4.4478.
+    // The 50% breakdown point is the whole reason the MAD twin exists.
+    val rows = Seq(
+      (1L, 1704067200000000000L, 1L, "click", 10.0, "{}"),
+      (2L, 1704067201000000000L, 2L, "click", 10.0, "{}"),
+      (3L, 1704067202000000000L, 3L, "click", 10.0, "{}"),
+      (4L, 1704067203000000000L, 4L, "click", 11.0, "{}"),
+      (5L, 1704067204000000000L, 5L, "click", 9.0, "{}"),
+      (6L, 1704067205000000000L, 6L, "click", 10.0, "{}"),
+      (7L, 1704067206000000000L, 7L, "click", 500.0, "{}"),
+      (8L, 1704067207000000000L, 8L, "click", 500.0, "{}"))
+    val dir = tempSfDir("events" -> rows.toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props"))
+    val zFlagged = q("ev_anomaly", dir).collect()
+    val madFlagged = q("ev_anomaly_mad", dir).collect()
+    assert(zFlagged.isEmpty,
+      s"z-score should be masked by the contamination, got ${zFlagged.toSeq}")
+    assert(madFlagged.map(_.getLong(0)).toSet == Set(7L, 8L),
+      s"MAD must flag both 500s: ${madFlagged.toSeq}")
+  }
 }
