@@ -23,7 +23,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EventOps.queries ++ RelationalOps.queries ++ RelationalOps2.queries ++
-      RelationalOps3.queries ++
+      RelationalOps3.queries ++ AnalyticsOps.queries ++
       JoinOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       TextOps.queries ++ MultimodalOps.queries ++ MaintenanceOps.queries
 
@@ -31,7 +31,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     EventOps.oracles ++ RelationalOps.oracles ++ RelationalOps2.oracles ++
-      RelationalOps3.oracles ++
+      RelationalOps3.oracles ++ AnalyticsOps.oracles ++
       JoinOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
       TextOps.oracles ++ MultimodalOps.oracles ++ MaintenanceOps.oracles
 

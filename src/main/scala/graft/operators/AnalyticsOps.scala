@@ -1,0 +1,253 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns._
+
+/** Production-monitoring analytics over the event stream (beyond-reference,
+  * the operations a 100 TB training-data deployment runs continuously):
+  * distribution-drift detection between corpus snapshots, a damped
+  * stationary rank over the session transition graph, and EWMA trend
+  * smoothing.
+  *
+  * Cross-engine determinism contract (the same one [[MaintenanceOps]]'
+  * Z-order and [[graft.api.GraftPipelines]]' k-means pin): every
+  * data-dependent comparison is either EXACT integer arithmetic — Spark's
+  * `div` and DuckDB's `//` both truncate toward zero, verified, so
+  * quotients can never diverge — or a single IEEE-754 double expression
+  * evaluated in the same association order on both engines. No quantity
+  * ever routes through an engine-specific rounding mode.
+  *
+  * Scale notes (100 TB):
+  *  - [[queries ev_drift]]: two aggregation levels, both keyed by
+  *    event_type(+bin) — map-side partial aggregation collapses each
+  *    partition to ≤ |types|·bins rows before any shuffle. The global
+  *    min/max scalars are one 1-row aggregate broadcast (the sanctioned
+  *    crossJoin shape). Drift is cross-multiplied to integers
+  *    (|ref_n·cur_total − cur_n·ref_total| sums exactly) so no
+  *    per-engine division order can flip a comparison.
+  *  - [[queries ev_markov_rank]]: the data-heavy step is the one
+  *    user_id-partitioned window extracting transition edges (same
+  *    shuffle ev_transitions already pays); everything after runs on the
+  *    vocabulary-sized node/edge tables (|V| event types, ≤|V|² edges),
+  *    localCheckpoint'd once and reused across the 3 unrolled
+  *    iterations. Rank mass is integer (R = 10^9) so the per-iteration
+  *    floor divisions are exact on both engines; products stay under
+  *    2^63 for any corpus below ~10^9 transitions per edge.
+  *  - [[queries ev_ewma]]: hourly pre-aggregation first (map-side
+  *    combine), then one ordered fold per event_type over the bounded
+  *    hours-per-type list — the list_reduce twin the BPE family
+  *    established. State per group is one BIGINT.
+  */
+object AnalyticsOps {
+
+  /** Fixed-point scale for EWMA (α = 1/4) and the rank mass R. */
+  private val EwmaScale = 1000000L
+  private val RankMass  = 1000000000L
+  private val RankIters = 3
+  private val DriftBins = 10
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Distribution-shift detector: split the corpus at the midpoint of
+    // its time range, histogram `value` into 10 equi-width bins per
+    // event_type, and report the scaled total-variation distance between
+    // the two halves. tvd_scaled = Σ|ref_n·cur_total − cur_n·ref_total|
+    // is an exact BIGINT (= 2·TVD·ref_total·cur_total); the double `tvd`
+    // is one division of exact integers at the very end. The midpoint
+    // test is ts_ms·2 ≤ mn+mx — pure integer, no division at all.
+    "ev_drift" -> ((s, dir) => {
+      import s.implicits._
+      val ev = EventOps.events(s, dir)
+      val bounds = ev.agg(
+        min($"ts_ms").as("mn"), max($"ts_ms").as("mx"),
+        min($"value").as("vmn"), max($"value").as("vmx"))
+      val cnt = ev.crossJoin(broadcast(bounds))
+        .withColumn("half",
+          when($"ts_ms" * 2 <= $"mn" + $"mx", lit(0)).otherwise(lit(1)))
+        .withColumn("bin", least(lit(DriftBins - 1),
+          floor(($"value" - $"vmn") * lit(DriftBins.toDouble) /
+            ($"vmx" - $"vmn"))).cast("int"))
+        .groupBy($"event_type", $"bin")
+        .agg(sum(when($"half" === 0, 1L).otherwise(0L)).as("ref_n"),
+          sum(when($"half" === 1, 1L).otherwise(0L)).as("cur_n"))
+      val w = Window.partitionBy($"event_type")
+      cnt
+        .withColumn("ref_total", sum($"ref_n").over(w))
+        .withColumn("cur_total", sum($"cur_n").over(w))
+        .groupBy($"event_type", $"ref_total", $"cur_total")
+        .agg(count(lit(1)).as("n_bins"),
+          sum(abs($"ref_n" * $"cur_total" - $"cur_n" * $"ref_total"))
+            .as("tvd_scaled"))
+        // guard: an empty half → DuckDB float x/0 is NULL while Spark is
+        // NaN/Infinity; pin NULL on both engines (drift vs nothing is
+        // undefined, the scaled integer numerator still reports 0)
+        .withColumn("tvd", when($"ref_total" > 0 && $"cur_total" > 0,
+          $"tvd_scaled".cast("double") /
+            (lit(2.0) * $"ref_total" * $"cur_total")))
+        .select($"event_type", $"ref_total", $"cur_total", $"n_bins",
+          $"tvd_scaled", $"tvd")
+        .orderBy($"event_type")
+    }),
+
+    // Damped stationary rank (PageRank; Brin & Page 1998) of the
+    // session transition graph: nodes = event types, edge weight
+    // n(A→B) = how often A directly precedes B in a user's stream
+    // (the ev_transitions derivation). All mass is integer: rank0 =
+    // R div V; each iteration distributes floor(rank·n/out) along
+    // edges, then rank' = (15%·R)/V + 85%·(contrib + dangling/V),
+    // every division a truncate-toward-zero exact on both engines.
+    // 3 iterations, unrolled in the oracle as CTEs r1..r3.
+    "ev_markov_rank" -> ((s, dir) => {
+      import s.implicits._
+      val ev = EventOps.events(s, dir)
+      val wNext = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+      // vocabulary-sized; computed once, reused by all 3 iterations
+      val edges = ev
+        .withColumn("next_type", lead($"event_type", 1).over(wNext))
+        .filter($"next_type".isNotNull)
+        .groupBy($"event_type".as("src"), $"next_type".as("dst"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val nodes = ev.select($"event_type".as("node")).distinct()
+        .localCheckpoint()
+      val vcnt = nodes.agg(count(lit(1)).as("vcnt"))
+      val outw = edges.groupBy($"src").agg(sum($"n").as("outn"))
+      var rank = nodes.crossJoin(broadcast(vcnt))
+        .select($"node", expr(s"${RankMass}L div vcnt").as("r"))
+      for (_ <- 1 to RankIters) {
+        val contrib = edges.join(rank, $"src" === $"node")
+          .join(outw, "src")
+          .select($"dst", expr("(r * n) div outn").as("c"))
+          .groupBy($"dst").agg(sum($"c").as("csum"))
+        val dang = rank.join(outw, $"node" === $"src", "left_anti")
+          .agg(coalesce(sum($"r"), lit(0L)).as("dmass"))
+        rank = nodes.join(contrib, $"node" === $"dst", "left_outer")
+          .crossJoin(broadcast(vcnt)).crossJoin(broadcast(dang))
+          .select($"node",
+            (expr(s"(${RankMass}L * 15) div (vcnt * 100)") +
+              expr("(85 * coalesce(csum, 0L)) div 100") +
+              expr("(85 * (dmass div vcnt)) div 100")).as("r"))
+      }
+      rank.select($"node".as("event_type"), $"r".as("rank_scaled"))
+        .orderBy($"rank_scaled".desc, $"event_type")
+    }),
+
+    // EWMA trend smoothing (α = 1/4) over hourly event counts, per
+    // type: e_1 = n_1·S; e_t = e_{t-1} + (n_t·S − e_{t-1}) div 4.
+    // The fold runs over the hour-ordered list exactly as DuckDB's
+    // list_reduce does (seeded with the first element; re-applying it
+    // is the identity step), so the two engines share one recurrence.
+    "ev_ewma" -> ((s, dir) => {
+      import s.implicits._
+      val ev = EventOps.events(s, dir)
+      ev.groupBy($"event_type",
+          floorDiv("ts_ms", 3600000L).as("hour_idx"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy($"event_type")
+        .agg(sort_array(collect_list(struct($"hour_idx", $"n"))).as("hs"))
+        .select($"event_type", size($"hs").as("n_hours"),
+          element_at($"hs", 1).getField("n").as("first_n"),
+          element_at($"hs", -1).getField("n").as("last_n"),
+          expr(s"""aggregate(
+              transform(hs, x -> x.n * ${EwmaScale}L),
+              element_at(transform(hs, x -> x.n * ${EwmaScale}L), 1),
+              (acc, x) -> acc + (x - acc) div 4)""").as("ewma_scaled"))
+        .withColumn("ewma",
+          $"ewma_scaled".cast("double") / lit(EwmaScale.toDouble))
+        .orderBy($"event_type")
+    })
+  )
+
+  private def rankIterSql(k: Int): String = {
+    val prev = if (k == 1) "r0" else s"r${k - 1}"
+    s"""c$k AS (
+       |  SELECT dst, sum((r * n) // outn) AS csum
+       |  FROM edges JOIN $prev ON src = node JOIN outw USING (src)
+       |  GROUP BY dst),
+       |d$k AS (
+       |  SELECT coalesce(sum(r), 0) AS dmass
+       |  FROM $prev LEFT JOIN outw ON node = src WHERE outn IS NULL),
+       |r$k AS (
+       |  SELECT node,
+       |   (CAST($RankMass AS BIGINT) * 15) // (vcnt * 100)
+       |   + (85 * coalesce(csum, 0)) // 100
+       |   + (85 * (dmass // vcnt)) // 100 AS r
+       |  FROM nodes LEFT JOIN c$k ON node = dst
+       |  CROSS JOIN vc CROSS JOIN d$k)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "ev_drift" ->
+      s"""WITH b AS (
+         |  SELECT min(epoch_ms(ts)) AS mn, max(epoch_ms(ts)) AS mx,
+         |   min(value) AS vmn, max(value) AS vmx FROM events),
+         |cnt AS (
+         |  SELECT event_type, bin,
+         |   sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ref_n,
+         |   sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cur_n
+         |  FROM (
+         |   SELECT event_type,
+         |    CASE WHEN epoch_ms(ts) * 2 <= mn + mx THEN 0 ELSE 1 END AS half,
+         |    CAST(least(${DriftBins - 1}, floor((value - vmn) * ${DriftBins}.0
+         |      / (vmx - vmn))) AS INTEGER) AS bin
+         |   FROM events CROSS JOIN b)
+         |  GROUP BY 1, 2),
+         |wt AS (
+         |  SELECT *, sum(ref_n) OVER (PARTITION BY event_type) AS ref_total,
+         |   sum(cur_n) OVER (PARTITION BY event_type) AS cur_total
+         |  FROM cnt)
+         |SELECT event_type,
+         | CAST(ref_total AS BIGINT) AS ref_total,
+         | CAST(cur_total AS BIGINT) AS cur_total,
+         | count(*) AS n_bins,
+         | CAST(sum(abs(ref_n * cur_total - cur_n * ref_total)) AS BIGINT)
+         |   AS tvd_scaled,
+         | CASE WHEN ref_total > 0 AND cur_total > 0 THEN
+         |   CAST(sum(abs(ref_n * cur_total - cur_n * ref_total)) AS DOUBLE)
+         |     / (2.0 * ref_total * cur_total) END AS tvd
+         |FROM wt GROUP BY event_type, ref_total, cur_total
+         |ORDER BY event_type""".stripMargin,
+
+    "ev_markov_rank" ->
+      s"""WITH edges AS (
+         |  SELECT event_type AS src, next_type AS dst, count(*) AS n FROM (
+         |   SELECT event_type, lead(event_type)
+         |     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+         |   FROM events)
+         |  WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+         |vc AS (SELECT count(*) AS vcnt FROM nodes),
+         |outw AS (SELECT src, sum(n) AS outn FROM edges GROUP BY 1),
+         |r0 AS (SELECT node, CAST($RankMass AS BIGINT) // vcnt AS r
+         |       FROM nodes CROSS JOIN vc),
+         |${(1 to RankIters).map(rankIterSql).mkString(",\n")}
+         |SELECT node AS event_type, CAST(r AS BIGINT) AS rank_scaled
+         |FROM r$RankIters
+         |ORDER BY rank_scaled DESC, event_type""".stripMargin,
+
+    "ev_ewma" ->
+      s"""SELECT event_type,
+         | CAST(len(vs) AS INTEGER) AS n_hours,
+         | vs[1] // $EwmaScale AS first_n,
+         | vs[len(vs)] // $EwmaScale AS last_n,
+         | CAST(list_reduce(vs, (acc, x) -> acc + (x - acc) // 4) AS BIGINT)
+         |   AS ewma_scaled,
+         | CAST(list_reduce(vs, (acc, x) -> acc + (x - acc) // 4) AS DOUBLE)
+         |   / ${EwmaScale}.0 AS ewma
+         |FROM (
+         |  SELECT event_type,
+         |   list(CAST(n AS BIGINT) * $EwmaScale ORDER BY hour_idx) AS vs
+         |  FROM (
+         |   -- time_bucket FLOORS (sign-safe), so the // below divides an
+         |   -- exact multiple — matching the engine's floorDiv on ts_ms
+         |   SELECT event_type,
+         |    epoch_ms(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)))
+         |      // 3600000 AS hour_idx,
+         |    count(*) AS n
+         |   FROM events GROUP BY 1, 2)
+         |  GROUP BY event_type)
+         |ORDER BY event_type""".stripMargin
+  )
+}

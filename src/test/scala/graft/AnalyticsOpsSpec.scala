@@ -1,0 +1,107 @@
+package graft
+
+/** Hand-computed fixtures for the monitoring analytics family
+  * (AnalyticsOps): drift TVD, damped stationary rank, EWMA fold.
+  */
+class AnalyticsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsDf(rows: Seq[(Long, Long, Long, String, Double, String)]) =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("ev_ewma: hand-computed fold incl. negative-delta truncation") {
+    // type "a": hourly counts 2, 6, 2 (hours 0,1,2).
+    //   e1 = 2e6
+    //   e2 = 2e6 + (6e6-2e6) div 4          = 3_000_000
+    //   e3 = 3e6 + (2e6-3e6) div 4          = 3e6 - 250_000 = 2_750_000
+    // the last step divides a NEGATIVE delta: trunc(-1e6/4) = -250000 on
+    // both engines (Spark div, DuckDB //, BigInt all truncate to zero).
+    val H = 3600L * 1000000000L
+    val rows = (1 to 2).map(i => (i.toLong, 0L + i, 1L, "a", 1.0, "{}")) ++
+      (3 to 8).map(i => (i.toLong, H + i, 1L, "a", 1.0, "{}")) ++
+      (9 to 10).map(i => (i.toLong, 2 * H + i, 1L, "a", 1.0, "{}"))
+    val dir = tempSfDir("events" -> eventsDf(rows))
+    val out = q("ev_ewma", dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("event_type") == "a")
+    assert(r.getAs[Int]("n_hours") == 3)
+    assert(r.getAs[Long]("first_n") == 2L)
+    assert(r.getAs[Long]("last_n") == 2L)
+    assert(r.getAs[Long]("ewma_scaled") == 2750000L)
+    assert(r.getAs[Double]("ewma") == 2.75)
+  }
+
+  test("ev_markov_rank: matches a plain-BigInt reference on a tiny graph") {
+    // u1: a,b,a,b -> a->b x2, b->a x1 ; u2: a,c -> a->c x1.
+    // out(a)=3, out(b)=1, c is DANGLING (no out edges).
+    val rows = Seq(
+      (1L, 1000L, 1L, "a", 1.0, "{}"),
+      (2L, 2000L, 1L, "b", 1.0, "{}"),
+      (3L, 3000L, 1L, "a", 1.0, "{}"),
+      (4L, 4000L, 1L, "b", 1.0, "{}"),
+      (5L, 1000L, 2L, "a", 1.0, "{}"),
+      (6L, 2000L, 2L, "c", 1.0, "{}"))
+    val dir = tempSfDir("events" -> eventsDf(rows))
+    val got = q("ev_markov_rank", dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // plain-loop reference: same recurrence, BigInt (trunc division)
+    val R = BigInt(1000000000L)
+    val nodes = Seq("a", "b", "c")
+    val edges = Map(("a", "b") -> BigInt(2), ("a", "c") -> BigInt(1),
+      ("b", "a") -> BigInt(1))
+    val out = Map("a" -> BigInt(3), "b" -> BigInt(1))
+    val V = BigInt(nodes.size)
+    var rank = nodes.map(_ -> R / V).toMap
+    for (_ <- 1 to 3) {
+      val contrib = nodes.map { u =>
+        u -> edges.collect { case ((v, `u`), n) => rank(v) * n / out(v) }
+          .foldLeft(BigInt(0))(_ + _)
+      }.toMap
+      val dmass = nodes.filterNot(out.contains).map(rank).sum
+      rank = nodes.map { u =>
+        u -> ((R * 15) / (V * 100) + (85 * contrib(u)) / 100 +
+          (85 * (dmass / V)) / 100)
+      }.toMap
+    }
+    assert(got == rank.map { case (k, v) => k -> v.toLong })
+    // first-iteration spot values verified by hand:
+    //  r1(a) = 50e6 + (85*333333333)/100 + (85*(333333333/3))/100
+    //        = 50000000 + 283333333 + 94444444 = 427777777
+    // mass conservation within truncation slack (each of the 3 iterations
+    // loses < 1 unit per node per division; 4 divisions per node)
+    val total = got.values.sum
+    assert(total <= 1000000000L && total > 1000000000L - 100L)
+  }
+
+  test("ev_drift: identical halves -> 0, disjoint halves -> 1, empty half -> NULL") {
+    // global time range [0ms, 3000ms] -> first half is ts_ms <= 1500;
+    // global value range [5, 95] -> bin0 = low values, bin9 = high.
+    def ms(m: Long) = m * 1000000L
+    val rows = Seq(
+      // "same": {5, 95} in each half -> TVD 0
+      (1L, ms(0), 1L, "same", 5.0, "{}"),
+      (2L, ms(0), 1L, "same", 95.0, "{}"),
+      (3L, ms(3000), 1L, "same", 5.0, "{}"),
+      (4L, ms(3000), 1L, "same", 95.0, "{}"),
+      // "shift": all low first half, all high second -> TVD 1
+      (5L, ms(0), 2L, "shift", 5.0, "{}"),
+      (6L, ms(1), 2L, "shift", 5.0, "{}"),
+      (7L, ms(2999), 2L, "shift", 95.0, "{}"),
+      (8L, ms(3000), 2L, "shift", 95.0, "{}"),
+      // "onesided": only first-half events -> tvd NULL, scaled 0
+      (9L, ms(2), 3L, "onesided", 50.0, "{}"))
+    val dir = tempSfDir("events" -> eventsDf(rows))
+    val out = q("ev_drift", dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("same").getAs[Long]("tvd_scaled") == 0L)
+    assert(out("same").getAs[Double]("tvd") == 0.0)
+    // tvd_scaled = |2*2-0| + |0-2*2| = 8 = 2*TVD*ref_total*cur_total
+    assert(out("shift").getAs[Long]("tvd_scaled") == 8L)
+    assert(out("shift").getAs[Double]("tvd") == 1.0)
+    assert(out("onesided").getAs[Long]("cur_total") == 0L)
+    assert(out("onesided").getAs[Long]("tvd_scaled") == 0L)
+    assert(out("onesided").isNullAt(out("onesided").fieldIndex("tvd")))
+  }
+}
