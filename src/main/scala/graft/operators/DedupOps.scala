@@ -101,6 +101,35 @@ object DedupOps {
        |  FROM sh) GROUP BY doc_id)""".stripMargin
   }
 
+  /** LSH candidates → Jaccard verify → symmetric closure → connected
+    * components (the transitive-closure mirror of
+    * [[graft.api.GraftPipelines.dupClusters]]'s min-label propagation);
+    * shared by the llm_dup_clusters and llm_golden_record oracles.
+    * Requires a WITH RECURSIVE prelude containing sh/mh/bands.
+    */
+  private val clusterChainSql =
+    """cands AS (
+      |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+      |  FROM bands l JOIN bands r ON l.b = r.b AND l.doc_id < r.doc_id),
+      |sets AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset
+      |  FROM documents),
+      |vpairs AS (
+      |  SELECT d1, d2 FROM cands
+      |  JOIN sets s1 ON d1 = s1.doc_id
+      |  JOIN sets s2 ON d2 = s2.doc_id
+      |  WHERE CAST(len(list_intersect(s1.wset, s2.wset)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(s1.wset, s2.wset))) >= 0.7),
+      |edges AS (
+      |  SELECT d1 AS a, d2 AS b FROM vpairs
+      |  UNION SELECT d2, d1 FROM vpairs),
+      |reach(a, b) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |clusters AS (
+      |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)""".stripMargin
+
   private val bandsSql = {
     val rows = (0 until 4).map(b =>
       s"SELECT doc_id, md5('b$b|' || CAST(h${2 * b} AS VARCHAR) || ',' || CAST(h${2 * b + 1} AS VARCHAR)) AS b FROM mh")
@@ -342,6 +371,46 @@ object DedupOps {
         .select($"doc_id", $"cluster_id", $"csize",
           ($"doc_id" === $"cluster_id").cast("int").as("is_keeper"))
         .orderBy($"doc_id")
+    }),
+
+    // Golden record (survivorship): collapse each duplicate cluster to
+    // ONE canonical record by explicit, deterministic survivorship
+    // rules — the master-data step that follows clustering in every ER
+    // pipeline (and the "which copy do we train on" decision in corpus
+    // dedup). Rules: canonical text = longest (ties → lowest doc id);
+    // lang = most frequent (ties → lexicographically first); plus
+    // cluster provenance stats. All three aggregates ride the SAME
+    // cluster_id shuffle layout; the doc join is id-keyed. Window
+    // tie-breaks are total orders, so results are deterministic at any
+    // parallelism.
+    "llm_golden_record" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val pairs = graft.api.GraftPipelines.nearDuplicates(docs, 0.7)
+      val clusters = graft.api.GraftPipelines.dupClusters(pairs)
+        .localCheckpoint()
+      val docsj = clusters
+        .join(docs.select($"doc_id", $"lang", $"source", $"n_chars"), "doc_id")
+      val wSurv = Window.partitionBy($"cluster_id")
+        .orderBy($"n_chars".desc, $"doc_id")
+      val surv = docsj
+        .withColumn("rn", row_number().over(wSurv)).filter($"rn" === 1)
+        .select($"cluster_id", $"doc_id".as("canon_doc"),
+          $"n_chars".as("canon_chars"))
+      val wLang = Window.partitionBy($"cluster_id")
+        .orderBy($"lc".desc, $"lang")
+      val lng = docsj.groupBy($"cluster_id", $"lang")
+        .agg(count(lit(1)).as("lc"))
+        .withColumn("rn", row_number().over(wLang)).filter($"rn" === 1)
+        .select($"cluster_id", $"lang".as("lang_consensus"))
+      docsj.groupBy($"cluster_id")
+        .agg(count(lit(1)).as("csize"),
+          countDistinct($"source").as("n_sources"),
+          sum($"n_chars").as("total_chars"))
+        .join(surv, "cluster_id").join(lng, "cluster_id")
+        .select($"cluster_id", $"csize", $"canon_doc", $"canon_chars",
+          $"lang_consensus", $"n_sources", $"total_chars")
+        .orderBy($"cluster_id")
     }),
 
     // Sub-document span dedup: chunk every doc into fixed 10-word
@@ -612,33 +681,39 @@ object DedupOps {
     // cluster_id = min doc id reachable through verified pairs.
     "llm_dup_clusters" ->
       s"""WITH RECURSIVE $shinglesSql, $minhashSql, $bandsSql,
-         |cands AS (
-         |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
-         |  FROM bands l JOIN bands r ON l.b = r.b AND l.doc_id < r.doc_id),
-         |sets AS (
-         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset
-         |  FROM documents),
-         |vpairs AS (
-         |  SELECT d1, d2 FROM cands
-         |  JOIN sets s1 ON d1 = s1.doc_id
-         |  JOIN sets s2 ON d2 = s2.doc_id
-         |  WHERE CAST(len(list_intersect(s1.wset, s2.wset)) AS DOUBLE)
-         |        / len(list_distinct(list_concat(s1.wset, s2.wset))) >= 0.7),
-         |edges AS (
-         |  SELECT d1 AS a, d2 AS b FROM vpairs
-         |  UNION SELECT d2, d1 FROM vpairs),
-         |reach(a, b) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         |clusters AS (
-         |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+         |$clusterChainSql
          |SELECT doc_id, cluster_id, csize,
          | CAST(doc_id = cluster_id AS INTEGER) AS is_keeper
          |FROM clusters
          |JOIN (SELECT cluster_id, count(*) AS csize FROM clusters GROUP BY 1)
          |  USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "llm_golden_record" ->
+      s"""WITH RECURSIVE $shinglesSql, $minhashSql, $bandsSql,
+         |$clusterChainSql,
+         |docsj AS (
+         |  SELECT c.doc_id, c.cluster_id, d.lang, d.source, d.n_chars
+         |  FROM clusters c JOIN documents d USING (doc_id)),
+         |surv AS (
+         |  SELECT cluster_id, doc_id AS canon_doc, n_chars AS canon_chars
+         |  FROM (SELECT cluster_id, doc_id, n_chars,
+         |         row_number() OVER (PARTITION BY cluster_id
+         |           ORDER BY n_chars DESC, doc_id) AS rn
+         |        FROM docsj) WHERE rn = 1),
+         |lng AS (
+         |  SELECT cluster_id, lang AS lang_consensus
+         |  FROM (SELECT cluster_id, lang,
+         |         row_number() OVER (PARTITION BY cluster_id
+         |           ORDER BY count(*) DESC, lang) AS rn
+         |        FROM docsj GROUP BY cluster_id, lang) WHERE rn = 1)
+         |SELECT cluster_id, count(*) AS csize, canon_doc, canon_chars,
+         | lang_consensus,
+         | CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         | CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM docsj JOIN surv USING (cluster_id) JOIN lng USING (cluster_id)
+         |GROUP BY cluster_id, canon_doc, canon_chars, lang_consensus
+         |ORDER BY cluster_id""".stripMargin,
 
     "llm_jaccard_adjacent" ->
       """SELECT source, d1, d2, n_common, n_union,

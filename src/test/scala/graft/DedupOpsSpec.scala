@@ -245,6 +245,37 @@ class DedupOpsSpec extends SparkSpec {
     assert(df.collect().forall(_.getInt(2) <= 3))
   }
 
+  test("llm_golden_record: survivorship rules pick one deterministic canon per cluster") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "one two three four five six seven eight"
+    val docs = Seq(
+      // cluster {1,2,3}: longest-chars tie between 2 and 3 → lower id 2
+      (1L, a, "en", "s0", 100L),
+      (2L, a, "de", "s0", 300L),
+      (3L, a, "de", "s1", 300L),
+      // cluster {10,11}: full ties everywhere → doc 10, lang 'de' (lexico)
+      (10L, b, "en", "s2", 50L),
+      (11L, b, "de", "s2", 50L),
+      // singleton: in no pair → not part of the golden-record output
+      (20L, "unique text with completely different words here now", "fr", "s3", 49L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempSfDir("documents" -> docs)
+    val out = q("llm_golden_record", dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 10L))
+    val c1 = out(1L)
+    assert(c1.getAs[Long]("csize") == 3L)
+    assert(c1.getAs[Long]("canon_doc") == 2L)
+    assert(c1.getAs[Long]("canon_chars") == 300L)
+    assert(c1.getAs[String]("lang_consensus") == "de")
+    assert(c1.getAs[Long]("n_sources") == 2L)
+    assert(c1.getAs[Long]("total_chars") == 700L)
+    val c10 = out(10L)
+    assert(c10.getAs[Long]("csize") == 2L)
+    assert(c10.getAs[Long]("canon_doc") == 10L)
+    assert(c10.getAs[String]("lang_consensus") == "de")
+  }
+
   test("fuzzy ER: the two candidate generators have complementary recall") {
     // SNM catches pairs straddling a length band; the blocked join
     // catches similar names that sort far apart. Neither subsumes the
