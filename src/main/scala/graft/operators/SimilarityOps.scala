@@ -40,6 +40,9 @@ object SimilarityOps {
   private val PQ_TOPK = 10
   private val COS_SCALE = 1073741824.0 // 2^30 fixed-point for cosine means
   private val COS_SCALE_SQL = "1073741824.0"
+  private val PCA_ITERS = 3        // power-iteration rounds, unrolled
+  private val PCA_QSCALE = 10000L  // component quantization: floor(x·10^4)
+  private val PCA_VSCALE = 1000000L // per-round renorm: max|v| = 10^6
 
   /** Codegen'd one-pass cosine; bit-identical to the unrolled/oracle form
     * (see [[graft.functions.VectorExpressions]]).
@@ -209,6 +212,68 @@ object SimilarityOps {
       graft.api.GraftPipelines
         .cosineTopK(emb, emb.filter($"vec_id" < NQ), 10)
         .orderBy($"qid", $"rn")
+    }),
+
+    // Hard-negative mining (contrastive-training data prep): for each
+    // probe vector, the top-5 most-similar vectors with a DIFFERENT
+    // label — near-but-wrong examples, the negatives that actually
+    // teach an embedding model (in-batch randoms are too easy). Same
+    // broadcast-probes + windowed partial top-k shape as llm_embed_topk
+    // (map-side scoring, WindowGroupLimit — no global sort); the label
+    // inequality also excludes the probe itself. At 100 TB the probe
+    // set stays bounded (it is the training batch), so the broadcast
+    // contract holds at any corpus size.
+    "llm_hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.filter($"vec_id" < NQ)
+        .select($"vec_id".as("qid"), $"label".as("qlabel"),
+          $"embedding".as("qv"))
+      val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
+      emb.join(broadcast(probes), $"label" =!= $"qlabel")
+        .withColumn("cosine", cosine($"qv", $"embedding"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"qid", $"rn".cast("int").as("rn"),
+          $"vec_id".as("neg_id"), $"label".as("neg_label"), $"cosine")
+        .orderBy($"qid", $"rn")
+    }),
+
+    // Top principal direction of the embedding corpus (uncentered PCA:
+    // the dominant right-singular vector of X, via power iteration on
+    // XᵀX — Mises & Pollaczek-Geiringer 1929) in EXACT integer
+    // arithmetic, so the iterative linear algebra is bit-identical on
+    // both engines: components quantize to floor(x·10^4); each round
+    // computes s_i = ⟨q_i, v⟩ (longs), w = Σ_i q_i·s_i (exact DECIMAL
+    // sums — order-independent), then renormalizes v ← (w·10^6) div
+    // max|w| with truncating division (Spark div ≡ DuckDB // ≡ trunc).
+    // Fully declarative: v is a 1-row broadcast aggregate threaded
+    // through the 3 unrolled rounds — no driver-side state. Cost at
+    // 100 TB: one corpus scan per round (map-side dot + one 64-column
+    // partial aggregate), nothing corpus-sized ever shuffles.
+    "llm_embed_pca" -> ((s, dir) => {
+      import s.implicits._
+      val q = Tables.embeddings(s, dir).select(expr(
+        s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $PCA_QSCALE) AS BIGINT))")
+        .as("qv"))
+      var v: DataFrame = s.range(1)
+        .select((1 to DIM).map(i => lit(1L).as(s"v$i")): _*)
+      for (_ <- 1 to PCA_ITERS) {
+        val dotS = (1 to DIM).map(i => element_at($"qv", i) * col(s"v$i"))
+          .reduceLeft(_ + _)
+        val wAggs = (1 to DIM).map(i =>
+          sum((element_at($"qv", i) * $"s").cast("decimal(38,0)")).as(s"w$i"))
+        val w = q.crossJoin(broadcast(v)).withColumn("s", dotS)
+          .agg(wAggs.head, wAggs.tail: _*)
+        v = w
+          .withColumn("wmax", greatest((1 to DIM).map(i => abs(col(s"w$i"))): _*))
+          .select((1 to DIM).map(i =>
+            expr(s"(w$i * $PCA_VSCALE) div wmax").as(s"v$i")): _*)
+      }
+      v.selectExpr(s"stack($DIM, " +
+          (1 to DIM).map(i => s"$i, v$i").mkString(", ") +
+          ") AS (dim_idx, loading)")
+        .orderBy($"dim_idx")
     }),
 
     // Hybrid retrieval: vector top-k restricted to quality-gated docs
@@ -590,7 +655,51 @@ object SimilarityOps {
        |WHERE rn <= $PQ_TOPK ORDER BY qid, rn""".stripMargin
   }
 
+  /** DuckDB mirror of llm_embed_pca's unrolled power iteration: per
+    * round, s = ⟨qv, v⟩ as a 64-term sum, w as 64 HUGEINT sums, v' =
+    * (w·10^6)//max|w| — `//` truncates toward zero exactly like Spark's
+    * `div`, and every sum is exact integer, so the three rounds cannot
+    * drift by even one unit.
+    */
+  private def pcaOracleSql: String = {
+    def sCte(k: Int): String = {
+      val dot =
+        if (k == 1) (1 to DIM).map(i => s"qv[$i]").mkString(" + ")
+        else (1 to DIM).map(i => s"qv[$i] * vv$i").mkString(" + ")
+      val from = if (k == 1) "q" else s"q CROSS JOIN v${k - 1}"
+      s"s$k AS (SELECT vec_id, ($dot) AS s FROM $from)"
+    }
+    def wCte(k: Int): String = {
+      val sums = (1 to DIM)
+        .map(i => s"sum(CAST(qv[$i] AS HUGEINT) * s) AS w$i").mkString(", ")
+      s"w$k AS (SELECT $sums FROM q JOIN s$k USING (vec_id))"
+    }
+    def mCte(k: Int): String = {
+      val wmax = (1 to DIM).map(i => s"abs(w$i)").mkString(", ")
+      s"m$k AS (SELECT *, greatest($wmax) AS wmax FROM w$k)"
+    }
+    def vCte(k: Int): String = {
+      val sel = (1 to DIM)
+        .map(i => s"(w$i * $PCA_VSCALE) // wmax AS vv$i")
+        .mkString(", ")
+      s"v$k AS (SELECT $sel FROM m$k)"
+    }
+    val rounds = (1 to PCA_ITERS)
+      .flatMap(k => Seq(sCte(k), wCte(k), mCte(k), vCte(k))).mkString(",\n")
+    val unpivot = (1 to DIM)
+      .map(i => s"SELECT $i AS dim_idx, CAST(vv$i AS BIGINT) AS loading FROM v$PCA_ITERS")
+      .mkString(" UNION ALL ")
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * $PCA_QSCALE) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |$rounds
+       |$unpivot ORDER BY dim_idx""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "llm_embed_pca" -> pcaOracleSql,
+
     "llm_embed_topk" ->
       s"""SELECT qid, CAST(rn AS INTEGER) AS rn, vec_id, cosine FROM (
          |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
@@ -600,6 +709,18 @@ object SimilarityOps {
          |  FROM embeddings c
          |  JOIN embeddings q ON q.vec_id < $NQ AND c.vec_id <> q.vec_id)
          |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+
+    "llm_hard_negatives" ->
+      s"""SELECT qid, CAST(rn AS INTEGER) AS rn, neg_id, neg_label, cosine
+         |FROM (
+         |  SELECT q.vec_id AS qid, c.vec_id AS neg_id, c.label AS neg_label,
+         |   ${cosineSql("q.embedding", "c.embedding")} AS cosine,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC,
+         |       c.vec_id) AS rn
+         |  FROM embeddings c
+         |  JOIN embeddings q ON q.vec_id < $NQ AND c.label <> q.label)
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
 
     "llm_hybrid_search" -> {
       val stopList = graft.api.GraftPipelines.DefaultStopwords

@@ -208,4 +208,50 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") && scan.contains("centroid"),
       s"expected centroid partition pruning in:\n${scan.take(900)}")
   }
+
+  test("llm_hard_negatives: every negative has a different label, ranks dense") {
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = q("llm_hard_negatives").collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.map(_.getAs[Int]("rn")).sorted.toSeq == (1 to 5))
+      rs.foreach { r =>
+        assert(r.getAs[Int]("neg_label") != labels(qid),
+          s"negative for $qid shares its label")
+      }
+      // scores non-increasing in rank
+      val byRank = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("cosine"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("llm_embed_pca: integer power iteration agrees with a double reference") {
+    val out = q("llm_embed_pca").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out.size == 64)
+    // renorm invariant: the largest |loading| is exactly the scale
+    assert(out.values.map(math.abs).max == 1000000L)
+    // independent reference: plain-double power iteration on the same
+    // quantized matrix (same v0, same 3 rounds, float renorm) — the
+    // integer path must point in the same direction
+    val x = Tables.embeddings(spark, sf).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(f => math.floor(f * 10000.0)))
+    var v = Array.fill(64)(1.0)
+    for (_ <- 1 to 3) {
+      val w = Array.fill(64)(0.0)
+      x.foreach { row =>
+        val s = row.zip(v).map { case (a, b) => a * b }.sum
+        (0 until 64).foreach(j => w(j) += row(j) * s)
+      }
+      val wmax = w.map(math.abs).max
+      v = w.map(_ / wmax)
+    }
+    val e = (1 to 64).map(i => out(i).toDouble)
+    val cos = e.zip(v).map { case (a, b) => a * b }.sum /
+      (math.sqrt(e.map(a => a * a).sum) * math.sqrt(v.map(a => a * a).sum))
+    assert(cos > 0.99999, s"integer and double directions diverge: cos=$cos")
+  }
 }
