@@ -16,7 +16,7 @@ object Bench {
     "ev_flagship", "ev_catalog", "ev_sessionize", "ev_tumbling_1h",
     "ev_sliding_1h15m", "ev_session_window", "ev_asof_join", "ev_range_join",
     "ev_interval_join",
-    "ev_transitions",
+    "ev_transitions", "ev_markov_rank", "ev_drift", "ev_ewma",
     "ev_value_histogram", "ev_heatmap", "ev_funnel", "ev_retention",
     "ev_anomaly", "ev_anomaly_mad", "ev_rate_1m", "ev_user_sequences",
     "ev_uint64_decode",
@@ -26,6 +26,7 @@ object Bench {
     "rel_q21_waiting", "rel_q15_top_supplier", "rel_q22_untapped",
     "rel_q7_volume", "rel_q8_market_share", "rel_q13_custdist",
     "rel_q17_small_qty", "rel_q19_disjunctive",
+    "rel_basket_pairs", "rel_skew_report", "rel_listagg",
     "rel_window_rank", "rel_window_range", "rel_join_broadcast", "rel_rollup",
     "rel_percentile", "rel_corr", "rel_q14_type_share", "rel_profile",
     "rel_constraints", "rel_jdbc_roundtrip",
@@ -36,18 +37,20 @@ object Bench {
     "llm_bpe_vocab", "llm_bpe_apply",
     "llm_dedup_exact", "llm_dedup_prefix", "llm_dedup_incremental",
     "llm_minhash_pairs", "llm_neardup_verified",
-    "llm_dup_clusters", "llm_curate", "llm_decontaminate",
+    "llm_dup_clusters", "llm_golden_record", "llm_curate", "llm_decontaminate",
     "llm_embed_ivf",
     "llm_span_dedup", "llm_sample_stratified", "llm_sample_weighted", "llm_pack_sequences",
     "llm_pack_salted",
     "llm_hybrid_search", "llm_hybrid_rrf", "llm_corpus_report",
     "llm_bm25", "llm_inverted_index", "llm_mix_temperature",
     "llm_sample_topk", "llm_embed_quantize", "llm_chunk", "llm_bigram_lm",
+    "llm_pmi_bigrams",
     "llm_pii_redact", "llm_substring_dedup", "llm_doc_features",
     "llm_quality_classify", "llm_embed_kmeans", "llm_semdedup",
     "llm_simhash", "llm_simhash_pairs", "llm_embed_topk",
     "llm_embed_lsh_knn", "llm_embed_lsh_knn2", "llm_embed_pq",
     "llm_embed_pq_served", "llm_embed_ivf_served", "llm_ann_recall",
+    "llm_hard_negatives", "llm_embed_pca",
     "llm_embed_neardup", "llm_embed_neardup_lsh", "llm_lang_id", "llm_tfidf",
     "llm_fuzzy_pairs", "llm_sorted_neighborhood",
     "llm_quality_score", "llm_token_count", "llm_fingerprint",

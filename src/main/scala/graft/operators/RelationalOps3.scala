@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -169,6 +170,71 @@ object RelationalOps3 {
           count(lit(1)).as("n_small"))
     }),
 
+    // Market-basket pair mining (frequent itemsets at k=2, the Apriori
+    // base case): parts co-occurring in one order, support ≥ 2, top-20.
+    // The self-join is EQUI-keyed on l_orderkey with the part inequality
+    // as a residual — join fan-out is Σ basket² (baskets are bounded by
+    // order size, ≤13 on this corpus), never |lineitem|². distinct()
+    // first so duplicate part lines count once per order. Global top-20
+    // is ORDER BY + LIMIT → TakeOrderedAndProject.
+    "rel_basket_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val items = Tables.lineitem(s, dir)
+        .select($"l_orderkey".as("okey"), $"l_partkey".as("pkey")).distinct()
+      items.select($"okey", $"pkey".as("part_a"))
+        .join(items.select($"okey".as("okey_b"), $"pkey".as("part_b")),
+          $"okey" === $"okey_b" && $"part_a" < $"part_b")
+        .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("support"))
+        .filter($"support" >= 2)
+        .orderBy($"support".desc, $"part_a", $"part_b").limit(20)
+    }),
+
+    // Join-key skew diagnostic: the report you run BEFORE deciding to
+    // salt (GraftPipelines.saltedJoin) or lean on AQE skew-split.
+    // skew_x1000 = max_n·n_keys·1000 div total_rows (= 1000 for a
+    // perfectly uniform key, grows with the heaviest key's excess) in
+    // exact DECIMAL; the heaviest key is found by a broadcast-1-row
+    // equality filter (min key among those at max_n) — deterministic
+    // and scale-safe, never a global-sort window over the key space.
+    "rel_skew_report" -> ((s, dir) => {
+      import s.implicits._
+      def report(df: DataFrame, keyName: String): DataFrame = {
+        val counts = df.groupBy(col(keyName).as("k")).agg(count(lit(1)).as("n"))
+        val agg = counts.agg(count(lit(1)).as("n_keys"),
+          sum($"n").as("total_rows"), max($"n").as("max_n"))
+        val top = counts.crossJoin(broadcast(agg))
+          .filter($"n" === $"max_n").agg(min($"k").as("top_key"))
+        agg.crossJoin(broadcast(top))
+          .select(lit(keyName).as("key_col"), $"n_keys", $"total_rows",
+            $"max_n", $"top_key",
+            expr("(CAST(max_n AS DECIMAL(38,0)) * n_keys * 1000) div total_rows")
+              .as("skew_x1000"))
+      }
+      report(Tables.orders(s, dir), "o_custkey")
+        .unionByName(report(Tables.lineitem(s, dir), "l_partkey"))
+        .orderBy($"key_col")
+    }),
+
+    // Ordered string aggregation (LISTAGG, SQL:2016): the top-3
+    // customers per market segment by balance, concatenated in rank
+    // order. Spark has no ordered string_agg — the deterministic twin
+    // is array_sort(collect_list(struct(rank, name))) then join: the
+    // struct sort pins the order the oracle's string_agg(... ORDER BY)
+    // declares. The rank window is segment-partitioned (WindowGroupLimit
+    // top-k per partition, no global sort).
+    "rel_listagg" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal".desc, $"c_name")
+      Tables.customer(s, dir)
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).cast("int").as("n_top"),
+          expr("array_join(transform(array_sort(collect_list(struct(rn, c_name))), x -> x.c_name), ',')")
+            .as("top_names"))
+        .orderBy($"c_mktsegment")
+    }),
+
     // TPC-H Q19-shape: disjunction of brand/size/quantity conjunctions
     // spanning both join sides (size/quantity bands stand in for the
     // absent container/shipmode lists). The partkey equality is a
@@ -255,6 +321,50 @@ object RelationalOps3 {
         |  FROM lineitem GROUP BY 1) a ON l_partkey = a_partkey
         |WHERE p_brand = 'Brand#1' AND p_size < 10
         | AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * qty_n < qty_sum""".stripMargin,
+
+    "rel_basket_pairs" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem)
+        |SELECT a.pkey AS part_a, b.pkey AS part_b, count(*) AS support
+        |FROM items a JOIN items b
+        |  ON a.okey = b.okey AND a.pkey < b.pkey
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY support DESC, part_a, part_b LIMIT 20""".stripMargin,
+
+    "rel_skew_report" ->
+      """WITH oc AS (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1),
+        |oagg AS (SELECT count(*) AS n_keys, sum(n) AS total_rows,
+        |          max(n) AS max_n FROM oc),
+        |otop AS (SELECT min(k) AS top_key FROM oc CROSS JOIN oagg
+        |         WHERE n = max_n),
+        |lc AS (SELECT l_partkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+        |lagg AS (SELECT count(*) AS n_keys, sum(n) AS total_rows,
+        |          max(n) AS max_n FROM lc),
+        |ltop AS (SELECT min(k) AS top_key FROM lc CROSS JOIN lagg
+        |         WHERE n = max_n)
+        |SELECT * FROM (
+        | SELECT 'l_partkey' AS key_col, n_keys,
+        |  CAST(total_rows AS BIGINT) AS total_rows, max_n, top_key,
+        |  CAST((CAST(max_n AS HUGEINT) * n_keys * 1000) // total_rows
+        |    AS BIGINT) AS skew_x1000
+        | FROM lagg CROSS JOIN ltop
+        | UNION ALL
+        | SELECT 'o_custkey', n_keys, CAST(total_rows AS BIGINT), max_n,
+        |  top_key,
+        |  CAST((CAST(max_n AS HUGEINT) * n_keys * 1000) // total_rows
+        |    AS BIGINT)
+        | FROM oagg CROSS JOIN otop)
+        |ORDER BY key_col""".stripMargin,
+
+    "rel_listagg" ->
+      """SELECT c_mktsegment, CAST(count(*) AS INTEGER) AS n_top,
+        | string_agg(c_name, ',' ORDER BY rn) AS top_names
+        |FROM (
+        |  SELECT c_mktsegment, c_name,
+        |   row_number() OVER (PARTITION BY c_mktsegment
+        |     ORDER BY c_acctbal DESC, c_name) AS rn
+        |  FROM customer)
+        |WHERE rn <= 3 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "rel_q19_disjunctive" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))

@@ -507,6 +507,42 @@ object TextOps {
         .orderBy($"w1", $"rn")
     }),
 
+    // PMI collocations (Church & Hanks 1990): the top-20 adjacent word
+    // pairs by pointwise-mutual-information lift — the phrase-mining /
+    // tokenizer-vocab signal ("how much more often than chance do these
+    // words co-occur"). The lift p(ab)/(p(a)p(b)) is cross-multiplied
+    // to ONE exact integer, lift_x1000 = (n_ab·N_uni²·1000) div
+    // (N_bi·n_a·n_b), computed in DECIMAL(38,0)/HUGEINT so no log or
+    // float division can diverge between engines. min-support n_ab ≥ 5
+    // prunes the long tail BEFORE the unigram joins; the global top-20
+    // is an ORDER BY + LIMIT → TakeOrderedAndProject, never a full
+    // sort. Both count aggregations are plain token-keyed shuffles.
+    "llm_pmi_bigrams" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(explode(split($"text", " ")).as("wd"))
+      val uni = toks.groupBy($"wd").agg(count(lit(1)).as("n_w"))
+      val bi = docs
+        .select(split($"text", " ").as("w"))
+        .filter(size($"w") >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+          .as("b"))
+        .select($"b.w1", $"b.w2")
+      val nUni = toks.agg(count(lit(1)).as("n_uni"))
+      val nBi = bi.agg(count(lit(1)).as("n_bi"))
+      bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
+        .filter($"n_ab" >= 5)
+        .join(uni.select($"wd", $"n_w".as("n_a")), $"w1" === $"wd").drop("wd")
+        .join(uni.select($"wd", $"n_w".as("n_b")), $"w2" === $"wd").drop("wd")
+        .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+        .withColumn("lift_x1000", expr(
+          "(CAST(n_ab AS DECIMAL(38,0)) * n_uni * n_uni * 1000) div " +
+            "(CAST(n_bi AS DECIMAL(38,0)) * n_a * n_b)"))
+        .select($"w1", $"w2", $"n_ab", $"n_a", $"n_b", $"lift_x1000")
+        .orderBy($"lift_x1000".desc, $"w1", $"w2").limit(20)
+    }),
+
     // Sliding-window chunking (20-word chunks, stride 15): the RAG /
     // long-doc-embedding preprocessing step; (doc_id, chunk_idx) is the
     // stable chunk key.
@@ -924,6 +960,31 @@ object TextOps {
         |     ORDER BY n12 DESC, w2) AS rn
         |  FROM n12 JOIN n1 ON n12.w1 = n1.w1)
         |WHERE rn <= 3 ORDER BY w1, rn""".stripMargin,
+
+    "llm_pmi_bigrams" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS wd FROM documents),
+        |uni AS (SELECT wd, count(*) AS n_w FROM toks GROUP BY 1),
+        |nu AS (SELECT count(*) AS n_uni FROM toks),
+        |bi AS (
+        |  SELECT b['w1'] AS w1, b['w2'] AS w2 FROM (
+        |    SELECT unnest(list_transform(range(1, len(w)),
+        |             i -> {'w1': w[i], 'w2': w[i+1]})) AS b
+        |    FROM (SELECT string_split(text, ' ') AS w FROM documents)
+        |    WHERE len(w) >= 2)),
+        |nb AS (SELECT count(*) AS n_bi FROM bi),
+        |nab AS (SELECT w1, w2, count(*) AS n_ab FROM bi GROUP BY 1, 2)
+        |SELECT w1, w2,
+        | CAST(n_ab AS BIGINT) AS n_ab,
+        | CAST(a.n_w AS BIGINT) AS n_a,
+        | CAST(b.n_w AS BIGINT) AS n_b,
+        | CAST((CAST(n_ab AS HUGEINT) * n_uni * n_uni * 1000)
+        |   // (CAST(n_bi AS HUGEINT) * a.n_w * b.n_w) AS BIGINT) AS lift_x1000
+        |FROM nab
+        |JOIN uni a ON w1 = a.wd JOIN uni b ON w2 = b.wd
+        |CROSS JOIN nu CROSS JOIN nb
+        |WHERE n_ab >= 5
+        |ORDER BY lift_x1000 DESC, w1, w2 LIMIT 20""".stripMargin,
 
     "llm_chunk" ->
       """SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,

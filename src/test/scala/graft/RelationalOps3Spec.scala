@@ -110,6 +110,53 @@ class RelationalOps3Spec extends SparkSpec {
     }
   }
 
+  test("rel_basket_pairs: per-order co-occurrence, duplicate lines count once") {
+    val li = Seq(
+      (1L, 100L), (1L, 100L), (1L, 200L), (1L, 300L), // dup line: once
+      (2L, 100L), (2L, 200L),
+      (3L, 200L), (3L, 100L))
+      .toDF("l_orderkey", "l_partkey")
+    val dir = tempSfDir("lineitem" -> li)
+    val out = q("rel_basket_pairs", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // only (100,200) reaches support 2 (appears in all three orders)
+    assert(out == Map((100L, 200L) -> 3L))
+  }
+
+  test("rel_skew_report: hand-computed skew factor and heaviest key") {
+    val orders = (1 to 8).map(i => (i.toLong, 1L)) ++
+      Seq((9L, 2L), (10L, 3L))
+    val li = Seq((1L, 7L), (2L, 7L), (3L, 9L), (4L, 9L))
+    val dir = tempSfDir(
+      "orders" -> orders.toDF("o_orderkey", "o_custkey"),
+      "lineitem" -> li.toDF("l_orderkey", "l_partkey"))
+    val out = q("rel_skew_report", dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val oc = out("o_custkey")
+    // custkey: 3 keys over 10 rows, max 8 → skew = 8·3·1000 div 10 = 2400
+    assert(oc.getAs[Long]("n_keys") == 3L)
+    assert(oc.getAs[Long]("max_n") == 8L)
+    assert(oc.getAs[Long]("top_key") == 1L)
+    assert(oc.getAs[Long]("skew_x1000") == 2400L)
+    val lp = out("l_partkey")
+    // perfectly uniform partkey → skew factor exactly 1000; tie on
+    // max_n=2 → smallest key 7 reported
+    assert(lp.getAs[Long]("skew_x1000") == 1000L)
+    assert(lp.getAs[Long]("top_key") == 7L)
+  }
+
+  test("rel_listagg: rank-ordered concatenation with balance ties by name") {
+    val cust = Seq(
+      ("nA", 50.0, "SEG1"), ("nB", 40.0, "SEG1"), ("nC", 40.0, "SEG1"),
+      ("nD", 10.0, "SEG1"), ("nE", 5.0, "SEG2"))
+      .toDF("c_name", "c_acctbal", "c_mktsegment")
+    val dir = tempSfDir("customer" -> cust)
+    val out = q("rel_listagg", dir).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(out("SEG1") == ((3, "nA,nB,nC")))
+    assert(out("SEG2") == ((1, "nE")))
+  }
+
   test("rel_q19_disjunctive: OR-of-conjunctions stays a partkey hash join") {
     val old = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

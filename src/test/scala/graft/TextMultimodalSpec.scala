@@ -299,4 +299,19 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rows.toSet == Set((1L, 2L, 2L), (3L, 1L, 1L)),
       s"expected {1,2} collapsed and {3} apart, got ${rows.toSeq}")
   }
+
+  test("llm_pmi_bigrams: hand-computed cross-multiplied lift, support gate") {
+    // tokens: a×5, b×5, c, d → N_uni = 12; bigrams (11): ab×5, ba×4,
+    // bc, cd. Support ≥ 5 keeps only (a,b):
+    //   lift_x1000 = (5·12²·1000) div (11·5·5) = 720000 div 275 = 2618
+    val docs = Seq((1L, "a b a b a b a b a b c d", "en", "s0", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = q("llm_pmi_bigrams", tempSfDir("documents" -> docs)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1)) == (("a", "b")))
+    assert(r.getAs[Long]("n_ab") == 5L)
+    assert(r.getAs[Long]("n_a") == 5L && r.getAs[Long]("n_b") == 5L)
+    assert(r.getAs[Long]("lift_x1000") == 2618L)
+  }
 }
