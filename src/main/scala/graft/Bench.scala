@@ -17,6 +17,7 @@ object Bench {
     "ev_sliding_1h15m", "ev_session_window", "ev_asof_join", "ev_range_join",
     "ev_interval_join",
     "ev_transitions", "ev_markov_rank", "ev_drift", "ev_ewma",
+    "ev_attribution", "ev_seasonal_residual",
     "ev_value_histogram", "ev_heatmap", "ev_funnel", "ev_retention",
     "ev_anomaly", "ev_anomaly_mad", "ev_rate_1m", "ev_user_sequences",
     "ev_uint64_decode",
@@ -27,6 +28,7 @@ object Bench {
     "rel_q7_volume", "rel_q8_market_share", "rel_q13_custdist",
     "rel_q17_small_qty", "rel_q19_disjunctive",
     "rel_basket_pairs", "rel_skew_report", "rel_listagg",
+    "rel_running_distinct",
     "rel_window_rank", "rel_window_range", "rel_join_broadcast", "rel_rollup",
     "rel_percentile", "rel_corr", "rel_q14_type_share", "rel_profile",
     "rel_constraints", "rel_jdbc_roundtrip",
@@ -44,7 +46,7 @@ object Bench {
     "llm_hybrid_search", "llm_hybrid_rrf", "llm_corpus_report",
     "llm_bm25", "llm_inverted_index", "llm_mix_temperature",
     "llm_sample_topk", "llm_embed_quantize", "llm_chunk", "llm_bigram_lm",
-    "llm_pmi_bigrams",
+    "llm_pmi_bigrams", "llm_quality_winsor",
     "llm_pii_redact", "llm_substring_dedup", "llm_doc_features",
     "llm_quality_classify", "llm_embed_kmeans", "llm_semdedup",
     "llm_simhash", "llm_simhash_pairs", "llm_embed_topk",

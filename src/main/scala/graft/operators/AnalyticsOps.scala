@@ -134,6 +134,57 @@ object AnalyticsOps {
         .orderBy($"rank_scaled".desc, $"event_type")
     }),
 
+    // Last-touch attribution: every purchase credited to the user's most
+    // recent PRECEDING click (product-analytics attribution; the window
+    // twin of ev_asof_join's merge-scan). One user-partitioned window —
+    // last(click, ignoreNulls) over ROWS UNBOUNDED PRECEDING..1
+    // PRECEDING — shared by both attributed columns; the gap is integer
+    // ns truncated to ms (non-negative by construction, so trunc ≡
+    // floor on both engines). Unattributed purchases (no prior click)
+    // survive with NULLs — the rows a marketing report must not drop.
+    "ev_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val ev = EventOps.events(s, dir)
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev
+        .withColumn("last_click_ns",
+          last(when($"event_type" === "click", $"ts_ns"), ignoreNulls = true)
+            .over(w))
+        .withColumn("last_click_id",
+          last(when($"event_type" === "click", $"event_id"), ignoreNulls = true)
+            .over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id", $"ts_ms",
+          $"last_click_id",
+          expr("(ts_ns - last_click_ns) div 1000000").as("gap_ms"))
+        .orderBy($"purchase_id")
+    }),
+
+    // Seasonal residual anomaly: flags (type, day, hour-of-day) cells
+    // whose count is more than 2× that hour-of-day's cross-day average
+    // — "is today's 3pm spike unusual FOR 3pm?", the seasonality-aware
+    // sibling of ev_anomaly's global z-gate. The comparison is
+    // cross-multiplied (n·n_days > 2·tot_n) so no division rounding
+    // exists; both aggregation levels are (type, hod)-keyed map-side
+    // partials.
+    "ev_seasonal_residual" -> ((s, dir) => {
+      import s.implicits._
+      val ev = EventOps.events(s, dir)
+      val cnt = ev
+        .groupBy($"event_type", floorDiv("ts_ms", 86400000L).as("day_idx"),
+          hour($"ts").as("hod"))
+        .agg(count(lit(1)).as("n"))
+      val base = cnt.groupBy($"event_type", $"hod")
+        .agg(sum($"n").as("tot_n"), count(lit(1)).as("n_days"))
+      cnt.join(base, Seq("event_type", "hod"))
+        .filter($"n" * $"n_days" > $"tot_n" * 2)
+        .select($"event_type", $"day_idx", $"hod".cast("int").as("hod"),
+          $"n", $"n_days", $"tot_n",
+          expr("(n * n_days * 1000) div tot_n").as("ratio_x1000"))
+        .orderBy($"event_type", $"day_idx", $"hod")
+    }),
+
     // EWMA trend smoothing (α = 1/4) over hourly event counts, per
     // type: e_1 = n_1·S; e_t = e_{t-1} + (n_t·S − e_{t-1}) div 4.
     // The fold runs over the hour-ordered list exactly as DuckDB's
@@ -226,6 +277,37 @@ object AnalyticsOps {
          |SELECT node AS event_type, CAST(r AS BIGINT) AS rank_scaled
          |FROM r$RankIters
          |ORDER BY rank_scaled DESC, event_type""".stripMargin,
+
+    "ev_attribution" ->
+      """SELECT purchase_id, user_id, ts_ms, last_click_id, gap_ms FROM (
+        |  SELECT event_id AS purchase_id, user_id, event_type,
+        |   epoch_ms(ts) AS ts_ms,
+        |   last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |     IGNORE NULLS) OVER w AS last_click_id,
+        |   (epoch_ns(ts) - last_value(CASE WHEN event_type = 'click'
+        |      THEN epoch_ns(ts) END IGNORE NULLS) OVER w) // 1000000
+        |     AS gap_ms
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
+
+    "ev_seasonal_residual" ->
+      """WITH cnt AS (
+        |  SELECT event_type,
+        |   epoch_ms(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)))
+        |     // 86400000 AS day_idx,
+        |   hour(ts) AS hod, count(*) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |base AS (
+        |  SELECT event_type, hod, sum(n) AS tot_n, count(*) AS n_days
+        |  FROM cnt GROUP BY 1, 2)
+        |SELECT event_type, day_idx, CAST(hod AS INTEGER) AS hod, n,
+        | CAST(n_days AS BIGINT) AS n_days, CAST(tot_n AS BIGINT) AS tot_n,
+        | CAST((n * n_days * 1000) // tot_n AS BIGINT) AS ratio_x1000
+        |FROM cnt JOIN base USING (event_type, hod)
+        |WHERE n * n_days > tot_n * 2
+        |ORDER BY event_type, day_idx, hod""".stripMargin,
 
     "ev_ewma" ->
       s"""SELECT event_type,

@@ -215,6 +215,30 @@ object RelationalOps3 {
         .orderBy($"key_col")
     }),
 
+    // Running COUNT(DISTINCT) over a window — the classic SQL surface
+    // Spark does not support directly (DISTINCT aggregates are invalid
+    // in window frames). The scalable idiom: mark each customer's FIRST
+    // order per priority (row_number = 1 on a (prio, custkey) window),
+    // aggregate new-customer counts per month, then a plain running sum
+    // over the bounded month axis. Both windows are partition-bounded;
+    // nothing sorts globally.
+    "rel_running_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir).select($"o_orderpriority".as("prio"),
+        (year($"o_orderdate") * 100 + month($"o_orderdate")).cast("int")
+          .as("ym"),
+        $"o_custkey", $"o_orderkey")
+      val wFirst = Window.partitionBy($"prio", $"o_custkey")
+        .orderBy($"ym", $"o_orderkey")
+      val monthly = o.withColumn("rn", row_number().over(wFirst))
+        .withColumn("is_new", when($"rn" === 1, 1L).otherwise(0L))
+        .groupBy($"prio", $"ym")
+        .agg(sum($"is_new").as("new_cust"), count(lit(1)).as("n_orders"))
+      val wRun = Window.partitionBy($"prio").orderBy($"ym")
+      monthly.withColumn("cum_cust", sum($"new_cust").over(wRun))
+        .orderBy($"prio", $"ym")
+    }),
+
     // Ordered string aggregation (LISTAGG, SQL:2016): the top-3
     // customers per market segment by balance, concatenated in rank
     // order. Spark has no ordered string_agg — the deterministic twin
@@ -355,6 +379,24 @@ object RelationalOps3 {
         |    AS BIGINT)
         | FROM oagg CROSS JOIN otop)
         |ORDER BY key_col""".stripMargin,
+
+    "rel_running_distinct" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS prio,
+        |   CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER)
+        |     AS ym,
+        |   o_custkey, o_orderkey FROM orders),
+        |m AS (
+        |  SELECT prio, ym,
+        |   sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS new_cust,
+        |   count(*) AS n_orders
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY prio, o_custkey
+        |          ORDER BY ym, o_orderkey) AS rn FROM o)
+        |  GROUP BY 1, 2)
+        |SELECT prio, ym, CAST(new_cust AS BIGINT) AS new_cust, n_orders,
+        | CAST(sum(new_cust) OVER (PARTITION BY prio ORDER BY ym) AS BIGINT)
+        |   AS cum_cust
+        |FROM m ORDER BY prio, ym""".stripMargin,
 
     "rel_listagg" ->
       """SELECT c_mktsegment, CAST(count(*) AS INTEGER) AS n_top,

@@ -507,6 +507,32 @@ object TextOps {
         .orderBy($"w1", $"rn")
     }),
 
+    // Winsorized length budget per source: clip each doc's char count at
+    // its source's p90 ORDER STATISTIC (percentile_disc — an actual data
+    // value, rank ceil(0.9·n) = (9n+9) div 10, so the whole computation
+    // stays exact-integer; interpolating percentiles would re-introduce
+    // float division). The outlier-robust corpus-budget accounting that
+    // sits before token-budget curation: one source-partitioned rank
+    // window + one broadcast-joined cap per source. The sketch path for
+    // skewed/huge sources is rel_percentile_approx's KLL twin; this is
+    // the exact, oracle-checkable form.
+    "llm_quality_winsor" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
+      val ranked = Tables.documents(s, dir)
+        .select($"source", $"doc_id", $"n_chars")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy($"source")))
+      val caps = ranked.filter($"rn" === expr("(9 * nd + 9) div 10"))
+        .select($"source", $"n_chars".as("cap90"))
+      ranked.join(broadcast(caps), "source")
+        .groupBy($"source", $"cap90")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_raw"),
+          sum(least($"n_chars", $"cap90")).as("sum_winsor"))
+        .select($"source", $"n_docs", $"cap90", $"sum_raw", $"sum_winsor")
+        .orderBy($"source")
+    }),
+
     // PMI collocations (Church & Hanks 1990): the top-20 adjacent word
     // pairs by pointwise-mutual-information lift — the phrase-mining /
     // tokenizer-vocab signal ("how much more often than chance do these
@@ -960,6 +986,22 @@ object TextOps {
         |     ORDER BY n12 DESC, w2) AS rn
         |  FROM n12 JOIN n1 ON n12.w1 = n1.w1)
         |WHERE rn <= 3 ORDER BY w1, rn""".stripMargin,
+
+    "llm_quality_winsor" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id, n_chars,
+        |   row_number() OVER (PARTITION BY source
+        |     ORDER BY n_chars, doc_id) AS rn,
+        |   count(*) OVER (PARTITION BY source) AS nd
+        |  FROM documents),
+        |caps AS (
+        |  SELECT source, n_chars AS cap90 FROM ranked
+        |  WHERE rn = (9 * nd + 9) // 10)
+        |SELECT source, count(*) AS n_docs, cap90,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_raw,
+        | CAST(sum(least(n_chars, cap90)) AS BIGINT) AS sum_winsor
+        |FROM ranked JOIN caps USING (source)
+        |GROUP BY source, cap90 ORDER BY source""".stripMargin,
 
     "llm_pmi_bigrams" ->
       """WITH toks AS (

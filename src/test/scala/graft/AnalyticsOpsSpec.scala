@@ -75,6 +75,55 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(total <= 1000000000L && total > 1000000000L - 100L)
   }
 
+  test("ev_attribution: last preceding click wins; unattributed survives with NULLs") {
+    val rows = Seq(
+      // user 1: click → view → purchase: attributed to the click, 2500ms
+      (1L, 1000000000L, 1L, "click", 1.0, "{}"),
+      (2L, 2000000000L, 1L, "view", 1.0, "{}"),
+      (3L, 3500000000L, 1L, "purchase", 9.0, "{}"),
+      // user 2: purchase with no click at all → NULL attribution
+      (4L, 1000000000L, 2L, "purchase", 5.0, "{}"),
+      // user 3: purchase BEFORE its first click stays unattributed; the
+      // later purchase attributes to the click between them
+      (5L, 1000000000L, 3L, "purchase", 1.0, "{}"),
+      (6L, 2000000000L, 3L, "click", 1.0, "{}"),
+      (7L, 2100000000L, 3L, "purchase", 1.0, "{}"))
+    val dir = tempSfDir("events" -> eventsDf(rows))
+    val out = q("ev_attribution", dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(3L, 4L, 5L, 7L))
+    assert(out(3L).getAs[Long]("last_click_id") == 1L)
+    assert(out(3L).getAs[Long]("gap_ms") == 2500L)
+    assert(out(4L).isNullAt(out(4L).fieldIndex("last_click_id")))
+    assert(out(5L).isNullAt(out(5L).fieldIndex("last_click_id")))
+    assert(out(7L).getAs[Long]("last_click_id") == 6L)
+    assert(out(7L).getAs[Long]("gap_ms") == 100L)
+  }
+
+  test("ev_seasonal_residual: flags only the hour-of-day outlier day") {
+    val D = 86400L * 1000000000L
+    val H10 = 10L * 3600L * 1000000000L
+    // type "a", hod 10: counts 1, 1, 10 across three days → only day 3
+    // exceeds 2× the hod average (10·3 = 30 > 2·12); ratio 30000//12
+    var id = 0L
+    def ev(day: Long, n: Int) = (1 to n).map { i =>
+      id += 1; (id, day * D + H10 + i * 1000L, 1L, "a", 1.0, "{}")
+    }
+    val rows = ev(0, 1) ++ ev(1, 1) ++ ev(2, 10) ++
+      // type "b": uniform across the same days → never flagged
+      (0 to 2).flatMap { d => id += 1
+        Seq((id, d * D + H10 + 500L, 2L, "b", 1.0, "{}")) }
+    val dir = tempSfDir("events" -> eventsDf(rows))
+    val out = q("ev_seasonal_residual", dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("event_type") == "a")
+    assert(r.getAs[Long]("day_idx") == 2L)
+    assert(r.getAs[Int]("hod") == 10)
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Long]("ratio_x1000") == 2500L)
+  }
+
   test("ev_drift: identical halves -> 0, disjoint halves -> 1, empty half -> NULL") {
     // global time range [0ms, 3000ms] -> first half is ts_ms <= 1500;
     // global value range [5, 95] -> bin0 = low values, bin9 = high.

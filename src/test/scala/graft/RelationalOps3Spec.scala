@@ -145,6 +145,23 @@ class RelationalOps3Spec extends SparkSpec {
     assert(lp.getAs[Long]("top_key") == 7L)
   }
 
+  test("rel_running_distinct: first-occurrence marks accumulate, repeats don't") {
+    val orders = Seq(
+      (1L, 10L, "2024-01-05", "P1"), (2L, 10L, "2024-01-20", "P1"),
+      (3L, 10L, "2024-02-01", "P1"), (4L, 20L, "2024-02-10", "P1"),
+      (5L, 30L, "2024-01-15", "P2"))
+      .toDF("o_orderkey", "o_custkey", "d", "o_orderpriority")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+    val dir = tempSfDir("orders" -> orders)
+    val out = q("rel_running_distinct", dir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // P1 Jan: cust 10 first seen (2 orders); Feb: cust 20 new, cust 10 repeat
+    assert(out(("P1", 202401)) == ((1L, 2L, 1L)))
+    assert(out(("P1", 202402)) == ((1L, 2L, 2L)))
+    assert(out(("P2", 202401)) == ((1L, 1L, 1L)))
+  }
+
   test("rel_listagg: rank-ordered concatenation with balance ties by name") {
     val cust = Seq(
       ("nA", 50.0, "SEG1"), ("nB", 40.0, "SEG1"), ("nC", 40.0, "SEG1"),

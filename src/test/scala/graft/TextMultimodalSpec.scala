@@ -300,6 +300,21 @@ class TextMultimodalSpec extends SparkSpec {
       s"expected {1,2} collapsed and {3} apart, got ${rows.toSeq}")
   }
 
+  test("llm_quality_winsor: p90 order statistic caps the outlier exactly") {
+    // n_chars 1..10 in one source: rank (9·10+9) div 10 = 9 → cap90 = 9;
+    // sum_raw = 55, winsorized = 54 (only the 10 clips to 9)
+    val docs = (1 to 10).map(i =>
+      (i.toLong, s"doc number $i", "en", "s0", i.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = q("llm_quality_winsor", tempSfDir("documents" -> docs)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") == 10L)
+    assert(r.getAs[Long]("cap90") == 9L)
+    assert(r.getAs[Long]("sum_raw") == 55L)
+    assert(r.getAs[Long]("sum_winsor") == 54L)
+  }
+
   test("llm_pmi_bigrams: hand-computed cross-multiplied lift, support gate") {
     // tokens: a×5, b×5, c, d → N_uni = 12; bigrams (11): ab×5, ba×4,
     // bc, cd. Support ≥ 5 keeps only (a,b):
