@@ -123,12 +123,16 @@ object AnalyticsOps {
           .groupBy($"dst").agg(sum($"c").as("csum"))
         val dang = rank.join(outw, $"node" === $"src", "left_anti")
           .agg(coalesce(sum($"r"), lit(0L)).as("dmass"))
+        // rank feeds BOTH contrib and the dangling sum next round — cut
+        // the lineage each iteration (vocabulary-sized, trivially cheap)
+        // or the plan tree doubles per round
         rank = nodes.join(contrib, $"node" === $"dst", "left_outer")
           .crossJoin(broadcast(vcnt)).crossJoin(broadcast(dang))
           .select($"node",
             (expr(s"(${RankMass}L * 15) div (vcnt * 100)") +
               expr("(85 * coalesce(csum, 0L)) div 100") +
               expr("(85 * (dmass div vcnt)) div 100")).as("r"))
+          .localCheckpoint()
       }
       rank.select($"node".as("event_type"), $"r".as("rank_scaled"))
         .orderBy($"rank_scaled".desc, $"event_type")
