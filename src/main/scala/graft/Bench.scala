@@ -33,12 +33,13 @@ object Bench {
     "rel_percentile", "rel_corr", "rel_q14_type_share", "rel_profile",
     "rel_constraints", "rel_jdbc_roundtrip",
     "rel_profile_approx", "rel_percentile_approx",
-    "rel_merge_upsert", "rel_scd2", "rel_incremental_agg",
+    "rel_merge_upsert", "rel_scd2", "rel_temporal_lookup",
+    "rel_incremental_agg",
     "rel_distinct_incremental", "rel_zorder", "rel_cdc_apply",
     "rel_snapshot_diff", "rel_reconcile", "rel_compact",
     "llm_bpe_vocab", "llm_bpe_apply",
     "llm_dedup_exact", "llm_dedup_prefix", "llm_dedup_incremental",
-    "llm_minhash_pairs", "llm_neardup_verified",
+    "llm_minhash_pairs", "llm_neardup_verified", "llm_ppjoin",
     "llm_dup_clusters", "llm_golden_record", "llm_curate", "llm_decontaminate",
     "llm_embed_ivf",
     "llm_span_dedup", "llm_sample_stratified", "llm_sample_weighted", "llm_pack_sequences",
@@ -46,13 +47,14 @@ object Bench {
     "llm_hybrid_search", "llm_hybrid_rrf", "llm_corpus_report",
     "llm_bm25", "llm_inverted_index", "llm_mix_temperature",
     "llm_sample_topk", "llm_embed_quantize", "llm_chunk", "llm_bigram_lm",
+    "llm_lm_score", "llm_dsir_weight",
     "llm_pmi_bigrams", "llm_quality_winsor",
     "llm_pii_redact", "llm_substring_dedup", "llm_doc_features",
     "llm_quality_classify", "llm_embed_kmeans", "llm_semdedup",
     "llm_simhash", "llm_simhash_pairs", "llm_embed_topk",
     "llm_embed_lsh_knn", "llm_embed_lsh_knn2", "llm_embed_pq",
     "llm_embed_pq_served", "llm_embed_ivf_served", "llm_ann_recall",
-    "llm_hard_negatives", "llm_embed_pca",
+    "llm_hard_negatives", "llm_embed_pca", "llm_kcenter", "llm_probe_auc",
     "llm_embed_neardup", "llm_embed_neardup_lsh", "llm_lang_id", "llm_tfidf",
     "llm_fuzzy_pairs", "llm_sorted_neighborhood",
     "llm_quality_score", "llm_token_count", "llm_fingerprint",

@@ -471,6 +471,49 @@ object DedupOps {
         .orderBy($"d1")
     }),
 
+    // PPJoin-style exact set-similarity join (prefix filtering:
+    // Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08) — the EXACT
+    // complement to the MinHash family: every pair with shingle-set
+    // Jaccard ≥ 1/2 is returned with its true similarity, no sketch
+    // recall loss. Sets are distinct word-3-shingles ordered by
+    // (global df ASC, shingle) — rarest first; a doc's PREFIX is its
+    // first |t| − ceil(|t|/2) + 1 tokens, and two sets can reach the
+    // threshold only if their prefixes share a token, so the self-join
+    // key is rare-shingle collisions (candidate count is bounded by
+    // Σ_prefix-token block², the same Σ bucket² discipline as every
+    // candidate generator here — never all-pairs). Verification is the
+    // exact intersection count on candidates only, and the threshold
+    // test is cross-multiplied to integers: jac ≥ 1/2 ⟺ 3·|∩| ≥
+    // |a|+|b| — no float compare. jac_x1000 is truncating int division
+    // (div ≡ //).
+    "llm_ppjoin" -> ((s, dir) => {
+      import s.implicits._
+      val toks = shingles(s, dir).distinct()
+      val dfreq = toks.groupBy($"s").agg(count(lit(1)).as("df"))
+      val wDoc = Window.partitionBy($"doc_id")
+      val ranked = toks.join(dfreq, "s")
+        .withColumn("rn", row_number().over(wDoc.orderBy($"df", $"s")))
+        .withColumn("sz", count(lit(1)).over(wDoc))
+      val pref = ranked
+        .filter($"rn" <= $"sz" - expr("(sz + 1) div 2") + 1)
+        .select($"doc_id", $"s")
+      val cand = pref.as("a").join(pref.as("b"),
+          $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id")).distinct()
+      val sizes = toks.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      cand
+        .join(toks.as("ta"), $"ta.doc_id" === $"a_id")
+        .join(toks.as("tb"), $"tb.doc_id" === $"b_id" && $"tb.s" === $"ta.s")
+        .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
+        .join(sizes.as("sa"), $"sa.doc_id" === $"a_id")
+        .join(sizes.as("sb"), $"sb.doc_id" === $"b_id")
+        .filter($"inter" * 3 >= $"sa.sz" + $"sb.sz")
+        .select($"a_id", $"b_id", $"sa.sz".as("na"), $"sb.sz".as("nb"),
+          $"inter")
+        .withColumn("jac_x1000", expr("(1000 * inter) div (na + nb - inter)"))
+        .orderBy($"a_id", $"b_id")
+    }),
+
     // Fuzzy entity resolution, blocked-join form: catalog-name variants
     // within edit distance 3. DICTIONARY-FIRST — the map-side-combined
     // distinct-name aggregate shrinks the pairing problem from rows to
@@ -727,6 +770,33 @@ object DedupOps {
         |         list_distinct(string_split(text, ' ')) AS wset FROM documents)
         |  WINDOW w AS (PARTITION BY source ORDER BY doc_id))
         |WHERE d2 IS NOT NULL ORDER BY d1""".stripMargin,
+
+    "llm_ppjoin" ->
+      s"""WITH $shinglesSql,
+         |toks AS (SELECT DISTINCT doc_id, s FROM sh),
+         |dfreq AS (SELECT s, count(*) AS df FROM toks GROUP BY s),
+         |ranked AS (
+         |  SELECT doc_id, s,
+         |   row_number() OVER (PARTITION BY doc_id ORDER BY df, s) AS rn,
+         |   count(*) OVER (PARTITION BY doc_id) AS sz
+         |  FROM toks JOIN dfreq USING (s)),
+         |pref AS (SELECT doc_id, s FROM ranked
+         |         WHERE rn <= sz - ((sz + 1) // 2) + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |         FROM pref a JOIN pref b
+         |           ON a.s = b.s AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a_id, b_id, count(*) AS inter
+         |  FROM cand JOIN toks ta ON ta.doc_id = a_id
+         |  JOIN toks tb ON tb.doc_id = b_id AND tb.s = ta.s
+         |  GROUP BY a_id, b_id)
+         |SELECT a_id, b_id, sa.sz AS na, sb.sz AS nb, inter,
+         | (1000 * inter) // (sa.sz + sb.sz - inter) AS jac_x1000
+         |FROM inter JOIN sizes sa ON sa.doc_id = a_id
+         |JOIN sizes sb ON sb.doc_id = b_id
+         |WHERE 3 * inter >= sa.sz + sb.sz
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "llm_fuzzy_pairs" ->
       """WITH names AS (

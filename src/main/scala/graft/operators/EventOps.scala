@@ -385,13 +385,23 @@ object EventOps {
         .orderBy($"win_ms")
     }),
 
-    // §2.9: session windows (30-minute gap) per user, batch form.
+    // §2.9: session windows (30-minute gap) per user, batch form of the
+    // SAME native operator StreamingSpec drives live with state +
+    // watermark. Window end = last event + gap. Boundary semantics
+    // pinned by the oracle and EventOpsSpec: sessions merge when the
+    // next event touches the previous window's end (start ≤ prev end),
+    // so a gap of EXACTLY 30 min still merges and only gap > 30 min
+    // splits — the same `>` island rule as ev_sessionize. At 100 TB
+    // this is the same single user_id shuffle ev_sessionize pays, with
+    // Spark's MergingSessionsExec folding the island-merge into the
+    // aggregate instead of a lag window.
     "ev_session_window" -> ((s, dir) => {
       import s.implicits._
       events(s, dir)
         .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
-        .agg(count(lit(1)).as("n"))
-        .select($"user_id", unix_millis($"w.start").as("sess_start_ms"), $"n")
+        .agg(count(lit(1)).as("n"), sumMoney($"value").as("sum_value"))
+        .select($"user_id", unix_millis($"w.start").as("sess_start_ms"),
+          unix_millis($"w.end").as("end_ms"), $"n", $"sum_value")
         .orderBy($"user_id", $"sess_start_ms")
     }),
 
@@ -768,20 +778,23 @@ object EventOps {
         |GROUP BY 1 ORDER BY win_ms""".stripMargin,
 
     // gaps-and-islands mirror of session_window(ts, '30 minutes'):
-    // a new session starts at gap >= 30min (Spark closes a session window
-    // once the next event is >= gap duration after the last)
+    // a new session starts only at gap > 30min (touching intervals
+    // merge: Spark unions [t, t+gap) windows whose start ≤ prev end)
     "ev_session_window" ->
-      """SELECT user_id, min(epoch_ms(ts)) AS sess_start_ms, count(*) AS n
+      """SELECT user_id, min(epoch_ms(ts)) AS sess_start_ms,
+        | epoch_ms(max(ts) + INTERVAL '30 minutes') AS end_ms,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, value,
         |   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
         |  FROM (
-        |    SELECT user_id, event_id, ts,
+        |    SELECT user_id, event_id, ts, value,
         |     CASE WHEN prev_ns IS NULL
-        |            OR epoch_ns(ts) - prev_ns >= 1800000000000
+        |            OR epoch_ns(ts) - prev_ns > 1800000000000
         |          THEN 1 ELSE 0 END AS new_sess
-        |    FROM (SELECT user_id, event_id, ts,
+        |    FROM (SELECT user_id, event_id, ts, value,
         |           lag(epoch_ns(ts)) OVER (PARTITION BY user_id
         |             ORDER BY ts, event_id) AS prev_ns
         |          FROM events)))

@@ -60,6 +60,28 @@ object MaintenanceOps {
     (base +: steps).mkString("WITH ", ",\n", "")
   }
 
+  /** Kimball SCD2 history over order-priority changes (shared by
+    * rel_scd2 and rel_temporal_lookup): change-point compression (lag)
+    * then validity windows (lead) — both window passes ride one
+    * o_custkey shuffle. Unordered output; callers append their own
+    * total ORDER BY.
+    */
+  private def scd2History(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        $"o_orderpriority")
+      .withColumn("prev", lag($"o_orderpriority", 1).over(w))
+      .filter($"prev".isNull || $"prev" =!= $"o_orderpriority")
+      .withColumn("valid_to", lead($"o_orderdate", 1).over(w))
+      .select($"o_custkey".as("custkey"), $"o_orderkey".as("anchor_key"),
+        $"o_orderpriority".as("priority"),
+        $"o_orderdate".as("valid_from"), $"valid_to",
+        when($"valid_to".isNull, 1).otherwise(0).as("is_current"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MERGE INTO target USING source: matched -> update, not matched ->
     // insert, unmatched-target -> keep. Target = customers off the
@@ -89,22 +111,34 @@ object MaintenanceOps {
     // compression (lag) then validity windows (lead), one shuffle for
     // both window passes. anchor_key (the first order at each change
     // point) makes the output totally ordered and lineage-traceable.
-    "rel_scd2" -> ((s, dir) => {
+    "rel_scd2" -> ((s, dir) =>
+      scd2History(s, dir)
+        .orderBy(col("custkey"), col("valid_from"), col("anchor_key"))),
+
+    // Point-in-time (temporal) dimension lookup: enrich every fact row
+    // with the SCD2 dimension version that was valid AT the fact's
+    // event date — the query every Kimball warehouse runs against the
+    // history rel_scd2 builds ("what was this customer's priority tier
+    // when the order was placed"). Versions are half-open [valid_from,
+    // valid_to) with NULL = current, so each fact matches exactly one
+    // version; zero-length versions (two changes on one date) match
+    // nothing, the documented last-writer-wins-on-a-date semantics of
+    // the history build. Join shape at 100 TB: custkey equality is the
+    // hash-join key (fact and history co-partition on it — the SAME
+    // shuffle layout the history build itself used) and the validity
+    // band is a residual predicate; never a range-only join, never a
+    // cartesian.
+    "rel_temporal_lookup" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"o_custkey")
-        .orderBy($"o_orderdate", $"o_orderkey")
-      val changes = Tables.orders(s, dir)
-        .select($"o_custkey", $"o_orderkey", $"o_orderdate",
-          $"o_orderpriority")
-        .withColumn("prev", lag($"o_orderpriority", 1).over(w))
-        .filter($"prev".isNull || $"prev" =!= $"o_orderpriority")
-      changes
-        .withColumn("valid_to", lead($"o_orderdate", 1).over(w))
-        .select($"o_custkey".as("custkey"), $"o_orderkey".as("anchor_key"),
-          $"o_orderpriority".as("priority"),
-          $"o_orderdate".as("valid_from"), $"valid_to",
-          when($"valid_to".isNull, 1).otherwise(0).as("is_current"))
-        .orderBy($"custkey", $"valid_from", $"anchor_key")
+      Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+        .join(scd2History(s, dir),
+          $"o_custkey" === $"custkey" &&
+            $"valid_from" <= $"o_orderdate" &&
+            ($"valid_to".isNull || $"o_orderdate" < $"valid_to"))
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+          $"priority", $"valid_from", $"anchor_key")
+        .orderBy($"o_orderkey")
     }),
 
     // Table reconciliation: ORDER-INDEPENDENT per-segment checksums —
@@ -440,6 +474,28 @@ object MaintenanceOps {
         |       CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
         |FROM windows
         |ORDER BY custkey, valid_from, anchor_key""".stripMargin,
+
+    "rel_temporal_lookup" ->
+      """WITH lagged AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |changes AS (
+        |  SELECT * FROM lagged
+        |  WHERE prev IS NULL OR prev <> o_orderpriority),
+        |hist AS (
+        |  SELECT o_custkey AS custkey, o_orderkey AS anchor_key,
+        |         o_orderpriority AS priority, o_orderdate AS valid_from,
+        |         lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |  FROM changes)
+        |SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+        |       h.priority, h.valid_from, h.anchor_key
+        |FROM orders o JOIN hist h ON o.o_custkey = h.custkey
+        | AND h.valid_from <= o.o_orderdate
+        | AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+        |ORDER BY o.o_orderkey""".stripMargin,
 
     // direct (non-incremental) aggregate: equality with the merged
     // partials proves the maintenance identity

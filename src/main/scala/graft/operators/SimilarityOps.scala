@@ -43,6 +43,7 @@ object SimilarityOps {
   private val PCA_ITERS = 3        // power-iteration rounds, unrolled
   private val PCA_QSCALE = 10000L  // component quantization: floor(x·10^4)
   private val PCA_VSCALE = 1000000L // per-round renorm: max|v| = 10^6
+  private val KC_K = 4             // k-center exemplars (seed + 3 rounds)
 
   /** Codegen'd one-pass cosine; bit-identical to the unrolled/oracle form
     * (see [[graft.functions.VectorExpressions]]).
@@ -274,6 +275,94 @@ object SimilarityOps {
           (1 to DIM).map(i => s"$i, v$i").mkString(", ") +
           ") AS (dim_idx, loading)")
         .orderBy($"dim_idx")
+    }),
+
+    // Greedy k-center diversity selection (Gonzalez 1985 farthest-point
+    // traversal, the 2-approximation for metric k-center) — the coreset
+    // / diversity-sampling pass a curation pipeline runs to pick
+    // maximally-spread exemplars instead of random ones. Exact-integer
+    // contract: components quantize to floor(x·10^4), squared L2
+    // distances are BIGINT sums, every argmax is max(struct(key,
+    // -vec_id)) so ties break to the smallest id — bit-identical
+    // unrolled CTEs on the oracle side. Seed = largest ‖q‖² (the
+    // deterministic stand-in for production's "farthest from the
+    // dataset mean"); each round adds the point maximizing min distance
+    // to the selected set and records that covering radius. Fully
+    // declarative: the selected set is a 1-row broadcast threaded
+    // through KC_K-1 unrolled rounds — per round one corpus scan with a
+    // map-side 64-term distance and one 1-row aggregate; nothing
+    // corpus-sized shuffles, no driver state.
+    "llm_kcenter" -> ((s, dir) => {
+      import s.implicits._
+      val q = Tables.embeddings(s, dir).select($"vec_id", expr(
+        s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $PCA_QSCALE) AS BIGINT))")
+        .as("qv"))
+      val norm2 = (1 to DIM).map(i =>
+        element_at($"qv", i) * element_at($"qv", i)).reduceLeft(_ + _)
+      // seed: max ‖q‖², tie → min vec_id; carry its coords on the 1-row
+      val c1 = q.withColumn("key", struct(norm2.as("d"), (-$"vec_id").as("ni")))
+        .agg(max($"key").as("k"), max_by($"qv", $"key").as("cqv"))
+        .select((-$"k.ni").as("sel_id"), lit(1).as("rank"),
+          lit(null).cast("long").as("d2"), $"cqv".as("c1"))
+      var picked: DataFrame = c1
+      var out = c1.select($"rank", $"sel_id".as("vec_id"), $"d2")
+      for (r <- 2 to KC_K) {
+        val dTo = (1 to r - 1).map { j =>
+          (1 to DIM).map { i =>
+            val d = element_at($"qv", i) - element_at(col(s"c$j"), i)
+            d * d
+          }.reduceLeft(_ + _)
+        }
+        val dmin = if (dTo.size == 1) dTo.head else least(dTo: _*)
+        val next = q.crossJoin(broadcast(picked.drop("sel_id", "rank", "d2")))
+          .withColumn("dmin", dmin)
+          .withColumn("key", struct($"dmin".as("d"), (-$"vec_id").as("ni")))
+          .agg(max($"key").as("k"), max_by($"qv", $"key").as("cqv"))
+          .select((-$"k.ni").as("sel_id"), lit(r).as("rank"),
+            $"k.d".as("d2"), $"cqv".as(s"c$r"))
+        out = out.unionByName(next.select($"rank", $"sel_id".as("vec_id"), $"d2"))
+        picked = picked.crossJoin(broadcast(next.select(col(s"c$r"))))
+      }
+      out.orderBy($"rank")
+    }),
+
+    // Linear-probe evaluation of the embedding space: for every class,
+    // score each vector by its dot product with that class's integer
+    // centroid direction (Σ of quantized components over the class — no
+    // division, so the direction is exact), then measure one-vs-rest
+    // ROC-AUC as the exact Mann-Whitney U rank statistic: u2 = 2·U =
+    // Σ_{distinct score s} n_pos(s)·(2·n_neg_below(s) + n_neg(s)) —
+    // ties contribute the standard ½ without any float forming; `auc`
+    // is ONE final int/int double division, identical in both engines.
+    // The model-quality measurement loop (probing, Alain & Bengio 2017)
+    // run over an EVAL SPLIT in production — the rank window partitions
+    // by probe label over score-grouped aggregates of that bounded
+    // split, never the raw corpus.
+    "llm_probe_auc" -> ((s, dir) => {
+      import s.implicits._
+      val q = Tables.embeddings(s, dir).select($"vec_id", $"label", expr(
+        s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $PCA_QSCALE) AS BIGINT))")
+        .as("qv"))
+      val dirAggs = (1 to DIM).map(i => sum(element_at($"qv", i)).as(s"s$i"))
+      val dirs = q.groupBy($"label".as("probe")).agg(dirAggs.head, dirAggs.tail: _*)
+      val score = (1 to DIM).map(i => element_at($"qv", i) * col(s"s$i"))
+        .reduceLeft(_ + _)
+      val byScore = q.crossJoin(broadcast(dirs))
+        .withColumn("score", score)
+        .groupBy($"probe", $"score")
+        .agg(sum(when($"label" === $"probe", 1L).otherwise(0L)).as("np"),
+          sum(when($"label" =!= $"probe", 1L).otherwise(0L)).as("nn"))
+      val w = Window.partitionBy($"probe").orderBy($"score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byScore
+        .withColumn("cnb", coalesce(sum($"nn").over(w), lit(0L)))
+        .groupBy($"probe")
+        .agg(sum($"np").as("n_pos"), sum($"nn").as("n_neg"),
+          sum($"np" * (lit(2L) * $"cnb" + $"nn")).as("u2"))
+        .select($"probe", $"n_pos", $"n_neg", $"u2",
+          ($"u2".cast("double") /
+            (lit(2L) * $"n_pos" * $"n_neg").cast("double")).as("auc"))
+        .orderBy($"probe")
     }),
 
     // Hybrid retrieval: vector top-k restricted to quality-gated docs
@@ -697,8 +786,75 @@ object SimilarityOps {
        |$unpivot ORDER BY dim_idx""".stripMargin
   }
 
+  /** DuckDB mirror of llm_kcenter's unrolled farthest-point traversal:
+    * per round the min-distance-to-selected is a least() over explicit
+    * 64-term squared-L2 sums and the argmax is ORDER BY dmin DESC,
+    * vec_id LIMIT 1 — every quantity BIGINT, so the greedy choice
+    * sequence cannot diverge between engines.
+    */
+  private def kcenterOracleSql: String = {
+    def dist(a: String, b: String): String =
+      (1 to DIM).map(i =>
+        s"($a.qv[$i]-$b.qv[$i])*($a.qv[$i]-$b.qv[$i])").mkString(" + ")
+    val norm2 = (1 to DIM).map(i => s"qv[$i]*qv[$i]").mkString(" + ")
+    val rounds = (2 to KC_K).flatMap { r =>
+      val mins = (1 until r).map(j => dist("q", s"k$j")).mkString(", ")
+      val joins = (1 until r).map(j => s"CROSS JOIN c$j k$j").mkString(" ")
+      Seq(
+        s"d$r AS (SELECT q.vec_id, q.qv, least($mins) AS dmin FROM q $joins)",
+        s"c$r AS (SELECT vec_id, qv, dmin FROM d$r ORDER BY dmin DESC, vec_id LIMIT 1)")
+    }.mkString(",\n")
+    val out = (s"SELECT 1 AS rank, vec_id, CAST(NULL AS BIGINT) AS d2 FROM c1" +:
+      (2 to KC_K).map(r =>
+        s"SELECT $r AS rank, vec_id, CAST(dmin AS BIGINT) AS d2 FROM c$r"))
+      .mkString(" UNION ALL ")
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * $PCA_QSCALE) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |c1 AS (SELECT vec_id, qv FROM q
+       |  ORDER BY ($norm2) DESC, vec_id LIMIT 1),
+       |$rounds
+       |$out ORDER BY rank""".stripMargin
+  }
+
+  /** DuckDB mirror of llm_probe_auc: integer class-centroid directions,
+    * integer dot-product scores, and the tie-aware 2·U rank statistic —
+    * the only double is the final one-division auc.
+    */
+  private def probeAucOracleSql: String = {
+    val dirSums = (1 to DIM).map(i => s"sum(qv[$i]) AS s$i").mkString(", ")
+    val dot = (1 to DIM).map(i => s"q.qv[$i]*d.s$i").mkString(" + ")
+    s"""WITH q AS (
+       |  SELECT vec_id, label, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * $PCA_QSCALE) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |dirs AS (SELECT label AS probe, $dirSums FROM q GROUP BY label),
+       |sc AS (SELECT probe, q.label, ($dot) AS score
+       |       FROM q CROSS JOIN dirs d),
+       |by_score AS (
+       |  SELECT probe, score,
+       |   sum(CASE WHEN label = probe THEN 1 ELSE 0 END) AS np,
+       |   sum(CASE WHEN label <> probe THEN 1 ELSE 0 END) AS nn
+       |  FROM sc GROUP BY probe, score),
+       |wn AS (
+       |  SELECT probe, np, nn,
+       |   coalesce(sum(nn) OVER (PARTITION BY probe ORDER BY score
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+       |  FROM by_score)
+       |SELECT probe, CAST(sum(np) AS BIGINT) AS n_pos,
+       | CAST(sum(nn) AS BIGINT) AS n_neg,
+       | CAST(sum(np * (2 * cnb + nn)) AS BIGINT) AS u2,
+       | CAST(CAST(sum(np * (2 * cnb + nn)) AS BIGINT) AS DOUBLE)
+       |   / CAST(2 * CAST(sum(np) AS BIGINT) * CAST(sum(nn) AS BIGINT)
+       |          AS DOUBLE) AS auc
+       |FROM wn GROUP BY probe ORDER BY probe""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "llm_embed_pca" -> pcaOracleSql,
+    "llm_kcenter" -> kcenterOracleSql,
+    "llm_probe_auc" -> probeAucOracleSql,
 
     "llm_embed_topk" ->
       s"""SELECT qid, CAST(rn AS INTEGER) AS rn, vec_id, cosine FROM (

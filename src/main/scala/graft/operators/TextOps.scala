@@ -569,6 +569,77 @@ object TextOps {
         .orderBy($"lift_x1000".desc, $"w1", $"w2").limit(20)
     }),
 
+    // Per-doc bigram-LM fluency score — the KenLM/CCNet-style language-
+    // model quality filter shape: score each document by how probable
+    // its adjacent word pairs are under an n-gram LM (here the LM is the
+    // corpus's own bigram table; production fits it on a trusted
+    // reference corpus and the doc side is unchanged). Every quantity is
+    // EXACT integer: each pair contributes floor(R·n12/n1) (R = 10^6,
+    // Spark `div` ≡ DuckDB `//`), the doc score is the integer mean of
+    // its pair contributions, and low `lm_x` = disfluent/synthetic text
+    // — no log-prob float ever forms, which is what makes the oracle a
+    // hash compare instead of a tolerance. Scale shape: the LM is a
+    // vocabulary²-bounded table; the corpus pays one bigram explode +
+    // one (w1,w2)-keyed join + one doc_id-keyed agg — all equi-keyed
+    // shuffles with map-side partials, no window, no driver state.
+    "llm_lm_score" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val bi = docs
+        .select($"doc_id", split($"text", " ").as("w"))
+        .filter(size($"w") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+          .as("b"))
+        .select($"doc_id", $"b.w1", $"b.w2")
+      val n12 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("n12"))
+      val n1 = bi.groupBy($"w1").agg(count(lit(1)).as("n1"))
+      val lm = n12.join(n1, "w1")
+        .select($"w1", $"w2", expr("(n12 * 1000000L) div n1").as("r"))
+      bi.join(lm, Seq("w1", "w2"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_pairs"), sum($"r").as("sum_r"))
+        .select($"doc_id", $"n_pairs",
+          expr("sum_r div n_pairs").as("lm_x"))
+        .orderBy($"doc_id")
+    }),
+
+    // DSIR-style importance weight (Xie et al., NeurIPS 2023 "Data
+    // Selection for Language Models via Importance Resampling"): weight
+    // every corpus doc by how much its n-gram distribution looks like a
+    // TARGET domain (here lang='en' — the raw side is the whole corpus).
+    // Each bigram occurrence g contributes the add-1-smoothed frequency
+    // ratio floor(R·(1+c_target(g)) / (1+c_raw(g))); the doc weight is
+    // the integer mean over its bigrams. Docs whose phrasing matches the
+    // target domain get weight near R·|target|/|raw|; out-of-domain
+    // phrasing decays toward R/(1+c_raw) — the resampling weight DSIR
+    // feeds to sampling (our salted-hash weightedSample is the
+    // downstream consumer). Exact-integer end to end, same scale shape
+    // as llm_lm_score: vocabulary-bounded ratio table, corpus pays one
+    // explode + one gram-keyed join + one doc-keyed agg.
+    "llm_dsir_weight" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val bi = docs
+        .select($"doc_id", $"lang", split($"text", " ").as("w"))
+        .filter(size($"w") >= 2)
+        .select($"doc_id", $"lang", explode(expr(
+          "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+          .as("b"))
+        .select($"doc_id", $"lang", $"b.w1", $"b.w2")
+      val ratio = bi.groupBy($"w1", $"w2")
+        .agg(count(lit(1)).as("c_raw"),
+          sum(when($"lang" === "en", 1L).otherwise(0L)).as("c_tgt"))
+        .select($"w1", $"w2",
+          expr("((1 + c_tgt) * 1000000L) div (1 + c_raw)").as("r"))
+      bi.join(ratio, Seq("w1", "w2"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"), sum($"r").as("sum_r"))
+        .select($"doc_id", $"n_grams",
+          expr("sum_r div n_grams").as("dsir_x"))
+        .orderBy($"doc_id")
+    }),
+
     // Sliding-window chunking (20-word chunks, stride 15): the RAG /
     // long-doc-embedding preprocessing step; (doc_id, chunk_idx) is the
     // stable chunk key.
@@ -986,6 +1057,41 @@ object TextOps {
         |     ORDER BY n12 DESC, w2) AS rn
         |  FROM n12 JOIN n1 ON n12.w1 = n1.w1)
         |WHERE rn <= 3 ORDER BY w1, rn""".stripMargin,
+
+    "llm_lm_score" ->
+      """WITH bi AS (
+        |  SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |             i -> {'w1': w[i], 'w2': w[i+1]})) AS b
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |    WHERE len(w) >= 2)),
+        |n12 AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY w1, w2),
+        |n1 AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY w1),
+        |lm AS (
+        |  SELECT n12.w1, w2, (n12 * 1000000) // n1 AS r
+        |  FROM n12 JOIN n1 ON n12.w1 = n1.w1)
+        |SELECT doc_id, count(*) AS n_pairs,
+        | CAST(CAST(sum(r) AS BIGINT) // count(*) AS BIGINT) AS lm_x
+        |FROM bi JOIN lm ON bi.w1 = lm.w1 AND bi.w2 = lm.w2
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_dsir_weight" ->
+      """WITH bi AS (
+        |  SELECT doc_id, lang, b['w1'] AS w1, b['w2'] AS w2 FROM (
+        |    SELECT doc_id, lang, unnest(list_transform(range(1, len(w)),
+        |             i -> {'w1': w[i], 'w2': w[i+1]})) AS b
+        |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |          FROM documents)
+        |    WHERE len(w) >= 2)),
+        |ratio AS (
+        |  SELECT w1, w2,
+        |   ((1 + sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)) * 1000000)
+        |     // (1 + count(*)) AS r
+        |  FROM bi GROUP BY w1, w2)
+        |SELECT doc_id, count(*) AS n_grams,
+        | CAST(CAST(sum(r) AS BIGINT) // count(*) AS BIGINT) AS dsir_x
+        |FROM bi JOIN ratio ON bi.w1 = ratio.w1 AND bi.w2 = ratio.w2
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "llm_quality_winsor" ->
       """WITH ranked AS (

@@ -289,4 +289,24 @@ class DedupOpsSpec extends SparkSpec {
     assert((blocked -- snm).nonEmpty, "blocked join should find sort-distant pairs")
     assert((snm -- blocked).nonEmpty, "SNM should find band-straddling pairs")
   }
+
+  test("llm_ppjoin: prefix filter is LOSSLESS — equals brute-force exact Jaccard") {
+    val got = q("llm_ppjoin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" "))
+      .collect { case (id, ws) if ws.length >= 3 =>
+        id -> ws.sliding(3).map(_.mkString(" ")).toSet }
+    val want = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b
+      inter = (sa & sb).size
+      if 3 * inter >= sa.size + sb.size
+    } yield (a, b, inter.toLong)).toSet
+    assert(got == want, "prefix-filtered join must equal the all-pairs truth")
+    assert(want.nonEmpty, "fixture corpus should contain θ≥1/2 pairs")
+    // every reported similarity is genuinely ≥ 1/2
+    for (r <- q("llm_ppjoin").collect())
+      assert(r.getLong(5) >= 500L, s"pair below threshold: $r")
+  }
 }

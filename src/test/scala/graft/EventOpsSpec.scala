@@ -195,4 +195,30 @@ class EventOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(99L))
     assert(out.head.getDouble(3) > 3.0) // z of the planted spike
   }
+
+  test("ev_session_window: gap boundary (exactly 30 min merges), end = last + gap") {
+    // four events: 28.3 min gap (merges), EXACTLY 30 min (still merges —
+    // touching [ts, ts+gap) windows union), then 30 min + 1 µs (splits);
+    // same `>` island rule as ev_sessionize, asserted on the same data
+    val t0 = 1000000000000000L // ns
+    val t1 = t0 + 1700000000000L
+    val t2 = t1 + 1800000000000L           // exactly the gap
+    val t3 = t2 + 1800000001000L           // gap + 1 µs
+    val events = Seq(
+      (1L, t0, 1L, "click", 1.0, "{}"),
+      (2L, t1, 1L, "click", 2.0, "{}"),
+      (3L, t2, 1L, "click", 4.0, "{}"),
+      (4L, t3, 1L, "click", 8.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tempSfDir("events" -> events)
+    val rows = q("ev_session_window", dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val gapMs = 1800000L
+    assert(rows.toSeq == Seq(
+      (t0 / 1000000, t2 / 1000000 + gapMs, 3L, 7.0),
+      (t3 / 1000000, t3 / 1000000 + gapMs, 1L, 8.0)))
+    // the lag-window island counter agrees: two sessions
+    val sess = q("ev_sessionize", dir).collect()
+    assert(sess.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
 }

@@ -253,4 +253,33 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(parquetFiles(comp).length == want,
       s"expected $want compacted files, got ${parquetFiles(comp).length}")
   }
+
+  test("rel_temporal_lookup: every fact enriched with exactly its as-of version") {
+    val out = q("rel_temporal_lookup").collect()
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      .collect()
+    assert(out.length == orders.length, "point-in-time join must be 1:1")
+    // reference: per customer, the matching version is the LAST change
+    // point with valid_from <= order date (half-open interval semantics).
+    // Dates are NTZ — compare via their ISO string form (lexicographic
+    // order is chronological for a fixed format).
+    def d(r: org.apache.spark.sql.Row, i: Int): String = r.get(i).toString
+    val expect = orders.groupBy(_.getLong(1)).toSeq.flatMap { case (_, os) =>
+      val sorted = os.sortBy(r => (d(r, 2), r.getLong(0)))
+      val changes = sorted.foldLeft(Vector.empty[(String, String, Long)]) {
+        case (acc, r) =>
+          if (acc.isEmpty || acc.last._2 != r.getString(3))
+            acc :+ ((d(r, 2), r.getString(3), r.getLong(0)))
+          else acc
+      }
+      sorted.map { r =>
+        val v = changes.filter(_._1 <= d(r, 2)).last
+        r.getLong(0) -> ((v._2, v._1, v._3))
+      }
+    }
+    val got = out.map(r => r.getLong(0) ->
+      ((r.getString(3), d(r, 4), r.getLong(5)))).toMap
+    assert(got == expect.toMap, "as-of versions diverge from the reference walk")
+  }
 }

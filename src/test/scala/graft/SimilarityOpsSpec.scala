@@ -254,4 +254,54 @@ class SimilarityOpsSpec extends SparkSpec {
       (math.sqrt(e.map(a => a * a).sum) * math.sqrt(v.map(a => a * a).sum))
     assert(cos > 0.99999, s"integer and double directions diverge: cos=$cos")
   }
+
+  test("llm_kcenter: greedy farthest-point matches an in-memory reference") {
+    val rows = q("llm_kcenter").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 10000).toLong).toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val seed = vecs.maxBy { case (id, v) => (v.map(x => x * x).sum, -id) }
+    var sel = Vector(seed)
+    var expect = Vector((1, seed._1, Option.empty[Long]))
+    for (r <- 2 to 4) {
+      val (id, v, dm) = vecs
+        .map { case (id, v) => (id, v, sel.map(c => d2(v, c._2)).min) }
+        .maxBy { case (id, _, dm) => (dm, -id) }
+      sel :+= ((id, v)); expect :+= ((r, id, Some(dm)))
+    }
+    val got = rows.map(r => (r.getInt(0), r.getLong(1),
+      if (r.isNullAt(2)) Option.empty[Long] else Some(r.getLong(2))))
+    assert(got.toVector == expect)
+    // covering radius is non-increasing — the greedy invariant
+    val radii = expect.flatMap(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("llm_probe_auc: exact Mann-Whitney 2U matches brute-force pair counting") {
+    val rows = q("llm_probe_auc").collect()
+    val data = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => (r.getInt(2),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 10000).toLong).toArray))
+    val dirs: Map[Int, Array[Long]] = data.groupBy(_._1).map { case (l, vs) =>
+      l -> (0 until 64).map(i => vs.map(_._2(i)).sum).toArray
+    }
+    assert(rows.map(_.getInt(0)).toSeq == data.map(_._1).distinct.sorted.toSeq)
+    for (row <- rows) {
+      val p = row.getInt(0)
+      val scores = data.map { case (l, v) =>
+        (l, v.zip(dirs(p)).map { case (x, s) => x * s }.sum)
+      }
+      val pos = scores.filter(_._1 == p).map(_._2)
+      val neg = scores.filter(_._1 != p).map(_._2)
+      val u2 = (for (a <- pos; b <- neg)
+        yield if (a > b) 2L else if (a == b) 1L else 0L).sum
+      assert(row.getLong(1) == pos.length && row.getLong(2) == neg.length)
+      assert(row.getLong(3) == u2, s"probe $p: u2 mismatch")
+      assert(row.getDouble(4) == u2.toDouble / (2.0 * pos.length * neg.length))
+    }
+  }
 }

@@ -329,4 +329,36 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r.getAs[Long]("n_a") == 5L && r.getAs[Long]("n_b") == 5L)
     assert(r.getAs[Long]("lift_x1000") == 2618L)
   }
+
+  test("llm_lm_score: hand-computed bigram fluency, sub-2-word docs excluded") {
+    val df = Seq(
+      (1L, "a b a b", "en", "s0", 7L),
+      (2L, "a b c", "en", "s0", 5L),
+      (3L, "x", "en", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = q("llm_lm_score", tempSfDir("documents" -> df)).collect()
+    // LM: n12(a,b)=3 n12(b,a)=1 n12(b,c)=1; n1(a)=3 n1(b)=2
+    // r(a,b) = 3e6 div 3 = 1_000_000; r(b,a) = r(b,c) = 500_000
+    // doc1: (1e6 + 5e5 + 1e6) div 3 = 833_333; doc2: 1.5e6 div 2 = 750_000
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // doc 3 has no bigram
+    val m = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m(1L) == ((3L, 833333L)))
+    assert(m(2L) == ((2L, 750000L)))
+  }
+
+  test("llm_dsir_weight: add-1 smoothed target/raw ratios, integer mean") {
+    val df = Seq(
+      (1L, "a b", "en", "s0", 3L),
+      (2L, "a b c", "de", "s0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = q("llm_dsir_weight", tempSfDir("documents" -> df)).collect()
+    // (a,b): raw 2, tgt 1 → (2·1e6) div 3 = 666_666
+    // (b,c): raw 1, tgt 0 → 1e6 div 2 = 500_000
+    // doc1 = 666_666; doc2 = (666_666 + 500_000) div 2 = 583_333
+    val m = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m(1L) == ((1L, 666666L)))
+    assert(m(2L) == ((2L, 583333L)))
+    // in-domain doc scores strictly higher than the out-of-domain one
+    assert(m(1L)._2 > m(2L)._2)
+  }
 }
