@@ -488,28 +488,48 @@ object DedupOps {
     // (div ≡ //).
     "llm_ppjoin" -> ((s, dir) => {
       import s.implicits._
-      val toks = shingles(s, dir).distinct()
+      // The distinct token table and the df-ordered prefix index are
+      // each materialized ONCE (localCheckpoint) — they are index
+      // artifacts a production deployment persists (the band-index
+      // pattern), and every downstream use (candidate join + two-sided
+      // verify) reads the materialized form instead of re-running the
+      // explode/distinct/window chain per use.
+      val toks = shingles(s, dir).distinct().localCheckpoint()
       val dfreq = toks.groupBy($"s").agg(count(lit(1)).as("df"))
       val wDoc = Window.partitionBy($"doc_id")
-      val ranked = toks.join(dfreq, "s")
+      val pref = toks.join(dfreq, "s")
         .withColumn("rn", row_number().over(wDoc.orderBy($"df", $"s")))
         .withColumn("sz", count(lit(1)).over(wDoc))
-      val pref = ranked
         .filter($"rn" <= $"sz" - expr("(sz + 1) div 2") + 1)
-        .select($"doc_id", $"s")
+        .select($"doc_id", $"s", $"rn", $"sz")
+        .localCheckpoint()
+      // two sound candidate prunes applied INSIDE the join, so filtered
+      // collisions never materialize (sizes/positions ride the prefix
+      // rows, no re-join at the end):
+      //  - size band (Arasu et al. VLDB'06): jac ≥ 1/2 forces
+      //    max(|a|,|b|) ≤ 2·min(|a|,|b|);
+      //  - positional upper bound (Xiao et al. WWW'08): at the FIRST
+      //    token shared by both prefixes no earlier shared token can
+      //    exist (consistent global order), so |∩| ≤ 1 + min(|a|−p_a,
+      //    |b|−p_b) — prune when that bound misses the required
+      //    α = ceil((|a|+|b|)/3). Every qualifying pair keeps ≥ 1
+      //    passing collision row (its first prefix-shared token), so
+      //    the join stays LOSSLESS — the spec's brute-force equality
+      //    machine-checks exactly this.
       val cand = pref.as("a").join(pref.as("b"),
-          $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id")).distinct()
-      val sizes = toks.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+          $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
+            $"a.sz" <= $"b.sz" * 2 && $"b.sz" <= $"a.sz" * 2 &&
+            expr("least(a.sz - a.rn, b.sz - b.rn) + 1 >= " +
+              "(a.sz + b.sz + 2) div 3"))
+        .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
+          $"a.sz".as("na"), $"b.sz".as("nb")).distinct()
       cand
         .join(toks.as("ta"), $"ta.doc_id" === $"a_id")
         .join(toks.as("tb"), $"tb.doc_id" === $"b_id" && $"tb.s" === $"ta.s")
-        .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
-        .join(sizes.as("sa"), $"sa.doc_id" === $"a_id")
-        .join(sizes.as("sb"), $"sb.doc_id" === $"b_id")
-        .filter($"inter" * 3 >= $"sa.sz" + $"sb.sz")
-        .select($"a_id", $"b_id", $"sa.sz".as("na"), $"sb.sz".as("nb"),
-          $"inter")
+        .groupBy($"a_id", $"b_id", $"na", $"nb")
+        .agg(count(lit(1)).as("inter"))
+        .filter($"inter" * 3 >= $"na" + $"nb")
+        .select($"a_id", $"b_id", $"na", $"nb", $"inter")
         .withColumn("jac_x1000", expr("(1000 * inter) div (na + nb - inter)"))
         .orderBy($"a_id", $"b_id")
     }),
