@@ -47,7 +47,8 @@ object Bench {
     "llm_hybrid_search", "llm_hybrid_rrf", "llm_corpus_report",
     "llm_bm25", "llm_inverted_index", "llm_mix_temperature",
     "llm_sample_topk", "llm_embed_quantize", "llm_chunk", "llm_bigram_lm",
-    "llm_lm_score", "llm_dsir_weight",
+    "llm_lm_score", "llm_dsir_weight", "llm_ngram_diversity",
+    "llm_budget_waterfill", "llm_tokenizer_fertility",
     "llm_pmi_bigrams", "llm_quality_winsor",
     "llm_pii_redact", "llm_substring_dedup", "llm_doc_features",
     "llm_quality_classify", "llm_embed_kmeans", "llm_semdedup",
@@ -55,6 +56,7 @@ object Bench {
     "llm_embed_lsh_knn", "llm_embed_lsh_knn2", "llm_embed_pq",
     "llm_embed_pq_served", "llm_embed_ivf_served", "llm_ann_recall",
     "llm_hard_negatives", "llm_embed_pca", "llm_kcenter", "llm_probe_auc",
+    "llm_source_centroid_sim",
     "llm_embed_neardup", "llm_embed_neardup_lsh", "llm_lang_id", "llm_tfidf",
     "llm_fuzzy_pairs", "llm_sorted_neighborhood",
     "llm_quality_score", "llm_token_count", "llm_fingerprint",

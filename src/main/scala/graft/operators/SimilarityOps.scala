@@ -371,6 +371,42 @@ object SimilarityOps {
         .orderBy($"probe")
     }),
 
+    // Embedding-space audit: pairwise cosine between per-SOURCE centroid
+    // directions — the drift/contamination check a multi-crawl corpus
+    // runs on its embedding space ("are two crawls semantically the
+    // same source?"). The centroid direction is the exact integer SUM
+    // of quantized vectors (cos(mean_a, mean_b) = cos(sum_a, sum_b) —
+    // the 1/n scaling cancels, so no division ever enters the
+    // direction); dot and norms are exact DECIMAL(38,0) sums and the
+    // cosine is one fixed-association double expression (sqrt is
+    // IEEE-correctly-rounded in both engines — the llm_mix_temperature
+    // precedent). Corpus cost: one source-keyed 64-column aggregate;
+    // the pairwise join runs on the |sources|-bounded centroid table.
+    "llm_source_centroid_sim" -> ((s, dir) => {
+      import s.implicits._
+      val q = Tables.documents(s, dir).select($"doc_id", $"source")
+        .join(Tables.embeddings(s, dir), $"doc_id" === $"vec_id")
+        .select($"source", expr(
+          s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $PCA_QSCALE) AS BIGINT))")
+          .as("qv"))
+      val sums = (1 to DIM).map(i => sum(element_at($"qv", i)).as(s"s$i"))
+      val cent = q.groupBy($"source").agg(sums.head, sums.tail: _*)
+      // cast BEFORE the multiply: per-source sums can exceed sqrt(2^63)
+      // at production source sizes, so the product must form in decimal
+      val dot = (1 to DIM).map(i =>
+        col(s"a.s$i").cast("decimal(38,0)") * col(s"b.s$i"))
+        .reduceLeft(_ + _)
+      def n2(side: String) = (1 to DIM).map(i =>
+        col(s"$side.s$i").cast("decimal(38,0)") * col(s"$side.s$i"))
+        .reduceLeft(_ + _)
+      cent.as("a").join(cent.as("b"), $"a.source" < $"b.source")
+        .select($"a.source".as("src_a"), $"b.source".as("src_b"),
+          (dot.cast("double") /
+            (sqrt(n2("a").cast("double")) * sqrt(n2("b").cast("double"))))
+            .as("cosine"))
+        .orderBy($"src_a", $"src_b")
+    }),
+
     // Hybrid retrieval: vector top-k restricted to quality-gated docs
     // (documents ⋈ embeddings 1:1 on id) — the filtered-search shape
     // every RAG / data-selection pipeline runs. The query vector is a
@@ -857,10 +893,33 @@ object SimilarityOps {
        |FROM wn GROUP BY probe ORDER BY probe""".stripMargin
   }
 
+  /** DuckDB mirror of llm_source_centroid_sim: HUGEINT centroid sums,
+    * HUGEINT dot/norms, one fixed-association double cosine.
+    */
+  private def centroidSimOracleSql: String = {
+    val sums = (1 to DIM).map(i => s"sum(qv[$i]) AS s$i").mkString(", ")
+    val dot = (1 to DIM).map(i => s"CAST(a.s$i AS HUGEINT) * b.s$i")
+      .mkString(" + ")
+    def n2(side: String) = (1 to DIM)
+      .map(i => s"CAST($side.s$i AS HUGEINT) * $side.s$i").mkString(" + ")
+    s"""WITH q AS (
+       |  SELECT d.source, list_transform(e.embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * $PCA_QSCALE) AS BIGINT)) AS qv
+       |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+       |cent AS (SELECT source, $sums FROM q GROUP BY source)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       | CAST(($dot) AS DOUBLE)
+       |   / (sqrt(CAST(${n2("a")} AS DOUBLE))
+       |      * sqrt(CAST(${n2("b")} AS DOUBLE))) AS cosine
+       |FROM cent a JOIN cent b ON a.source < b.source
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "llm_embed_pca" -> pcaOracleSql,
     "llm_kcenter" -> kcenterOracleSql,
     "llm_probe_auc" -> probeAucOracleSql,
+    "llm_source_centroid_sim" -> centroidSimOracleSql,
 
     "llm_embed_topk" ->
       s"""SELECT qid, CAST(rn AS INTEGER) AS rn, vec_id, cosine FROM (

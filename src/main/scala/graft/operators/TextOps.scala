@@ -640,6 +640,107 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
+    // N-gram diversity panel (the self-repetition / synthetic-data
+    // health check, Gopher-style): per source and n ∈ {1,2,3}, total
+    // vs distinct gram counts and their exact ratio — collapsing
+    // distinct/total signals template-generated or looped text before
+    // it trains. Exact integers + one truncating division; the
+    // per-group exact DISTINCT is the same deliberate Expand the
+    // rel_profile family documents (sketch twin: HLL) — everything
+    // rides (source, n, gram)-keyed shuffles with map-side partials.
+    "llm_ngram_diversity" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select($"source", split($"text", " ").as("w"))
+      val grams = (1 to 3).map { n =>
+        val gram = (0 until n).map(j => s"w[i+$j]")
+          .mkString("concat_ws(' ', ", ", ", ")")
+        docs.filter(size($"w") >= n)
+          .select($"source", lit(n).as("n"), explode(
+            expr(s"transform(sequence(0, size(w)-$n), i -> $gram)")).as("g"))
+      }.reduce(_ unionByName _)
+      grams.groupBy($"source", $"n")
+        .agg(count(lit(1)).as("total"),
+          countDistinct($"g").as("n_distinct"))
+        .withColumn("ratio_x1000", expr("(1000 * n_distinct) div total"))
+        .orderBy($"source", $"n")
+    }),
+
+    // Budget water-filling (max-min fair allocation, Bertsekas &
+    // Gallager's classic): split a global doc budget B = 60% of the
+    // corpus across sources by capping the large ones at a common
+    // level c — the source-balancing step a mixing pipeline runs when
+    // one crawl dwarfs the rest. The level is found on the
+    // |sources|-bounded count table: sort ascending, prefix sums, and
+    // the unique boundary i where c = (B − prefix_i) div (S − i)
+    // clears n_i but not n_{i+1}; the integer remainder r goes +1 to
+    // the r largest capped sources (rank-deterministic), so
+    // Σ alloc = B EXACTLY — the invariant the spec checks. Every
+    // window runs over the bounded source table, never the corpus;
+    // the corpus pays one source-keyed count.
+    "llm_budget_waterfill" -> ((s, dir) => {
+      import s.implicits._
+      val cnt = Tables.documents(s, dir)
+        .groupBy($"source").agg(count(lit(1)).as("n"))
+      val tot = cnt.agg(sum($"n").as("total"), count(lit(1)).as("s_cnt"))
+        .withColumn("budget", expr("(6 * total) div 10"))
+      val w = Window.orderBy($"n", $"source")
+      val ranked = cnt.crossJoin(broadcast(tot))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("pfx",
+          sum($"n").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("nxt", lead($"n", 1).over(w))
+      val cands = ranked
+        .filter($"i" < $"s_cnt")
+        .withColumn("c", expr("(budget - pfx) div (s_cnt - i)"))
+        .filter($"n" <= $"c" && ($"nxt".isNull || $"c" < $"nxt"))
+        .select($"c".as("level"), $"i".as("bi"),
+          ($"budget" - $"pfx" - $"c" * ($"s_cnt" - $"i")).as("rem"))
+      val cand0 = ranked.filter($"i" === 1)
+        .withColumn("c", expr("budget div s_cnt"))
+        .filter($"c" < $"n")
+        .select($"c".as("level"), lit(0L).as("bi"),
+          ($"budget" - $"c" * $"s_cnt").as("rem"))
+      // exactly one boundary is feasible (monotone); agg min = that row
+      val lvl = cands.unionByName(cand0)
+        .agg(min($"level").as("level"), min($"bi").as("bi"),
+          min($"rem").as("rem"))
+      ranked.crossJoin(broadcast(lvl))
+        .withColumn("capped",
+          when($"level".isNotNull && $"i" > $"bi", 1).otherwise(0))
+        .withColumn("alloc",
+          when($"capped" === 0, $"n").otherwise(
+            $"level" + when($"i" >= $"s_cnt" - $"rem" + 1, 1L).otherwise(0L)))
+        .select($"source", $"n".as("n_docs"), $"capped", $"alloc")
+        .orderBy($"source")
+    }),
+
+    // Tokenizer fertility (tokens per word, per language) under the
+    // corpus-fitted 3-round BPE vocabulary — the tokenizer-equity
+    // audit (a language with high fertility pays more sequence length
+    // per word, the multilingual-tokenizer design signal). Reuses the
+    // dictionary-first segmented-word join of llm_bpe_apply; both
+    // sums are exact integers and the fertility is one truncating
+    // division. Corpus cost: one word explode + one dictionary join +
+    // one lang-keyed agg.
+    "llm_tokenizer_fertility" -> ((s, dir) => {
+      import s.implicits._
+      val docWords = Tables.documents(s, dir)
+        .select($"lang", explode(split($"text", " ")).as("word"))
+        .filter($"word" =!= "")
+      val words = docWords.groupBy($"word").agg(count(lit(1)).as("cnt"))
+      val toks = graft.api.GraftPipelines
+        .bpeSegmentations(words, "word", "cnt", 3)
+        .select($"word".as("tw"),
+          size(split($"seg", " ")).cast("long").as("n_sym"))
+      docWords.join(toks, $"word" === $"tw")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_words"), sum($"n_sym").as("n_tokens"))
+        .withColumn("fertility_x1000",
+          expr("(1000 * n_tokens) div n_words"))
+        .orderBy($"lang")
+    }),
+
     // Sliding-window chunking (20-word chunks, stride 15): the RAG /
     // long-doc-embedding preprocessing step; (doc_id, chunk_idx) is the
     // stable chunk key.
@@ -1157,6 +1258,72 @@ object TextOps {
       s"""$bpeCtePrefix
          |SELECT * FROM best1 UNION ALL SELECT * FROM best2
          |UNION ALL SELECT * FROM best3 ORDER BY round""".stripMargin,
+
+    "llm_ngram_diversity" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (
+        |  SELECT source, 1 AS n, unnest(w) AS g FROM w
+        |  UNION ALL
+        |  SELECT source, 2, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) FROM w WHERE len(w) >= 2
+        |  UNION ALL
+        |  SELECT source, 3, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |  FROM w WHERE len(w) >= 3)
+        |SELECT source, n, count(*) AS total,
+        | count(DISTINCT g) AS n_distinct,
+        | (1000 * count(DISTINCT g)) // count(*) AS ratio_x1000
+        |FROM g GROUP BY source, n ORDER BY source, n""".stripMargin,
+
+    "llm_budget_waterfill" ->
+      """WITH cnt AS (SELECT source, count(*) AS n FROM documents
+        |             GROUP BY source),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        |         count(*) AS s_cnt,
+        |         (6 * CAST(sum(n) AS BIGINT)) // 10 AS budget FROM cnt),
+        |ranked AS (
+        |  SELECT source, n, total, s_cnt, budget,
+        |   CAST(row_number() OVER (ORDER BY n, source) AS BIGINT) AS i,
+        |   CAST(sum(n) OVER (ORDER BY n, source
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx,
+        |   lead(n) OVER (ORDER BY n, source) AS nxt
+        |  FROM cnt CROSS JOIN tot),
+        |cands AS (
+        |  SELECT (budget - pfx) // (s_cnt - i) AS level, i AS bi,
+        |   budget - pfx - ((budget - pfx) // (s_cnt - i)) * (s_cnt - i)
+        |     AS rem
+        |  FROM ranked
+        |  WHERE i < s_cnt AND n <= (budget - pfx) // (s_cnt - i)
+        |    AND (nxt IS NULL OR (budget - pfx) // (s_cnt - i) < nxt)
+        |  UNION ALL
+        |  SELECT budget // s_cnt, 0, budget - (budget // s_cnt) * s_cnt
+        |  FROM ranked WHERE i = 1 AND budget // s_cnt < n),
+        |lvl AS (SELECT min(level) AS level, min(bi) AS bi,
+        |         min(rem) AS rem FROM cands)
+        |SELECT source, n AS n_docs,
+        | CAST(CASE WHEN level IS NOT NULL AND i > bi THEN 1 ELSE 0 END
+        |      AS INTEGER) AS capped,
+        | CAST(CASE WHEN level IS NULL OR i <= bi THEN n
+        |       ELSE level + (CASE WHEN i >= s_cnt - rem + 1 THEN 1
+        |                     ELSE 0 END) END AS BIGINT) AS alloc
+        |FROM ranked CROSS JOIN lvl ORDER BY source""".stripMargin,
+
+    "llm_tokenizer_fertility" ->
+      s"""$bpeCtePrefix,
+         |toks AS (
+         |  SELECT word AS tw,
+         |   CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_sym
+         |  FROM dict3)
+         |SELECT lang, count(*) AS n_words,
+         | CAST(sum(n_sym) AS BIGINT) AS n_tokens,
+         | (1000 * CAST(sum(n_sym) AS BIGINT)) // count(*)
+         |   AS fertility_x1000
+         |FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+         |      FROM documents) d
+         |JOIN toks ON d.word = toks.tw
+         |WHERE d.word <> ''
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "llm_bpe_apply" ->
       s"""$bpeCtePrefix,

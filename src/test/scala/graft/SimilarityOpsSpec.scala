@@ -304,4 +304,28 @@ class SimilarityOpsSpec extends SparkSpec {
       assert(row.getDouble(4) == u2.toDouble / (2.0 * pos.length * neg.length))
     }
   }
+
+  test("llm_source_centroid_sim: exact-sum cosines match an in-memory reference") {
+    val rows = q("llm_source_centroid_sim").collect()
+    val data = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .flatMap(r => data.get(r.getLong(0)).map(src => src ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 10000).toLong)))
+    val cents: Map[String, IndexedSeq[BigInt]] = vecs.groupBy(_._1)
+      .map { case (s, vs) =>
+        s -> (0 until 64).map(i => BigInt(vs.map(_._2(i)).sum))
+      }
+    val srcs = cents.keys.toSeq.sorted
+    assert(rows.length == srcs.size * (srcs.size - 1) / 2)
+    for (row <- rows) {
+      val (a, b) = (row.getString(0), row.getString(1))
+      val dot = (0 until 64).map(i => cents(a)(i) * cents(b)(i)).sum
+      def n2(s: String) = (0 until 64).map(i => cents(s)(i) * cents(s)(i)).sum
+      val want = dot.toDouble / (math.sqrt(n2(a).toDouble) * math.sqrt(n2(b).toDouble))
+      assert(row.getDouble(2) == want, s"$a vs $b")
+      assert(row.getDouble(2) >= -1.0000000001 && row.getDouble(2) <= 1.0000000001)
+    }
+  }
 }

@@ -361,4 +361,58 @@ class TextMultimodalSpec extends SparkSpec {
     // in-domain doc scores strictly higher than the out-of-domain one
     assert(m(1L)._2 > m(2L)._2)
   }
+
+  test("llm_ngram_diversity: repeated vs diverse text, hand-computed ratios") {
+    val df = Seq(
+      (1L, "a a a a", "en", "rep", 7L),
+      (2L, "a b c", "en", "div", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = q("llm_ngram_diversity", tempSfDir("documents" -> df)).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // "a a a a": 4 unigrams 1 distinct; 3 bigrams 1; 2 trigrams 1
+    assert(rows(("rep", 1)) == ((4L, 1L, 250L)))
+    assert(rows(("rep", 2)) == ((3L, 1L, 333L)))
+    assert(rows(("rep", 3)) == ((2L, 1L, 500L)))
+    // "a b c": all grams distinct → ratio 1000 at every n
+    assert(rows(("div", 1)) == ((3L, 3L, 1000L)))
+    assert(rows(("div", 2)) == ((2L, 2L, 1000L)))
+    assert(rows(("div", 3)) == ((1L, 1L, 1000L)))
+  }
+
+  test("llm_budget_waterfill: level, remainder distribution, exact-budget invariant") {
+    // sources 6/50/60 docs → total 116, budget 69; level = (69-6) div 2
+    // = 31 with remainder 1 → the LARGEST capped source gets the +1
+    val docs = (1 to 6).map(i => (i.toLong, s"t$i", "en", "A", 2L)) ++
+      (11 to 60).map(i => (i.toLong, s"t$i", "en", "B", 2L)) ++
+      (101 to 160).map(i => (i.toLong, s"t$i", "en", "C", 2L))
+    val df = docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = q("llm_budget_waterfill", tempSfDir("documents" -> df))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(rows("A") == ((6L, 0, 6L)))
+    assert(rows("B") == ((50L, 1, 31L)))
+    assert(rows("C") == ((60L, 1, 32L)))
+    // invariant on the real corpus: allocations sum EXACTLY to budget
+    // and never exceed supply
+    val real = q("llm_budget_waterfill").collect()
+    val n = real.map(_.getLong(1)).sum
+    assert(real.map(_.getLong(3)).sum == 6 * n / 10)
+    assert(real.forall(r => r.getLong(3) <= r.getLong(1)))
+  }
+
+  test("llm_tokenizer_fertility: per-lang sums consistent with llm_bpe_apply") {
+    val fert = q("llm_tokenizer_fertility").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // fertility ≥ 1 token/word by construction
+    assert(fert.values.forall { case (w, t) => t >= w })
+    // per-doc BPE counts grouped by the doc's lang reproduce n_tokens
+    val langOf = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byLang = q("llm_bpe_apply").collect()
+      .groupBy(r => langOf(r.getLong(0)))
+      .map { case (l, rs) => l -> rs.map(_.getLong(1)).sum }
+    assert(fert.map { case (l, (_, t)) => l -> t } == byLang)
+  }
 }
