@@ -1581,4 +1581,211 @@ object GraftPipelines {
     }
     (bests, dict)
   }
+
+  // ------------------------------------------------------------------
+  // Round-10: LM scoring, importance weighting, exact similarity join,
+  // diversity selection, evaluation, and budget allocation
+  // ------------------------------------------------------------------
+
+  /** Per-doc bigram-LM fluency score (KenLM/CCNet filter shape) in
+    * exact integer arithmetic: each adjacent word pair contributes
+    * floor(scale·count(w1 w2)/count(w1 ·)) under `lm` (a (w1, w2, r)
+    * ratio table — fit one with [[bigramLmRatios]] on a trusted
+    * reference corpus, or on `docs` itself for self-scoring); the doc
+    * score is the integer mean. Output: (id, n_pairs, lm_x).
+    */
+  def lmScore(docs: DataFrame, lm: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    adjacentBigrams(docs, id, text)
+      .join(lm, Seq("w1", "w2"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("r")).as("sum_r"))
+      .select(col(id), col("n_pairs"), expr("sum_r div n_pairs").as("lm_x"))
+  }
+
+  /** Bigram conditional-probability ratio table for [[lmScore]]:
+    * (w1, w2, r = floor(scale·n12/n1)) — vocabulary²-bounded.
+    */
+  def bigramLmRatios(docs: DataFrame, id: String = "doc_id",
+      text: String = "text", scale: Long = 1000000L): DataFrame = {
+    val bi = adjacentBigrams(docs, id, text)
+    val n12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    val n1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    n12.join(n1, "w1")
+      .select(col("w1"), col("w2"), expr(s"(n12 * ${scale}L) div n1").as("r"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023): per-doc mean
+    * add-1-smoothed target/raw bigram frequency ratio, where
+    * `isTarget` marks the target-domain rows of `docs` itself. Output:
+    * (id, n_grams, dsir_x) — feed `dsir_x` to [[weightedSample]].
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column, id: String = "doc_id",
+      text: String = "text", scale: Long = 1000000L): DataFrame = {
+    val bi = adjacentBigrams(docs.withColumn("__tgt", isTarget), id, text,
+      extra = Seq("__tgt"))
+    val ratio = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_raw"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("c_tgt"))
+      .select(col("w1"), col("w2"),
+        expr(s"((1 + c_tgt) * ${scale}L) div (1 + c_raw)").as("r"))
+    bi.join(ratio, Seq("w1", "w2"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"), sum(col("r")).as("sum_r"))
+      .select(col(id), col("n_grams"), expr("sum_r div n_grams").as("dsir_x"))
+  }
+
+  /** (id, w1, w2) adjacent word pairs — the shared explode of the LM
+    * scoring family.
+    */
+  private def adjacentBigrams(docs: DataFrame, id: String, text: String,
+      extra: Seq[String] = Nil): DataFrame = {
+    val keep = (id +: extra).map(col)
+    docs.select(keep :+ split(col(text), " ").as("w"): _*)
+      .filter(size(col("w")) >= 2)
+      .select(keep :+ explode(expr(
+        "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+        .as("b"): _*)
+      .select(keep :+ col("b.w1") :+ col("b.w2"): _*)
+  }
+
+  /** PPJoin-style EXACT set-similarity self-join (prefix filtering,
+    * Chaudhuri ICDE'06 / Xiao WWW'08) over distinct word-n-shingle
+    * sets: returns every pair with Jaccard ≥ num/den and its true
+    * similarity — the sketch-free complement to [[nearDuplicates]].
+    * Candidates come only from rare-prefix collisions, pruned further
+    * by the size band (den·min ≥ num·max... i.e. |a|·num ≤ |b|·den and
+    * vice versa) and the first-prefix-token positional bound; both
+    * prunes are sound, so the join is LOSSLESS. The shingle and prefix
+    * tables are localCheckpoint'd — the artifacts a deployment
+    * persists. Output: (a_id, b_id, na, nb, inter, jac_x1000).
+    */
+  def ppjoinPairs(docs: DataFrame, num: Int = 1, den: Int = 2,
+      shingleWidth: Int = 3, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    require(num > 0 && den >= num, "threshold must be in (0, 1]")
+    val toks = shingle(docs.select(col(id), col(text)), shingleWidth,
+      id, text).distinct().localCheckpoint()
+    val dfreq = toks.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col(id))
+    val pref = toks.join(dfreq, "s")
+      .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("s"))))
+      .withColumn("sz", count(lit(1)).over(wDoc))
+      // prefix length = sz − ceil(θ·sz) + 1
+      .filter(col("rn") <= col("sz") -
+        expr(s"($num * sz + $den - 1) div $den") + 1)
+      .select(col(id), col("s"), col("rn"), col("sz"))
+      .localCheckpoint()
+    // α = ceil(num·(na+nb)/(num+den)); jac ≥ num/den ⟺
+    // (num+den)·|∩| ≥ num·(na+nb)
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.s") === col("b.s") && col(s"a.$id") < col(s"b.$id") &&
+          col("a.sz") * num <= col("b.sz") * den &&
+          col("b.sz") * num <= col("a.sz") * den &&
+          expr("least(a.sz - a.rn, b.sz - b.rn) + 1 >= " +
+            s"($num * (a.sz + b.sz) + ${num + den} - 1) div ${num + den}"))
+      .select(col(s"a.$id").as("a_id"), col(s"b.$id").as("b_id"),
+        col("a.sz").as("na"), col("b.sz").as("nb")).distinct()
+    cand
+      .join(toks.as("ta"), col(s"ta.$id") === col("a_id"))
+      .join(toks.as("tb"),
+        col(s"tb.$id") === col("b_id") && col("tb.s") === col("ta.s"))
+      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * (num + den) >= (col("na") + col("nb")) * num)
+      .select(col("a_id"), col("b_id"), col("na"), col("nb"), col("inter"))
+      .withColumn("jac_x1000", expr("(1000 * inter) div (na + nb - inter)"))
+  }
+
+  /** Max-min fair (water-filling) allocation of a global budget across
+    * strata: caps large strata at the unique integer level c where
+    * Σ min(n_s, c) fills the budget; the remainder goes +1 to the
+    * largest capped strata (rank-deterministic), so Σ alloc = budget
+    * EXACTLY when budget ≤ Σ n. Input `counts`: (stratum, n);
+    * `budget` is a 1-row frame with a `budget` column (usually an
+    * aggregate of the corpus itself — stays declarative, no driver
+    * round-trip). All windows run over the bounded count table.
+    * Output: (stratum, n_docs, capped, alloc).
+    */
+  def budgetWaterfill(counts: DataFrame, budget: DataFrame,
+      stratum: String = "source", n: String = "n"): DataFrame = {
+    val tot = counts.agg(count(lit(1)).as("s_cnt"))
+      .crossJoin(broadcast(budget))
+    val w = Window.orderBy(col(n), col(stratum))
+    val ranked = counts.crossJoin(broadcast(tot))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("pfx",
+        sum(col(n)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("nxt", lead(col(n), 1).over(w))
+    val cands = ranked
+      .filter(col("i") < col("s_cnt"))
+      .withColumn("c", expr("(budget - pfx) div (s_cnt - i)"))
+      .filter(col(n) <= col("c") &&
+        (col("nxt").isNull || col("c") < col("nxt")))
+      .select(col("c").as("level"), col("i").as("bi"),
+        (col("budget") - col("pfx") -
+          col("c") * (col("s_cnt") - col("i"))).as("rem"))
+    val cand0 = ranked.filter(col("i") === 1)
+      .withColumn("c", expr("budget div s_cnt"))
+      .filter(col("c") < col(n))
+      .select(col("c").as("level"), lit(0L).as("bi"),
+        (col("budget") - col("c") * col("s_cnt")).as("rem"))
+    val lvl = cands.unionByName(cand0)
+      .agg(min(col("level")).as("level"), min(col("bi")).as("bi"),
+        min(col("rem")).as("rem"))
+    ranked.crossJoin(broadcast(lvl))
+      .withColumn("capped",
+        when(col("level").isNotNull && col("i") > col("bi"), 1).otherwise(0))
+      .withColumn("alloc",
+        when(col("capped") === 0, col(n)).otherwise(col("level") +
+          when(col("i") >= col("s_cnt") - col("rem") + 1, 1L).otherwise(0L)))
+      .select(col(stratum), col(n).as("n_docs"), col("capped"), col("alloc"))
+  }
+
+  /** Greedy k-center (farthest-point, Gonzalez 1985) diversity
+    * selection over an `Array[Float]` embedding column, in exact
+    * integer arithmetic (floor(x·qscale) quantization, BIGINT squared
+    * L2, smallest-id tie-breaks). Seed = largest norm; each of the
+    * k-1 unrolled rounds adds the point maximizing min distance to the
+    * selected set (1-row broadcast, localCheckpoint'd so round r never
+    * re-runs earlier rounds). Output: (rank, <id>, d2) — d2 is the
+    * covering radius at selection (NULL for the seed).
+    */
+  def kcenterSelect(vecs: DataFrame, k: Int, dim: Int,
+      id: String = "vec_id", embedding: String = "embedding",
+      qscale: Long = 10000L): DataFrame = {
+    val q = vecs.select(col(id), expr(
+      s"transform($embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $qscale) AS BIGINT))")
+      .as("qv"))
+    val norm2 = (1 to dim).map(i =>
+      element_at(col("qv"), i) * element_at(col("qv"), i)).reduceLeft(_ + _)
+    val c1 = q
+      .withColumn("key", struct(norm2.as("d"), (-col(id)).as("ni")))
+      .agg(max(col("key")).as("k"), max_by(col("qv"), col("key")).as("cqv"))
+      .select((-col("k.ni")).as("sel_id"), lit(1).as("rank"),
+        lit(null).cast("long").as("d2"), col("cqv").as("c1"))
+      .localCheckpoint()
+    var picked = c1
+    var out = c1.select(col("rank"), col("sel_id").as(id), col("d2"))
+    for (r <- 2 to k) {
+      val dTo = (1 until r).map { j =>
+        (1 to dim).map { i =>
+          val d = element_at(col("qv"), i) - element_at(col(s"c$j"), i)
+          d * d
+        }.reduceLeft(_ + _)
+      }
+      val dmin = if (dTo.size == 1) dTo.head else least(dTo: _*)
+      val next = q.crossJoin(broadcast(picked.drop("sel_id", "rank", "d2")))
+        .withColumn("dmin", dmin)
+        .withColumn("key", struct(col("dmin").as("d"), (-col(id)).as("ni")))
+        .agg(max(col("key")).as("k"), max_by(col("qv"), col("key")).as("cqv"))
+        .select((-col("k.ni")).as("sel_id"), lit(r).as("rank"),
+          col("k.d").as("d2"), col("cqv").as(s"c$r"))
+        .localCheckpoint()
+      out = out.unionByName(next.select(col("rank"), col("sel_id").as(id),
+        col("d2")))
+      picked = picked.crossJoin(broadcast(next.select(col(s"c$r"))))
+    }
+    out
+  }
 }

@@ -494,43 +494,8 @@ object DedupOps {
       // pattern), and every downstream use (candidate join + two-sided
       // verify) reads the materialized form instead of re-running the
       // explode/distinct/window chain per use.
-      val toks = shingles(s, dir).distinct().localCheckpoint()
-      val dfreq = toks.groupBy($"s").agg(count(lit(1)).as("df"))
-      val wDoc = Window.partitionBy($"doc_id")
-      val pref = toks.join(dfreq, "s")
-        .withColumn("rn", row_number().over(wDoc.orderBy($"df", $"s")))
-        .withColumn("sz", count(lit(1)).over(wDoc))
-        .filter($"rn" <= $"sz" - expr("(sz + 1) div 2") + 1)
-        .select($"doc_id", $"s", $"rn", $"sz")
-        .localCheckpoint()
-      // two sound candidate prunes applied INSIDE the join, so filtered
-      // collisions never materialize (sizes/positions ride the prefix
-      // rows, no re-join at the end):
-      //  - size band (Arasu et al. VLDB'06): jac ≥ 1/2 forces
-      //    max(|a|,|b|) ≤ 2·min(|a|,|b|);
-      //  - positional upper bound (Xiao et al. WWW'08): at the FIRST
-      //    token shared by both prefixes no earlier shared token can
-      //    exist (consistent global order), so |∩| ≤ 1 + min(|a|−p_a,
-      //    |b|−p_b) — prune when that bound misses the required
-      //    α = ceil((|a|+|b|)/3). Every qualifying pair keeps ≥ 1
-      //    passing collision row (its first prefix-shared token), so
-      //    the join stays LOSSLESS — the spec's brute-force equality
-      //    machine-checks exactly this.
-      val cand = pref.as("a").join(pref.as("b"),
-          $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
-            $"a.sz" <= $"b.sz" * 2 && $"b.sz" <= $"a.sz" * 2 &&
-            expr("least(a.sz - a.rn, b.sz - b.rn) + 1 >= " +
-              "(a.sz + b.sz + 2) div 3"))
-        .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
-          $"a.sz".as("na"), $"b.sz".as("nb")).distinct()
-      cand
-        .join(toks.as("ta"), $"ta.doc_id" === $"a_id")
-        .join(toks.as("tb"), $"tb.doc_id" === $"b_id" && $"tb.s" === $"ta.s")
-        .groupBy($"a_id", $"b_id", $"na", $"nb")
-        .agg(count(lit(1)).as("inter"))
-        .filter($"inter" * 3 >= $"na" + $"nb")
-        .select($"a_id", $"b_id", $"na", $"nb", $"inter")
-        .withColumn("jac_x1000", expr("(1000 * inter) div (na + nb - inter)"))
+      graft.api.GraftPipelines
+        .ppjoinPairs(Tables.documents(s, dir), num = 1, den = 2)
         .orderBy($"a_id", $"b_id")
     }),
 

@@ -294,42 +294,10 @@ object SimilarityOps {
     // corpus-sized shuffles, no driver state.
     "llm_kcenter" -> ((s, dir) => {
       import s.implicits._
-      val q = Tables.embeddings(s, dir).select($"vec_id", expr(
-        s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $PCA_QSCALE) AS BIGINT))")
-        .as("qv"))
-      val norm2 = (1 to DIM).map(i =>
-        element_at($"qv", i) * element_at($"qv", i)).reduceLeft(_ + _)
-      // seed: max ‖q‖², tie → min vec_id; carry its coords on the 1-row
-      // each round's pick is a 1-row aggregate; localCheckpoint makes it
-      // a materialized fact so round r never re-runs rounds 1..r-1's
-      // corpus scans (k scans total, not k(k+1)/2 — same lineage-
-      // truncation discipline as dupClusters' rounds)
-      val c1 = q.withColumn("key", struct(norm2.as("d"), (-$"vec_id").as("ni")))
-        .agg(max($"key").as("k"), max_by($"qv", $"key").as("cqv"))
-        .select((-$"k.ni").as("sel_id"), lit(1).as("rank"),
-          lit(null).cast("long").as("d2"), $"cqv".as("c1"))
-        .localCheckpoint()
-      var picked: DataFrame = c1
-      var out = c1.select($"rank", $"sel_id".as("vec_id"), $"d2")
-      for (r <- 2 to KC_K) {
-        val dTo = (1 to r - 1).map { j =>
-          (1 to DIM).map { i =>
-            val d = element_at($"qv", i) - element_at(col(s"c$j"), i)
-            d * d
-          }.reduceLeft(_ + _)
-        }
-        val dmin = if (dTo.size == 1) dTo.head else least(dTo: _*)
-        val next = q.crossJoin(broadcast(picked.drop("sel_id", "rank", "d2")))
-          .withColumn("dmin", dmin)
-          .withColumn("key", struct($"dmin".as("d"), (-$"vec_id").as("ni")))
-          .agg(max($"key").as("k"), max_by($"qv", $"key").as("cqv"))
-          .select((-$"k.ni").as("sel_id"), lit(r).as("rank"),
-            $"k.d".as("d2"), $"cqv".as(s"c$r"))
-          .localCheckpoint()
-        out = out.unionByName(next.select($"rank", $"sel_id".as("vec_id"), $"d2"))
-        picked = picked.crossJoin(broadcast(next.select(col(s"c$r"))))
-      }
-      out.orderBy($"rank")
+      graft.api.GraftPipelines
+        .kcenterSelect(Tables.embeddings(s, dir), KC_K, DIM,
+          qscale = PCA_QSCALE)
+        .orderBy($"rank")
     }),
 
     // Linear-probe evaluation of the embedding space: for every class,

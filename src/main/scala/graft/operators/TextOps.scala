@@ -585,22 +585,8 @@ object TextOps {
     "llm_lm_score" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      val bi = docs
-        .select($"doc_id", split($"text", " ").as("w"))
-        .filter(size($"w") >= 2)
-        .select($"doc_id", explode(expr(
-          "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
-          .as("b"))
-        .select($"doc_id", $"b.w1", $"b.w2")
-      val n12 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("n12"))
-      val n1 = bi.groupBy($"w1").agg(count(lit(1)).as("n1"))
-      val lm = n12.join(n1, "w1")
-        .select($"w1", $"w2", expr("(n12 * 1000000L) div n1").as("r"))
-      bi.join(lm, Seq("w1", "w2"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_pairs"), sum($"r").as("sum_r"))
-        .select($"doc_id", $"n_pairs",
-          expr("sum_r div n_pairs").as("lm_x"))
+      graft.api.GraftPipelines
+        .lmScore(docs, graft.api.GraftPipelines.bigramLmRatios(docs))
         .orderBy($"doc_id")
     }),
 
@@ -619,24 +605,8 @@ object TextOps {
     // explode + one gram-keyed join + one doc-keyed agg.
     "llm_dsir_weight" -> ((s, dir) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir)
-      val bi = docs
-        .select($"doc_id", $"lang", split($"text", " ").as("w"))
-        .filter(size($"w") >= 2)
-        .select($"doc_id", $"lang", explode(expr(
-          "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
-          .as("b"))
-        .select($"doc_id", $"lang", $"b.w1", $"b.w2")
-      val ratio = bi.groupBy($"w1", $"w2")
-        .agg(count(lit(1)).as("c_raw"),
-          sum(when($"lang" === "en", 1L).otherwise(0L)).as("c_tgt"))
-        .select($"w1", $"w2",
-          expr("((1 + c_tgt) * 1000000L) div (1 + c_raw)").as("r"))
-      bi.join(ratio, Seq("w1", "w2"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_grams"), sum($"r").as("sum_r"))
-        .select($"doc_id", $"n_grams",
-          expr("sum_r div n_grams").as("dsir_x"))
+      graft.api.GraftPipelines
+        .dsirWeights(Tables.documents(s, dir), col("lang") === "en")
         .orderBy($"doc_id")
     }),
 
@@ -682,36 +652,8 @@ object TextOps {
       import s.implicits._
       val cnt = Tables.documents(s, dir)
         .groupBy($"source").agg(count(lit(1)).as("n"))
-      val tot = cnt.agg(sum($"n").as("total"), count(lit(1)).as("s_cnt"))
-        .withColumn("budget", expr("(6 * total) div 10"))
-      val w = Window.orderBy($"n", $"source")
-      val ranked = cnt.crossJoin(broadcast(tot))
-        .withColumn("i", row_number().over(w).cast("long"))
-        .withColumn("pfx",
-          sum($"n").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("nxt", lead($"n", 1).over(w))
-      val cands = ranked
-        .filter($"i" < $"s_cnt")
-        .withColumn("c", expr("(budget - pfx) div (s_cnt - i)"))
-        .filter($"n" <= $"c" && ($"nxt".isNull || $"c" < $"nxt"))
-        .select($"c".as("level"), $"i".as("bi"),
-          ($"budget" - $"pfx" - $"c" * ($"s_cnt" - $"i")).as("rem"))
-      val cand0 = ranked.filter($"i" === 1)
-        .withColumn("c", expr("budget div s_cnt"))
-        .filter($"c" < $"n")
-        .select($"c".as("level"), lit(0L).as("bi"),
-          ($"budget" - $"c" * $"s_cnt").as("rem"))
-      // exactly one boundary is feasible (monotone); agg min = that row
-      val lvl = cands.unionByName(cand0)
-        .agg(min($"level").as("level"), min($"bi").as("bi"),
-          min($"rem").as("rem"))
-      ranked.crossJoin(broadcast(lvl))
-        .withColumn("capped",
-          when($"level".isNotNull && $"i" > $"bi", 1).otherwise(0))
-        .withColumn("alloc",
-          when($"capped" === 0, $"n").otherwise(
-            $"level" + when($"i" >= $"s_cnt" - $"rem" + 1, 1L).otherwise(0L)))
-        .select($"source", $"n".as("n_docs"), $"capped", $"alloc")
+      val budget = cnt.agg(expr("(6 * sum(n)) div 10").as("budget"))
+      graft.api.GraftPipelines.budgetWaterfill(cnt, budget)
         .orderBy($"source")
     }),
 
