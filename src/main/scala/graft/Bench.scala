@@ -48,6 +48,7 @@ object Bench {
     "llm_bm25", "llm_inverted_index", "llm_mix_temperature",
     "llm_sample_topk", "llm_embed_quantize", "llm_chunk", "llm_bigram_lm",
     "llm_lm_score", "llm_dsir_weight", "llm_ngram_diversity",
+    "llm_score_calibrate", "llm_padding_waste",
     "llm_budget_waterfill", "llm_tokenizer_fertility",
     "llm_pmi_bigrams", "llm_quality_winsor",
     "llm_pii_redact", "llm_substring_dedup", "llm_doc_features",

@@ -683,6 +683,54 @@ object TextOps {
         .orderBy($"lang")
     }),
 
+    // Per-source quantile normalization of the quality score (rank →
+    // per-mille percentile): makes scores COMPARABLE across sources
+    // whose raw scales drift (one crawl's 0.6 is another's 0.9) —
+    // the calibration step before any cross-source gate or budget
+    // uses "quality" globally. Ranks are exact integers with doc_id
+    // tie-breaks, the percentile is one truncating division
+    // ((rk−1)·1000 div (nd−1); single-doc sources pin to 500), so the
+    // float score never enters the output — rank-based statistics are
+    // how a hash-compared oracle survives a double-valued signal. One
+    // source-partitioned window, never global.
+    "llm_score_calibrate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val scored = graft.api.GraftPipelines
+        .qualityScores(docs, EN_MARKERS)
+        .join(docs.select($"doc_id", $"source"), "doc_id")
+      val w = Window.partitionBy($"source").orderBy($"score", $"doc_id")
+      scored
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy($"source")))
+        .withColumn("pct_x1000", when($"nd" === 1, 500L)
+          .otherwise(expr("((rk - 1) * 1000) div (nd - 1)")))
+        .select($"doc_id", $"source", $"rk", $"pct_x1000")
+        .orderBy($"doc_id")
+    }),
+
+    // Padding-waste audit: if sequences are padded to power-of-two
+    // length buckets (the static-shape batching every accelerator
+    // compiler wants), how many token slots are wasted per source?
+    // bucket = smallest 2^k ≥ n_tokens computed MAP-SIDE with integer
+    // bit arithmetic (shiftleft(1, length(bin(n−1))) — no log2 float,
+    // no lookup join), then one source-keyed aggregation. The signal
+    // that decides between plain bucketing and packSequences at
+    // training time.
+    "llm_padding_waste" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"source", size(split($"text", " ")).cast("long").as("n"))
+        .withColumn("bucket", when($"n" === 1, 1L)
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), length(bin(n - 1)))")))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n").as("sum_tokens"),
+          sum($"bucket").as("sum_padded"))
+        .withColumn("waste_x1000",
+          expr("(1000 * (sum_padded - sum_tokens)) div sum_padded"))
+        .orderBy($"source")
+    }),
+
     // Sliding-window chunking (20-word chunks, stride 15): the RAG /
     // long-doc-embedding preprocessing step; (doc_id, chunk_idx) is the
     // stable chunk key.
@@ -1200,6 +1248,47 @@ object TextOps {
       s"""$bpeCtePrefix
          |SELECT * FROM best1 UNION ALL SELECT * FROM best2
          |UNION ALL SELECT * FROM best3 ORDER BY round""".stripMargin,
+
+    "llm_score_calibrate" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |   (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.5 +
+         |   (CAST(len(list_filter(w, x -> x IN ($markersInList))) AS DOUBLE)
+         |      / len(w)) * 0.3 +
+         |   (CASE WHEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+         |              / len(w) >= 3.0
+         |          AND CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+         |              / len(w) <= 8.0
+         |         THEN 0.2 ELSE 0.0 END) AS score
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         |scored AS (
+         |  SELECT q.doc_id, d.source, q.score
+         |  FROM q JOIN documents d ON q.doc_id = d.doc_id),
+         |ranked AS (
+         |  SELECT doc_id, source,
+         |   CAST(row_number() OVER (PARTITION BY source
+         |     ORDER BY score, doc_id) AS BIGINT) AS rk,
+         |   count(*) OVER (PARTITION BY source) AS nd
+         |  FROM scored)
+         |SELECT doc_id, source, rk,
+         | CASE WHEN nd = 1 THEN 500
+         |      ELSE ((rk - 1) * 1000) // (nd - 1) END AS pct_x1000
+         |FROM ranked ORDER BY doc_id""".stripMargin,
+
+    "llm_padding_waste" ->
+      """WITH b AS (
+        |  SELECT source, len(string_split(text, ' ')) AS n,
+        |   CASE WHEN len(string_split(text, ' ')) = 1 THEN 1
+        |        ELSE (CAST(1 AS BIGINT)
+        |              << length(bin(len(string_split(text, ' ')) - 1)))
+        |   END AS bucket
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(n) AS BIGINT) AS sum_tokens,
+        | CAST(sum(bucket) AS BIGINT) AS sum_padded,
+        | (1000 * (CAST(sum(bucket) AS BIGINT) - CAST(sum(n) AS BIGINT)))
+        |   // CAST(sum(bucket) AS BIGINT) AS waste_x1000
+        |FROM b GROUP BY source ORDER BY source""".stripMargin,
 
     "llm_ngram_diversity" ->
       """WITH w AS (SELECT source, string_split(text, ' ') AS w

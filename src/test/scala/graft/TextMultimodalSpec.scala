@@ -401,6 +401,42 @@ class TextMultimodalSpec extends SparkSpec {
     assert(real.forall(r => r.getLong(3) <= r.getLong(1)))
   }
 
+  test("llm_score_calibrate: rank percentiles span 0..1000, ties broken by id") {
+    val df = Seq(
+      (1L, "the cat sat on the mat", "en", "A", 22L),  // mixed score
+      (2L, "zz zz zz zz", "en", "A", 11L),             // repetitive → low
+      (3L, "a quick brown fox jumps today", "en", "A", 29L), // distinct → high
+      (4L, "solo", "en", "B", 4L))                     // single-doc source
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = q("llm_score_calibrate", tempSfDir("documents" -> df))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(2L)._2 == 0L)     // lowest score in A
+    assert(rows(3L)._2 == 1000L)  // highest score in A
+    assert(rows(1L)._2 == 500L)   // middle of 3
+    assert(rows(4L) == ((1L, 500L))) // single-doc source pins to 500
+    // real corpus: every multi-doc source spans the full 0..1000 range
+    val real = q("llm_score_calibrate").collect()
+      .groupBy(_.getString(1)).filter(_._2.length > 1)
+    assert(real.values.forall(rs =>
+      rs.map(_.getLong(3)).min == 0L && rs.map(_.getLong(3)).max == 1000L))
+  }
+
+  test("llm_padding_waste: power-of-two buckets, hand-computed waste") {
+    def words(k: Int) = (1 to k).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, words(1), "en", "A", 2L),   // bucket 1
+      (2L, words(2), "en", "A", 5L),   // bucket 2
+      (3L, words(3), "en", "A", 8L),   // bucket 4
+      (4L, words(5), "en", "A", 14L),  // bucket 8
+      (5L, words(8), "en", "A", 23L))  // bucket 8 (exact power stays)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = q("llm_padding_waste", tempSfDir("documents" -> df))
+      .collect().head
+    // tokens 1+2+3+5+8 = 19; padded 1+2+4+8+8 = 23; waste = 4000 div 23
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((5L, 19L, 23L, 4000L / 23L)))
+  }
+
   test("llm_tokenizer_fertility: per-lang sums consistent with llm_bpe_apply") {
     val fert = q("llm_tokenizer_fertility").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
