@@ -55,7 +55,8 @@ object Bench {
     "llm_quality_classify", "llm_embed_kmeans", "llm_semdedup",
     "llm_simhash", "llm_simhash_pairs", "llm_embed_topk",
     "llm_embed_lsh_knn", "llm_embed_lsh_knn2", "llm_embed_pq",
-    "llm_embed_pq_served", "llm_embed_ivf_served", "llm_ann_recall",
+    "llm_embed_pq_served", "llm_embed_ivf_served", "llm_embed_ivfpq",
+    "llm_ann_recall",
     "llm_hard_negatives", "llm_embed_pca", "llm_kcenter", "llm_probe_auc",
     "llm_source_centroid_sim",
     "llm_embed_neardup", "llm_embed_neardup_lsh", "llm_lang_id", "llm_tfidf",

@@ -407,6 +407,64 @@ object GraftPipelines {
       .select(col("qid"), col("rn"), col(id), col("score"))
   }
 
+  /** IVF-PQ two-stage retrieval (the FAISS IVFPQ serve shape,
+    * by_residual=false): the coarse quantizer prunes the corpus to the
+    * probed cells' posting lists, PQ ADC scores ONLY those candidates
+    * from their m codes (corpus vectors never load), the ADC shortlist
+    * is exact-cosine re-ranked to the final k. Composes [[ivfIndex]] +
+    * [[pqIndex]] artifacts — both halves are the persisted build
+    * outputs, so this is the production per-query path: one posting
+    * join + broadcast LUT joins + two bounded per-query windows;
+    * nothing corpus-sized shuffles.
+    */
+  def ivfPqTopK(centroids: DataFrame, assignments: DataFrame,
+      codebooks: DataFrame, codes: DataFrame, emb: DataFrame,
+      queries: DataFrame, nprobe: Int, shortlist: Int, k: Int, m: Int,
+      dim: Int = 64, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m even blocks")
+    val subDim = dim / m
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("ccos").desc, col("centroid"))
+    val probes = queries.select(col(id).as("qid"), col(vec).as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosine(col("qv"), col("cv")))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= nprobe)
+      .select(col("qid"), col("centroid"))
+    val cands = assignments.join(broadcast(probes), "centroid")
+      .filter(col(id) =!= col("qid"))
+      .select(col("qid"), col(id)).distinct()
+    val luts = (0 until m).map { b =>
+      queries.select(col(id).as("qid"),
+          slice(col(vec), b * subDim + 1, subDim).as("qb"))
+        .crossJoin(broadcast(codebooks.filter(col("b") === b)
+          .select(col("cluster").as(s"k$b"), col("c"))))
+        .select(col("qid"), col(s"k$b"),
+          VectorExpressions.dotProduct(col("qb"), col("c")).as(s"d$b"))
+    }
+    val coded = cands.join(codes, id)
+    val joined = luts.zipWithIndex.foldLeft(coded) { case (acc, (lut, b)) =>
+      acc.join(broadcast(lut), Seq("qid", s"k$b"))
+    }
+    val score = (1 until m).foldLeft(col("d0"))((s, b) => s + col(s"d$b"))
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col(id))
+    val short = joined.withColumn("score", score)
+      .withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= shortlist)
+      .select(col("qid"), col(id))
+    val wFinal = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col(id))
+    short.join(emb, id)
+      .join(broadcast(queries.select(col(id).as("qid"), col(vec).as("qv"))),
+        "qid")
+      .withColumn("cosine", cosine(col("qv"), col(vec)))
+      .withColumn("rn", row_number().over(wFinal))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col(id), col("cosine"))
+  }
+
   /** Encode NEW vectors against a prebuilt PQ codebook set — the
     * incremental-ingest half of the index lifecycle (build offline →
     * serve queries → APPEND arriving vectors without a refit). Pure

@@ -551,6 +551,30 @@ object SimilarityOps {
         .orderBy($"qid", $"rn")
     }),
 
+    // IVF-PQ two-stage retrieval — the composition the IVF and PQ
+    // entries individually promised (FAISS IVFPQ serve shape,
+    // by_residual=false): coarse cells prune the corpus to the probed
+    // posting lists, ADC scores only those candidates from their m
+    // codes, and the ADC shortlist (3k) is exact-cosine re-ranked to
+    // the final k — so the corpus is never scanned with float vectors
+    // at query time and ADC approximation error cannot reorder the
+    // returned top-k, only (boundedly) its recall. Both halves refit
+    // in-plan here for the oracle twin; production serves the
+    // persisted artifacts (llm_embed_{ivf,pq}_served pin that
+    // equivalence).
+    "llm_embed_ivfpq" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val (cent, assign) = graft.api.GraftPipelines.ivfIndex(emb, NC)
+      val (books, codes) = graft.api.GraftPipelines
+        .pqIndex(emb, PQ_M, PQ_K, PQ_ITERS)
+      val queries = emb.filter($"vec_id" < NQ_PQ)
+      graft.api.GraftPipelines
+        .ivfPqTopK(cent, assign, books, codes, emb, queries,
+          NPROBE, shortlist = 9, k = 3, m = PQ_M)
+        .orderBy($"qid", $"rn")
+    }),
+
     // The build/serve split made physical: the IVF index (coarse
     // centroids + per-vector inverted-list assignment) is BUILT once
     // into a parquet artifact — assignments hive-partitioned by
@@ -883,11 +907,63 @@ object SimilarityOps {
        |ORDER BY src_a, src_b""".stripMargin
   }
 
+  /** DuckDB mirror of llm_embed_ivfpq: the IVF probe/candidate CTEs
+    * (coarse quantizer = first NC vectors, same as ivfOracleSql) feed
+    * the PQ ADC scoring CTEs (same fits as pqOracleSql), shortlist
+    * top-9 by ADC, exact-cosine re-rank to 3.
+    */
+  private lazy val ivfPqOracleSql: String = {
+    val adcScore = (0 until PQ_M).map(b => s"l$b.d$b").mkString(" + ")
+    val lutJoins = (0 until PQ_M).map(b =>
+      s"JOIN plut$b l$b ON l$b.qid = cand.qid AND l$b.k$b = v.k$b")
+      .mkString(" ")
+    s"""WITH $pqOracleCtes,
+       |a AS (
+       |  SELECT vec_id, centroid FROM (
+       |    SELECT v.vec_id, c.vec_id AS centroid,
+       |     row_number() OVER (PARTITION BY v.vec_id
+       |       ORDER BY ${cosineSql("v.embedding", "c.embedding")} DESC,
+       |         c.vec_id) AS crn
+       |    FROM embeddings v JOIN embeddings c ON c.vec_id < $NC)
+       |  WHERE crn = 1),
+       |p AS (
+       |  SELECT qid, centroid FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS centroid,
+       |     row_number() OVER (PARTITION BY q.vec_id
+       |       ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC,
+       |         c.vec_id) AS crn
+       |    FROM embeddings q JOIN embeddings c
+       |      ON q.vec_id < $NQ_PQ AND c.vec_id < $NC)
+       |  WHERE crn <= $NPROBE),
+       |cand AS (
+       |  SELECT DISTINCT p.qid, a.vec_id
+       |  FROM p JOIN a ON a.centroid = p.centroid
+       |  WHERE a.vec_id <> p.qid),
+       |adc AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT cand.qid, v.vec_id, ($adcScore) AS score,
+       |     row_number() OVER (PARTITION BY cand.qid
+       |       ORDER BY ($adcScore) DESC, v.vec_id) AS srn
+       |    FROM cand JOIN pqcodes v ON v.vec_id = cand.vec_id
+       |    $lutJoins)
+       |  WHERE srn <= 9)
+       |SELECT qid, CAST(rn AS INTEGER) AS rn, vec_id, cosine FROM (
+       |  SELECT adc.qid, adc.vec_id,
+       |   ${cosineSql("q.embedding", "c.embedding")} AS cosine,
+       |   row_number() OVER (PARTITION BY adc.qid
+       |     ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC,
+       |       adc.vec_id) AS rn
+       |  FROM adc JOIN embeddings c ON c.vec_id = adc.vec_id
+       |           JOIN embeddings q ON q.vec_id = adc.qid)
+       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "llm_embed_pca" -> pcaOracleSql,
     "llm_kcenter" -> kcenterOracleSql,
     "llm_probe_auc" -> probeAucOracleSql,
     "llm_source_centroid_sim" -> centroidSimOracleSql,
+    "llm_embed_ivfpq" -> ivfPqOracleSql,
 
     "llm_embed_topk" ->
       s"""SELECT qid, CAST(rn AS INTEGER) AS rn, vec_id, cosine FROM (

@@ -305,6 +305,26 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("llm_embed_ivfpq: shortlist re-rank is dominated by the exact IVF ranking") {
+    val ivfpq = q("llm_embed_ivfpq").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val ivf = q("llm_embed_ivf").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // same probed cells → the ADC shortlist is a subset of IVF's exact
+    // candidate pool, so at every rank the re-ranked cosine can only be
+    // ≤ the exact-scan cosine; equality at rank 1 means ADC kept the
+    // true best in its shortlist
+    val qids = ivfpq.keys.map(_._1).toSeq.distinct.sorted
+    assert(qids.size == 3 && ivfpq.size == 9)
+    for (((qid, rn), (_, cos)) <- ivfpq; if ivf.contains((qid, rn)))
+      assert(cos <= ivf((qid, rn))._2 + 1e-12, s"q$qid rank $rn")
+    val top1Kept = qids.count(qd => ivfpq((qd, 1)) == ivf.getOrElse((qd, 1),
+      ivfpq((qd, 1))))
+    assert(top1Kept >= 2, s"ADC shortlist lost the true best for ${3 - top1Kept}/3 queries")
+  }
+
   test("llm_source_centroid_sim: exact-sum cosines match an in-memory reference") {
     val rows = q("llm_source_centroid_sim").collect()
     val data = spark.read.parquet(s"$sf/documents.parquet")
