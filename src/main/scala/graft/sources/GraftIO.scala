@@ -119,4 +119,22 @@ object GraftIO {
   def writeJdbc(df: DataFrame, url: String, table: String,
       props: java.util.Properties = new java.util.Properties): Unit =
     df.write.mode("overwrite").jdbc(url, table, props)
+
+  /** Raw-file ingest for multimodal payloads: the built-in binaryFile
+    * source reads (path, modificationTime, length, content) — the
+    * production route from an object store of images/audio/video into
+    * the opaque-payload table MultimodalOps operates on (payloads stay
+    * BinaryType; decode happens downstream, never at ingest). The glob
+    * pushes into file LISTING (non-matching files are never opened),
+    * and recursive lookup walks the usual bucket/prefix layouts. At
+    * 100 TB: files ≫ `spark.sql.files.maxPartitionBytes` split-read is
+    * disabled for binary (whole-file rows), so parallelism = file
+    * count — keep payload objects in the MBs, not single giant blobs.
+    */
+  def readBinaryFiles(spark: SparkSession, path: String,
+      glob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+  }
 }

@@ -204,4 +204,25 @@ class GraftIOSpec extends SparkSpec {
     val back = GraftIO.read(spark, "orc", s"$dir/li_orc", src.schema)
     assert(back.count() == src.count())
   }
+
+  test("binaryFile ingest: whole-file payload rows, glob filters the listing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin")
+    val sub = java.nio.file.Files.createDirectory(dir.resolve("nested"))
+    val a = Array[Byte](1, 2, 3, 4)
+    val b = Array.tabulate(300)(_.toByte)
+    java.nio.file.Files.write(dir.resolve("img_a.jpg"), a)
+    java.nio.file.Files.write(sub.resolve("img_b.jpg"), b)
+    java.nio.file.Files.write(dir.resolve("notes.txt"),
+      "not a payload".getBytes)
+    val rows = GraftIO
+      .readBinaryFiles(spark, dir.toString, glob = Some("*.jpg"))
+      .collect()
+      .map(r => (new java.io.File(r.getAs[String]("path")).getName,
+        r.getAs[Long]("length"), r.getAs[Array[Byte]]("content").toSeq))
+      .sortBy(_._1)
+    // the txt file is filtered at LISTING time; nested dirs are walked;
+    // content round-trips byte-exact with length = file size
+    assert(rows.toSeq == Seq(("img_a.jpg", 4L, a.toSeq),
+      ("img_b.jpg", 300L, b.toSeq)))
+  }
 }

@@ -293,4 +293,55 @@ object GraftProperties extends Properties("graft") {
         }
       }
     }
+
+  // random docs over a tiny alphabet so shingle collisions are common —
+  // the hard case for the prefix/positional/size prunes
+  private val ppDocGen: Gen[List[String]] =
+    Gen.listOfN(10, Gen.choose(3, 9).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))))
+
+  property("ppjoinPairs is lossless vs brute force at θ=1/2 and θ=1/3") =
+    Prop.forAll(ppDocGen) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val sets = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      }
+      Seq((1, 2), (1, 3)).forall { case (num, den) =>
+        val got = graft.api.GraftPipelines.ppjoinPairs(docs, num, den)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+          .toSet
+        val want = (for {
+          (a, sa) <- sets; (b, sb) <- sets if a < b
+          inter = (sa & sb).size
+          if inter * (num + den) >= (sa.size + sb.size) * num
+        } yield (a, b, inter.toLong)).toSet
+        got == want
+      }
+    }
+
+  private val countsGen: Gen[List[Int]] =
+    Gen.listOfN(6, Gen.choose(1, 40))
+
+  property("budgetWaterfill: exact budget, supply bounds, max-min fairness") =
+    Prop.forAll(countsGen, Gen.choose(1, 150)) { (ns, b) =>
+      import spark.implicits._
+      val counts = ns.zipWithIndex
+        .map { case (n, i) => (s"s$i", n.toLong) }.toDF("source", "n")
+      val total = ns.map(_.toLong).sum
+      val budget = math.min(b.toLong, total)
+      val rows = graft.api.GraftPipelines
+        .budgetWaterfill(counts, Seq(budget).toDF("budget")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      val allocs = rows.map(_._4)
+      // exact budget when feasible, never exceed supply, and max-min
+      // fairness: every capped stratum's alloc ≥ any smaller stratum's
+      val sumOk = allocs.sum == budget
+      val boundOk = rows.forall { case (_, n, _, a) => a <= n && a >= 0 }
+      val cappedAllocs = rows.filter(_._3 == 1).map(_._4)
+      val fairOk = cappedAllocs.isEmpty ||
+        rows.filter(_._3 == 0).forall(_._4 <= cappedAllocs.max)
+      sumOk && boundOk && fairOk
+    }
 }
