@@ -48,7 +48,7 @@ object Bench {
     "llm_bm25", "llm_inverted_index", "llm_mix_temperature",
     "llm_sample_topk", "llm_embed_quantize", "llm_chunk", "llm_bigram_lm",
     "llm_lm_score", "llm_dsir_weight", "llm_ngram_diversity",
-    "llm_score_calibrate", "llm_padding_waste",
+    "llm_score_calibrate", "llm_padding_waste", "llm_curriculum",
     "llm_budget_waterfill", "llm_tokenizer_fertility",
     "llm_pmi_bigrams", "llm_quality_winsor",
     "llm_pii_redact", "llm_substring_dedup", "llm_doc_features",
@@ -63,7 +63,7 @@ object Bench {
     "llm_fuzzy_pairs", "llm_sorted_neighborhood",
     "llm_quality_score", "llm_token_count", "llm_fingerprint",
     "mm_image_features", "mm_image_resize", "mm_frame_sample", "mm_scene_cuts",
-    "mm_payload_dedup", "mm_perceptual_dedup")
+    "mm_payload_dedup", "mm_payload_shard", "mm_perceptual_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -105,6 +105,29 @@ object MultimodalOps {
         .orderBy($"keeper")
     }),
 
+    // Content-addressed shard layout for the payload store: every
+    // payload routes to shard = first byte of its md5 digest mod 64 —
+    // the digest-prefix layout object stores use so (a) identical
+    // payloads land on one shard (dedup stays shard-local), (b) load
+    // spreads uniformly regardless of ingest order or source skew. The
+    // report is the per-shard manifest (objects, distinct objects,
+    // bytes) a storage planner reads; map-side digest + one tiny
+    // 64-group aggregation — payload bytes never shuffle.
+    "mm_payload_shard" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", encode($"text", "utf-8").as("payload"))
+        .withColumn("h", md5($"payload"))
+        .withColumn("shard",
+          (conv(substring($"h", 1, 2), 16, 10).cast("long") % 64)
+            .cast("int"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_objects"),
+          countDistinct($"h").as("n_distinct"),
+          sum(octet_length($"payload")).as("bytes"))
+        .orderBy($"shard")
+    }),
+
     // Perceptual near-dedup: quantized block-brightness hash buckets —
     // the SECOND pass after mm_payload_dedup's exact digests (identical
     // bytes collapse there; perceptually-similar-but-byte-different
@@ -256,6 +279,18 @@ object MultimodalOps {
   val oracles: Map[String, String] = Map(
     // md5(VARCHAR) hashes the string's UTF-8 bytes — identical to the
     // engine's md5 over the encoded payload.
+    "mm_payload_shard" ->
+      """WITH s AS (
+        |  SELECT doc_id, md5(text) AS h,
+        |   CAST(CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) % 64
+        |        AS INTEGER) AS shard,
+        |   CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_objects,
+        | count(DISTINCT h) AS n_distinct,
+        | CAST(sum(nb) AS BIGINT) AS bytes
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+
     "mm_payload_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper,
         | count(*) AS n_copies,

@@ -367,7 +367,7 @@ object SimilarityOps {
       def n2(side: String) = (1 to DIM).map(i =>
         col(s"$side.s$i").cast("decimal(38,0)") * col(s"$side.s$i"))
         .reduceLeft(_ + _)
-      cent.as("a").join(cent.as("b"), $"a.source" < $"b.source")
+      cent.as("a").join(broadcast(cent.as("b")), $"a.source" < $"b.source")
         .select($"a.source".as("src_a"), $"b.source".as("src_b"),
           (dot.cast("double") /
             (sqrt(n2("a").cast("double")) * sqrt(n2("b").cast("double"))))

@@ -731,6 +731,41 @@ object TextOps {
         .orderBy($"source")
     }),
 
+    // Curriculum ordering: the easy→hard training schedule (Bengio et
+    // al. 2009) materialized as a deterministic total order — phases
+    // are quality-percentile bands (easy = highest-quality tercile
+    // first), docs SHUFFLE within a phase via the salted id hash (no
+    // rand(); reruns and the oracle agree), and the order is sharded
+    // so it can be written in parallel: seq is ranked within (phase,
+    // shard), global order = (phase, shard, seq). All ranks are exact
+    // integers; the windows partition by (phase, shard) — 3×16 here,
+    // thousands in production — never one global sort of the corpus.
+    "llm_curriculum" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val scored = graft.api.GraftPipelines
+        .qualityScores(docs, EN_MARKERS)
+        .join(docs.select($"doc_id", $"source"), "doc_id")
+      val wSrc = Window.partitionBy($"source").orderBy($"score", $"doc_id")
+      val pct = scored
+        .withColumn("rk", row_number().over(wSrc).cast("long"))
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy($"source")))
+        .withColumn("pct", when($"nd" === 1, 500L)
+          .otherwise(expr("((rk - 1) * 1000) div (nd - 1)")))
+      val sharded = pct
+        .withColumn("phase", // easy = high percentile → phase 0 first
+          when($"pct" >= 667, 0).when($"pct" >= 334, 1).otherwise(2))
+        .withColumn("h", graft.functions.VectorExpressions.md5Half60(
+          concat(lit("curr|"), $"doc_id".cast("string")), upperHalf = false))
+        .withColumn("shard", ($"h" % 16).cast("int"))
+      val wShard = Window.partitionBy($"phase", $"shard")
+        .orderBy($"h", $"doc_id")
+      sharded
+        .withColumn("seq", row_number().over(wShard).cast("long"))
+        .select($"phase", $"shard", $"seq", $"doc_id")
+        .orderBy($"phase", $"shard", $"seq")
+    }),
+
     // Sliding-window chunking (20-word chunks, stride 15): the RAG /
     // long-doc-embedding preprocessing step; (doc_id, chunk_idx) is the
     // stable chunk key.
@@ -1274,6 +1309,45 @@ object TextOps {
          | CASE WHEN nd = 1 THEN 500
          |      ELSE ((rk - 1) * 1000) // (nd - 1) END AS pct_x1000
          |FROM ranked ORDER BY doc_id""".stripMargin,
+
+    "llm_curriculum" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |   (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.5 +
+         |   (CAST(len(list_filter(w, x -> x IN ($markersInList))) AS DOUBLE)
+         |      / len(w)) * 0.3 +
+         |   (CASE WHEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+         |              / len(w) >= 3.0
+         |          AND CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+         |              / len(w) <= 8.0
+         |         THEN 0.2 ELSE 0.0 END) AS score
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         |scored AS (
+         |  SELECT q.doc_id, d.source, q.score
+         |  FROM q JOIN documents d ON q.doc_id = d.doc_id),
+         |ranked AS (
+         |  SELECT doc_id,
+         |   CAST(row_number() OVER (PARTITION BY source
+         |     ORDER BY score, doc_id) AS BIGINT) AS rk,
+         |   count(*) OVER (PARTITION BY source) AS nd
+         |  FROM scored),
+         |pct AS (
+         |  SELECT doc_id,
+         |   CASE WHEN nd = 1 THEN 500
+         |        ELSE ((rk - 1) * 1000) // (nd - 1) END AS pct
+         |  FROM ranked),
+         |sh AS (
+         |  SELECT doc_id,
+         |   CAST(CASE WHEN pct >= 667 THEN 0 WHEN pct >= 334 THEN 1
+         |        ELSE 2 END AS INTEGER) AS phase,
+         |   CAST(md5_number_lower('curr|' || CAST(doc_id AS VARCHAR))
+         |        % 1152921504606846976 AS BIGINT) AS h
+         |  FROM pct)
+         |SELECT phase, CAST(h % 16 AS INTEGER) AS shard,
+         | CAST(row_number() OVER (PARTITION BY phase, h % 16
+         |   ORDER BY h, doc_id) AS BIGINT) AS seq,
+         | doc_id
+         |FROM sh ORDER BY phase, shard, seq""".stripMargin,
 
     "llm_padding_waste" ->
       """WITH b AS (

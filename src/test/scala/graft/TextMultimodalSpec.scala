@@ -437,6 +437,41 @@ class TextMultimodalSpec extends SparkSpec {
       ((5L, 19L, 23L, 4000L / 23L)))
   }
 
+  test("llm_curriculum: every doc once, easy phase first, dense sharded seqs") {
+    val rows = q("llm_curriculum").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length == n && rows.map(_._4).distinct.length == n)
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 2 && r._2 >= 0 && r._2 < 16))
+    // seq is dense 1..k within every (phase, shard)
+    for (((_, _), grp) <- rows.groupBy(r => (r._1, r._2)))
+      assert(grp.map(_._3).sorted.toSeq == (1L to grp.length).toSeq)
+    // phase agrees with the calibrated percentile bands
+    val pct = q("llm_score_calibrate").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rows.forall { case (phase, _, _, id) =>
+      val p = pct(id)
+      phase == (if (p >= 667) 0 else if (p >= 334) 1 else 2)
+    })
+  }
+
+  test("mm_payload_shard: digest-prefix routing, manifest accounts every object") {
+    val rows = q("mm_payload_shard").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    assert(rows.map(_._2).sum == docs.length)
+    assert(rows.forall(r => r._1 >= 0 && r._1 < 64 && r._3 <= r._2))
+    assert(rows.map(_._4).sum ==
+      docs.map(_.getBytes("UTF-8").length.toLong).sum)
+    // routing matches a direct digest computation
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = docs.groupBy { t =>
+      (md.digest(t.getBytes("UTF-8"))(0) & 0xff) % 64
+    }.map { case (s, ts) => s -> ts.length.toLong }
+    assert(rows.map(r => r._1 -> r._2).toMap == want)
+  }
+
   test("llm_tokenizer_fertility: per-lang sums consistent with llm_bpe_apply") {
     val fert = q("llm_tokenizer_fertility").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
