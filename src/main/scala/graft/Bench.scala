@@ -16,7 +16,7 @@ object Bench {
     "ev_flagship", "ev_catalog", "ev_sessionize", "ev_tumbling_1h",
     "ev_sliding_1h15m", "ev_session_window", "ev_asof_join", "ev_range_join",
     "ev_interval_join",
-    "ev_transitions", "ev_markov_rank", "ev_drift", "ev_ewma",
+    "ev_transitions", "ev_top_paths", "ev_markov_rank", "ev_drift", "ev_ewma",
     "ev_attribution", "ev_seasonal_residual",
     "ev_value_histogram", "ev_heatmap", "ev_funnel", "ev_retention",
     "ev_anomaly", "ev_anomaly_mad", "ev_rate_1m", "ev_user_sequences",
@@ -49,6 +49,7 @@ object Bench {
     "llm_sample_topk", "llm_embed_quantize", "llm_chunk", "llm_bigram_lm",
     "llm_lm_score", "llm_dsir_weight", "llm_ngram_diversity",
     "llm_score_calibrate", "llm_padding_waste", "llm_curriculum",
+    "llm_gopher_rules",
     "llm_budget_waterfill", "llm_tokenizer_fertility",
     "llm_pmi_bigrams", "llm_quality_winsor",
     "llm_pii_redact", "llm_substring_dedup", "llm_doc_features",

@@ -375,6 +375,25 @@ object EventOps {
         .orderBy($"event_type", $"next_type")
     }),
 
+    // Sequential pattern mining, k=3: the top-20 most frequent 3-step
+    // event-type paths across user streams (the "what do users actually
+    // do" product-analytics panel; pairs are ev_transitions, this is
+    // the order-3 extension a Markov-order test needs). Both leads ride
+    // the SAME user_id window shuffle ev_transitions pays; the global
+    // top-20 is ORDER BY + LIMIT → TakeOrderedAndProject, never a full
+    // sort of the path space.
+    "ev_top_paths" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+      events(s, dir)
+        .withColumn("s2", lead($"event_type", 1).over(w))
+        .withColumn("s3", lead($"event_type", 2).over(w))
+        .filter($"s3".isNotNull)
+        .groupBy($"event_type".as("s1"), $"s2", $"s3")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"s1", $"s2", $"s3").limit(20)
+    }),
+
     // §2.9: sliding 1h window every 15min (each event lands in 4 windows).
     "ev_sliding_1h15m" -> ((s, dir) => {
       import s.implicits._
@@ -767,6 +786,19 @@ object EventOps {
         |  FROM events)
         |WHERE next_type IS NOT NULL
         |GROUP BY event_type, next_type ORDER BY event_type, next_type""".stripMargin,
+
+    "ev_top_paths" ->
+      """SELECT s1, s2, s3, n FROM (
+        |  SELECT event_type AS s1, s2, s3, count(*) AS n
+        |  FROM (
+        |    SELECT event_type,
+        |     lead(event_type, 1) OVER w AS s2,
+        |     lead(event_type, 2) OVER w AS s3
+        |    FROM events
+        |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |  WHERE s3 IS NOT NULL
+        |  GROUP BY 1, 2, 3)
+        |ORDER BY n DESC, s1, s2, s3 LIMIT 20""".stripMargin,
 
     // every event belongs to the 4 sliding windows starting at the
     // 15-minute bucket and the 3 before it

@@ -731,6 +731,45 @@ object TextOps {
         .orderBy($"source")
     }),
 
+    // The Gopher rule set (Rae et al. 2021 §A1.1, the published
+    // heuristic filter battery most production corpora still run
+    // before any model-based gate), with every rule evaluated in
+    // EXACT integer arithmetic via cross-multiplication — no ratio
+    // ever forms: word count in [50, 100k], mean word length in
+    // [3, 10] chars (3n ≤ chars ≤ 10n), ≥80% of words contain an
+    // alphabetic character (5·n_alpha ≥ 4·n), and ≥2 distinct
+    // stopwords present. Per-doc verdict + per-rule flags (the audit
+    // trail — a production run reports WHY documents died, not just
+    // how many). Pure map-side scan; one row per doc.
+    "llm_gopher_rules" -> ((s, dir) => {
+      import s.implicits._
+      val stopArr = EN_MARKERS.map(w => s"'$w'").mkString("array(", ", ", ")")
+      Tables.documents(s, dir)
+        .select($"doc_id", split($"text", " ").as("w"))
+        .withColumn("n_words", size($"w").cast("long"))
+        .withColumn("n_chars", expr(
+          "CAST(aggregate(w, 0L, (a, x) -> a + length(x)) AS BIGINT)"))
+        .withColumn("n_alpha", expr(
+          "CAST(size(filter(w, x -> x rlike '[a-zA-Z]')) AS BIGINT)"))
+        .withColumn("n_stop_distinct", expr(
+          s"CAST(size(array_intersect(array_distinct(w), $stopArr)) AS BIGINT)"))
+        .withColumn("ok_count",
+          ($"n_words" >= 50 && $"n_words" <= 100000).cast("int"))
+        .withColumn("ok_wordlen",
+          (lit(3) * $"n_words" <= $"n_chars" &&
+            $"n_chars" <= lit(10) * $"n_words").cast("int"))
+        .withColumn("ok_alpha",
+          (lit(5) * $"n_alpha" >= lit(4) * $"n_words").cast("int"))
+        .withColumn("ok_stop", ($"n_stop_distinct" >= 2).cast("int"))
+        .withColumn("kept",
+          ($"ok_count" + $"ok_wordlen" + $"ok_alpha" + $"ok_stop" === 4)
+            .cast("int"))
+        .select($"doc_id", $"n_words", $"n_chars", $"n_alpha",
+          $"n_stop_distinct", $"ok_count", $"ok_wordlen", $"ok_alpha",
+          $"ok_stop", $"kept")
+        .orderBy($"doc_id")
+    }),
+
     // Curriculum ordering: the easy→hard training schedule (Bengio et
     // al. 2009) materialized as a deterministic total order — phases
     // are quality-percentile bands (easy = highest-quality tercile
@@ -1309,6 +1348,36 @@ object TextOps {
          | CASE WHEN nd = 1 THEN 500
          |      ELSE ((rk - 1) * 1000) // (nd - 1) END AS pct_x1000
          |FROM ranked ORDER BY doc_id""".stripMargin,
+
+    "llm_gopher_rules" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, w,
+         |   CAST(len(w) AS BIGINT) AS n_words,
+         |   CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+         |     AS n_chars,
+         |   CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+         |        AS BIGINT) AS n_alpha,
+         |   CAST(len(list_intersect(list_distinct(w), [$markersInList]))
+         |        AS BIGINT) AS n_stop_distinct
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |        FROM documents)),
+         |f AS (
+         |  SELECT doc_id, n_words, n_chars, n_alpha, n_stop_distinct,
+         |   CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+         |        THEN 1 ELSE 0 END AS INTEGER) AS ok_count,
+         |   CAST(CASE WHEN 3 * n_words <= n_chars
+         |         AND n_chars <= 10 * n_words
+         |        THEN 1 ELSE 0 END AS INTEGER) AS ok_wordlen,
+         |   CAST(CASE WHEN 5 * n_alpha >= 4 * n_words
+         |        THEN 1 ELSE 0 END AS INTEGER) AS ok_alpha,
+         |   CAST(CASE WHEN n_stop_distinct >= 2
+         |        THEN 1 ELSE 0 END AS INTEGER) AS ok_stop
+         |  FROM m)
+         |SELECT doc_id, n_words, n_chars, n_alpha, n_stop_distinct,
+         | ok_count, ok_wordlen, ok_alpha, ok_stop,
+         | CAST(CASE WHEN ok_count + ok_wordlen + ok_alpha + ok_stop = 4
+         |      THEN 1 ELSE 0 END AS INTEGER) AS kept
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     "llm_curriculum" ->
       s"""WITH q AS (

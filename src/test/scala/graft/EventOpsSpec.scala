@@ -196,6 +196,23 @@ class EventOpsSpec extends SparkSpec {
     assert(out.head.getDouble(3) > 3.0) // z of the planted spike
   }
 
+  test("ev_top_paths: 3-step paths per user stream, counted across users") {
+    // user 1: A B C D → ABC, BCD; user 2: A B C → ABC; paths never
+    // cross user boundaries
+    val events = Seq(
+      (1L, 1000000000L, 1L, "A", 1.0, "{}"),
+      (2L, 2000000000L, 1L, "B", 1.0, "{}"),
+      (3L, 3000000000L, 1L, "C", 1.0, "{}"),
+      (4L, 4000000000L, 1L, "D", 1.0, "{}"),
+      (5L, 1000000000L, 2L, "A", 1.0, "{}"),
+      (6L, 2000000000L, 2L, "B", 1.0, "{}"),
+      (7L, 3000000000L, 2L, "C", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = q("ev_top_paths", tempSfDir("events" -> events)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(("A", "B", "C", 2L), ("B", "C", "D", 1L)))
+  }
+
   test("ev_session_window: gap boundary (exactly 30 min merges), end = last + gap") {
     // four events: 28.3 min gap (merges), EXACTLY 30 min (still merges —
     // touching [ts, ts+gap) windows union), then 30 min + 1 µs (splits);

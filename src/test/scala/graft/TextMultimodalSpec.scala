@@ -437,6 +437,31 @@ class TextMultimodalSpec extends SparkSpec {
       ((5L, 19L, 23L, 4000L / 23L)))
   }
 
+  test("llm_gopher_rules: each rule fails exactly its engineered doc") {
+    val fifty = ((1 to 48).map(i => s"word$i") ++ Seq("the", "and"))
+      .mkString(" ") // 50 words, 2 distinct stopwords, alpha, len ok
+    val df = Seq(
+      (1L, fifty, "en", "A", 300L),                       // passes all
+      (2L, "the and tiny", "en", "A", 12L),               // fails count
+      (3L, ((1 to 48).map(_ => "supercalifragilistic") ++
+        Seq("the", "and")).mkString(" "), "en", "A", 0L), // fails wordlen
+      (4L, ((1 to 48).map(i => s"$i") ++ Seq("the", "and"))
+        .mkString(" "), "en", "A", 0L),                   // fails alpha
+      (5L, (1 to 50).map(i => s"word$i").mkString(" "), "en", "A", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = q("llm_gopher_rules", tempSfDir("documents" -> df)).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(5), r.getInt(6), r.getInt(7),
+        r.getInt(8), r.getInt(9)))).toMap
+    assert(rows(1L) == ((1, 1, 1, 1, 1)))
+    assert(rows(2L) == ((0, 1, 1, 1, 0)))
+    assert(rows(3L)._2 == 0 && rows(3L)._5 == 0) // 20-char words
+    assert(rows(4L)._3 == 0 && rows(4L)._5 == 0) // 96% numeric words
+    assert(rows(5L) == ((1, 1, 1, 0, 0)))        // no stopwords at all
+    // real corpus: the gate actually separates (both verdicts present)
+    val kept = q("llm_gopher_rules").collect().map(_.getInt(9)).toSet
+    assert(kept == Set(0, 1))
+  }
+
   test("llm_curriculum: every doc once, easy phase first, dense sharded seqs") {
     val rows = q("llm_curriculum").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
