@@ -19,7 +19,8 @@ object Bench {
     "ev_transitions", "ev_top_paths", "ev_markov_rank", "ev_drift", "ev_ewma",
     "ev_attribution", "ev_seasonal_residual",
     "ev_value_histogram", "ev_heatmap", "ev_funnel", "ev_retention",
-    "ev_anomaly", "ev_anomaly_mad", "ev_rate_1m", "ev_user_sequences",
+    "ev_anomaly", "ev_anomaly_mad", "ev_rate_1m", "ev_stickiness",
+    "ev_user_sequences",
     "ev_uint64_decode",
     "ev_decode_all", "ev_partition_pruned",
     "rel_q1_pricing", "rel_q3_shipping", "rel_q5_region_volume",

@@ -375,6 +375,32 @@ object EventOps {
         .orderBy($"event_type", $"next_type")
     }),
 
+    // Engagement stickiness (DAU/MAU): per month, the mean daily-active
+    // count over distinct monthly actives — the product-analytics
+    // ratio the reference's ImPlot time-series panel would chart.
+    // sum_dau (Σ of per-day distinct users) and mau (monthly distinct)
+    // are exact integers; stickiness_x1000 = (1000·sum_dau) div
+    // (n_days·mau) is one truncating division. Two aggregations, both
+    // keyed on calendar buckets derived with exact ms floor division
+    // (pre-epoch-safe) — the month axis is bounded, so the final agg
+    // is tiny; the corpus pays one (day, user) distinct.
+    "ev_stickiness" -> ((s, dir) => {
+      import s.implicits._
+      val days = events(s, dir)
+        .select(floorDiv("ts_ms", 86400000L).as("day"), $"user_id")
+        .distinct()
+        .withColumn("month", expr("day div 30"))
+      val dau = days.groupBy($"month")
+        .agg(countDistinct($"day").as("n_days"),
+          count(lit(1)).as("sum_dau"))
+      val mau = days.groupBy($"month")
+        .agg(countDistinct($"user_id").as("mau"))
+      dau.join(mau, "month")
+        .select($"month", $"n_days", $"sum_dau", $"mau",
+          expr("(1000 * sum_dau) div (n_days * mau)").as("stickiness_x1000"))
+        .orderBy($"month")
+    }),
+
     // Sequential pattern mining, k=3: the top-20 most frequent 3-step
     // event-type paths across user streams (the "what do users actually
     // do" product-analytics panel; pairs are ev_transitions, this is
@@ -786,6 +812,23 @@ object EventOps {
         |  FROM events)
         |WHERE next_type IS NOT NULL
         |GROUP BY event_type, next_type ORDER BY event_type, next_type""".stripMargin,
+
+    "ev_stickiness" ->
+      """WITH days AS (
+        |  SELECT DISTINCT (epoch_ns(ts) // 1000000) // 86400000 AS day,
+        |   user_id
+        |  FROM events),
+        |m AS (SELECT day // 30 AS month, day, user_id FROM days),
+        |dau AS (SELECT month, count(DISTINCT day) AS n_days,
+        |         count(*) AS sum_dau FROM m GROUP BY month),
+        |mau AS (SELECT month, count(DISTINCT user_id) AS mau
+        |        FROM m GROUP BY month)
+        |SELECT month, CAST(n_days AS BIGINT) AS n_days,
+        | CAST(sum_dau AS BIGINT) AS sum_dau, CAST(mau AS BIGINT) AS mau,
+        | (1000 * CAST(sum_dau AS BIGINT))
+        |   // (CAST(n_days AS BIGINT) * CAST(mau AS BIGINT))
+        |   AS stickiness_x1000
+        |FROM dau JOIN mau USING (month) ORDER BY month""".stripMargin,
 
     "ev_top_paths" ->
       """SELECT s1, s2, s3, n FROM (

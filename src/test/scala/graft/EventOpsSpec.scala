@@ -196,6 +196,22 @@ class EventOpsSpec extends SparkSpec {
     assert(out.head.getDouble(3) > 3.0) // z of the planted spike
   }
 
+  test("ev_stickiness: DAU/MAU hand fixture — 2 days, 2 users, one month") {
+    val day = 86400000000000L // ns
+    val events = Seq(
+      (1L, 1000000000L, 1L, "A", 1.0, "{}"),        // day 0, user 1
+      (2L, 2000000000L, 2L, "A", 1.0, "{}"),        // day 0, user 2
+      (3L, 2000000001L, 2L, "A", 1.0, "{}"),        // day 0, user 2 again
+      (4L, day + 1000L, 1L, "A", 1.0, "{}"))        // day 1, user 1
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = q("ev_stickiness", tempSfDir("events" -> events)).collect()
+    assert(r.length == 1)
+    // sum_dau = 2 (day0) + 1 (day1) = 3; mau = 2; n_days = 2
+    // stickiness = 3000 div (2·2) = 750
+    assert((r.head.getLong(0), r.head.getLong(1), r.head.getLong(2),
+      r.head.getLong(3), r.head.getLong(4)) == ((0L, 2L, 3L, 2L, 750L)))
+  }
+
   test("ev_top_paths: 3-step paths per user stream, counted across users") {
     // user 1: A B C D → ABC, BCD; user 2: A B C → ABC; paths never
     // cross user boundaries
