@@ -497,6 +497,15 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rows.map(r => r._1 -> r._2).toMap == want)
   }
 
+  test("budgetWaterfill: budget above total supply caps nothing") {
+    val counts = Seq(("A", 5L), ("B", 10L)).toDF("source", "n")
+    val rows = graft.api.GraftPipelines
+      .budgetWaterfill(counts, Seq(100L).toDF("budget")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3))))
+      .toMap
+    assert(rows == Map("A" -> ((5L, 0, 5L)), "B" -> ((10L, 0, 10L))))
+  }
+
   test("llm_tokenizer_fertility: per-lang sums consistent with llm_bpe_apply") {
     val fert = q("llm_tokenizer_fertility").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
