@@ -48,14 +48,21 @@ object EventStreaming {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("win_start"), col("event_type"), col("n"))
 
-  /** Session windows via event-time gap (built-in session_window). */
+  /** Session windows via event-time gap (built-in session_window) —
+    * the live twin of the batch `ev_session_window` entry, emitting the
+    * same shape: window end (= last event + gap) and the exact-decimal
+    * value sum alongside the count.
+    */
   def sessionWindows(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "30 minutes")
       .groupBy(session_window(col("ts"), "30 minutes").as("w"),
         col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("w.start").as("sess_start"), col("user_id"), col("n_events"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double")
+          .as("sum_value"))
+      .select(col("w.start").as("sess_start"), col("w.end").as("sess_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
 
   final case class UserEvent(user_id: Long, event_type: String)
   final case class UserCount(user_id: Long, n_events: Long)

@@ -109,13 +109,20 @@ class StreamingSpec extends SparkSpec {
       .writeStream.outputMode("complete")
       .format("memory").queryName("sess_win_out").start()
     try {
-      mem.addData((ts(0), "click", 7L, 1.0), (ts(10), "click", 7L, 1.0),
-        (ts(120), "click", 7L, 1.0))
+      mem.addData((ts(0), "click", 7L, 1.0), (ts(10), "click", 7L, 2.0),
+        (ts(120), "click", 7L, 4.0))
       query.processAllAvailable()
       val rows = spark.table("sess_win_out").collect()
         .filter(_.getAs[Long]("user_id") == 7L)
       assert(rows.length == 2, "two sessions for user 7")
       assert(rows.map(_.getAs[Long]("n_events")).sorted.sameElements(Seq(1L, 2L)))
+      // batch-twin shape: end = last event + gap, exact-decimal sums
+      val byN = rows.map(r => r.getAs[Long]("n_events") ->
+        ((r.getAs[Timestamp]("sess_end").getTime -
+          r.getAs[Timestamp]("sess_start").getTime) / 60000L,
+          r.getAs[Double]("sum_value"))).toMap
+      assert(byN(2L) == ((40L, 3.0))) // 10 min span + 30 min gap
+      assert(byN(1L) == ((30L, 4.0)))
     } finally query.stop()
   }
 
