@@ -44,6 +44,7 @@ object Bench {
     "llm_dup_clusters", "llm_golden_record", "llm_curate", "llm_decontaminate",
     "llm_embed_ivf",
     "llm_span_dedup", "llm_sample_stratified", "llm_sample_weighted", "llm_pack_sequences",
+    "llm_train_manifest",
     "llm_pack_salted",
     "llm_hybrid_search", "llm_hybrid_rrf", "llm_corpus_report",
     "llm_bm25", "llm_inverted_index", "llm_mix_temperature",

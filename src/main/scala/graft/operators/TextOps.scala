@@ -805,6 +805,51 @@ object TextOps {
         .orderBy($"phase", $"shard", $"seq")
     }),
 
+    // The training-run MANIFEST: one row per document carrying every
+    // assignment the trainer consumes — split (salted-hash, stable
+    // across reruns/cluster sizes), curriculum phase/shard/seq
+    // (computed over the TRAIN slice only, the split the schedule
+    // applies to), and the token-budget pack bin (greedy per source
+    // over train docs). Val/test rows carry NULL schedule fields —
+    // they are never trained on, and the NULLs make that auditable.
+    // The closing composition of the preparation pipeline: split →
+    // curriculum → packing, each reusing its standalone verified
+    // machinery, joined doc_id-keyed; the oracle nests the standalone
+    // entries' SQL verbatim so drift between the manifest and its
+    // parts is impossible by construction.
+    "llm_train_manifest" -> ((s, dir) => {
+      import s.implicits._
+      val withSplit = graft.api.GraftPipelines
+        .hashSplit(Tables.documents(s, dir))
+      val train = withSplit.filter($"split" === "train")
+      val scored = graft.api.GraftPipelines
+        .qualityScores(train, EN_MARKERS)
+        .join(train.select($"doc_id", $"source"), "doc_id")
+      val wSrc = Window.partitionBy($"source").orderBy($"score", $"doc_id")
+      val sh = scored
+        .withColumn("rk", row_number().over(wSrc).cast("long"))
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy($"source")))
+        .withColumn("pct", when($"nd" === 1, 500L)
+          .otherwise(expr("((rk - 1) * 1000) div (nd - 1)")))
+        .withColumn("phase",
+          when($"pct" >= 667, 0).when($"pct" >= 334, 1).otherwise(2))
+        .withColumn("h", graft.functions.VectorExpressions.md5Half60(
+          concat(lit("curr|"), $"doc_id".cast("string")), upperHalf = false))
+        .withColumn("shard", ($"h" % 16).cast("int"))
+      val wShard = Window.partitionBy($"phase", $"shard")
+        .orderBy($"h", $"doc_id")
+      val curr = sh
+        .withColumn("seq", row_number().over(wShard).cast("long"))
+        .select($"doc_id", $"phase", $"shard", $"seq")
+      val packed = graft.api.GraftPipelines.packSequences(
+          train.withColumn("n_tokens", size(split($"text", " "))), 2048)
+        .select($"doc_id", $"bin")
+      withSplit.select($"doc_id", $"source", $"split")
+        .join(curr, Seq("doc_id"), "left")
+        .join(packed, Seq("doc_id"), "left")
+        .orderBy($"doc_id")
+    }),
+
     // Sliding-window chunking (20-word chunks, stride 15): the RAG /
     // long-doc-embedding preprocessing step; (doc_id, chunk_idx) is the
     // stable chunk key.
@@ -1348,6 +1393,64 @@ object TextOps {
          | CASE WHEN nd = 1 THEN 500
          |      ELSE ((rk - 1) * 1000) // (nd - 1) END AS pct_x1000
          |FROM ranked ORDER BY doc_id""".stripMargin,
+
+    "llm_train_manifest" ->
+      s"""WITH spl AS (
+         |  SELECT doc_id, source, text,
+         |   CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+         |        ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, source, text,
+         |         CAST(md5_number_lower('spl|' || CAST(doc_id AS VARCHAR))
+         |              % 1152921504606846976 AS BIGINT) % 1000 AS b
+         |        FROM documents)),
+         |train AS (SELECT * FROM spl WHERE split = 'train'),
+         |q AS (
+         |  SELECT doc_id,
+         |   (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.5 +
+         |   (CAST(len(list_filter(w, x -> x IN ($markersInList))) AS DOUBLE)
+         |      / len(w)) * 0.3 +
+         |   (CASE WHEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+         |              / len(w) >= 3.0
+         |          AND CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+         |              / len(w) <= 8.0
+         |         THEN 0.2 ELSE 0.0 END) AS score
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train)),
+         |scored AS (
+         |  SELECT q.doc_id, t.source, q.score
+         |  FROM q JOIN train t ON q.doc_id = t.doc_id),
+         |ranked AS (
+         |  SELECT doc_id,
+         |   CAST(row_number() OVER (PARTITION BY source
+         |     ORDER BY score, doc_id) AS BIGINT) AS rk,
+         |   count(*) OVER (PARTITION BY source) AS nd
+         |  FROM scored),
+         |sh AS (
+         |  SELECT doc_id,
+         |   CAST(CASE WHEN pct >= 667 THEN 0 WHEN pct >= 334 THEN 1
+         |        ELSE 2 END AS INTEGER) AS phase,
+         |   CAST(md5_number_lower('curr|' || CAST(doc_id AS VARCHAR))
+         |        % 1152921504606846976 AS BIGINT) AS h
+         |  FROM (SELECT doc_id,
+         |         CASE WHEN nd = 1 THEN 500
+         |              ELSE ((rk - 1) * 1000) // (nd - 1) END AS pct
+         |        FROM ranked)),
+         |curr AS (
+         |  SELECT doc_id, phase, CAST(h % 16 AS INTEGER) AS shard,
+         |   CAST(row_number() OVER (PARTITION BY phase, h % 16
+         |     ORDER BY h, doc_id) AS BIGINT) AS seq
+         |  FROM sh),
+         |packed AS (
+         |  SELECT doc_id, CAST(floor(cum / 2048.0) AS BIGINT) AS bin
+         |  FROM (
+         |    SELECT doc_id,
+         |     sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+         |       - n_tokens AS cum
+         |    FROM (SELECT doc_id, source,
+         |           len(string_split(text, ' ')) AS n_tokens FROM train)))
+         |SELECT s.doc_id, s.source, s.split, c.phase, c.shard, c.seq, p.bin
+         |FROM spl s LEFT JOIN curr c ON s.doc_id = c.doc_id
+         |LEFT JOIN packed p ON s.doc_id = p.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
 
     "llm_gopher_rules" ->
       s"""WITH m AS (

@@ -462,6 +462,30 @@ class TextMultimodalSpec extends SparkSpec {
     assert(kept == Set(0, 1))
   }
 
+  test("llm_train_manifest: schedule fields exactly on the train slice") {
+    val rows = q("llm_train_manifest").collect()
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length == n && rows.map(_.getLong(0)).distinct.length == n)
+    val (train, rest) = rows.partition(_.getString(2) == "train")
+    assert(rest.map(_.getString(2)).toSet == Set("val", "test"))
+    // train rows carry the full schedule; eval rows carry NONE of it
+    assert(train.forall(r => !r.isNullAt(3) && !r.isNullAt(4) &&
+      !r.isNullAt(5) && !r.isNullAt(6)))
+    assert(rest.forall(r => r.isNullAt(3) && r.isNullAt(4) &&
+      r.isNullAt(5) && r.isNullAt(6)))
+    // seq is dense 1..k within every (phase, shard) of the train slice
+    for ((_, grp) <- train.groupBy(r => (r.getInt(3), r.getInt(4))))
+      assert(grp.map(_.getLong(5)).sorted.toSeq == (1L to grp.length).toSeq)
+    // split sizes agree with the standalone llm_split aggregation
+    val manifestSplits = rows.groupBy(_.getString(2)).map {
+      case (s, rs) => s -> rs.length.toLong
+    }
+    val split = q("llm_split").collect()
+      .groupBy(_.getString(1)).map { case (s, rs) =>
+        s -> rs.map(_.getLong(2)).sum }
+    assert(manifestSplits == split)
+  }
+
   test("llm_curriculum: every doc once, easy phase first, dense sharded seqs") {
     val rows = q("llm_curriculum").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
