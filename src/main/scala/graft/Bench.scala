@@ -20,6 +20,7 @@ object Bench {
     "ev_attribution", "ev_seasonal_residual",
     "ev_value_histogram", "ev_heatmap", "ev_funnel", "ev_retention",
     "ev_anomaly", "ev_anomaly_mad", "ev_rate_1m", "ev_stickiness",
+    "ev_power_users",
     "ev_user_sequences",
     "ev_uint64_decode",
     "ev_decode_all", "ev_partition_pruned",
@@ -40,7 +41,7 @@ object Bench {
     "rel_snapshot_diff", "rel_reconcile", "rel_compact",
     "llm_bpe_vocab", "llm_bpe_apply",
     "llm_dedup_exact", "llm_dedup_prefix", "llm_dedup_incremental",
-    "llm_minhash_pairs", "llm_neardup_verified", "llm_ppjoin",
+    "llm_minhash_pairs", "llm_neardup_verified", "llm_ppjoin", "llm_dup_matrix",
     "llm_dup_clusters", "llm_golden_record", "llm_curate", "llm_decontaminate",
     "llm_embed_ivf",
     "llm_span_dedup", "llm_sample_stratified", "llm_sample_weighted", "llm_pack_sequences",

@@ -499,6 +499,29 @@ object DedupOps {
         .orderBy($"a_id", $"b_id")
     }),
 
+    // Cross-source duplication matrix: PPJoin's exact θ≥1/2 pairs
+    // rolled up to (source_a, source_b) — the "which crawls overlap
+    // each other" audit that decides what to ingest next (within-source
+    // cells = internal redundancy, off-diagonal = cross-crawl overlap).
+    // Sources are ordered lexically per pair so the matrix is upper-
+    // triangular and deterministic; the |sources|² output is bounded,
+    // and the doc→source lookup joins on doc_id AFTER the pair set is
+    // formed — the corpus never re-shuffles for the rollup.
+    "llm_dup_matrix" -> ((s, dir) => {
+      import s.implicits._
+      val src = Tables.documents(s, dir).select($"doc_id", $"source")
+      graft.api.GraftPipelines
+        .ppjoinPairs(Tables.documents(s, dir), num = 1, den = 2)
+        .join(src.as("sa"), $"sa.doc_id" === $"a_id")
+        .join(src.as("sb"), $"sb.doc_id" === $"b_id")
+        .select(least($"sa.source", $"sb.source").as("src_lo"),
+          greatest($"sa.source", $"sb.source").as("src_hi"),
+          $"jac_x1000")
+        .groupBy($"src_lo", $"src_hi")
+        .agg(count(lit(1)).as("n_pairs"), max($"jac_x1000").as("max_jac"))
+        .orderBy($"src_lo", $"src_hi")
+    }),
+
     // Fuzzy entity resolution, blocked-join form: catalog-name variants
     // within edit distance 3. DICTIONARY-FIRST — the map-side-combined
     // distinct-name aggregate shrinks the pairing problem from rows to
@@ -782,6 +805,28 @@ object DedupOps {
          |JOIN sizes sb ON sb.doc_id = b_id
          |WHERE 3 * inter >= sa.sz + sb.sz
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "llm_dup_matrix" ->
+      s"""WITH $shinglesSql,
+         |toks AS (SELECT DISTINCT doc_id, s FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+         |inter AS (
+         |  SELECT ta.doc_id AS a_id, tb.doc_id AS b_id, count(*) AS i
+         |  FROM toks ta JOIN toks tb
+         |    ON ta.s = tb.s AND ta.doc_id < tb.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a_id, b_id,
+         |   (1000 * i) // (sa.sz + sb.sz - i) AS jac_x1000
+         |  FROM inter JOIN sizes sa ON sa.doc_id = a_id
+         |  JOIN sizes sb ON sb.doc_id = b_id
+         |  WHERE 3 * i >= sa.sz + sb.sz)
+         |SELECT least(da.source, db.source) AS src_lo,
+         | greatest(da.source, db.source) AS src_hi,
+         | count(*) AS n_pairs, max(jac_x1000) AS max_jac
+         |FROM pairs JOIN documents da ON da.doc_id = a_id
+         |JOIN documents db ON db.doc_id = b_id
+         |GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin,
 
     "llm_fuzzy_pairs" ->
       """WITH names AS (

@@ -375,6 +375,28 @@ object EventOps {
         .orderBy($"event_type", $"next_type")
     }),
 
+    // Power-user concentration (the Pareto panel): what share of all
+    // events does the TOP DECILE of users produce — the activity-
+    // concentration number that decides sampling/salting strategy for
+    // the user dimension. Exact integers end to end: k = ceil(U/10)
+    // via (U+9) div 10, share cross-multiplied. The rank window runs
+    // over the AGGREGATED user dimension (|users| rows, orders of
+    // magnitude below the corpus — the same aggregate-first discipline
+    // as rel_skew_report; the corpus pays one user-keyed count).
+    "ev_power_users" -> ((s, dir) => {
+      import s.implicits._
+      val per = events(s, dir).groupBy($"user_id").agg(count(lit(1)).as("n"))
+      val tot = per.agg(count(lit(1)).as("n_users"), sum($"n").as("total"))
+      val w = Window.orderBy($"n".desc, $"user_id")
+      per.withColumn("rk", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(tot))
+        .withColumn("k", expr("(n_users + 9) div 10"))
+        .groupBy($"n_users", $"total", $"k")
+        .agg(sum(when($"rk" <= $"k", $"n").otherwise(0L)).as("top_events"))
+        .select($"n_users", $"k".as("top_users"), $"total", $"top_events",
+          expr("(1000 * top_events) div total").as("share_x1000"))
+    }),
+
     // Engagement stickiness (DAU/MAU): per month, the mean daily-active
     // count over distinct monthly actives — the product-analytics
     // ratio the reference's ImPlot time-series panel would chart.
@@ -812,6 +834,24 @@ object EventOps {
         |  FROM events)
         |WHERE next_type IS NOT NULL
         |GROUP BY event_type, next_type ORDER BY event_type, next_type""".stripMargin,
+
+    "ev_power_users" ->
+      """WITH per AS (
+        |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |tot AS (SELECT count(*) AS n_users,
+        |         CAST(sum(n) AS BIGINT) AS total FROM per),
+        |ranked AS (
+        |  SELECT n, CAST(row_number() OVER (ORDER BY n DESC, user_id)
+        |            AS BIGINT) AS rk
+        |  FROM per)
+        |SELECT n_users, (n_users + 9) // 10 AS top_users, total,
+        | CAST(sum(CASE WHEN rk <= (n_users + 9) // 10 THEN n ELSE 0 END)
+        |      AS BIGINT) AS top_events,
+        | (1000 * CAST(sum(CASE WHEN rk <= (n_users + 9) // 10
+        |                  THEN n ELSE 0 END) AS BIGINT)) // total
+        |   AS share_x1000
+        |FROM ranked CROSS JOIN tot
+        |GROUP BY n_users, total ORDER BY n_users""".stripMargin,
 
     "ev_stickiness" ->
       """WITH days AS (

@@ -290,6 +290,24 @@ class DedupOpsSpec extends SparkSpec {
     assert((snm -- blocked).nonEmpty, "SNM should find band-straddling pairs")
   }
 
+  test("llm_dup_matrix: rollup agrees with ppjoin pairs joined to sources") {
+    val srcOf = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = q("llm_ppjoin").collect()
+      .map(r => {
+        val (a, b) = (srcOf(r.getLong(0)), srcOf(r.getLong(1)))
+        ((if (a <= b) a else b, if (a <= b) b else a), r.getLong(5))
+      })
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> ((vs.length.toLong, vs.map(_._2).max)) }
+    val got = q("llm_dup_matrix").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("llm_ppjoin: prefix filter is LOSSLESS — equals brute-force exact Jaccard") {
     val got = q("llm_ppjoin").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet

@@ -196,6 +196,17 @@ class EventOpsSpec extends SparkSpec {
     assert(out.head.getDouble(3) > 3.0) // z of the planted spike
   }
 
+  test("ev_power_users: top-decile share, ceil-k, hand fixture") {
+    // 3 users → top decile = ceil(3/10) = 1 user; u1 has 5 of 10 events
+    val events = (1 to 5).map(i => (i.toLong, i * 1000000000L, 1L, "A", 1.0, "{}")) ++
+      (6 to 8).map(i => (i.toLong, i * 1000000000L, 2L, "A", 1.0, "{}")) ++
+      (9 to 10).map(i => (i.toLong, i * 1000000000L, 3L, "A", 1.0, "{}"))
+    val df = events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = q("ev_power_users", tempSfDir("events" -> df)).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 1L, 10L, 5L, 500L)))
+  }
+
   test("ev_stickiness: DAU/MAU hand fixture — 2 days, 2 users, one month") {
     val day = 86400000000000L // ns
     val events = Seq(
