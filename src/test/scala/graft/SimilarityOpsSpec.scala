@@ -325,6 +325,22 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(top1Kept >= 2, s"ADC shortlist lost the true best for ${3 - top1Kept}/3 queries")
   }
 
+  test("kcenterSelect: k beyond the corpus degrades deterministically (radius 0)") {
+    // 2 vectors, k=4: rounds 3-4 have every min-distance 0 and fall
+    // back to the smallest id — duplicates with d2=0, never a crash or
+    // nondeterminism; callers see the exhaustion in the radii
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array.fill(64)(0.5f)),
+      (2L, Array.fill(64)(-0.5f))).toDF("vec_id", "embedding")
+    val rows = graft.api.GraftPipelines.kcenterSelect(vecs, 4, 64)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(rows.map(_._2).take(2).toSet == Set(1L, 2L))
+    assert(rows.drop(2).forall(r => r._3 == 0L && r._2 == 1L))
+  }
+
   test("llm_source_centroid_sim: exact-sum cosines match an in-memory reference") {
     val rows = q("llm_source_centroid_sim").collect()
     val data = spark.read.parquet(s"$sf/documents.parquet")
