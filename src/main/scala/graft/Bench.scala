@@ -20,7 +20,7 @@ object Bench {
     "ev_attribution", "ev_seasonal_residual",
     "ev_value_histogram", "ev_heatmap", "ev_funnel", "ev_retention",
     "ev_anomaly", "ev_anomaly_mad", "ev_rate_1m", "ev_stickiness",
-    "ev_power_users",
+    "ev_power_users", "ev_new_returning",
     "ev_user_sequences",
     "ev_uint64_decode",
     "ev_decode_all", "ev_partition_pruned",
@@ -44,7 +44,7 @@ object Bench {
     "llm_minhash_pairs", "llm_neardup_verified", "llm_ppjoin", "llm_dup_matrix",
     "llm_dup_clusters", "llm_golden_record", "llm_curate", "llm_decontaminate",
     "llm_embed_ivf",
-    "llm_span_dedup", "llm_sample_stratified", "llm_sample_weighted", "llm_pack_sequences",
+    "llm_span_dedup", "llm_sample_stratified", "llm_sample_weighted", "llm_dsir_sample", "llm_pack_sequences",
     "llm_train_manifest",
     "llm_pack_salted",
     "llm_hybrid_search", "llm_hybrid_rrf", "llm_corpus_report",

@@ -375,6 +375,26 @@ object EventOps {
         .orderBy($"event_type", $"next_type")
     }),
 
+    // New-vs-returning actives per day (the growth panel): each day's
+    // active users split by whether it is their FIRST active day —
+    // acquisition vs retention in one table. Exact integers; the
+    // corpus pays one (day, user) distinct, then a user-keyed min and
+    // a day-keyed count — the first-seen join is user-keyed, the same
+    // shuffle the distinct already laid down.
+    "ev_new_returning" -> ((s, dir) => {
+      import s.implicits._
+      val days = events(s, dir)
+        .select(floorDiv("ts_ms", 86400000L).as("day"), $"user_id")
+        .distinct()
+      val first = days.groupBy($"user_id").agg(min($"day").as("first_day"))
+      days.join(first, "user_id")
+        .groupBy($"day")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when($"day" === $"first_day", 1L).otherwise(0L)).as("n_new"))
+        .withColumn("n_returning", $"n_active" - $"n_new")
+        .orderBy($"day")
+    }),
+
     // Power-user concentration (the Pareto panel): what share of all
     // events does the TOP DECILE of users produce — the activity-
     // concentration number that decides sampling/salting strategy for
@@ -834,6 +854,21 @@ object EventOps {
         |  FROM events)
         |WHERE next_type IS NOT NULL
         |GROUP BY event_type, next_type ORDER BY event_type, next_type""".stripMargin,
+
+    "ev_new_returning" ->
+      """WITH days AS (
+        |  SELECT DISTINCT (epoch_ns(ts) // 1000000) // 86400000 AS day,
+        |   user_id
+        |  FROM events),
+        |first AS (
+        |  SELECT user_id, min(day) AS first_day FROM days GROUP BY user_id)
+        |SELECT day, count(*) AS n_active,
+        | CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_new,
+        | count(*) - CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_returning
+        |FROM days JOIN first USING (user_id)
+        |GROUP BY day ORDER BY day""".stripMargin,
 
     "ev_power_users" ->
       """WITH per AS (

@@ -850,6 +850,29 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
+    // DSIR importance RESAMPLING — the loop llm_dsir_weight's weights
+    // exist for (Xie et al. 2023 step 2): keep each doc with
+    // probability proportional to its target-domain importance ratio,
+    // via the same salted-hash ppm gate as weightedSample (no rand();
+    // reruns, cluster sizes, and the oracle all pick identical rows).
+    // The weight is the integer ratio scaled back to [0, 1] and capped
+    // at 1 — both engines evaluate the identical double expression, and
+    // the gate compares integers. Map-side end to end after the weight
+    // join.
+    "llm_dsir_sample" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val wts = graft.api.GraftPipelines
+        .dsirWeights(docs, col("lang") === "en")
+        .select($"doc_id", $"dsir_x")
+      graft.api.GraftPipelines.weightedSample(
+          docs.join(wts, "doc_id"),
+          least(lit(1.0), $"dsir_x".cast("double") / 1000000.0),
+          salt = "dsmp")
+        .select($"doc_id", $"source", $"lang", $"dsir_x")
+        .orderBy($"doc_id")
+    }),
+
     // Sliding-window chunking (20-word chunks, stride 15): the RAG /
     // long-doc-embedding preprocessing step; (doc_id, chunk_idx) is the
     // stable chunk key.
@@ -1302,6 +1325,32 @@ object TextOps {
         | CAST(CAST(sum(r) AS BIGINT) // count(*) AS BIGINT) AS dsir_x
         |FROM bi JOIN ratio ON bi.w1 = ratio.w1 AND bi.w2 = ratio.w2
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_dsir_sample" ->
+      """WITH bi AS (
+        |  SELECT doc_id, lang, b['w1'] AS w1, b['w2'] AS w2 FROM (
+        |    SELECT doc_id, lang, unnest(list_transform(range(1, len(w)),
+        |             i -> {'w1': w[i], 'w2': w[i+1]})) AS b
+        |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |          FROM documents)
+        |    WHERE len(w) >= 2)),
+        |ratio AS (
+        |  SELECT w1, w2,
+        |   ((1 + sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)) * 1000000)
+        |     // (1 + count(*)) AS r
+        |  FROM bi GROUP BY w1, w2),
+        |wts AS (
+        |  SELECT doc_id,
+        |   CAST(CAST(sum(r) AS BIGINT) // count(*) AS BIGINT) AS dsir_x
+        |  FROM bi JOIN ratio ON bi.w1 = ratio.w1 AND bi.w2 = ratio.w2
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, d.source, d.lang, w.dsir_x
+        |FROM documents d JOIN wts w ON d.doc_id = w.doc_id
+        |WHERE CAST(md5_number_lower('dsmp|' || CAST(d.doc_id AS VARCHAR))
+        |           % 1152921504606846976 AS BIGINT) % 1000000
+        |      < CAST(floor(least(1.0, CAST(w.dsir_x AS DOUBLE) / 1000000.0)
+        |                   * 1000000) AS BIGINT)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "llm_quality_winsor" ->
       """WITH ranked AS (

@@ -196,6 +196,23 @@ class EventOpsSpec extends SparkSpec {
     assert(out.head.getDouble(3) > 3.0) // z of the planted spike
   }
 
+  test("ev_new_returning: first-active day splits acquisition from retention") {
+    val day = 86400000000000L // ns
+    val events = Seq(
+      (1L, 1000L, 1L, "A", 1.0, "{}"),           // u1 day 0
+      (2L, day + 1000L, 1L, "A", 1.0, "{}"),     // u1 day 1 (returning)
+      (3L, day + 2000L, 2L, "A", 1.0, "{}"))     // u2 day 1 (new)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = q("ev_new_returning", tempSfDir("events" -> events)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((0L, 1L, 1L, 0L), (1L, 2L, 1L, 1L)))
+    // invariant on the real corpus: every user is new exactly once
+    val real = q("ev_new_returning").collect()
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(real.map(_.getLong(2)).sum == users)
+  }
+
   test("ev_power_users: top-decile share, ceil-k, hand fixture") {
     // 3 users → top decile = ceil(3/10) = 1 user; u1 has 5 of 10 events
     val events = (1 to 5).map(i => (i.toLong, i * 1000000000L, 1L, "A", 1.0, "{}")) ++

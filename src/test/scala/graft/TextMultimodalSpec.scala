@@ -462,6 +462,24 @@ class TextMultimodalSpec extends SparkSpec {
     assert(kept == Set(0, 1))
   }
 
+  test("llm_dsir_sample: importance resampling prefers the target domain") {
+    val kept = q("llm_dsir_sample").collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val keptIds = kept.map(_.getLong(0)).toSet
+    def rate(p: String => Boolean) = {
+      val pool = docs.filter(d => p(d._2))
+      pool.count(d => keptIds(d._1)).toDouble / pool.length
+    }
+    // the whole point of DSIR: target-domain (en) docs survive at a
+    // strictly higher rate than out-of-domain ones
+    assert(rate(_ == "en") > rate(_ != "en"),
+      s"en rate ${rate(_ == "en")} vs other ${rate(_ != "en")}")
+    // deterministic: a second evaluation picks the identical set
+    assert(q("llm_dsir_sample").collect().map(_.getLong(0)).toSet == keptIds)
+  }
+
   test("llm_train_manifest: schedule fields exactly on the train slice") {
     val rows = q("llm_train_manifest").collect()
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
