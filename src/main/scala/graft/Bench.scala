@@ -42,6 +42,7 @@ object Bench {
     "llm_bpe_vocab", "llm_bpe_apply",
     "llm_dedup_exact", "llm_dedup_prefix", "llm_dedup_incremental",
     "llm_minhash_pairs", "llm_neardup_verified", "llm_ppjoin", "llm_dup_matrix",
+    "llm_minhash_recall",
     "llm_dup_clusters", "llm_golden_record", "llm_curate", "llm_decontaminate",
     "llm_embed_ivf",
     "llm_span_dedup", "llm_sample_stratified", "llm_sample_weighted", "llm_dsir_sample", "llm_pack_sequences",

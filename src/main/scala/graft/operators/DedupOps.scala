@@ -499,6 +499,28 @@ object DedupOps {
         .orderBy($"a_id", $"b_id")
     }),
 
+    // MinHash/LSH recall, MEASURED against the exact truth — the dedup
+    // twin of llm_ann_recall: with PPJoin's lossless θ≥1/2 shingle
+    // pairs as ground truth, what fraction does the 8-seed/4-band LSH
+    // candidate generator surface? The number every sketch-dedup
+    // deployment must know before trusting its miss rate (banding
+    // theory predicts recall from (seeds, bands, θ); this MEASURES it
+    // on the corpus, and the measurement itself is oracle-checked).
+    // Both sides are bounded pair sets; the comparison is one keyed
+    // left join + a 1-row aggregate.
+    "llm_minhash_recall" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val exact = graft.api.GraftPipelines.ppjoinPairs(docs, 1, 2)
+        .select($"a_id".as("d1"), $"b_id".as("d2"))
+      val cands = graft.api.GraftPipelines.minhashCandidates(docs)
+      exact.join(cands.withColumn("hit", lit(1L)), Seq("d1", "d2"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce($"hit", lit(0L))).as("n_hit"))
+        .select($"n_exact", $"n_hit",
+          expr("(1000 * n_hit) div n_exact").as("recall_x1000"))
+    }),
+
     // Cross-source duplication matrix: PPJoin's exact θ≥1/2 pairs
     // rolled up to (source_a, source_b) — the "which crawls overlap
     // each other" audit that decides what to ingest next (within-source
@@ -805,6 +827,30 @@ object DedupOps {
          |JOIN sizes sb ON sb.doc_id = b_id
          |WHERE 3 * inter >= sa.sz + sb.sz
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "llm_minhash_recall" ->
+      s"""WITH $shinglesSql, $minhashSql, $bandsSql,
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+         |  FROM bands l JOIN bands r ON l.b = r.b AND l.doc_id < r.doc_id),
+         |toks AS (SELECT DISTINCT doc_id, s FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+         |inter AS (
+         |  SELECT ta.doc_id AS d1, tb.doc_id AS d2, count(*) AS i
+         |  FROM toks ta JOIN toks tb
+         |    ON ta.s = tb.s AND ta.doc_id < tb.doc_id
+         |  GROUP BY 1, 2),
+         |exact AS (
+         |  SELECT d1, d2 FROM inter
+         |  JOIN sizes sa ON sa.doc_id = d1
+         |  JOIN sizes sb ON sb.doc_id = d2
+         |  WHERE 3 * i >= sa.sz + sb.sz)
+         |SELECT count(*) AS n_exact,
+         | CAST(sum(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_hit,
+         | (1000 * CAST(sum(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END)
+         |          AS BIGINT)) // count(*) AS recall_x1000
+         |FROM exact e LEFT JOIN cands c ON e.d1 = c.d1 AND e.d2 = c.d2""".stripMargin,
 
     "llm_dup_matrix" ->
       s"""WITH $shinglesSql,

@@ -290,6 +290,17 @@ class DedupOpsSpec extends SparkSpec {
     assert((snm -- blocked).nonEmpty, "SNM should find band-straddling pairs")
   }
 
+  test("llm_minhash_recall: measured against the exact ppjoin truth") {
+    val r = q("llm_minhash_recall").collect().head
+    val exact = q("llm_ppjoin").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val cands = q("llm_minhash_pairs").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r.getLong(0) == exact.size)
+    assert(r.getLong(1) == (exact & cands).size)
+    assert(r.getLong(2) == 1000L * r.getLong(1) / r.getLong(0))
+  }
+
   test("llm_dup_matrix: rollup agrees with ppjoin pairs joined to sources") {
     val srcOf = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "source").collect()
