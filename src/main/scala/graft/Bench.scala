@@ -8,6 +8,19 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query is forced end-to-end with a `noop` sink write (computes every
   * output column, unlike `count()` which lets Catalyst prune the plan).
+  *
+  * Burst-resistant recording (round 8): the host throws ROVING 2-10×
+  * CPU bursts that land mid-run, so a single pass can bake a burst
+  * into a few queries' figures while the early control stays healthy —
+  * the r6→r7 artifacts drifted 1.23× on shared queries from exactly
+  * this (adjudicated as host noise only by manual re-runs). The fix:
+  * run the whole suite `SPARK_GRAFT_BENCH_PASSES` (default 2) times
+  * in one JVM and record each query's MINIMUM across passes. Full-suite
+  * passes (not per-query back-to-back repeats) separate the two
+  * samples by minutes, so a burst must span the entire run to survive
+  * into the artifact; the min is the right estimator because noise is
+  * strictly additive. The control's min gets the same treatment, so
+  * `host_taxed` now means "every pass was taxed".
   */
 object Bench {
 
@@ -15,7 +28,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "ev_flagship", "ev_catalog", "ev_sessionize", "ev_tumbling_1h",
     "ev_sliding_1h15m", "ev_session_window", "ev_asof_join", "ev_range_join",
-    "ev_interval_join",
+    "ev_interval_join", "ev_follow_band",
     "ev_transitions", "ev_top_paths", "ev_markov_rank", "ev_drift", "ev_ewma",
     "ev_attribution", "ev_seasonal_residual",
     "ev_value_histogram", "ev_heatmap", "ev_funnel", "ev_retention",
@@ -58,6 +71,7 @@ object Bench {
     "llm_pmi_bigrams", "llm_quality_winsor",
     "llm_pii_redact", "llm_substring_dedup", "llm_doc_features",
     "llm_quality_classify", "llm_embed_kmeans", "llm_semdedup",
+    "llm_semdedup_scaled",
     "llm_simhash", "llm_simhash_pairs", "llm_embed_topk",
     "llm_embed_lsh_knn", "llm_embed_lsh_knn2", "llm_embed_pq",
     "llm_embed_pq_served", "llm_embed_ivf_served", "llm_embed_ivfpq",
@@ -108,26 +122,37 @@ object Bench {
     val unknown = selected.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty,
       s"unknown bench query name(s): ${unknown.mkString(", ")}")
-    var failed = 0
-    val results = selected.map { name =>
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+      .max(1)
+    // per pass: name -> Some(seconds) on success, None on failure
+    def runPass(p: Int): Seq[(String, Option[Double])] = selected.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        failed += 1
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed (pass $p): ${e.getMessage}")
+          false
+        }
       val t = (System.nanoTime() - t0) / 1e9
       // per-query recording on stderr: survives even if the final JSON
       // line is lost to log truncation (it was, in round 3's artifact)
-      System.err.println(f"[bench] $name%s ${t}%.3f s")
+      System.err.println(f"[bench] pass$p $name%s ${t}%.3f s")
       // isolate measurements: drop tables persisted inside operators
       spark.catalog.clearCache()
-      name -> t
+      name -> (if (ok) Some(t) else None)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val allPasses = (1 to passes).map(runPass)
+    // min across successful passes; a query failed only if NO pass ran it
+    val results: Seq[(String, Option[Double])] = selected.zipWithIndex.map {
+      case (name, i) =>
+        val ts = allPasses.flatMap(p => p(i)._2)
+        name -> (if (ts.isEmpty) None else Some(ts.min))
+    }
+    val failed = results.count(_._2.isEmpty)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.getOrElse(0.0) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.flatMap(_._2).sum
     // Health self-description: rel_q1_pricing is the control — one
     // scan+agg whose healthy-host band is 1.0-1.5 s at sf0.1 (see
     // BASELINE.md "host noise"). A whole-run tax inflates every query
@@ -138,7 +163,7 @@ object Bench {
     // any other corpus (e.g. the sf1 scaling probe, where a healthy
     // control reads ~1.6-4 s) records control_sec without a host_taxed
     // verdict rather than always reading taxed.
-    val controlSec = results.toMap.get("rel_q1_pricing")
+    val controlSec = results.toMap.get("rel_q1_pricing").flatten
     val health = controlSec.map { c =>
       val taxed =
         if (sfDir.stripSuffix("/").endsWith("sf0.1"))
@@ -147,7 +172,7 @@ object Bench {
       f""","control_sec":$c%.3f$taxed"""
     }.getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed$health}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"passes":$passes$health}"""
     println(line)
     // also durably on disk: round 3's official artifact lost the total
     // line to sbt log-tail truncation; the file is immune to that.
@@ -155,9 +180,22 @@ object Bench {
     // the official artifact with a partial total that looks complete.
     // A run with ANY failed query is likewise not an artifact: the
     // failed query contributes a near-zero time, so its "total" lies.
+    // explicit artifact target (e.g. the multi-file-layout recording
+    // bench_multifile.json, whose corpus dir is NOT the sf0.1 headline
+    // dir): full-headline zero-failure runs only, same as the default
+    val outOverride = sys.env.get("SPARK_GRAFT_BENCH_OUT")
     if (failed > 0)
       System.err.println(
         s"[bench] $failed quer${if (failed == 1) "y" else "ies"} failed - bench_result.json left untouched")
+    else if (outOverride.isDefined && selected == headline)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outOverride.get), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${outOverride.get} write failed: ${e.getMessage}")
+      }
+    else if (outOverride.isDefined)
+      System.err.println(
+        "[bench] subset run - " + outOverride.get + " left untouched")
     else if (selected == headline && !sfDir.stripSuffix("/").endsWith("sf0.1"))
       // scaling probes (e.g. target/sf1) run the full headline too, but the
       // official artifact is defined as the sf0.1 recording — an sf1 run

@@ -270,6 +270,50 @@ object GraftPipelines {
   def kmeansFit(emb: DataFrame, k: Int, iters: Int, dim: Int = 64,
       id: String = "vec_id", vec: String = "embedding")
       : (DataFrame, DataFrame) = {
+    val init = emb.filter(col(id) < k)
+      .select(col(id).cast("int").as("cluster"), col(vec).as("c"))
+    lloydFrom(emb, init, iters, dim, id, vec)
+  }
+
+  /** [[kmeans]] with the cluster count scaled to the corpus instead of
+    * fixed: k = ceil(n / targetClusterSize), computed DECLARATIVELY (a
+    * 1-row count aggregate joined into the init filter — no driver
+    * round-trip, the plan stays lazy). This is the production SemDeDup
+    * recipe (Abbas et al. 2023): cluster COUNT tracks corpus size so
+    * cluster SIZE — and with it the within-cluster candidate-pair
+    * count — stays constant as the corpus grows; the fixed-k form goes
+    * quadratic per cluster at 10× data (measured: pairs 95× at fixed
+    * k=8 vs 1.41× wall at k scaled 10×, see BASELINE.md / DevSemScale).
+    * Same init rule (first-k vectors as centroids), same tie-free
+    * fixed-point arithmetic, so the whole fit stays oracle-hashable
+    * with `k` a scalar subquery on the SQL side.
+    *
+    * 100 TB note: centroids stay broadcast here, so k must fit a
+    * broadcast table (k = n/target ≈ 10^7 per 10^9 docs at the default
+    * target — beyond ~10^6 centroids switch to a two-level fit:
+    * [[kmeansScaled]] over a per-cell slice of an IVF routing, which
+    * is exactly the [[pqTopK]]+IVF composition pattern).
+    */
+  def kmeansScaled(emb: DataFrame, targetClusterSize: Long, iters: Int,
+      dim: Int = 64, id: String = "vec_id", vec: String = "embedding")
+      : DataFrame = {
+    require(targetClusterSize > 0, "targetClusterSize must be positive")
+    val kf = emb.agg(count(lit(1)).as("n_vec"))
+      .select(expr(s"(n_vec + ${targetClusterSize - 1}) div $targetClusterSize")
+        .as("kk"))
+    val init = emb.crossJoin(broadcast(kf)).filter(col(id) < col("kk"))
+      .select(col(id).cast("int").as("cluster"), col(vec).as("c"))
+    lloydFrom(emb, init, iters, dim, id, vec)._2
+  }
+
+  /** Shared Lloyd core: `iters` assign→update rounds from `init`
+    * (cluster, c: array<float>), then a final assignment. The round
+    * bodies never reference k — only the init does — which is what
+    * lets [[kmeansScaled]] derive k from the data without changing a
+    * single arithmetic step.
+    */
+  private def lloydFrom(emb: DataFrame, init: DataFrame, iters: Int,
+      dim: Int, id: String, vec: String): (DataFrame, DataFrame) = {
     // argmax as ONE hash aggregate (max_by over the lexicographic
     // (ccos, -cluster) key — identical tie semantics to a
     // row_number-over-(ccos DESC, cluster) window, which is what the
@@ -296,8 +340,6 @@ object GraftPipelines {
         (col(s"s$d").cast("double") / col("n") / lit(scale)).cast("float")): _*)
         .as("c"))
     }
-    val init = emb.filter(col(id) < k)
-      .select(col(id).cast("int").as("cluster"), col(vec).as("c"))
     val fitted = (1 to iters).foldLeft(init)((c, _) => update(assign(c)))
     (fitted, assign(fitted).select(col(id), col("cluster"), col("ccos")))
   }
@@ -1717,6 +1759,14 @@ object GraftPipelines {
     * prunes are sound, so the join is LOSSLESS. The shingle and prefix
     * tables are localCheckpoint'd — the artifacts a deployment
     * persists. Output: (a_id, b_id, na, nb, inter, jac_x1000).
+    *
+    * NOTE (eager + non-fault-tolerant): the two `localCheckpoint()`
+    * calls run Spark jobs AT CALL TIME — this method is not lazy like
+    * the rest of the API — and checkpoint blocks live on executors
+    * only, so they are lost on executor failure and the embedding job
+    * fails rather than recomputes. A long pipeline that needs
+    * fault-tolerant artifacts should persist the shingle/prefix
+    * tables itself (write + re-read) and inline the join body.
     */
   def ppjoinPairs(docs: DataFrame, num: Int = 1, den: Int = 2,
       shingleWidth: Int = 3, id: String = "doc_id",
@@ -1764,11 +1814,20 @@ object GraftPipelines {
     * aggregate of the corpus itself — stays declarative, no driver
     * round-trip). All windows run over the bounded count table.
     * Output: (stratum, n_docs, capped, alloc).
+    *
+    * The budget must be non-negative: a negative budget has no
+    * max-min-fair meaning (the Σ alloc = budget invariant is defined
+    * for 0 ≤ budget ≤ Σ n). Rather than silently emitting negative
+    * allocations, the budget frame is filtered to `budget >= 0`, so a
+    * bad input yields an EMPTY result — loud at the first count,
+    * and still fully declarative (the budget is usually itself an
+    * aggregate, so a driver-side `require` cannot see its value).
     */
   def budgetWaterfill(counts: DataFrame, budget: DataFrame,
       stratum: String = "source", n: String = "n"): DataFrame = {
+    val guarded = budget.filter(col("budget") >= 0)
     val tot = counts.agg(count(lit(1)).as("s_cnt"))
-      .crossJoin(broadcast(budget))
+      .crossJoin(broadcast(guarded))
     val w = Window.orderBy(col(n), col(stratum))
     val ranked = counts.crossJoin(broadcast(tot))
       .withColumn("i", row_number().over(w).cast("long"))
@@ -1803,11 +1862,27 @@ object GraftPipelines {
   /** Greedy k-center (farthest-point, Gonzalez 1985) diversity
     * selection over an `Array[Float]` embedding column, in exact
     * integer arithmetic (floor(x·qscale) quantization, BIGINT squared
-    * L2, smallest-id tie-breaks). Seed = largest norm; each of the
-    * k-1 unrolled rounds adds the point maximizing min distance to the
-    * selected set (1-row broadcast, localCheckpoint'd so round r never
-    * re-runs earlier rounds). Output: (rank, <id>, d2) — d2 is the
-    * covering radius at selection (NULL for the seed).
+    * L2, smallest-id tie-breaks). Seed = largest norm; each of the k-1
+    * rounds adds the point maximizing min distance to the selected
+    * set. The min distance is carried as a running `dmin` column — the
+    * standard Gonzalez formulation — updated with ONE new-center
+    * distance per round (`least(dmin, d(x, c_r))`), so total work is
+    * O(k·n·dim) and the per-round codegen expression stays flat in r
+    * (the naive form recomputes distances to all r-1 prior centers:
+    * O(k²·n·dim) and a linearly growing expression — measured flat
+    * vs growing by [[graft.DevKc]]). `least` over exact BIGINTs is
+    * associative, so the running form selects identical centers with
+    * identical tie-breaks to the recompute-all form (oracle hashes
+    * unchanged). Output: (rank, <id>, d2) — d2 is the covering radius
+    * at selection (NULL for the seed).
+    *
+    * NOTE (eager + non-fault-tolerant): the per-round
+    * `localCheckpoint()` calls (one 1-row center, one n-row running
+    * state — the price of truncating the iterative lineage) run Spark
+    * jobs AT CALL TIME, and checkpoint blocks are lost on executor
+    * failure: a failed executor fails the job rather than recomputes.
+    * A pipeline needing fault tolerance should materialize the
+    * selection to storage once and join against the written artifact.
     */
   def kcenterSelect(vecs: DataFrame, k: Int, dim: Int,
       id: String = "vec_id", embedding: String = "embedding",
@@ -1817,32 +1892,35 @@ object GraftPipelines {
       .as("qv"))
     val norm2 = (1 to dim).map(i =>
       element_at(col("qv"), i) * element_at(col("qv"), i)).reduceLeft(_ + _)
+    def distTo(cv: Column): Column = (1 to dim).map { i =>
+      val d = element_at(col("qv"), i) - element_at(cv, i)
+      d * d
+    }.reduceLeft(_ + _)
     val c1 = q
       .withColumn("key", struct(norm2.as("d"), (-col(id)).as("ni")))
       .agg(max(col("key")).as("k"), max_by(col("qv"), col("key")).as("cqv"))
       .select((-col("k.ni")).as("sel_id"), lit(1).as("rank"),
-        lit(null).cast("long").as("d2"), col("cqv").as("c1"))
+        lit(null).cast("long").as("d2"), col("cqv"))
       .localCheckpoint()
-    var picked = c1
     var out = c1.select(col("rank"), col("sel_id").as(id), col("d2"))
+    // running state: (id, qv, dmin = min squared distance to selected set)
+    var state = q.crossJoin(broadcast(c1.select(col("cqv").as("cv"))))
+      .withColumn("dmin", distTo(col("cv"))).drop("cv")
+      .localCheckpoint()
     for (r <- 2 to k) {
-      val dTo = (1 until r).map { j =>
-        (1 to dim).map { i =>
-          val d = element_at(col("qv"), i) - element_at(col(s"c$j"), i)
-          d * d
-        }.reduceLeft(_ + _)
-      }
-      val dmin = if (dTo.size == 1) dTo.head else least(dTo: _*)
-      val next = q.crossJoin(broadcast(picked.drop("sel_id", "rank", "d2")))
-        .withColumn("dmin", dmin)
+      val next = state
         .withColumn("key", struct(col("dmin").as("d"), (-col(id)).as("ni")))
         .agg(max(col("key")).as("k"), max_by(col("qv"), col("key")).as("cqv"))
         .select((-col("k.ni")).as("sel_id"), lit(r).as("rank"),
-          col("k.d").as("d2"), col("cqv").as(s"c$r"))
+          col("k.d").as("d2"), col("cqv"))
         .localCheckpoint()
       out = out.unionByName(next.select(col("rank"), col("sel_id").as(id),
         col("d2")))
-      picked = picked.crossJoin(broadcast(next.select(col(s"c$r"))))
+      if (r < k)
+        state = state.crossJoin(broadcast(next.select(col("cqv").as("cv"))))
+          .withColumn("dmin", least(col("dmin"), distTo(col("cv"))))
+          .drop("cv")
+          .localCheckpoint()
     }
     out
   }

@@ -32,11 +32,11 @@ object Fns {
 
   /** SQL text of an exact FLOOR division of an integral expression by a
     * positive constant, in pure long arithmetic. Spark's `div` truncates
-    * toward zero while the DuckDB oracle's `//` floors — the two differ
-    * on negative inputs (pre-epoch ns timestamps, which EdgeCasesSpec
-    * pins as supported). `e - pmod(e, d)` is an exact multiple of `d`
-    * for either sign (pmod is non-negative), so the trailing `div` is an
-    * exact floor; nothing routes through double, where a ns timestamp
+    * toward zero, so it disagrees with a mathematical floor on negative
+    * inputs (pre-epoch ns timestamps, which EdgeCasesSpec pins as
+    * supported). `e - pmod(e, d)` is an exact multiple of `d` for either
+    * sign (pmod is non-negative), so the trailing `div` is an exact
+    * floor; nothing routes through double, where a ns timestamp
     * (> 2^53) would silently lose precision.
     */
   def floorDivSql(e: String, d: Long): String =
@@ -44,6 +44,18 @@ object Fns {
 
   /** Column form of [[floorDivSql]]: floor(e / d) over longs. */
   def floorDiv(e: String, d: Long): Column = expr(floorDivSql(e, d))
+
+  /** DuckDB twin of [[floorDivSql]]. DuckDB's integer `//` truncates
+    * toward zero exactly like Spark's `div` (verified: `(-7) // 2 = -3`),
+    * so an oracle that buckets time with bare `//` silently disagrees
+    * with the engine's floored buckets below epoch. DuckDB's `%` also
+    * truncates, so the non-negative remainder is `((e % d) + d) % d`;
+    * subtracting it leaves an exact multiple of `d` and the trailing
+    * `//` is then an exact floor — same construction, same integer-only
+    * arithmetic as the engine side.
+    */
+  def floorDivDuckSql(e: String, d: Long): String =
+    s"((($e) - (((($e) % $d) + $d) % $d)) // $d)"
 
   /** Strictly left-to-right dot product over two float-array columns,
     * unrolled so Spark and the SQL oracle share one summation order →

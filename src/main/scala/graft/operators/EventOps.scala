@@ -423,15 +423,18 @@ object EventOps {
     // sum_dau (Σ of per-day distinct users) and mau (monthly distinct)
     // are exact integers; stickiness_x1000 = (1000·sum_dau) div
     // (n_days·mau) is one truncating division. Two aggregations, both
-    // keyed on calendar buckets derived with exact ms floor division
-    // (pre-epoch-safe) — the month axis is bounded, so the final agg
-    // is tiny; the corpus pays one (day, user) distinct.
+    // keyed on calendar buckets derived with exact floor division at
+    // EVERY step — ns→ms, ms→day, day→month — so pre-epoch events
+    // bucket identically in engine and oracle (Spark `div` and DuckDB
+    // `//` both truncate; the pmod/floor forms fix both sides). The
+    // month axis is bounded, so the final agg is tiny; the corpus pays
+    // one (day, user) distinct.
     "ev_stickiness" -> ((s, dir) => {
       import s.implicits._
       val days = events(s, dir)
         .select(floorDiv("ts_ms", 86400000L).as("day"), $"user_id")
         .distinct()
-        .withColumn("month", expr("day div 30"))
+        .withColumn("month", floorDiv("day", 30L))
       val dau = days.groupBy($"month")
         .agg(countDistinct($"day").as("n_days"),
           count(lit(1)).as("sum_dau"))
@@ -856,8 +859,9 @@ object EventOps {
         |GROUP BY event_type, next_type ORDER BY event_type, next_type""".stripMargin,
 
     "ev_new_returning" ->
-      """WITH days AS (
-        |  SELECT DISTINCT (epoch_ns(ts) // 1000000) // 86400000 AS day,
+      s"""WITH days AS (
+        |  SELECT DISTINCT ${floorDivDuckSql(
+             floorDivDuckSql("epoch_ns(ts)", 1000000L), 86400000L)} AS day,
         |   user_id
         |  FROM events),
         |first AS (
@@ -889,11 +893,13 @@ object EventOps {
         |GROUP BY n_users, total ORDER BY n_users""".stripMargin,
 
     "ev_stickiness" ->
-      """WITH days AS (
-        |  SELECT DISTINCT (epoch_ns(ts) // 1000000) // 86400000 AS day,
+      s"""WITH days AS (
+        |  SELECT DISTINCT ${floorDivDuckSql(
+             floorDivDuckSql("epoch_ns(ts)", 1000000L), 86400000L)} AS day,
         |   user_id
         |  FROM events),
-        |m AS (SELECT day // 30 AS month, day, user_id FROM days),
+        |m AS (SELECT ${floorDivDuckSql("day", 30L)} AS month, day, user_id
+        |      FROM days),
         |dau AS (SELECT month, count(DISTINCT day) AS n_days,
         |         count(*) AS sum_dau FROM m GROUP BY month),
         |mau AS (SELECT month, count(DISTINCT user_id) AS mau
@@ -968,8 +974,10 @@ object EventOps {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "ev_rate_1m" ->
-      """WITH m AS (
-        |  SELECT epoch_ns(ts) // 1000000 // 60000 AS minute FROM events),
+      s"""WITH m AS (
+        |  SELECT ${floorDivDuckSql(
+             floorDivDuckSql("epoch_ns(ts)", 1000000L), 60000L)} AS minute
+        |  FROM events),
         |bounds AS (
         |  SELECT lo, least(hi, lo + 1439) AS hi FROM
         |   (SELECT min(minute) AS lo, max(minute) AS hi FROM m)),
@@ -1011,8 +1019,9 @@ object EventOps {
         |WHERE adev > 4.4478 * mad ORDER BY event_id""".stripMargin,
 
     "ev_funnel" ->
-      """WITH e AS (
-        |  SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS ms
+      s"""WITH e AS (
+        |  SELECT user_id, event_type,
+        |   ${floorDivDuckSql("epoch_ns(ts)", 1000000L)} AS ms
         |  FROM events),
         |s1 AS (SELECT user_id, min(ms) AS s1 FROM e
         |       WHERE event_type = 'signup' GROUP BY user_id),
@@ -1032,9 +1041,10 @@ object EventOps {
         |ORDER BY stage""".stripMargin,
 
     "ev_retention" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT user_id, event_type,
-        |   (epoch_ns(ts) // 1000000) // 86400000 AS day
+        |   ${floorDivDuckSql(
+             floorDivDuckSql("epoch_ns(ts)", 1000000L), 86400000L)} AS day
         |  FROM events),
         |c AS (SELECT user_id, min(day) AS cohort_day FROM e
         |      WHERE event_type = 'signup' GROUP BY user_id)

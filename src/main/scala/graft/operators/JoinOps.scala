@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Fns.{floorDiv, floorDivSql}
+import graft.functions.Fns.{floorDiv, floorDivDuckSql, floorDivSql}
 
 /** Temporal join operators the reference lacks entirely (SURVEY.md §2.5
   * "range/as-of joins absent") — the standard event-log enrichment shapes.
@@ -78,6 +78,30 @@ object JoinOps {
         .orderBy($"sig_id")
     }),
 
+    // Batch twin of the watermarked stream-stream interval join: the
+    // SAME function ([[graft.streaming.EventStreaming.followWithinBand]])
+    // over batch frames — watermarks are no-ops in batch, and
+    // StreamingSpec ("stream-stream interval join: ... batch equality")
+    // proves the streaming output equals this batch form on shared
+    // data. The DuckDB hash here therefore covers the stream-stream
+    // join's semantics transitively, closing the one operator family
+    // that previously rested on a spec alone. The engine compares at
+    // its µs timestamp precision (ts = floor(ns/1000) µs); the oracle
+    // mirrors with floored ns→µs division, so pre-epoch events bucket
+    // identically. Equality on user_id keys the join (sort-merge /
+    // shuffled-hash at scale — the band predicate is a post-filter,
+    // never a cross product).
+    "ev_follow_band" -> ((s, dir) => {
+      import s.implicits._
+      val ev = EventOps.events(s, dir)
+      graft.streaming.EventStreaming.followWithinBand(ev, ev)
+        .select($"user_id",
+          floorDiv("unix_micros(sig_ts)", 1000L).as("sig_ms"),
+          floorDiv("unix_micros(ev_ts)", 1000L).as("ev_ms"),
+          $"event_type")
+        .orderBy($"user_id", $"sig_ms", $"ev_ms", $"event_type")
+    }),
+
     // Interval-overlap join, cell-bucketed: user sessions (gap-based
     // intervals) × error-incident hours (hours containing ≥1 error) —
     // "how many sessions were active during each incident hour, and for
@@ -131,7 +155,8 @@ object JoinOps {
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "ev_asof_join" ->
-      """SELECT err_id AS event_id, user_id, last_sig_ns // 1000000 AS signup_ms
+      s"""SELECT err_id AS event_id, user_id,
+        | ${floorDivDuckSql("last_sig_ns", 1000000L)} AS signup_ms
         |FROM (
         |  SELECT user_id, err_id,
         |   last_value(sig_ns IGNORE NULLS) OVER (
@@ -154,11 +179,30 @@ object JoinOps {
         | AND epoch_ns(e.ts) <= epoch_ns(s.ts) + 3600000000000
         |GROUP BY s.event_id ORDER BY sig_id""".stripMargin,
 
+    // mirrors the engine's µs comparison precision: the engine's ts is
+    // floor(ns/1000) µs, so the band test and the output ms both go
+    // through exact floored divisions on the oracle side too
+    "ev_follow_band" ->
+      s"""WITH s AS (
+        |  SELECT user_id, ${floorDivDuckSql("epoch_ns(ts)", 1000L)} AS s_us
+        |  FROM events WHERE event_type = 'signup'),
+        |e AS (
+        |  SELECT user_id, ${floorDivDuckSql("epoch_ns(ts)", 1000L)} AS e_us,
+        |   event_type
+        |  FROM events)
+        |SELECT s.user_id AS user_id,
+        | ${floorDivDuckSql("s_us", 1000L)} AS sig_ms,
+        | ${floorDivDuckSql("e_us", 1000L)} AS ev_ms,
+        | event_type
+        |FROM s JOIN e ON e.user_id = s.user_id
+        | AND e_us > s_us AND e_us <= s_us + 3600000000
+        |ORDER BY s.user_id, sig_ms, ev_ms, event_type""".stripMargin,
+
     // the oracle joins on the naive overlap predicate (session's hour
     // span contains the cell); the engine's cell-explode equi-join must
     // produce the identical result set
     "ev_interval_join" ->
-      """WITH marked AS (
+      s"""WITH marked AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS ns,
         |   CASE WHEN lag(epoch_ns(ts)) OVER
         |          (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
@@ -168,7 +212,8 @@ object JoinOps {
         |  FROM events),
         |sess AS (
         |  SELECT user_id, sess_id,
-        |   min(ns) // 1000000 AS start_ms, max(ns) // 1000000 AS end_ms
+        |   ${floorDivDuckSql("min(ns)", 1000000L)} AS start_ms,
+        |   ${floorDivDuckSql("max(ns)", 1000000L)} AS end_ms
         |  FROM (SELECT user_id, ns,
         |         sum(new_sess) OVER (PARTITION BY user_id
         |           ORDER BY ns, event_id
@@ -177,7 +222,8 @@ object JoinOps {
         |        FROM marked)
         |  GROUP BY user_id, sess_id),
         |hrs AS (
-        |  SELECT DISTINCT (epoch_ns(ts) // 1000000) // 3600000 AS cell_h
+        |  SELECT DISTINCT ${floorDivDuckSql(
+             floorDivDuckSql("epoch_ns(ts)", 1000000L), 3600000L)} AS cell_h
         |  FROM events WHERE event_type = 'error')
         |SELECT cell_h * 3600000 AS w_start_ms,
         | count(*) AS n_sessions,
@@ -185,8 +231,8 @@ object JoinOps {
         |        - greatest(start_ms, cell_h * 3600000)) AS BIGINT)
         |   AS overlap_ms
         |FROM sess JOIN hrs
-        |  ON start_ms // 3600000 <= cell_h
-        | AND cell_h <= end_ms // 3600000
+        |  ON ${floorDivDuckSql("start_ms", 3600000L)} <= cell_h
+        | AND cell_h <= ${floorDivDuckSql("end_ms", 3600000L)}
         |GROUP BY cell_h ORDER BY w_start_ms""".stripMargin
   )
 }

@@ -33,6 +33,8 @@ object SimilarityOps {
   private val NPROBE = 2
   private val KM_K = 8      // k-means clusters (init = first KM_K vectors)
   private val KM_ITERS = 2  // Lloyd assign→update rounds before final assign
+  private val SEM_TARGET = 64L // scaled-k SemDeDup: k = ceil(n/64)
+                               // (k=8 @ sf0.01's 500 vecs, 32 @ sf0.1, 313 @ sf1)
   private val PQ_M = 4      // PQ sub-blocks (64 dims → 4 x 16)
   private val PQ_K = 4      // centroids per sub-block codebook
   private val PQ_ITERS = 1  // Lloyd rounds per sub-block fit
@@ -89,7 +91,17 @@ object SimilarityOps {
     * float centroids). ~40 KB of generated SQL — the price of hashing
     * the engine's one remaining iterative-arithmetic family.
     */
-  private def kmeansOracleCtes: String = {
+  private def kmeansOracleCtes: String = kmeansOracleCtes(s"vec_id < $KM_K")
+
+  /** As [[kmeansOracleCtes]] with a parameterized init predicate: the
+    * round CTEs never mention k (assignment cross-joins whatever
+    * centroid rows exist; update groups by cluster), so the SCALED-k
+    * twin ([[graft.api.GraftPipelines.kmeansScaled]]) reuses the same
+    * unroll with `vec_id < (scalar subquery computing ceil(n/target))`
+    * as its only difference — exactly mirroring the engine, where only
+    * the init frame differs.
+    */
+  private def kmeansOracleCtes(initWhere: String): String = {
     val S = "268435456.0" // 2^28, = GraftPipelines.kmeans update scale
     def cosToCentroid(v: String, c: String): String = {
       val dot = (1 to DIM)
@@ -125,7 +137,7 @@ object SimilarityOps {
     }
     val init = s"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, " +
       (1 to DIM).map(i => s"embedding[$i] AS c$i").mkString(", ") +
-      s" FROM embeddings WHERE vec_id < $KM_K)"
+      s" FROM embeddings WHERE $initWhere)"
     val rounds = (1 to KM_ITERS).flatMap(r => Seq(
       assign(s"a$r", if (r == 1) "c0" else s"u${r - 1}"),
       update(s"u$r", s"a$r")))
@@ -711,6 +723,32 @@ object SimilarityOps {
         .orderBy($"d1", $"d2")
     }),
 
+    // The PRODUCTION SemDeDup twin: identical within-cluster pair
+    // logic, but the cluster count scales with the corpus
+    // (k = ceil(n/SEM_TARGET), computed declaratively) so cluster
+    // size — and with it pairs-per-cluster — stays CONSTANT as data
+    // grows. This is the entry that makes the "semantic dedup stays
+    // linear at 100 TB" claim oracle-checked rather than probe-only:
+    // at sf0.01 k=8 (same as the fixed entry), at sf0.1 k=32, at sf1
+    // k=313 — the pair count per row stays flat (DevSemScale measured
+    // 1.41× wall at 10× data vs 95× pairs for fixed k).
+    "llm_semdedup_scaled" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val a = graft.api.GraftPipelines
+        .kmeansScaled(emb, SEM_TARGET, KM_ITERS, DIM)
+        .join(emb, "vec_id")
+        .select($"vec_id", $"cluster", $"embedding")
+      a.as("l").join(a.as("r"),
+          col("l.cluster") === col("r.cluster") &&
+          col("l.vec_id") < col("r.vec_id"))
+        .withColumn("cosine", cosine(col("l.embedding"), col("r.embedding")))
+        .filter($"cosine" > 0.35)
+        .select(col("l.vec_id").as("d1"), col("r.vec_id").as("d2"),
+          col("l.cluster").as("cluster"), $"cosine")
+        .orderBy($"d1", $"d2")
+    }),
+
     // Embedding-cosine near-duplicate pairs among the first 200 vectors
     // (bounded brute-force baseline for the LSH variant above).
     "llm_embed_neardup" -> ((s, dir) => {
@@ -1175,6 +1213,23 @@ object SimilarityOps {
     // per-vector cluster labels, not just aggregate sizes
     "llm_semdedup" ->
       s"""WITH $kmeansOracleCtes,
+         |asg AS (
+         |  SELECT a.vec_id, a.cluster, e.embedding
+         |  FROM af a JOIN embeddings e ON a.vec_id = e.vec_id)
+         |SELECT d1, d2, cluster, cosine FROM (
+         |  SELECT l.vec_id AS d1, r.vec_id AS d2, l.cluster AS cluster,
+         |   ${cosineSql("l.embedding", "r.embedding")} AS cosine
+         |  FROM asg l JOIN asg r
+         |    ON l.cluster = r.cluster AND l.vec_id < r.vec_id)
+         |WHERE cosine > 0.35 ORDER BY d1, d2""".stripMargin,
+
+    // scaled-k twin: the ONLY difference is the init predicate — k is
+    // a scalar subquery of the corpus count, ceil'd exactly like the
+    // engine's `(n + target-1) div target` (both truncate positives)
+    "llm_semdedup_scaled" ->
+      s"""WITH ${kmeansOracleCtes(
+             s"vec_id < (SELECT (count(*) + ${SEM_TARGET - 1}) // $SEM_TARGET" +
+               " FROM embeddings)")},
          |asg AS (
          |  SELECT a.vec_id, a.cluster, e.embedding
          |  FROM af a JOIN embeddings e ON a.vec_id = e.vec_id)

@@ -37,6 +37,32 @@ class JoinOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 2L))
   }
 
+  test("ev_follow_band: batch twin emits exactly the in-band pairs at " +
+      "µs precision") {
+    val events = Seq(
+      (1L, 0 * S, 7L, "signup", 1.0, "{}"),
+      (2L, 1800 * S, 7L, "click", 1.0, "{}"),   // inside
+      (3L, 3600 * S, 7L, "view", 1.0, "{}"),    // boundary: inside (<=)
+      (4L, 3601 * S, 7L, "click", 1.0, "{}"),   // outside
+      (5L, 1800 * S, 8L, "click", 1.0, "{}"),   // other user, no signup
+      (6L, 60 * S, 7L, "signup", 1.0, "{}"))    // 2nd signup: in band of 1st
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tempSfDir("events" -> events)
+    val got = q("ev_follow_band", dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sig_ms"),
+        r.getAs[Long]("ev_ms"), r.getAs[String]("event_type"))).toSet
+    // signup@0: follows at 60s (the 2nd signup event), 1800s, 3600s;
+    // signup@60: follows at 1800s, 3600s (3661 > 60+3600 band? no:
+    // 3600s <= 60+3600 → in; 3601s <= 3660 → in too)
+    assert(got == Set(
+      (7L, 0L, 60000L, "signup"),
+      (7L, 0L, 1800000L, "click"),
+      (7L, 0L, 3600000L, "view"),
+      (7L, 60000L, 1800000L, "click"),
+      (7L, 60000L, 3600000L, "view"),
+      (7L, 60000L, 3601000L, "click")), got.toString)
+  }
+
   test("rel_argmax: picks the max-balance customer with min-key tie-break") {
     val rows = q("rel_argmax").collect()
     assert(rows.length == 25)

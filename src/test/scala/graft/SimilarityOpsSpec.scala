@@ -31,6 +31,43 @@ class SimilarityOpsSpec extends SparkSpec {
     m.foreach { case ((i, j), c) => assert(c == m((j, i))) }
   }
 
+  test("kmeansScaled: declarative k = ceil(n/target) selects the same " +
+      "clusters as the literal-k fit") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val target = 64L
+    val litK = ((n + target - 1) / target).toInt
+    val scaled = graft.api.GraftPipelines.kmeansScaled(emb, target, 2, 64)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Int]("cluster"), r.getAs[Double]("ccos"))).toSet
+    val literal = graft.api.GraftPipelines.kmeans(emb, litK, 2, 64)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Int]("cluster"), r.getAs[Double]("ccos"))).toSet
+    assert(litK > 1, s"fixture must yield a multi-cluster fit, got k=$litK")
+    assert(scaled == literal,
+      "the scalar-subquery init must be bit-identical to the literal init")
+  }
+
+  test("llm_semdedup_scaled: cluster count scales with the corpus " +
+      "(k=8 at 500 vecs, 32 at 2000)") {
+    // at sf0.001 (500 vectors) ceil(500/64)=8 — same k as the fixed
+    // entry, so the two entries must agree exactly there
+    val fixed = q("llm_semdedup").collect().map(_.toString).sorted
+    val scaled = q("llm_semdedup_scaled").collect().map(_.toString).sorted
+    assert(fixed.sameElements(scaled))
+    // at sf0.1 (2000 vectors) k=32: more, smaller clusters — the pair
+    // count must SHRINK vs fixed k=8 (the linear-at-scale claim), and
+    // the assignment must actually use >8 clusters
+    val sf01 = "/root/testdata/sf0.1"
+    val scaledBig = q("llm_semdedup_scaled", sf01)
+    val clusters = scaledBig.select("cluster").distinct().count()
+    assert(clusters > 8, s"expected >8 clusters at sf0.1, got $clusters")
+    val nScaled = scaledBig.count()
+    val nFixed = q("llm_semdedup", sf01).count()
+    assert(nScaled < nFixed,
+      s"scaled-k pairs ($nScaled) must undercut fixed-k pairs ($nFixed)")
+  }
+
   test("llm_embed_topk: 10 neighbors per query, non-increasing similarity") {
     val rows = q("llm_embed_topk").collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
