@@ -72,7 +72,8 @@ object Bench {
     "llm_pii_redact", "llm_substring_dedup", "llm_doc_features",
     "llm_quality_classify", "llm_embed_kmeans", "llm_semdedup",
     "llm_semdedup_scaled",
-    "llm_simhash", "llm_simhash_pairs", "llm_embed_topk",
+    "llm_simhash", "llm_simhash_pairs", "llm_simhash_pairs_wide",
+    "llm_embed_topk",
     "llm_embed_lsh_knn", "llm_embed_lsh_knn2", "llm_embed_pq",
     "llm_embed_pq_served", "llm_embed_ivf_served", "llm_embed_ivfpq",
     "llm_ann_recall",

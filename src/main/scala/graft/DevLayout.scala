@@ -26,7 +26,9 @@ object DevLayout {
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val n = args.headOption.map(_.toInt).getOrElse(32)
+    val writeOnly = args.contains("--write-only")
+    val n = args.filterNot(_.startsWith("--"))
+      .headOption.map(_.toInt).getOrElse(32)
     val dst = s"/root/repo/target/layout_x$n"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -46,6 +48,10 @@ object DevLayout {
       }
       println(s"[layout] corpus rewritten as $n files/table at $dst")
     }
+    // corpus-build mode for the bench_multifile.json recording: the
+    // timing probe below is DevLayout's own measurement, not needed
+    // when graft.Bench is about to time the full headline itself
+    if (writeOnly) { spark.stop(); return }
 
     // warmup: JVM/codegen/session cost out of the measurement
     spark.range(1000000).selectExpr("sum(id)").collect()

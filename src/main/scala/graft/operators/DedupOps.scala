@@ -345,6 +345,51 @@ object DedupOps {
         .orderBy($"d1", $"d2")
     }),
 
+    // The WIDENED-BLOCK production twin of llm_simhash_pairs: 2 blocks
+    // of 16 bits instead of 4×8, with ≤3-bit multi-probe (pigeonhole:
+    // hamming ≤ 6 over 2 blocks → some block differs in ≤ 3 bits), so
+    // the join keys on 2^16 bucket values instead of 2^8 — bucket
+    // occupancy, and with it Σ bucket² candidate pairs, drops 256× at
+    // the same corpus, which is how simhash blocking stays linear as
+    // data grows (BASELINE.md round-5/7: "block width widens with
+    // corpus in production" — now an oracle row, not a note). The 697
+    // probe masks (Σ C(16,0..3)) live in a bounded broadcast table, so
+    // probe fan-out is a map-side explode against literals; both
+    // schemes are LOSSLESS for the hamming ≤ 6 residual, so this entry
+    // shares llm_simhash_pairs' all-pairs DuckDB oracle verbatim and
+    // must produce the identical pair list.
+    "llm_simhash_pairs_wide" -> ((s, dir) => {
+      import s.implicits._
+      val sh = simhash(s, dir).persist()
+      sh.count()
+      def block(i: Int): Column =
+        shiftright($"simhash", 16 * i).bitwiseAND(lit(65535L))
+      val masks = (Seq(0L) ++
+        (0 until 16).map(a => 1L << a) ++
+        (for { a <- 0 until 16; b <- a + 1 until 16 }
+          yield (1L << a) | (1L << b)) ++
+        (for { a <- 0 until 16; b <- a + 1 until 16; c <- b + 1 until 16 }
+          yield (1L << a) | (1L << b) | (1L << c))).toDF("mask")
+      val blocked = sh.select($"doc_id", $"source", $"simhash",
+        explode(array((0 until 2).map(i =>
+          struct(lit(i).as("bi"), block(i).as("bv"))): _*)).as("b"))
+      val probes = blocked
+        .crossJoin(broadcast(masks))
+        .select($"doc_id", $"source", $"simhash",
+          struct($"b.bi".as("bi"),
+            $"b.bv".bitwiseXOR($"mask").as("bv")).as("b"))
+      blocked.as("l").join(probes.as("r"),
+          col("l.source") === col("r.source") &&
+          col("l.b") === col("r.b") &&
+          col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
+          bit_count(col("l.simhash").bitwiseXOR(col("r.simhash")))
+            .cast("int").as("hamming"))
+        .filter($"hamming" <= 6)
+        .distinct()
+        .orderBy($"d1", $"d2")
+    }),
+
     // End-to-end near-dup pipeline: LSH candidates → Jaccard verify.
     "llm_neardup_verified" -> ((s, dir) => {
       import s.implicits._
@@ -684,6 +729,16 @@ object DedupOps {
          |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
 
     "llm_simhash_pairs" ->
+      s"""WITH $simhashSql
+         |SELECT l.doc_id AS d1, r.doc_id AS d2,
+         | CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+         |FROM sh l JOIN sh r ON l.source = r.source AND l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.simhash, r.simhash)) <= 6
+         |ORDER BY d1, d2""".stripMargin,
+
+    // same all-pairs mirror: both block schemes are lossless candidate
+    // generators for the identical hamming <= 6 residual
+    "llm_simhash_pairs_wide" ->
       s"""WITH $simhashSql
          |SELECT l.doc_id AS d1, r.doc_id AS d2,
          | CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming

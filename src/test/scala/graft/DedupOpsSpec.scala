@@ -93,6 +93,21 @@ class DedupOpsSpec extends SparkSpec {
       r.getAs[Int]("hamming") == 0))
   }
 
+  test("llm_simhash_pairs_wide: widened 16-bit blocks find the exact " +
+      "same pair list as the 8-bit scheme (both lossless)") {
+    // real corpus, not a micro fixture: sf0.001 has genuine near-dup
+    // structure, so the equality is over a non-trivial pair set
+    val narrow = q("llm_simhash_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming"))).toSet
+    val wide = q("llm_simhash_pairs_wide").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming"))).toSet
+    assert(narrow.nonEmpty, "fixture corpus must contain simhash pairs")
+    assert(wide == narrow,
+      s"wide-block pairs must equal 8-bit-block pairs; " +
+        s"only-wide=${(wide -- narrow).take(3)} " +
+        s"only-narrow=${(narrow -- wide).take(3)}")
+  }
+
   test("llm_jaccard_adjacent: identical adjacent docs have jaccard 1.0") {
     val dir = tempSfDir("documents" ->
       docs((1L, base, "s0"), (2L, base, "s0"), (3L, distinct, "s0")))

@@ -15,10 +15,11 @@ class TimestampLayoutSpec extends SparkSpec {
 
   // Fixture-coverage note: the "ns-INT64" fixture below is a plain BIGINT
   // column (Spark cannot WRITE a TIMESTAMP(NANOS)-annotated parquet
-  // column), so the nanosAsLong READ path over a truly annotated legacy file
-  // is exercised only by the driver's own legacy corpus, not here. The
-  // conf is still set and harmless; this spec proves the normalization
-  // arithmetic on all three layouts Spark can round-trip.
+  // column). Since driver round 8 the truly annotated read path is
+  // covered too: the last test writes a genuine TIMESTAMP(NANOS) file
+  // with parquet-mr's example writer (bundled with Spark) and proves
+  // the nanosAsLong normalization over it — a regression there now
+  // fails this spec, not the driver's gate.
   //
   // µs-aligned nanos (the µs layouts can only carry multiples of 1000),
   // including a pre-epoch value: floor semantics must hold below zero.
@@ -81,6 +82,61 @@ class TimestampLayoutSpec extends SparkSpec {
       assert(la._1 == utc._1, "schema must not depend on session zone")
       assert(la._2 == utc._2, "NTZ epochs must not shift with session zone")
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("a genuinely TIMESTAMP(NANOS)-annotated parquet file (parquet-mr " +
+      "written) normalizes identically to the raw-BIGINT layout") {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    // the legacy corpus's physical schema: INT64 annotated
+    // TIMESTAMP(NANOS, adjustedToUTC) — the layout Spark can READ (via
+    // spark.sql.legacy.parquet.nanosAsLong) but not write
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64)
+      .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.NANOS))
+      .named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType())
+      .named("event_type")
+      .required(DOUBLE).named("value")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    val dir = java.nio.file.Files.createTempDirectory("graft_nanos").toString
+    val conf = new org.apache.hadoop.conf.Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$dir/events.parquet"))
+      .withConf(conf).withType(schema).build()
+    val gf = new SimpleGroupFactory(schema)
+    try fixture.foreach { case (id, ns, uid, et, v, props) =>
+      val g = gf.newGroup()
+      g.add("event_id", id); g.add("ts", ns); g.add("user_id", uid)
+      g.add("event_type", et); g.add("value", v); g.add("props", props)
+      writer.write(g)
+    } finally writer.close()
+    // sanity: the file really carries the NANOS annotation
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dir/events.parquet"), conf))
+    val tsType =
+      try reader.getFooter.getFileMetaData.getSchema
+        .getType(Seq("ts"): _*).asPrimitiveType.getLogicalTypeAnnotation
+      finally reader.close()
+    assert(tsType ==
+      LogicalTypeAnnotation.timestampType(true, TimeUnit.NANOS),
+      s"fixture must be genuinely NANOS-annotated, got $tsType")
+    val annotated = collectNormalized(dir)
+    val rawLong = collectNormalized(tempSfDir("events" ->
+      fixture.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props")))
+    assert(annotated._1 == rawLong._1,
+      "NANOS-annotated schema must normalize like the raw-BIGINT layout")
+    assert(annotated._2 == rawLong._2,
+      "NANOS-annotated rows must normalize like the raw-BIGINT layout")
   }
 
   test("normalized ts_ns keeps raw nanos and floor-divides pre-epoch ms") {
