@@ -620,10 +620,33 @@ object GraftPipelines {
       stringCols: Seq[String], exactDistinct: Boolean = true): DataFrame = {
     def dist(c: String) =
       (if (exactDistinct) countDistinct(col(c))
-       // rsd 0.01 (not the 0.05 default): the profile's accuracy
-       // contract is ±2% (RelationalOpsSpec pins it); the sketch is
-       // still fixed-size state, just more registers
-       else approx_count_distinct(col(c), rsd = 0.01)).as(s"__dist_$c")
+       // DataSketches HLL at lgConfigK=14 (~0.8% standard error — the
+       // profile's accuracy contract is ±2%, RelationalOpsSpec pins
+       // it), NOT approx_count_distinct(rsd=0.01): Spark's legacy
+       // HyperLogLogPlusPlus models its sketch as one LONG agg-buffer
+       // attribute PER WORD (rsd 0.01 → ~1.5k columns per sketch; a
+       // 5-column profile → a 7.7k-column aggregation buffer), which
+       // poisons the codegen'd update path — measured 56 s steady for
+       // 150k rows on the 32-file corpus vs 4.7 s with codegen off
+       // (DevHll; driver round 8). hll_sketch_agg keeps the sketch in
+       // ONE binary buffer per column (ObjectHashAggregate), scales
+       // with input parallelism, and is the same sketch family the
+       // mergeable incremental path (rel_distinct_incremental)
+       // already persists.
+       else {
+         // the sketch accepts int/bigint/string/binary; other types
+         // (double prices, dates) go through their canonical string
+         // form — injective per distinct value, null-preserving, so
+         // the distinct count is unchanged
+         val in = df.schema(c).dataType match {
+           case org.apache.spark.sql.types.IntegerType |
+                org.apache.spark.sql.types.LongType |
+                org.apache.spark.sql.types.StringType |
+                org.apache.spark.sql.types.BinaryType => col(c)
+           case _ => col(c).cast("string")
+         }
+         hll_sketch_estimate(hll_sketch_agg(in, lit(14)))
+       }).as(s"__dist_$c")
     val aggs = Seq(count(lit(1)).as("__n")) ++
       (numericCols ++ stringCols).flatMap { c =>
         Seq(sum(col(c).isNull.cast("long")).as(s"__null_$c"), dist(c))
