@@ -20,7 +20,11 @@ import org.apache.spark.sql.SparkSession
   * samples by minutes, so a burst must span the entire run to survive
   * into the artifact; the min is the right estimator because noise is
   * strictly additive. The control's min gets the same treatment, so
-  * `host_taxed` now means "every pass was taxed".
+  * `host_taxed` now means "every pass was taxed". Queries whose
+  * pass-to-pass spread exceeds 2× (a burst demonstrably hit one pass,
+  * and roving bursts often leave the other pass of the same region
+  * mildly taxed too) get one targeted re-run at the end for a third
+  * independent sample.
   */
 object Bench {
 
@@ -144,10 +148,34 @@ object Bench {
       name -> (if (ok) Some(t) else None)
     }
     val allPasses = (1 to passes).map(runPass)
+    // Targeted adjudication pass: a pass-to-pass spread > 2× means a
+    // burst hit at least one pass — and since bursts ROVE, the other
+    // pass of the same region is often mildly taxed too (measured:
+    // llm_lm_score 42.6 s pass-1 / 1.39 s pass-2 where 0.92 s is the
+    // healthy figure). Re-running just the high-spread queries minutes
+    // later gives each a third, independently-timed sample for the min.
+    val spreadRerun: Map[String, Option[Double]] =
+      if (passes < 2) Map.empty
+      else selected.zipWithIndex.flatMap { case (name, i) =>
+        val ts = allPasses.flatMap(p => p(i)._2)
+        if (ts.size >= 2 && ts.max > 2.0 * ts.min && ts.min > 0.2) {
+          val fn = SparkEntry.queries(name)
+          val t0 = System.nanoTime()
+          val ok = try {
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+            true
+          } catch { case _: Throwable => false }
+          val t = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] spread-rerun $name%s ${t}%.3f s")
+          spark.catalog.clearCache()
+          Some(name -> (if (ok) Some(t) else None))
+        } else None
+      }.toMap
     // min across successful passes; a query failed only if NO pass ran it
     val results: Seq[(String, Option[Double])] = selected.zipWithIndex.map {
       case (name, i) =>
-        val ts = allPasses.flatMap(p => p(i)._2)
+        val ts = allPasses.flatMap(p => p(i)._2) ++
+          spreadRerun.getOrElse(name, None)
         name -> (if (ts.isEmpty) None else Some(ts.min))
     }
     val failed = results.count(_._2.isEmpty)

@@ -50,7 +50,7 @@ object SparkEntry {
   def rowsOnlyMeta: Map[String, RowsOnlyMeta] = Map(
     "rel_approx" -> RowsOnlyMeta(
       exactTwin = "countDistinct(o_custkey) per o_orderpriority (inline in spec)",
-      tolerance = "approx_count_distinct within 5% of exact, per group",
+      tolerance = "HLL (hll_sketch_agg lgK=14) within 5% of exact, per group",
       spec = "src/test/scala/graft/JoinOpsSpec.scala: \"rel_approx: sketches within 5% of exact\""),
     "rel_profile_approx" -> RowsOnlyMeta(
       exactTwin = "rel_profile",

@@ -285,12 +285,18 @@ object RelationalOps2 {
     // Approximate aggregates — no SQL oracle (HLL/quantile sketches are
     // engine-specific); accuracy is asserted against exact counts in
     // ScalaTest instead, and the driver records a rows-only check.
+    // Distinct uses DataSketches hll_sketch_agg (lgK=14, ~0.8% error,
+    // one BINARY buffer per group) for the same reason profile() does:
+    // legacy approx_count_distinct at rsd 0.01 expands to ~1.5k long
+    // agg-buffer attributes PER GROUP and collapses the codegen'd
+    // update path on any multi-partition scan (measured in DevHll).
     "rel_approx" -> ((s, dir) => {
       import s.implicits._
       Tables.orders(s, dir)
         .groupBy($"o_orderpriority")
         .agg(
-          approx_count_distinct($"o_custkey", rsd = 0.01).as("approx_custs"),
+          hll_sketch_estimate(hll_sketch_agg($"o_custkey", lit(14)))
+            .as("approx_custs"),
           percentile_approx($"o_totalprice", lit(0.5), lit(1000))
             .as("approx_median"))
         .orderBy($"o_orderpriority")

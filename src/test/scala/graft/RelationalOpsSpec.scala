@@ -92,6 +92,22 @@ class RelationalOpsSpec extends SparkSpec {
     }
   }
 
+  test("approx sketches ride ObjectHashAggregate binary buffers, not the " +
+      "legacy per-word column expansion") {
+    // regression guard for the driver-round-8 DevHll finding: legacy
+    // approx_count_distinct at rsd 0.01 expands to ~1.5k long buffer
+    // attributes per sketch and collapses codegen on multi-partition
+    // scans; the DataSketches path keeps one binary buffer per sketch
+    // and plans as ObjectHashAggregate
+    for (name <- Seq("rel_profile_approx", "rel_approx")) {
+      val plan = q(name).queryExecution.executedPlan.toString
+      assert(plan.contains("ObjectHashAggregate"),
+        s"$name must aggregate sketches via ObjectHashAggregate")
+      assert(!plan.contains("approx_count_distinct"),
+        s"$name must not use the legacy per-word-buffer HLL")
+    }
+  }
+
   test("rel_percentile_approx: sketch medians within 2.5% of the exact query") {
     def byPrio(name: String) = q(name).collect()
       .map(r => r.getAs[String]("o_orderpriority") ->
