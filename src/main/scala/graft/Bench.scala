@@ -129,24 +129,28 @@ object Bench {
       s"unknown bench query name(s): ${unknown.mkString(", ")}")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
       .max(1)
-    // per pass: name -> Some(seconds) on success, None on failure
-    def runPass(p: Int): Seq[(String, Option[Double])] = selected.map { name =>
+    // run one query end-to-end; Some(seconds) on success, None on failure
+    // (shared by the timed passes and the spread-rerun adjudication so
+    // both report failures identically)
+    def runOne(name: String, tag: String): Option[Double] = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed (pass $p): ${e.getMessage}")
+          System.err.println(s"[bench] $name failed ($tag): ${e.getMessage}")
           false
         }
       val t = (System.nanoTime() - t0) / 1e9
       // per-query recording on stderr: survives even if the final JSON
       // line is lost to log truncation (it was, in round 3's artifact)
-      System.err.println(f"[bench] pass$p $name%s ${t}%.3f s")
+      System.err.println(f"[bench] $tag $name%s ${t}%.3f s")
       // isolate measurements: drop tables persisted inside operators
       spark.catalog.clearCache()
-      name -> (if (ok) Some(t) else None)
+      if (ok) Some(t) else None
     }
+    def runPass(p: Int): Seq[(String, Option[Double])] =
+      selected.map(name => name -> runOne(name, s"pass$p"))
     val allPasses = (1 to passes).map(runPass)
     // Targeted adjudication pass: a pass-to-pass spread > 2× means a
     // burst hit at least one pass — and since bursts ROVE, the other
@@ -158,18 +162,9 @@ object Bench {
       if (passes < 2) Map.empty
       else selected.zipWithIndex.flatMap { case (name, i) =>
         val ts = allPasses.flatMap(p => p(i)._2)
-        if (ts.size >= 2 && ts.max > 2.0 * ts.min && ts.min > 0.2) {
-          val fn = SparkEntry.queries(name)
-          val t0 = System.nanoTime()
-          val ok = try {
-            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-            true
-          } catch { case _: Throwable => false }
-          val t = (System.nanoTime() - t0) / 1e9
-          System.err.println(f"[bench] spread-rerun $name%s ${t}%.3f s")
-          spark.catalog.clearCache()
-          Some(name -> (if (ok) Some(t) else None))
-        } else None
+        if (ts.size >= 2 && ts.max > 2.0 * ts.min && ts.min > 0.2)
+          Some(name -> runOne(name, "spread-rerun"))
+        else None
       }.toMap
     // min across successful passes; a query failed only if NO pass ran it
     val results: Seq[(String, Option[Double])] = selected.zipWithIndex.map {

@@ -612,9 +612,11 @@ object GraftPipelines {
     * [[groupedPercentiles]]: exact `countDistinct` is what the
     * hash-compared oracle needs, but Spark plans k exact DISTINCTs via
     * one Expand that multiplies every input row (k+1)× through the
-    * aggregate — a real cost at 100 TB. The production default is the
-    * HLL sketch (`approx_count_distinct`, ~2% error), which keeps the
-    * pass Expand-free.
+    * aggregate — a real cost at 100 TB. The production default is a
+    * DataSketches HLL (`hll_sketch_agg` at lgK=14, ~0.8% error — NOT
+    * the legacy `approx_count_distinct`, whose per-word buffer layout
+    * collapses the codegen'd path; see the in-body comment), which
+    * keeps the pass Expand-free with one binary buffer per column.
     */
   def profile(df: DataFrame, numericCols: Seq[String],
       stringCols: Seq[String], exactDistinct: Boolean = true): DataFrame = {
@@ -636,13 +638,19 @@ object GraftPipelines {
        else {
          // the sketch accepts int/bigint/string/binary; other types
          // (double prices, dates) go through their canonical string
-         // form — injective per distinct value, null-preserving, so
-         // the distinct count is unchanged
+         // form — injective per distinct value (floats add +0 first:
+         // grouping treats -0.0 == 0.0 but their strings differ, so
+         // the IEEE identity x + 0 = x, which maps -0.0 → 0.0 and
+         // changes nothing else incl. NaN, restores injectivity),
+         // null-preserving, so the distinct count is unchanged
          val in = df.schema(c).dataType match {
            case org.apache.spark.sql.types.IntegerType |
                 org.apache.spark.sql.types.LongType |
                 org.apache.spark.sql.types.StringType |
                 org.apache.spark.sql.types.BinaryType => col(c)
+           case org.apache.spark.sql.types.DoubleType |
+                org.apache.spark.sql.types.FloatType =>
+             (col(c) + lit(0)).cast("string")
            case _ => col(c).cast("string")
          }
          hll_sketch_estimate(hll_sketch_agg(in, lit(14)))
@@ -1926,6 +1934,7 @@ object GraftPipelines {
         lit(null).cast("long").as("d2"), col("cqv"))
       .localCheckpoint()
     var out = c1.select(col("rank"), col("sel_id").as(id), col("d2"))
+    if (k <= 1) return out // seed-only: no per-point distance work
     // running state: (id, qv, dmin = min squared distance to selected set)
     var state = q.crossJoin(broadcast(c1.select(col("cqv").as("cv"))))
       .withColumn("dmin", distTo(col("cv"))).drop("cv")
@@ -1939,11 +1948,17 @@ object GraftPipelines {
         .localCheckpoint()
       out = out.unionByName(next.select(col("rank"), col("sel_id").as(id),
         col("d2")))
-      if (r < k)
+      if (r < k) {
+        val prev = state
         state = state.crossJoin(broadcast(next.select(col("cqv").as("cv"))))
           .withColumn("dmin", least(col("dmin"), distTo(col("cv"))))
           .drop("cv")
           .localCheckpoint()
+        // the new checkpoint is materialized (localCheckpoint is
+        // eager), so the superseded round's n-row blocks can go now —
+        // peak storage stays at ~1 copy of (id, qv, dmin), not k
+        prev.unpersist(blocking = false)
+      }
     }
     out
   }

@@ -108,6 +108,22 @@ class RelationalOpsSpec extends SparkSpec {
     }
   }
 
+  test("profile sketch counts -0.0 and 0.0 as one distinct (string-cast " +
+      "normalization)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // grouping/countDistinct normalize -0.0 == 0.0 but their string
+    // forms differ; the sketch path adds +0 before the cast to keep
+    // the distinct count identical to the exact switch
+    val df = Seq(0.0, -0.0, 1.5, Double.NaN).toDF("v")
+    def nd(exact: Boolean) = graft.api.GraftPipelines
+      .profile(df, numericCols = Seq("v"), stringCols = Nil,
+        exactDistinct = exact)
+      .select(col("n_distinct")).collect().head.getLong(0)
+    assert(nd(exact = true) == nd(exact = false),
+      "sketch distinct must match exact distinct on ±0.0/NaN inputs")
+  }
+
   test("rel_percentile_approx: sketch medians within 2.5% of the exact query") {
     def byPrio(name: String) = q(name).collect()
       .map(r => r.getAs[String]("o_orderpriority") ->
