@@ -1792,16 +1792,34 @@ object GraftPipelines {
     * persists. Output: (a_id, b_id, na, nb, inter, jac_x1000).
     *
     * NOTE (eager + non-fault-tolerant): the two `localCheckpoint()`
-    * calls run Spark jobs AT CALL TIME — this method is not lazy like
-    * the rest of the API — and checkpoint blocks live on executors
-    * only, so they are lost on executor failure and the embedding job
-    * fails rather than recomputes. A long pipeline that needs
-    * fault-tolerant artifacts should persist the shingle/prefix
-    * tables itself (write + re-read) and inline the join body.
+    * calls (inside [[ppjoinIndex]]) run Spark jobs AT CALL TIME — this
+    * method is not lazy like the rest of the API — and checkpoint
+    * blocks live on executors only, so they are lost on executor
+    * failure and the embedding job fails rather than recomputes. A
+    * long pipeline that needs fault-tolerant artifacts should write
+    * [[ppjoinIndex]]'s tables to storage and serve the join from the
+    * read-back via [[ppjoinPairsFromIndex]] (what `llm_ppjoin_served`
+    * does).
     */
   def ppjoinPairs(docs: DataFrame, num: Int = 1, den: Int = 2,
       shingleWidth: Int = 3, id: String = "doc_id",
       text: String = "text"): DataFrame = {
+    val (toks, pref) = ppjoinIndex(docs, num, den, shingleWidth, id, text)
+    ppjoinPairsFromIndex(toks, pref, num, den, id)
+  }
+
+  /** The PPJoin build phase as a standalone artifact pair: the distinct
+    * shingle table `(id, s)` and the df-ordered prefix index
+    * `(id, s, rn, sz)` for threshold num/den. These are the tables a
+    * deployment PERSISTS (the index is threshold-specific — the prefix
+    * length depends on θ); [[ppjoinPairsFromIndex]] serves the join
+    * from them without re-running the explode/distinct/window chain —
+    * the same build/serve split the ANN entries use, letting the
+    * per-query cost be the candidate+verify joins alone.
+    */
+  def ppjoinIndex(docs: DataFrame, num: Int = 1, den: Int = 2,
+      shingleWidth: Int = 3, id: String = "doc_id",
+      text: String = "text"): (DataFrame, DataFrame) = {
     require(num > 0 && den >= num, "threshold must be in (0, 1]")
     val toks = shingle(docs.select(col(id), col(text)), shingleWidth,
       id, text).distinct().localCheckpoint()
@@ -1815,6 +1833,18 @@ object GraftPipelines {
         expr(s"($num * sz + $den - 1) div $den") + 1)
       .select(col(id), col("s"), col("rn"), col("sz"))
       .localCheckpoint()
+    (toks, pref)
+  }
+
+  /** The PPJoin probe phase over a prebuilt [[ppjoinIndex]] (or the
+    * same tables read back from storage): candidate generation from
+    * prefix collisions + size-band + positional prune, then the exact
+    * intersection verify. `num`/`den` must match the index's build
+    * threshold.
+    */
+  def ppjoinPairsFromIndex(toks: DataFrame, pref: DataFrame,
+      num: Int = 1, den: Int = 2, id: String = "doc_id"): DataFrame = {
+    require(num > 0 && den >= num, "threshold must be in (0, 1]")
     // α = ceil(num·(na+nb)/(num+den)); jac ≥ num/den ⟺
     // (num+den)·|∩| ≥ num·(na+nb)
     val cand = pref.as("a").join(pref.as("b"),

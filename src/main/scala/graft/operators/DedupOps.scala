@@ -34,6 +34,17 @@ object DedupOps {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     graft.api.GraftPipelines.shingle(Tables.documents(s, dir), 3)
 
+  /** Write-once index fixture location (same pattern as the ANN serve
+    * entries in [[SimilarityOps]]): keyed on the corpus path + mtime so
+    * a regenerated corpus never serves a stale index.
+    */
+  private def indexFixtureDir(dir: String, kind: String): String = {
+    val stamp = new java.io.File(dir, "documents.parquet").lastModified
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${kind}_index_" + Integer.toHexString((dir, stamp).hashCode))
+      .getAbsolutePath
+  }
+
   /** MinHash signature: per doc, min(md5(seed || shingle)) per seed. */
   private def minhash(s: SparkSession, dir: String): DataFrame =
     graft.api.GraftPipelines.minhashSignature(shingles(s, dir), SEEDS.size)
@@ -135,6 +146,36 @@ object DedupOps {
       s"SELECT doc_id, md5('b$b|' || CAST(h${2 * b} AS VARCHAR) || ',' || CAST(h${2 * b + 1} AS VARCHAR)) AS b FROM mh")
     s"bands AS (${rows.mkString(" UNION ALL ")})"
   }
+
+  /** Shared by llm_ppjoin and llm_ppjoin_served: the serve path reads
+    * a persisted index, but the rows must be identical.
+    */
+  private lazy val ppjoinOracleSql: String =
+    s"""WITH $shinglesSql,
+       |toks AS (SELECT DISTINCT doc_id, s FROM sh),
+       |dfreq AS (SELECT s, count(*) AS df FROM toks GROUP BY s),
+       |ranked AS (
+       |  SELECT doc_id, s,
+       |   row_number() OVER (PARTITION BY doc_id ORDER BY df, s) AS rn,
+       |   count(*) OVER (PARTITION BY doc_id) AS sz
+       |  FROM toks JOIN dfreq USING (s)),
+       |pref AS (SELECT doc_id, s FROM ranked
+       |         WHERE rn <= sz - ((sz + 1) // 2) + 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM pref a JOIN pref b
+       |           ON a.s = b.s AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a_id, b_id, count(*) AS inter
+       |  FROM cand JOIN toks ta ON ta.doc_id = a_id
+       |  JOIN toks tb ON tb.doc_id = b_id AND tb.s = ta.s
+       |  GROUP BY a_id, b_id)
+       |SELECT a_id, b_id, sa.sz AS na, sb.sz AS nb, inter,
+       | (1000 * inter) // (sa.sz + sb.sz - inter) AS jac_x1000
+       |FROM inter JOIN sizes sa ON sa.doc_id = a_id
+       |JOIN sizes sb ON sb.doc_id = b_id
+       |WHERE 3 * inter >= sa.sz + sb.sz
+       |ORDER BY a_id, b_id""".stripMargin
 
   private val simhashSql = {
     val contribs = (0 until SIM_BITS)
@@ -544,6 +585,32 @@ object DedupOps {
         .orderBy($"a_id", $"b_id")
     }),
 
+    // The build/serve split of llm_ppjoin, same pattern as
+    // llm_embed_pq_served / llm_embed_ivf_served: the shingle table
+    // and df-ordered prefix index are written to parquet ONCE (an
+    // offline job — Bench warms the fixture outside the timed region,
+    // keyed on the corpus mtime so a regenerated corpus never serves a
+    // stale index), and the timed query is the production per-run
+    // cost: candidate + verify joins over the READ-BACK index.
+    // Identical output and oracle to llm_ppjoin — the serve path is a
+    // storage refactor, not a semantic one; unlike localCheckpoint
+    // blocks the parquet artifacts survive executor loss.
+    "llm_ppjoin_served" -> ((s, dir) => {
+      import s.implicits._
+      val idx = indexFixtureDir(dir, "ppjoin")
+      if (!new java.io.File(idx, "_built").exists()) {
+        val (toks, pref) = graft.api.GraftPipelines
+          .ppjoinIndex(Tables.documents(s, dir), num = 1, den = 2)
+        toks.write.mode("overwrite").parquet(s"$idx/toks.parquet")
+        pref.write.mode("overwrite").parquet(s"$idx/pref.parquet")
+        new java.io.File(idx, "_built").createNewFile()
+      }
+      graft.api.GraftPipelines.ppjoinPairsFromIndex(
+          s.read.parquet(s"$idx/toks.parquet"),
+          s.read.parquet(s"$idx/pref.parquet"), num = 1, den = 2)
+        .orderBy($"a_id", $"b_id")
+    }),
+
     // MinHash/LSH recall, MEASURED against the exact truth — the dedup
     // twin of llm_ann_recall: with PPJoin's lossless θ≥1/2 shingle
     // pairs as ground truth, what fraction does the 8-seed/4-band LSH
@@ -856,32 +923,12 @@ object DedupOps {
         |  WINDOW w AS (PARTITION BY source ORDER BY doc_id))
         |WHERE d2 IS NOT NULL ORDER BY d1""".stripMargin,
 
-    "llm_ppjoin" ->
-      s"""WITH $shinglesSql,
-         |toks AS (SELECT DISTINCT doc_id, s FROM sh),
-         |dfreq AS (SELECT s, count(*) AS df FROM toks GROUP BY s),
-         |ranked AS (
-         |  SELECT doc_id, s,
-         |   row_number() OVER (PARTITION BY doc_id ORDER BY df, s) AS rn,
-         |   count(*) OVER (PARTITION BY doc_id) AS sz
-         |  FROM toks JOIN dfreq USING (s)),
-         |pref AS (SELECT doc_id, s FROM ranked
-         |         WHERE rn <= sz - ((sz + 1) // 2) + 1),
-         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |         FROM pref a JOIN pref b
-         |           ON a.s = b.s AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a_id, b_id, count(*) AS inter
-         |  FROM cand JOIN toks ta ON ta.doc_id = a_id
-         |  JOIN toks tb ON tb.doc_id = b_id AND tb.s = ta.s
-         |  GROUP BY a_id, b_id)
-         |SELECT a_id, b_id, sa.sz AS na, sb.sz AS nb, inter,
-         | (1000 * inter) // (sa.sz + sb.sz - inter) AS jac_x1000
-         |FROM inter JOIN sizes sa ON sa.doc_id = a_id
-         |JOIN sizes sb ON sb.doc_id = b_id
-         |WHERE 3 * inter >= sa.sz + sb.sz
-         |ORDER BY a_id, b_id""".stripMargin,
+    "llm_ppjoin" -> ppjoinOracleSql,
+
+    // identical mirror: the serve path is a storage refactor of the
+    // same lossless join, so the hash compare proves read-back
+    // equivalence
+    "llm_ppjoin_served" -> ppjoinOracleSql,
 
     "llm_minhash_recall" ->
       s"""WITH $shinglesSql, $minhashSql, $bandsSql,

@@ -108,6 +108,14 @@ class DedupOpsSpec extends SparkSpec {
         s"only-narrow=${(narrow -- wide).take(3)}")
   }
 
+  test("llm_ppjoin_served: the persisted-index serve path equals the " +
+      "direct join row-for-row") {
+    val direct = q("llm_ppjoin").collect().map(_.toString).sorted
+    val served = q("llm_ppjoin_served").collect().map(_.toString).sorted
+    assert(direct.nonEmpty, "fixture corpus must contain ppjoin pairs")
+    assert(served.sameElements(direct))
+  }
+
   test("llm_jaccard_adjacent: identical adjacent docs have jaccard 1.0") {
     val dir = tempSfDir("documents" ->
       docs((1L, base, "s0"), (2L, base, "s0"), (3L, distinct, "s0")))
