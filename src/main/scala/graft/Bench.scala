@@ -58,8 +58,8 @@ object Bench {
     "rel_snapshot_diff", "rel_reconcile", "rel_compact",
     "llm_bpe_vocab", "llm_bpe_apply",
     "llm_dedup_exact", "llm_dedup_prefix", "llm_dedup_incremental",
-    "llm_minhash_pairs", "llm_neardup_verified", "llm_ppjoin",
-    "llm_ppjoin_served", "llm_dup_matrix",
+    "llm_minhash_pairs", "llm_neardup_verified", "llm_neardup_served",
+    "llm_ppjoin", "llm_ppjoin_served", "llm_dup_matrix",
     "llm_minhash_recall",
     "llm_dup_clusters", "llm_golden_record", "llm_curate", "llm_decontaminate",
     "llm_embed_ivf",
@@ -117,7 +117,7 @@ object Bench {
     // timed figure below is then the production per-query cost: the
     // pruned/served READ.
     Seq("ev_partition_pruned", "llm_embed_pq_served", "llm_embed_ivf_served",
-        "llm_ppjoin_served")
+        "llm_ppjoin_served", "llm_neardup_served")
       .filter(selected.contains).foreach { n =>
         SparkEntry.queries(n)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()

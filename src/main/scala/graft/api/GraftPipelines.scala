@@ -105,8 +105,22 @@ object GraftPipelines {
     // grows with the corpus) AND defeat the exchange reuse (the
     // broadcast side plans a different exchange, recomputing the
     // signature lineage twice).
-    val b = lshBands(minhashSignature(shingle(docs, shingleN, id, text),
-      seeds, id), bands, seeds / bands, id).hint("shuffle_hash")
+    bandCandidates(lshBands(minhashSignature(
+      shingle(docs, shingleN, id, text), seeds, id), bands, seeds / bands,
+      id), id)
+  }
+
+  /** Candidate pairs from ANY band table (id, b) — freshly derived or
+    * read back from a persisted [[bandIndex]]: the self-join keyed on
+    * the band hash, distinct (d1 < d2) pairs. The shuffle_hash hint
+    * pins the exchange-reusing shape (see [[minhashCandidates]]); when
+    * the input is a parquet read, both sides scan the same files and
+    * the join is the entire per-run cost — the serve half of the
+    * build/serve split.
+    */
+  def bandCandidates(bandTable: DataFrame,
+      id: String = "doc_id"): DataFrame = {
+    val b = bandTable.hint("shuffle_hash")
     b.as("l").join(b.as("r"),
         col("l.b") === col("r.b") && col(s"l.$id") < col(s"r.$id"))
       .select(col(s"l.$id").as("d1"), col(s"r.$id").as("d2"))
@@ -1515,8 +1529,22 @@ object GraftPipelines {
     * pair.
     */
   def nearDuplicates(docs: DataFrame, minJaccard: Double,
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    nearDuplicatesFromCandidates(docs,
+      minhashCandidates(docs, 3, 8, 4, id, text), minJaccard, id, text)
+
+  /** The verify half of [[nearDuplicates]] over ANY candidate pair
+    * table (d1, d2) — freshly derived or produced by
+    * [[bandCandidates]] over a persisted [[bandIndex]] (what
+    * `llm_neardup_served` does): word-set Jaccard via the same
+    * explode-join-count form, touching only docs that appear in a
+    * candidate pair. Output identical to [[nearDuplicates]] when the
+    * candidate set is the same — the serve path is a storage refactor.
+    */
+  def nearDuplicatesFromCandidates(docs: DataFrame,
+      candidatePairs: DataFrame, minJaccard: Double,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val cands = minhashCandidates(docs, 3, 8, 4, id, text).persist()
+    val cands = candidatePairs.persist()
     cands.count()
     // Docs referenced by any candidate pair. No broadcast hint: this set's
     // cardinality scales with the corpus (a dup-heavy crawl puts a large

@@ -147,6 +147,28 @@ object DedupOps {
     s"bands AS (${rows.mkString(" UNION ALL ")})"
   }
 
+  /** Shared by llm_neardup_verified and llm_neardup_served: the serve
+    * path reads a persisted band index, but the rows must be identical.
+    */
+  private lazy val neardupOracleSql: String =
+    s"""WITH $shinglesSql, $minhashSql, $bandsSql,
+       |cands AS (
+       |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+       |  FROM bands l JOIN bands r ON l.b = r.b AND l.doc_id < r.doc_id),
+       |sets AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset
+       |  FROM documents)
+       |SELECT d1, d2, n_common, n_union, jaccard FROM (
+       |  SELECT d1, d2,
+       |   CAST(len(list_intersect(s1.wset, s2.wset)) AS INTEGER) AS n_common,
+       |   CAST(len(list_distinct(list_concat(s1.wset, s2.wset))) AS INTEGER) AS n_union,
+       |   CAST(len(list_intersect(s1.wset, s2.wset)) AS DOUBLE)
+       |     / len(list_distinct(list_concat(s1.wset, s2.wset))) AS jaccard
+       |  FROM cands
+       |  JOIN sets s1 ON d1 = s1.doc_id
+       |  JOIN sets s2 ON d2 = s2.doc_id)
+       |WHERE jaccard >= 0.7 ORDER BY d1, d2""".stripMargin
+
   /** Shared by llm_ppjoin and llm_ppjoin_served: the serve path reads
     * a persisted index, but the rows must be identical.
     */
@@ -436,6 +458,31 @@ object DedupOps {
       import s.implicits._
       graft.api.GraftPipelines
         .nearDuplicates(Tables.documents(s, dir), 0.7)
+        .orderBy($"d1", $"d2")
+    }),
+
+    // The build/serve split of llm_neardup_verified, completing the
+    // trilogy (ANN, PPJoin, MinHash): the band index — already THE
+    // persisted artifact the incremental ingest loop maintains — is
+    // written to parquet once (offline, Bench-warmed, corpus-mtime-
+    // keyed); the timed per-run cost is the band self-join over the
+    // read-back plus the candidate-bounded Jaccard verify. The corpus
+    // TEXT is still read for verification (by design: the index holds
+    // hashes, not words), but the expensive shingle→md5→min-per-seed
+    // signature derivation never re-runs. Identical output and oracle
+    // to llm_neardup_verified.
+    "llm_neardup_served" -> ((s, dir) => {
+      import s.implicits._
+      val idx = indexFixtureDir(dir, "band")
+      if (!new java.io.File(idx, "_built").exists()) {
+        graft.api.GraftPipelines.bandIndex(Tables.documents(s, dir))
+          .write.mode("overwrite").parquet(s"$idx/bands.parquet")
+        new java.io.File(idx, "_built").createNewFile()
+      }
+      graft.api.GraftPipelines.nearDuplicatesFromCandidates(
+          Tables.documents(s, dir),
+          graft.api.GraftPipelines.bandCandidates(
+            s.read.parquet(s"$idx/bands.parquet")), 0.7)
         .orderBy($"d1", $"d2")
     }),
 
@@ -813,24 +860,11 @@ object DedupOps {
          |WHERE bit_count(xor(l.simhash, r.simhash)) <= 6
          |ORDER BY d1, d2""".stripMargin,
 
-    "llm_neardup_verified" ->
-      s"""WITH $shinglesSql, $minhashSql, $bandsSql,
-         |cands AS (
-         |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
-         |  FROM bands l JOIN bands r ON l.b = r.b AND l.doc_id < r.doc_id),
-         |sets AS (
-         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset
-         |  FROM documents)
-         |SELECT d1, d2, n_common, n_union, jaccard FROM (
-         |  SELECT d1, d2,
-         |   CAST(len(list_intersect(s1.wset, s2.wset)) AS INTEGER) AS n_common,
-         |   CAST(len(list_distinct(list_concat(s1.wset, s2.wset))) AS INTEGER) AS n_union,
-         |   CAST(len(list_intersect(s1.wset, s2.wset)) AS DOUBLE)
-         |     / len(list_distinct(list_concat(s1.wset, s2.wset))) AS jaccard
-         |  FROM cands
-         |  JOIN sets s1 ON d1 = s1.doc_id
-         |  JOIN sets s2 ON d2 = s2.doc_id)
-         |WHERE jaccard >= 0.7 ORDER BY d1, d2""".stripMargin,
+    "llm_neardup_verified" -> neardupOracleSql,
+
+    // identical mirror: the serve path reads the persisted band index
+    // but candidates — and therefore verified pairs — must be identical
+    "llm_neardup_served" -> neardupOracleSql,
 
     "llm_span_dedup" ->
       """WITH ch AS (

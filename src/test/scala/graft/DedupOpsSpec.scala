@@ -108,6 +108,14 @@ class DedupOpsSpec extends SparkSpec {
         s"only-narrow=${(narrow -- wide).take(3)}")
   }
 
+  test("llm_neardup_served: the persisted-band-index serve path equals " +
+      "the direct pipeline row-for-row") {
+    val direct = q("llm_neardup_verified").collect().map(_.toString).sorted
+    val served = q("llm_neardup_served").collect().map(_.toString).sorted
+    assert(direct.nonEmpty, "fixture corpus must contain near-dup pairs")
+    assert(served.sameElements(direct))
+  }
+
   test("llm_ppjoin_served: the persisted-index serve path equals the " +
       "direct join row-for-row") {
     val direct = q("llm_ppjoin").collect().map(_.toString).sorted
