@@ -1848,20 +1848,37 @@ object GraftPipelines {
   def ppjoinIndex(docs: DataFrame, num: Int = 1, den: Int = 2,
       shingleWidth: Int = 3, id: String = "doc_id",
       text: String = "text"): (DataFrame, DataFrame) = {
+    val toks = ppjoinTokens(docs, shingleWidth, id, text).localCheckpoint()
+    (toks, ppjoinPrefix(toks, num, den, id).localCheckpoint())
+  }
+
+  /** The distinct shingle table `(id, s)` — the first PPJoin build
+    * artifact, checkpoint-free (callers that persist to storage write
+    * THIS and derive the prefix from the read-back, so no
+    * executor-memory copy outlives the build; [[ppjoinIndex]] adds the
+    * localCheckpoints the in-plan composition wants).
+    */
+  def ppjoinTokens(docs: DataFrame, shingleWidth: Int = 3,
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    shingle(docs.select(col(id), col(text)), shingleWidth, id, text)
+      .distinct()
+
+  /** The df-ordered prefix index `(id, s, rn, sz)` for threshold
+    * num/den, derived from a [[ppjoinTokens]] table (fresh or re-read
+    * from storage). Checkpoint-free for the same reason.
+    */
+  def ppjoinPrefix(toks: DataFrame, num: Int = 1, den: Int = 2,
+      id: String = "doc_id"): DataFrame = {
     require(num > 0 && den >= num, "threshold must be in (0, 1]")
-    val toks = shingle(docs.select(col(id), col(text)), shingleWidth,
-      id, text).distinct().localCheckpoint()
     val dfreq = toks.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col(id))
-    val pref = toks.join(dfreq, "s")
+    toks.join(dfreq, "s")
       .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("s"))))
       .withColumn("sz", count(lit(1)).over(wDoc))
       // prefix length = sz − ceil(θ·sz) + 1
       .filter(col("rn") <= col("sz") -
         expr(s"($num * sz + $den - 1) div $den") + 1)
       .select(col(id), col("s"), col("rn"), col("sz"))
-      .localCheckpoint()
-    (toks, pref)
   }
 
   /** The PPJoin probe phase over a prebuilt [[ppjoinIndex]] (or the

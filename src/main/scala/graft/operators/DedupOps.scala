@@ -34,16 +34,14 @@ object DedupOps {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     graft.api.GraftPipelines.shingle(Tables.documents(s, dir), 3)
 
-  /** Write-once index fixture location (same pattern as the ANN serve
-    * entries in [[SimilarityOps]]): keyed on the corpus path + mtime so
-    * a regenerated corpus never serves a stale index.
+  /** Write-once index fixture location: the shared helper keyed on
+    * corpus mtime AND the build parameters (an index is only valid for
+    * the threshold/seeds it was built with — see
+    * [[graft.sources.GraftIO.fixtureDir]]).
     */
-  private def indexFixtureDir(dir: String, kind: String): String = {
-    val stamp = new java.io.File(dir, "documents.parquet").lastModified
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_${kind}_index_" + Integer.toHexString((dir, stamp).hashCode))
-      .getAbsolutePath
-  }
+  private def indexFixtureDir(dir: String, kind: String,
+      params: String): String =
+    graft.sources.GraftIO.fixtureDir(dir, "documents.parquet", kind, params)
 
   /** MinHash signature: per doc, min(md5(seed || shingle)) per seed. */
   private def minhash(s: SparkSession, dir: String): DataFrame =
@@ -473,11 +471,10 @@ object DedupOps {
     // to llm_neardup_verified.
     "llm_neardup_served" -> ((s, dir) => {
       import s.implicits._
-      val idx = indexFixtureDir(dir, "band")
-      if (!new java.io.File(idx, "_built").exists()) {
+      val idx = graft.sources.GraftIO.buildOnce(
+          indexFixtureDir(dir, "band", "n=3,seeds=8,bands=4")) { tmp =>
         graft.api.GraftPipelines.bandIndex(Tables.documents(s, dir))
-          .write.mode("overwrite").parquet(s"$idx/bands.parquet")
-        new java.io.File(idx, "_built").createNewFile()
+          .write.parquet(s"$tmp/bands.parquet")
       }
       graft.api.GraftPipelines.nearDuplicatesFromCandidates(
           Tables.documents(s, dir),
@@ -644,13 +641,20 @@ object DedupOps {
     // blocks the parquet artifacts survive executor loss.
     "llm_ppjoin_served" -> ((s, dir) => {
       import s.implicits._
-      val idx = indexFixtureDir(dir, "ppjoin")
-      if (!new java.io.File(idx, "_built").exists()) {
-        val (toks, pref) = graft.api.GraftPipelines
-          .ppjoinIndex(Tables.documents(s, dir), num = 1, den = 2)
-        toks.write.mode("overwrite").parquet(s"$idx/toks.parquet")
-        pref.write.mode("overwrite").parquet(s"$idx/pref.parquet")
-        new java.io.File(idx, "_built").createNewFile()
+      val idx = graft.sources.GraftIO.buildOnce(
+          indexFixtureDir(dir, "ppjoin", "num=1,den=2,w=3")) { tmp =>
+        // persist-oriented build: write the token table, RE-READ it to
+        // derive the prefix index — no localCheckpoint copy of the
+        // corpus-scaled tables stays pinned in executor memory for the
+        // rest of the JVM (ppjoinIndex's checkpoints serve the in-plan
+        // join; here the only consumer is the parquet write)
+        graft.api.GraftPipelines
+          .ppjoinTokens(Tables.documents(s, dir))
+          .write.parquet(s"$tmp/toks.parquet")
+        graft.api.GraftPipelines
+          .ppjoinPrefix(s.read.parquet(s"$tmp/toks.parquet"),
+            num = 1, den = 2)
+          .write.parquet(s"$tmp/pref.parquet")
       }
       graft.api.GraftPipelines.ppjoinPairsFromIndex(
           s.read.parquet(s"$idx/toks.parquet"),

@@ -53,16 +53,14 @@ object SimilarityOps {
   private def cosine(a: Column, b: Column): Column =
     graft.api.GraftPipelines.cosine(a, b)
 
-  /** Write-once ANN-index fixture location (same pattern as
-    * ev_partition_pruned): keyed on the corpus path + mtime so a
-    * regenerated corpus never serves a stale index.
+  /** Write-once ANN-index fixture location: the shared helper keyed on
+    * corpus mtime AND the build parameters (see
+    * [[graft.sources.GraftIO.fixtureDir]]); published atomically by
+    * [[graft.sources.GraftIO.buildOnce]].
     */
-  private def indexFixtureDir(dir: String, kind: String): String = {
-    val stamp = new java.io.File(dir, "embeddings.parquet").lastModified
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_${kind}_index_" + Integer.toHexString((dir, stamp).hashCode))
-      .getAbsolutePath
-  }
+  private def indexFixtureDir(dir: String, kind: String,
+      params: String): String =
+    graft.sources.GraftIO.fixtureDir(dir, "embeddings.parquet", kind, params)
 
   private def cosineSql(a: String, b: String): String =
     s"(${dotUnrolledSql(a, b, DIM)}) / " +
@@ -598,14 +596,12 @@ object SimilarityOps {
     "llm_embed_ivf_served" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      val ix = indexFixtureDir(dir, "ivf")
-      if (!new java.io.File(ix, "_GRAFT_INDEX_OK").isFile) {
+      val ix = graft.sources.GraftIO.buildOnce(
+          indexFixtureDir(dir, "ivf", s"nc=$NC")) { tmp =>
         val (cent, assign) = graft.api.GraftPipelines.ivfIndex(emb, NC)
-        graft.sources.GraftIO.writeParquet(cent, s"$ix/centroids")
-        graft.sources.GraftIO.writeParquet(assign, s"$ix/assignments",
+        graft.sources.GraftIO.writeParquet(cent, s"$tmp/centroids")
+        graft.sources.GraftIO.writeParquet(assign, s"$tmp/assignments",
           partitionCols = Seq("centroid"))
-        java.nio.file.Files.createFile(
-          java.nio.file.Paths.get(ix, "_GRAFT_INDEX_OK"))
       }
       val cent = s.read.parquet(s"$ix/centroids")
       // partition column comes back wide (int) — restore the stored type
@@ -625,14 +621,13 @@ object SimilarityOps {
     "llm_embed_pq_served" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      val ix = indexFixtureDir(dir, "pq")
-      if (!new java.io.File(ix, "_GRAFT_INDEX_OK").isFile) {
+      val ix = graft.sources.GraftIO.buildOnce(
+          indexFixtureDir(dir, "pq",
+            s"m=$PQ_M,k=$PQ_K,it=$PQ_ITERS,d=$DIM")) { tmp =>
         val (books, codes) = graft.api.GraftPipelines
           .pqIndex(emb, PQ_M, PQ_K, PQ_ITERS, DIM)
-        graft.sources.GraftIO.writeParquet(books, s"$ix/codebooks")
-        graft.sources.GraftIO.writeParquet(codes, s"$ix/codes")
-        java.nio.file.Files.createFile(
-          java.nio.file.Paths.get(ix, "_GRAFT_INDEX_OK"))
+        graft.sources.GraftIO.writeParquet(books, s"$tmp/codebooks")
+        graft.sources.GraftIO.writeParquet(codes, s"$tmp/codes")
       }
       graft.api.GraftPipelines.pqTopKServe(
         s.read.parquet(s"$ix/codebooks"), s.read.parquet(s"$ix/codes"),

@@ -137,4 +137,56 @@ object GraftIO {
       .option("recursiveFileLookup", "true")
     glob.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
   }
+
+  /** Shared write-once index-fixture location (the serve-split entries'
+    * offline artifact). The key hashes the corpus path, the stamp
+    * file's mtime (a regenerated corpus never serves a stale index) AND
+    * the build parameters — an index is only valid for the exact
+    * threshold/seed/width it was built with (e.g. a PPJoin prefix is
+    * θ-specific), so changing a constant in a later round must key a
+    * FRESH directory instead of silently serving the old one.
+    */
+  def fixtureDir(corpusDir: String, stampFile: String, kind: String,
+      params: String): String = {
+    val stamp = new java.io.File(corpusDir, stampFile).lastModified
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${kind}_index_" +
+        Integer.toHexString((corpusDir, stamp, params).hashCode))
+      .getAbsolutePath
+  }
+
+  /** Build-once with ATOMIC publication: `build` writes into a private
+    * temp directory; a single POSIX rename publishes it. Closes the
+    * check-then-build race two concurrent JVMs (e.g. a verify run and
+    * a test suite on the same corpus) would otherwise hit — with a
+    * marker-file convention both enter the build branch and
+    * `mode("overwrite")` deletes the directory the other is mid-write
+    * into. Here each builds privately; the rename winner publishes,
+    * the loser discards its copy. Existence of `finalDir` IS the
+    * built marker — no separate flag file to leave half-set.
+    */
+  def buildOnce(finalDir: String)(build: String => Unit): String = {
+    val target = new java.io.File(finalDir)
+    if (!target.exists()) {
+      val tmp = new java.io.File(
+        finalDir + ".tmp-" + ProcessHandle.current().pid())
+      try {
+        build(tmp.getAbsolutePath)
+        try java.nio.file.Files.move(tmp.toPath, target.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // another JVM published first — its index is equally valid
+          case _: java.nio.file.FileAlreadyExistsException => ()
+          case _: java.nio.file.DirectoryNotEmptyException => ()
+        }
+      } finally deleteRecursively(tmp)
+    }
+    finalDir
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten
+      .foreach(deleteRecursively)
+    f.delete()
+  }
 }

@@ -108,20 +108,28 @@ class DedupOpsSpec extends SparkSpec {
         s"only-narrow=${(narrow -- wide).take(3)}")
   }
 
+  // served-path equality with a useful failure message: print the rows
+  // on exactly one side (the likely cause is a stale or corrupt served
+  // index, and "false was not true" would force a manual re-run)
+  private def assertServedEqualsDirect(servedName: String,
+      directName: String): Unit = {
+    val direct = q(directName).collect().map(_.toString).toSet
+    val served = q(servedName).collect().map(_.toString).toSet
+    assert(direct.nonEmpty, s"fixture corpus must contain $directName pairs")
+    assert(served == direct,
+      s"$servedName diverges from $directName; " +
+        s"only-served=${(served -- direct).take(3)} " +
+        s"only-direct=${(direct -- served).take(3)}")
+  }
+
   test("llm_neardup_served: the persisted-band-index serve path equals " +
       "the direct pipeline row-for-row") {
-    val direct = q("llm_neardup_verified").collect().map(_.toString).sorted
-    val served = q("llm_neardup_served").collect().map(_.toString).sorted
-    assert(direct.nonEmpty, "fixture corpus must contain near-dup pairs")
-    assert(served.sameElements(direct))
+    assertServedEqualsDirect("llm_neardup_served", "llm_neardup_verified")
   }
 
   test("llm_ppjoin_served: the persisted-index serve path equals the " +
       "direct join row-for-row") {
-    val direct = q("llm_ppjoin").collect().map(_.toString).sorted
-    val served = q("llm_ppjoin_served").collect().map(_.toString).sorted
-    assert(direct.nonEmpty, "fixture corpus must contain ppjoin pairs")
-    assert(served.sameElements(direct))
+    assertServedEqualsDirect("llm_ppjoin_served", "llm_ppjoin")
   }
 
   test("llm_jaccard_adjacent: identical adjacent docs have jaccard 1.0") {
