@@ -3,6 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 import graft.functions.VectorExpressions
 
@@ -1498,7 +1499,10 @@ object GraftPipelines {
       changed =
         if (nextCount != edgeCount) 1L
         else next.join(edges, Seq("a", "b"), "left_anti").count()
-      edges.unpersist(blocking = false)
+      // edges is checkpointed, not cached — Dataset.unpersist would be
+      // a no-op (no CacheManager entry); drop the superseded round's
+      // blocks at the BlockManager so peak storage stays O(1) rounds
+      Bridge.unpersistCheckpointBlocks(edges)
       edges = next
       edgeCount = nextCount
     }
@@ -2031,8 +2035,11 @@ object GraftPipelines {
           .localCheckpoint()
         // the new checkpoint is materialized (localCheckpoint is
         // eager), so the superseded round's n-row blocks can go now —
-        // peak storage stays at ~1 copy of (id, qv, dmin), not k
-        prev.unpersist(blocking = false)
+        // peak storage stays at ~1 copy of (id, qv, dmin), not k.
+        // Dataset.unpersist would be a NO-OP here (the CacheManager
+        // has no entry for checkpoint blocks); free the underlying
+        // checkpointed RDD's blocks directly.
+        Bridge.unpersistCheckpointBlocks(prev)
       }
     }
     out

@@ -149,10 +149,19 @@ object GraftIO {
   def fixtureDir(corpusDir: String, stampFile: String, kind: String,
       params: String): String = {
     val stamp = new java.io.File(corpusDir, stampFile).lastModified
+    // Cryptographic key, NOT Tuple.hashCode: a 32-bit hash over
+    // (corpus, mtime, params) collides silently and the failure mode
+    // is a WRONG-ANSWER index (stale corpus or mismatched θ/seed
+    // served as if valid), not an error. SHA-256 over the verbatim
+    // triple makes a collision practically impossible; 16 hex chars
+    // (64 bits) keeps the path short while staying far beyond
+    // birthday range for any realistic number of corpora×params.
+    val keySrc = s"$corpusDir|$stamp|$params"
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(keySrc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val key = sha.take(8).map(b => f"$b%02x").mkString
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_${kind}_index_" +
-        Integer.toHexString((corpusDir, stamp, params).hashCode))
-      .getAbsolutePath
+      s"graft_${kind}_index_$key").getAbsolutePath
   }
 
   /** Build-once with ATOMIC publication: `build` writes into a private

@@ -1,8 +1,10 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, Dataset}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.storage.StorageLevel
 
 /** Column ↔ Expression bridge.
   *
@@ -15,6 +17,35 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Free the storage blocks behind a `localCheckpoint()`ed Dataset.
+    *
+    * `Dataset.unpersist` routes through the CacheManager, which only
+    * tracks `persist()`ed plans — it has NO entry for the RDD blocks a
+    * checkpoint pinned, so calling it on a checkpointed frame is a
+    * no-op and the blocks survive until GC + ContextCleaner get to the
+    * RDD. Iterative pipelines (k-center rounds, star-contraction
+    * rounds) that materialize a fresh n-row checkpoint per round must
+    * release the superseded round's blocks NOW, not at some future GC,
+    * or peak storage grows O(rounds) instead of O(1).
+    *
+    * A checkpointed Dataset's analyzed plan is a [[LogicalRDD]] leaf
+    * wrapping the materialized RDD; unpersisting that RDD drops its
+    * blocks directly at the BlockManager. Returns the number of RDDs
+    * actually unpersisted (0 for a non-checkpointed frame — callers on
+    * plain cached frames should keep using `Dataset.unpersist`).
+    */
+  def unpersistCheckpointBlocks(ds: Dataset[_],
+      blocking: Boolean = false): Int = {
+    var n = 0
+    ds.queryExecution.analyzed.foreach {
+      case lr: LogicalRDD
+          if lr.rdd.getStorageLevel != StorageLevel.NONE =>
+        lr.rdd.unpersist(blocking); n += 1
+      case _ => ()
+    }
+    n
+  }
 }
 
 /** Type aliases for `private[sql]` Catalyst types that extension

@@ -185,4 +185,23 @@ class EdgeCasesSpec extends SparkSpec {
     assert(madFlagged.map(_.getLong(0)).toSet == Set(7L, 8L),
       s"MAD must flag both 500s: ${madFlagged.toSeq}")
   }
+
+  test("unpersistCheckpointBlocks frees checkpoint storage Dataset.unpersist cannot") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val ck = Seq(1, 2, 3).toDF("x").localCheckpoint()
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinned.nonEmpty, "localCheckpoint must pin RDD blocks")
+    // the documented trap: Dataset.unpersist routes via the CacheManager,
+    // which has no entry for checkpoint blocks — the blocks survive it
+    ck.unpersist(blocking = true)
+    assert((spark.sparkContext.getPersistentRDDs.keySet & pinned) == pinned,
+      "Dataset.unpersist must NOT free checkpoint blocks (the bug class)")
+    // the bridge helper frees them at the RDD level
+    assert(Bridge.unpersistCheckpointBlocks(ck, blocking = true) == 1)
+    assert((spark.sparkContext.getPersistentRDDs.keySet & pinned).isEmpty,
+      "checkpoint blocks must be gone after unpersistCheckpointBlocks")
+    // non-checkpointed frame: nothing to free, helper reports 0
+    assert(Bridge.unpersistCheckpointBlocks(Seq(1).toDF("x")) == 0)
+  }
 }

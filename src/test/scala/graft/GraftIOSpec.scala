@@ -225,4 +225,21 @@ class GraftIOSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("img_a.jpg", 4L, a.toSeq),
       ("img_b.jpg", 300L, b.toSeq)))
   }
+
+  test("fixtureDir: SHA-keyed, distinct per corpus/params, stable per key") {
+    val dir = Files.createTempDirectory("graft_fx").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "stamp.parquet"), Array[Byte](1))
+    val a = GraftIO.fixtureDir(dir, "stamp.parquet", "ppjoin", "theta=0.7")
+    val a2 = GraftIO.fixtureDir(dir, "stamp.parquet", "ppjoin", "theta=0.7")
+    val b = GraftIO.fixtureDir(dir, "stamp.parquet", "ppjoin", "theta=0.8")
+    val c = GraftIO.fixtureDir(dir + "_other", "stamp.parquet", "ppjoin",
+      "theta=0.7")
+    assert(a == a2)                         // deterministic per key
+    assert(a != b && a != c && b != c)      // params and corpus both key
+    // 16-hex-char (64-bit) SHA-256 prefix, not a 32-bit Tuple.hashCode —
+    // a silent collision here would serve a WRONG index, so the key must
+    // be collision-resistant, and its format is part of the contract
+    assert(a.matches(""".*graft_ppjoin_index_[0-9a-f]{16}$"""))
+  }
 }
