@@ -81,9 +81,10 @@ object Bench {
     "llm_embed_topk",
     "llm_embed_lsh_knn", "llm_embed_lsh_knn2", "llm_embed_pq",
     "llm_embed_pq_served", "llm_embed_ivf_served", "llm_embed_ivfpq",
-    "llm_ann_recall",
+    "llm_ann_recall", "llm_retrieval_eval", "llm_knn_graph",
     "llm_hard_negatives", "llm_embed_pca", "llm_kcenter", "llm_probe_auc",
-    "llm_source_centroid_sim",
+    "llm_cluster_silhouette",
+    "llm_source_centroid_sim", "llm_global_shuffle",
     "llm_embed_neardup", "llm_embed_neardup_lsh", "llm_lang_id", "llm_tfidf",
     "llm_fuzzy_pairs", "llm_sorted_neighborhood",
     "llm_quality_score", "llm_token_count", "llm_fingerprint",

@@ -290,6 +290,37 @@ object GraftPipelines {
     lloydFrom(emb, init, iters, dim, id, vec)
   }
 
+  /** Simplified (centroid-based) silhouette over a [[kmeansFit]]
+    * clustering — the clustering-quality gate a curation pipeline runs
+    * before trusting cluster-level decisions (SemDeDup keep-lists,
+    * cluster-stratified sampling). Cosine distance d = 1 − cos, so with
+    * cos1 = cosine to the own (best) centroid and cos2 = cosine to the
+    * best OTHER centroid: a = 1−cos1 ≤ b = 1−cos2 and
+    * s = (b−a)/max(a,b) = (cos1−cos2)/(1−cos2). Exact parity: cos1/cos2
+    * are the same left-assoc double cosines the assignment computes, and
+    * s is one division of two identical doubles. Unlike full silhouette
+    * (O(n²) pairwise), the centroid form is linear: one broadcast of k
+    * centroids, one map-side cosine pass, one k-row-per-point aggregate
+    * (collect_list is bounded at k) — the only shuffle is the per-id
+    * combine, so the shape survives any corpus scale with bounded k.
+    */
+  def clusterSilhouette(emb: DataFrame, k: Int, iters: Int, dim: Int = 64,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val (cent, _) = kmeansFit(emb, k, iters, dim, id, vec)
+    emb.select(col(id), col(vec))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", cosine(col(vec), col("c")))
+      .groupBy(col(id))
+      .agg(slice(sort_array(collect_list(struct(col("ccos"),
+        (-col("cluster")).as("nc"))), asc = false), 1, 2).as("t"))
+      .select(col(id),
+        (-col("t")(0)("nc")).cast("int").as("cluster"),
+        col("t")(0)("ccos").as("cos1"),
+        col("t")(1)("ccos").as("cos2"))
+      .withColumn("sil",
+        (col("cos1") - col("cos2")) / (lit(1.0d) - col("cos2")))
+  }
+
   /** [[kmeans]] with the cluster count scaled to the corpus instead of
     * fixed: k = ceil(n / targetClusterSize), computed DECLARATIVELY (a
     * 1-row count aggregate joined into the init filter — no driver
@@ -1341,6 +1372,31 @@ object GraftPipelines {
         when(bucket < hi, name).otherwise(acc)
       }
     docs.withColumn("split", split)
+  }
+
+  /** Deterministic global shuffle + sharding: the last step before
+    * writing training shards. Each doc gets a salted 60-bit md5 sort
+    * key; shard = key mod numShards, position = rank of the key within
+    * the shard (id tiebreak). The permutation is a pure function of
+    * (id, salt) — rerunning the pipeline, or running it on another
+    * engine, yields byte-identical shard manifests, which is what makes
+    * training-data lineage auditable (`llm_split`'s property, extended
+    * to ORDER). At 100 TB: md5 keys are uniform so shards are balanced
+    * by construction (no skew salting needed); the within-shard sort is
+    * one window per shard partition, so pick numShards the way you pick
+    * shuffle partitions — corpus bytes / target shard size — and the
+    * per-task sort stays bounded. No global sort ever happens: the only
+    * exchange is the hash partition by shard.
+    */
+  def globalShuffle(docs: DataFrame, numShards: Int,
+      salt: String = "shuf", id: String = "doc_id"): DataFrame = {
+    val skey = VectorExpressions.md5Half60Prefixed(
+      salt + "|", col(id).cast("string"), upperHalf = false)
+    docs.withColumn("skey", skey)
+      .withColumn("shard", pmod(col("skey"), lit(numShards)).cast("int"))
+      .withColumn("pos", (row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("skey"), col(id)))
+        - 1).cast("long"))
   }
 
   /** Greedy contiguous sequence packing: assign docs (in id order within

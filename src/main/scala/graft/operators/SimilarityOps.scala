@@ -99,18 +99,26 @@ object SimilarityOps {
     * as its only difference — exactly mirroring the engine, where only
     * the init frame differs.
     */
+  /** Cosine between a vector row `v` (embedding array) and a centroid
+    * row `c` (64 cN columns) — the oracle twin of the engine's cosine
+    * against a fitted centroid (left-assoc double chain). Shared by the
+    * k-means unroll and the silhouette CTE so both rank by the exact
+    * same doubles.
+    */
+  private def centCosSql(v: String, c: String): String = {
+    val dot = (1 to DIM)
+      .map(i => s"CAST($v.embedding[$i] AS DOUBLE)*CAST($c.c$i AS DOUBLE)")
+      .mkString(" + ")
+    val nv = dotUnrolledSql(s"$v.embedding", s"$v.embedding", DIM)
+    val nc = (1 to DIM)
+      .map(i => s"CAST($c.c$i AS DOUBLE)*CAST($c.c$i AS DOUBLE)")
+      .mkString(" + ")
+    s"($dot) / (sqrt($nv) * sqrt($nc))"
+  }
+
   private def kmeansOracleCtes(initWhere: String): String = {
     val S = "268435456.0" // 2^28, = GraftPipelines.kmeans update scale
-    def cosToCentroid(v: String, c: String): String = {
-      val dot = (1 to DIM)
-        .map(i => s"CAST($v.embedding[$i] AS DOUBLE)*CAST($c.c$i AS DOUBLE)")
-        .mkString(" + ")
-      val nv = dotUnrolledSql(s"$v.embedding", s"$v.embedding", DIM)
-      val nc = (1 to DIM)
-        .map(i => s"CAST($c.c$i AS DOUBLE)*CAST($c.c$i AS DOUBLE)")
-        .mkString(" + ")
-      s"($dot) / (sqrt($nv) * sqrt($nc))"
-    }
+    def cosToCentroid(v: String, c: String): String = centCosSql(v, c)
     // ccos is computed ONCE in the innermost select; the window ranks it
     def assign(name: String, cent: String): String =
       s"""$name AS (
@@ -248,6 +256,86 @@ object SimilarityOps {
         .select($"qid", $"rn".cast("int").as("rn"),
           $"vec_id".as("neg_id"), $"label".as("neg_label"), $"cosine")
         .orderBy($"qid", $"rn")
+    }),
+
+    // Retrieval evaluation against exact ranking: per probe query,
+    // first-relevant rank, hits@10, and total relevant (relevant =
+    // same label, self excluded) — the integer-exact eval table MRR /
+    // recall@k dashboards aggregate from. NO full per-query sort:
+    // first_rank = 1 + count of items strictly ahead of the best
+    // relevant item in the (cosine DESC, vec_id) order — two map-side
+    // combinable aggregates over the broadcast-probe scored pass —
+    // and hits@10 rides the WindowGroupLimit-pruned top-10 (the
+    // llm_embed_topk shape). The oracle computes the same three
+    // numbers from a full row_number ranking; equality of the two
+    // formulations is exactly the rank-order identity the shared
+    // left-assoc cosine guarantees.
+    "llm_retrieval_eval" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.filter($"vec_id" < NQ)
+        .select($"vec_id".as("qid"), $"label".as("qlabel"),
+          $"embedding".as("qv"))
+      val scored = emb.join(broadcast(probes), $"vec_id" =!= $"qid")
+        .withColumn("cosine", cosine($"qv", $"embedding"))
+      // pass 1: per query, the relevant count + best relevant sort key
+      val rel = scored.filter($"label" === $"qlabel")
+        .groupBy($"qid")
+        .agg(count(lit(1)).as("n_relevant"),
+          max(struct($"cosine", (-$"vec_id").as("nid"))).as("bestrel"))
+      // pass 2: items strictly ahead of the best relevant one
+      val first = scored.join(broadcast(rel), Seq("qid"))
+        .filter(struct($"cosine", (-$"vec_id").as("nid")) > $"bestrel")
+        .groupBy($"qid")
+        .agg((count(lit(1)) + 1).cast("int").as("first_rank"))
+      // pass 3: relevant hits inside the pruned top-10
+      val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
+      val hits = scored.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 10)
+        .groupBy($"qid")
+        .agg(sum(when($"label" === $"qlabel", 1).otherwise(0))
+          .cast("int").as("hits_at_10"))
+      probes.select($"qid", $"qlabel")
+        .join(rel.select($"qid", $"n_relevant"), Seq("qid"), "left")
+        .join(first, Seq("qid"), "left")
+        .join(hits, Seq("qid"), "left")
+        .select($"qid", $"qlabel",
+          coalesce($"n_relevant", lit(0L)).as("n_relevant"),
+          // no relevant at all → NULL rank; best relevant ranked 1 →
+          // the ahead-count group is empty → rank 1
+          when($"n_relevant".isNull, lit(null).cast("int"))
+            .otherwise(coalesce($"first_rank", lit(1))).as("first_rank"),
+          coalesce($"hits_at_10", lit(0)).as("hits_at_10"))
+        .orderBy($"qid")
+    }),
+
+    // Full-corpus k-NN graph (k=3) inside sign-LSH buckets, symmetrized
+    // to undirected edges with a mutuality flag — the adjacency that
+    // graph-based curation (connected-component dedup over semantic
+    // edges, diversity walks) consumes. Bucketed self-join, never
+    // all-pairs: candidates are Σ bucket², the same contract as every
+    // other LSH family here; the per-source window sorts only a
+    // bucket's rows. cos(a,b) and cos(b,a) are term-for-term identical
+    // sums, so max() in the symmetrize step is a no-op arithmetic-wise.
+    "llm_knn_graph" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("bucket", bucketCol($"embedding"))
+      val a = emb.select($"vec_id".as("src"), $"embedding".as("sv"),
+        $"bucket")
+      val b = emb.select($"vec_id".as("dst"), $"embedding".as("dv"),
+        $"bucket")
+      val w = Window.partitionBy($"src").orderBy($"cosine".desc, $"dst")
+      val knn = a.join(b, "bucket").filter($"src" =!= $"dst")
+        .withColumn("cosine", cosine($"sv", $"dv"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+      knn.select(least($"src", $"dst").as("u"),
+          greatest($"src", $"dst").as("v"), $"cosine")
+        .groupBy($"u", $"v")
+        .agg(max($"cosine").as("cosine"),
+          (count(lit(1)) === 2).cast("int").as("mutual"))
+        .orderBy($"u", $"v")
     }),
 
     // Top principal direction of the embedding corpus (uncentered PCA:
@@ -697,6 +785,19 @@ object SimilarityOps {
         .orderBy($"cluster")
     }),
 
+    // Clustering-quality gate: per-point simplified silhouette
+    // s = (cos1 − cos2) / (1 − cos2) from the same fitted centroids as
+    // llm_embed_kmeans (see GraftPipelines.clusterSilhouette). Linear
+    // in n (centroid-based, never pairwise); the curation signal that
+    // says whether cluster-level decisions (SemDeDup keep-lists,
+    // cluster-stratified sampling) rest on real structure.
+    "llm_cluster_silhouette" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.GraftPipelines
+        .clusterSilhouette(Tables.embeddings(s, dir), KM_K, KM_ITERS, DIM)
+        .orderBy($"vec_id")
+    }),
+
     // SemDeDup-style semantic dedup: near-dup pairs found WITHIN k-means
     // clusters only. The cluster id is the coarse partitioner — the
     // self-join meets Σ cluster² candidates instead of O(n²), which is
@@ -1020,6 +1121,46 @@ object SimilarityOps {
          |  JOIN embeddings q ON q.vec_id < $NQ AND c.label <> q.label)
          |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
 
+    // full row_number ranking (the straightforward formulation); the
+    // engine's sort-free count-ahead form must agree because both rank
+    // by the identical (cosine, vec_id) doubles
+    "llm_retrieval_eval" ->
+      s"""WITH ranked AS (
+         |  SELECT q.vec_id AS qid, q.label AS qlabel, c.label AS label,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC,
+         |       c.vec_id) AS rn
+         |  FROM embeddings c
+         |  JOIN embeddings q ON q.vec_id < $NQ AND c.vec_id <> q.vec_id)
+         |SELECT qid, qlabel,
+         | CAST(count(CASE WHEN label = qlabel THEN 1 END) AS BIGINT)
+         |   AS n_relevant,
+         | CAST(min(CASE WHEN label = qlabel THEN rn END) AS INTEGER)
+         |   AS first_rank,
+         | CAST(count(CASE WHEN label = qlabel AND rn <= 10 THEN 1 END)
+         |   AS INTEGER) AS hits_at_10
+         |FROM ranked GROUP BY qid, qlabel ORDER BY qid""".stripMargin,
+
+    "llm_knn_graph" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |  ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |knn AS (
+         |  SELECT src, dst, cosine FROM (
+         |    SELECT a.vec_id AS src, c.vec_id AS dst,
+         |     ${cosineSql("a.embedding", "c.embedding")} AS cosine,
+         |     row_number() OVER (PARTITION BY a.vec_id
+         |       ORDER BY ${cosineSql("a.embedding", "c.embedding")} DESC,
+         |         c.vec_id) AS rn
+         |    FROM b a JOIN b c
+         |      ON a.bucket = c.bucket AND a.vec_id <> c.vec_id)
+         |  WHERE rn <= 3)
+         |SELECT u, v, max(cosine) AS cosine,
+         | CAST(CASE WHEN count(*) = 2 THEN 1 ELSE 0 END AS INTEGER)
+         |   AS mutual
+         |FROM (SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+         |       cosine FROM knn)
+         |GROUP BY u, v ORDER BY u, v""".stripMargin,
+
     "llm_hybrid_search" -> {
       val stopList = graft.api.GraftPipelines.DefaultStopwords
         .map(w => s"'$w'").mkString(", ")
@@ -1202,6 +1343,24 @@ object SimilarityOps {
          | CAST(sum(CAST(floor(ccos * $COS_SCALE_SQL) AS DECIMAL(28,0))) AS DOUBLE)
          |   / count(*) / $COS_SCALE_SQL AS mean_cos
          |FROM af GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    // same unrolled fit as llm_embed_kmeans (CTEs reused verbatim), then
+    // rank-2 cosines to the FINAL centroids u$KM_ITERS; s is one
+    // division of two engine-identical doubles
+    "llm_cluster_silhouette" ->
+      s"""WITH $kmeansOracleCtes,
+         |sc AS (
+         |  SELECT vec_id, cluster, ccos,
+         |   row_number() OVER (PARTITION BY vec_id
+         |     ORDER BY ccos DESC, cluster) AS crn
+         |  FROM (SELECT v.vec_id, c.cluster, ${centCosSql("v", "c")} AS ccos
+         |        FROM embeddings v CROSS JOIN u$KM_ITERS c))
+         |SELECT a.vec_id, CAST(a.cluster AS INTEGER) AS cluster,
+         | a.ccos AS cos1, b.ccos AS cos2,
+         | (a.ccos - b.ccos) / (1.0 - b.ccos) AS sil
+         |FROM sc a JOIN sc b ON a.vec_id = b.vec_id
+         | AND a.crn = 1 AND b.crn = 2
+         |ORDER BY a.vec_id""".stripMargin,
 
     // SemDeDup over the oracled k-means assignment: within-cluster
     // pairs above the cosine threshold — the pair list hash-checks the

@@ -298,6 +298,18 @@ object TextOps {
         .orderBy($"source", $"split")
     }),
 
+    // Deterministic global shuffle into 8 training shards: per doc its
+    // shard and exact position — the byte-reproducible permutation a
+    // training run's data-order audit needs. One hash-partition
+    // exchange, per-shard window sorts only that shard (see
+    // GraftPipelines.globalShuffle's 100 TB note).
+    "llm_global_shuffle" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.GraftPipelines.globalShuffle(Tables.documents(s, dir), 8)
+        .select($"doc_id", $"shard", $"pos")
+        .orderBy($"shard", $"pos")
+    }),
+
     // Greedy contiguous sequence packing: docs in id order fill
     // 2048-token bins per source — the batch-shaping step between
     // curation and tokenization.
@@ -1075,6 +1087,18 @@ object TextOps {
         |            % 1152921504606846976 AS BIGINT) % 1000 AS b
         |      FROM documents)
         |GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+
+    "llm_global_shuffle" ->
+      """SELECT doc_id, shard,
+        | CAST(row_number() OVER (PARTITION BY shard
+        |   ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos
+        |FROM (SELECT doc_id, skey,
+        |       CAST(skey % 8 AS INTEGER) AS shard
+        |      FROM (SELECT doc_id,
+        |             CAST(md5_number_lower('shuf|' || CAST(doc_id AS VARCHAR))
+        |                  % 1152921504606846976 AS BIGINT) AS skey
+        |            FROM documents))
+        |ORDER BY shard, pos""".stripMargin,
 
     "llm_pack_sequences" ->
       """SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,

@@ -143,4 +143,32 @@ class RetrievalSamplingSpec extends SparkSpec {
     assert(out(1L)._2 == "95,-127")
     assert(out(2L) == (0.0, "")) // zero vector → empty quantization
   }
+
+  test("globalShuffle: exact permutation, dense positions, salt-keyed order") {
+    val docs = (0L until 40L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val out = api.GraftPipelines.globalShuffle(docs, 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("skey"),
+        r.getAs[Int]("shard"), r.getAs[Long]("pos")))
+    // a permutation: every doc exactly once, shard = skey mod 4
+    assert(out.map(_._1).sorted.toSeq == (0L until 40L))
+    out.foreach { case (_, skey, shard, _) =>
+      assert(skey >= 0 && shard == (skey % 4).toInt)
+    }
+    // positions dense 0..n-1 within each shard, ordered by (skey, id)
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (0L until rows.length))
+      val bySkey = rows.sortBy(r => (r._2, r._1)).map(_._1).toSeq
+      assert(rows.sortBy(_._4).map(_._1).toSeq == bySkey)
+    }
+    // deterministic rerun; a different salt permutes differently
+    val again = api.GraftPipelines.globalShuffle(docs, 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"))).toMap
+    assert(out.forall { case (id, _, _, pos) => again(id) == pos })
+    val salted = api.GraftPipelines.globalShuffle(docs, 4, salt = "shuf2")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Int]("shard"), r.getAs[Long]("pos")))).toMap
+    assert(out.exists { case (id, _, sh, pos) => salted(id) != ((sh, pos)) },
+      "a different salt must yield a different permutation")
+  }
 }

@@ -401,4 +401,113 @@ class SimilarityOpsSpec extends SparkSpec {
       assert(row.getDouble(2) >= -1.0000000001 && row.getDouble(2) <= 1.0000000001)
     }
   }
+
+  /** 64-dim vector with the given (index → value) entries, zeros
+    * elsewhere — the hand-computable fixture shape for the eval/graph
+    * tests below.
+    */
+  private def sv(entries: (Int, Float)*): Array[Float] = {
+    val a = new Array[Float](64)
+    entries.foreach { case (i, x) => a(i) = x }
+    a
+  }
+
+  test("llm_retrieval_eval: hand-computed ranks on a one-hot fixture") {
+    // queries 0..4 one-hot at dim i; vec 5+i one-hot at the same dim
+    // (cos 1). Labels: i for both sides except vec 9 (label 99) —
+    // query 4 then has NO relevant item. v10 adds a second relevant
+    // for query 3 at cos 1/sqrt(2).
+    val emb = ((0 to 4).map(i => (i.toLong, sv(i -> 1f), i)) ++
+      (0 to 3).map(i => ((5 + i).toLong, sv(i -> 1f), i)) :+
+      ((9L, sv(4 -> 1f), 99)) :+
+      ((10L, sv(3 -> 1f, 40 -> 1f), 3)))
+      .toDF("vec_id", "embedding", "label")
+    val dir = tempSfDir("embeddings" -> emb)
+    val out = q("llm_retrieval_eval", dir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("qlabel"),
+        r.getAs[Long]("n_relevant"),
+        Option(r.getAs[Integer]("first_rank")).map(_.toInt),
+        r.getAs[Int]("hits_at_10"))).toSeq
+    assert(out == Seq(
+      (0L, 0, 1L, Some(1), 1), (1L, 1, 1L, Some(1), 1),
+      (2L, 2, 1L, Some(1), 1),
+      (3L, 3, 2L, Some(1), 2),          // v8 at rank 1, v10 in top-10
+      (4L, 4, 0L, None, 0)))            // relevant set empty → NULL rank
+  }
+
+  test("llm_knn_graph: matches a brute-force reference; cross-bucket isolated") {
+    // five vectors share bucket 255 (dims 0..7 all zero → every sign
+    // bit set); the sixth has dim0 < 0 → bucket 254, no co-bucket
+    // partner, so it must appear in NO edge.
+    val emb = Seq(
+      (0L, sv(8 -> 1f), 0),
+      (1L, sv(8 -> 1f, 9 -> 0.1f), 0),
+      (2L, sv(8 -> 1f, 9 -> 0.2f), 0),
+      (3L, sv(9 -> 1f), 0),
+      (4L, sv(8 -> 1f, 9 -> 0.15f), 0),
+      (5L, sv(0 -> -1f, 8 -> 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val dir = tempSfDir("embeddings" -> emb)
+    val got = q("llm_knn_graph", dir).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+        r.getAs[Int]("mutual"))).toSet
+    // reference: same bucket rule, same left-assoc double cosine, per
+    // src top-3 by (cos desc, dst asc), then symmetrize
+    val vecs = Seq(0L -> sv(8 -> 1f), 1L -> sv(8 -> 1f, 9 -> 0.1f),
+      2L -> sv(8 -> 1f, 9 -> 0.2f), 3L -> sv(9 -> 1f),
+      4L -> sv(8 -> 1f, 9 -> 0.15f)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until 64) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val directed = vecs.keys.flatMap { s =>
+      vecs.keys.filter(_ != s).toSeq
+        .sortBy(d => (-cos(vecs(s), vecs(d)), d)).take(3)
+        .map(d => (s, d))
+    }.toSet
+    val want = directed.map { case (s, d) => (s min d, s max d) }
+      .map { case (u, v) =>
+        (u, v, if (directed((u, v)) && directed((v, u))) 1 else 0) }
+    assert(got == want)
+    assert(!got.exists(e => e._1 == 5L || e._2 == 5L))
+    assert(got.exists(_._3 == 0), "fixture must exercise a one-way edge")
+  }
+
+  test("llm_cluster_silhouette: tight groups score near 1, ambiguous near 0") {
+    // two tight groups around e10 and e11 (ids 0/1 seed the k=2 init),
+    // plus one point at 45 degrees between them
+    val emb = Seq(
+      (0L, sv(10 -> 1f), 0), (2L, sv(10 -> 1f, 11 -> 0.05f), 0),
+      (3L, sv(10 -> 1f, 11 -> -0.05f), 0),
+      (1L, sv(11 -> 1f), 0), (4L, sv(10 -> 0.05f, 11 -> 1f), 0),
+      (5L, sv(10 -> -0.05f, 11 -> 1f), 0),
+      (6L, sv(10 -> 1f, 11 -> 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.api.GraftPipelines
+      .clusterSilhouette(emb, k = 2, iters = 1, dim = 64).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cluster"), r.getAs[Double]("cos1"),
+          r.getAs[Double]("cos2"), r.getAs[Double]("sil"))).toMap
+    assert(out.size == 7)
+    out.values.foreach { case (_, cos1, cos2, sil) =>
+      assert(cos1 >= cos2, "own centroid must be the best centroid")
+      assert(sil >= 0.0 && sil <= 1.0 + 1e-12,
+        "centroid silhouette is a margin in [0,1]")
+    }
+    assert(Seq(0L, 2L, 3L).map(out(_)._1).distinct.size == 1)
+    assert(Seq(1L, 4L, 5L).map(out(_)._1).distinct.size == 1)
+    assert(out(0L)._1 != out(1L)._1)
+    Seq(0L, 1L, 2L, 3L, 4L, 5L).foreach(id =>
+      assert(out(id)._4 > 0.85, s"tight point $id: ${out(id)}"))
+    // the 45° point scores clearly below every tight point (the Lloyd
+    // update pulls its own centroid toward it, so it is not near 0 —
+    // the margin vs the tight group is the discriminating signal)
+    val tightMin = Seq(0L, 1L, 2L, 3L, 4L, 5L).map(out(_)._4).min
+    assert(out(6L)._4 < tightMin - 0.25, s"ambiguous point: ${out(6L)}")
+  }
 }
