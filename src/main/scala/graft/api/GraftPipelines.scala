@@ -321,6 +321,68 @@ object GraftPipelines {
         (col("cos1") - col("cos2")) / (lit(1.0d) - col("cos2")))
   }
 
+  /** Directed k-NN edges (src → its top-k cosine neighbors) inside
+    * sign-LSH buckets — the shared candidate generator under the
+    * symmetrized graph (`llm_knn_graph`), graph centrality, and
+    * mutual-kNN components. Bucketed self-join (Σ bucket² candidates,
+    * never all-pairs); the per-src top-k is WindowGroupLimit-pruned
+    * map-side before the exchange. The join is unhinted on purpose:
+    * both sides are the corpus, so size-based planning broadcasts at
+    * test SF and shuffle-hash-joins at scale.
+    */
+  def knnEdges(emb: DataFrame, k: Int, lshBits: Int = 8,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val e = emb.withColumn("bucket", signLshBucket(col(vec), lshBits, 0))
+    val a = e.select(col(id).as("src"), col(vec).as("sv"), col("bucket"))
+    val b = e.select(col(id).as("dst"), col(vec).as("dv"), col("bucket"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("dst"))
+    a.join(b, "bucket").filter(col("src") =!= col("dst"))
+      .withColumn("cosine", cosine(col("sv"), col("dv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("src"), col("dst"), col("cosine"))
+  }
+
+  /** Damped stationary rank over a weighted directed graph in EXACT
+    * integer mass arithmetic — the generic form of the event-transition
+    * rank: rank0 = mass div |V|; each round distributes
+    * floor(r·n/outn) along edges, then
+    * r' = 15%·mass/|V| + 85%·(contrib + dangling/|V|), every division
+    * truncating (Spark `div` ≡ DuckDB `//`), so both engines agree to
+    * the last unit of mass. Per round: one edge-keyed join against the
+    * rank table + two bounded aggregates; rank state is node-sized and
+    * localCheckpoint'd (superseded blocks released eagerly). Nodes
+    * without out-edges contribute their mass as dangling, so isolated
+    * nodes are first-class.
+    */
+  def integerPagerank(edges: DataFrame, nodes: DataFrame, iters: Int,
+      mass: Long): DataFrame = {
+    val vcnt = nodes.agg(count(lit(1)).as("vcnt"))
+    val outw = edges.groupBy(col("src")).agg(sum(col("n")).as("outn"))
+      .localCheckpoint()
+    var rank = nodes.crossJoin(broadcast(vcnt))
+      .select(col("node"), expr(s"${mass}L div vcnt").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(rank, col("src") === col("node"))
+        .join(outw, "src")
+        .select(col("dst"), expr("(r * n) div outn").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
+      val dang = rank.join(outw, col("node") === col("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
+      val prev = rank
+      rank = nodes.join(contrib, col("node") === col("dst"), "left_outer")
+        .crossJoin(broadcast(vcnt)).crossJoin(broadcast(dang))
+        .select(col("node"),
+          (expr(s"(${mass}L * 15) div (vcnt * 100)") +
+            expr("(85 * coalesce(csum, 0L)) div 100") +
+            expr("(85 * (dmass div vcnt)) div 100")).as("r"))
+        .localCheckpoint()
+      Bridge.unpersistCheckpointBlocks(prev)
+    }
+    rank
+  }
+
   /** [[kmeans]] with the cluster count scaled to the corpus instead of
     * fixed: k = ceil(n / targetClusterSize), computed DECLARATIVELY (a
     * 1-row count aggregate joined into the init filter — no driver

@@ -46,6 +46,8 @@ object SimilarityOps {
   private val PCA_QSCALE = 10000L  // component quantization: floor(x·10^4)
   private val PCA_VSCALE = 1000000L // per-round renorm: max|v| = 10^6
   private val KC_K = 4             // k-center exemplars (seed + 3 rounds)
+  private val RANK_MASS = 1000000000L // integer PageRank mass (10^9 units)
+  private val RANK_ITERS = 3          // damped rank rounds, unrolled
 
   /** Codegen'd one-pass cosine; bit-identical to the unrolled/oracle form
     * (see [[graft.functions.VectorExpressions]]).
@@ -114,6 +116,46 @@ object SimilarityOps {
       .map(i => s"CAST($c.c$i AS DOUBLE)*CAST($c.c$i AS DOUBLE)")
       .mkString(" + ")
     s"($dot) / (sqrt($nv) * sqrt($nc))"
+  }
+
+  /** DuckDB mirror of [[graft.api.GraftPipelines.knnEdges]]: directed
+    * top-k cosine edges inside sign-LSH buckets. Shared by the
+    * centrality and mutual-component oracles.
+    */
+  private def knnEdgesCtes(k: Int): String =
+    s"""kb AS (SELECT vec_id, embedding,
+       |  ${bucketSql("embedding")} AS bucket FROM embeddings),
+       |knn AS (
+       |  SELECT src, dst FROM (
+       |    SELECT a.vec_id AS src, c.vec_id AS dst,
+       |     row_number() OVER (PARTITION BY a.vec_id
+       |       ORDER BY ${cosineSql("a.embedding", "c.embedding")} DESC,
+       |         c.vec_id) AS rn
+       |    FROM kb a JOIN kb c
+       |      ON a.bucket = c.bucket AND a.vec_id <> c.vec_id)
+       |  WHERE rn <= $k)""".stripMargin
+
+  /** One damped integer-rank round (the
+    * [[graft.api.GraftPipelines.integerPagerank]] arithmetic as CTEs —
+    * same shape as the ev_markov_rank unroll, parameterized on this
+    * family's mass constant).
+    */
+  private def centralityIterSql(r: Int): String = {
+    val prev = if (r == 1) "r0" else s"r${r - 1}"
+    s"""c$r AS (
+       |  SELECT dst, sum((r * n) // outn) AS csum
+       |  FROM edges JOIN $prev ON src = node JOIN outw USING (src)
+       |  GROUP BY dst),
+       |d$r AS (
+       |  SELECT coalesce(sum(r), 0) AS dmass
+       |  FROM $prev LEFT JOIN outw ON node = src WHERE outn IS NULL),
+       |r$r AS (
+       |  SELECT node,
+       |   (CAST($RANK_MASS AS BIGINT) * 15) // (vcnt * 100)
+       |   + (85 * coalesce(csum, 0)) // 100
+       |   + (85 * (dmass // vcnt)) // 100 AS r
+       |  FROM nodes LEFT JOIN c$r ON node = dst
+       |  CROSS JOIN vc CROSS JOIN d$r)""".stripMargin
   }
 
   private def kmeansOracleCtes(initWhere: String): String = {
@@ -319,23 +361,63 @@ object SimilarityOps {
     // sums, so max() in the symmetrize step is a no-op arithmetic-wise.
     "llm_knn_graph" -> ((s, dir) => {
       import s.implicits._
-      val emb = Tables.embeddings(s, dir)
-        .withColumn("bucket", bucketCol($"embedding"))
-      val a = emb.select($"vec_id".as("src"), $"embedding".as("sv"),
-        $"bucket")
-      val b = emb.select($"vec_id".as("dst"), $"embedding".as("dv"),
-        $"bucket")
-      val w = Window.partitionBy($"src").orderBy($"cosine".desc, $"dst")
-      val knn = a.join(b, "bucket").filter($"src" =!= $"dst")
-        .withColumn("cosine", cosine($"sv", $"dv"))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" <= 3)
-      knn.select(least($"src", $"dst").as("u"),
+      graft.api.GraftPipelines
+        .knnEdges(Tables.embeddings(s, dir), 3, LSH_BITS)
+        .select(least($"src", $"dst").as("u"),
           greatest($"src", $"dst").as("v"), $"cosine")
         .groupBy($"u", $"v")
         .agg(max($"cosine").as("cosine"),
           (count(lit(1)) === 2).cast("int").as("mutual"))
         .orderBy($"u", $"v")
+    }),
+
+    // Graph centrality over the directed k-NN graph: damped stationary
+    // rank (integerPagerank — the generic twin of ev_markov_rank's
+    // arithmetic, exact integer mass on both engines) with every
+    // neighbor edge weight 1. High-rank vectors are the hubs many
+    // others point to — the canonical-representative signal graph
+    // curation uses where survivorship has no text heuristics. Nodes =
+    // ALL vectors: bucket-isolated ones carry dangling mass, not
+    // silently vanish.
+    "llm_graph_centrality" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val edges = graft.api.GraftPipelines.knnEdges(emb, 3, LSH_BITS)
+        .select($"src", $"dst").withColumn("n", lit(1L))
+        .localCheckpoint()
+      val nodes = emb.select($"vec_id".as("node"))
+      graft.api.GraftPipelines
+        .integerPagerank(edges, nodes, RANK_ITERS, RANK_MASS)
+        .select($"node".as("vec_id"), $"r".as("rank_scaled"))
+        .orderBy($"rank_scaled".desc, $"vec_id")
+    }),
+
+    // Mutual-kNN connected components: the threshold-free semantic
+    // clustering — an edge exists only when BOTH endpoints pick each
+    // other (mutuality kills the hub-chaining that makes one-way kNN
+    // components collapse into a giant blob), then the same
+    // large-star/small-star O(log n) contraction as llm_dup_clusters
+    // labels each vector with its component's min id. Self-pairs for
+    // every vector make isolated vectors first-class singletons.
+    "llm_mutual_knn_cc" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val dirE = graft.api.GraftPipelines.knnEdges(emb, 3, LSH_BITS)
+        .select($"src", $"dst").localCheckpoint()
+      val mutual = dirE
+        .intersect(dirE.select($"dst".as("src"), $"src".as("dst")))
+        .filter($"src" < $"dst")
+      val pairs = mutual
+        .unionByName(emb.select($"vec_id".as("src"), $"vec_id".as("dst")))
+      val comp = graft.api.GraftPipelines
+        .dupClusters(pairs, "src", "dst", "vec_id")
+        .withColumnRenamed("cluster_id", "component_id")
+        .localCheckpoint()
+      val sizes = comp.groupBy($"component_id")
+        .agg(count(lit(1)).as("csize"))
+      comp.join(sizes, "component_id")
+        .select($"vec_id", $"component_id", $"csize")
+        .orderBy($"vec_id")
     }),
 
     // Top principal direction of the embedding corpus (uncentered PCA:
@@ -1140,6 +1222,45 @@ object SimilarityOps {
          | CAST(count(CASE WHEN label = qlabel AND rn <= 10 THEN 1 END)
          |   AS INTEGER) AS hits_at_10
          |FROM ranked GROUP BY qid, qlabel ORDER BY qid""".stripMargin,
+
+    "llm_graph_centrality" ->
+      s"""WITH ${knnEdgesCtes(3)},
+         |edges AS (SELECT src, dst, CAST(1 AS BIGINT) AS n FROM knn),
+         |nodes AS (SELECT vec_id AS node FROM embeddings),
+         |vc AS (SELECT count(*) AS vcnt FROM nodes),
+         |outw AS (SELECT src, sum(n) AS outn FROM edges GROUP BY 1),
+         |r0 AS (SELECT node, CAST($RANK_MASS AS BIGINT) // vcnt AS r
+         |       FROM nodes CROSS JOIN vc),
+         |${(1 to RANK_ITERS).map(centralityIterSql).mkString(",\n")}
+         |SELECT node AS vec_id, CAST(r AS BIGINT) AS rank_scaled
+         |FROM r$RANK_ITERS
+         |ORDER BY rank_scaled DESC, vec_id""".stripMargin,
+
+    // cedges is MATERIALIZED: without it DuckDB re-inlines the whole
+    // kb→knn→mut chain (64-dim cosine window join) into EVERY recursion
+    // step of `reach` and OOMs at default settings; materialized, the
+    // recursion iterates over the ~n-row edge table it actually needs.
+    // mut avoids referencing knn twice for the same reason (both
+    // directions present ⇔ the undirected pair occurs twice — the
+    // engine's symmetrize-count identity).
+    "llm_mutual_knn_cc" ->
+      s"""WITH RECURSIVE ${knnEdgesCtes(3)},
+         |mut AS (
+         |  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM knn GROUP BY 1, 2 HAVING count(*) = 2),
+         |cedges AS MATERIALIZED (
+         |  SELECT a, b FROM mut UNION SELECT b, a FROM mut
+         |  UNION SELECT vec_id, vec_id FROM embeddings),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM cedges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN cedges e ON r.b = e.a),
+         |comp AS (SELECT a AS vec_id, min(b) AS component_id
+         |         FROM reach GROUP BY a)
+         |SELECT c.vec_id, c.component_id, s.csize
+         |FROM comp c JOIN (SELECT component_id, count(*) AS csize
+         |                  FROM comp GROUP BY 1) s USING (component_id)
+         |ORDER BY c.vec_id""".stripMargin,
 
     "llm_knn_graph" ->
       s"""WITH b AS (SELECT vec_id, embedding,

@@ -478,6 +478,81 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(got.exists(_._3 == 0), "fixture must exercise a one-way edge")
   }
 
+  test("llm_graph_centrality: exact match to an integer-rank reference; hub wins") {
+    // seven co-bucket vectors: a hub at e8 plus six leaves tilted off
+    // it in distinct directions (every leaf's best neighbor is the
+    // hub), and one bucket-isolated vector (dim0 < 0) that must carry
+    // dangling mass, not vanish
+    val vecs: Map[Long, Array[Float]] = Map(
+      0L -> sv(8 -> 1f),
+      1L -> sv(8 -> 1f, 9 -> 0.3f), 2L -> sv(8 -> 1f, 10 -> 0.35f),
+      3L -> sv(8 -> 1f, 11 -> 0.4f), 4L -> sv(8 -> 1f, 12 -> 0.45f),
+      5L -> sv(8 -> 1f, 13 -> 0.5f), 6L -> sv(8 -> 1f, 14 -> 0.55f),
+      7L -> sv(0 -> -1f, 8 -> 1f))
+    val emb = vecs.toSeq.sortBy(_._1)
+      .map { case (i, v) => (i, v, 0) }.toDF("vec_id", "embedding", "label")
+    val out = q("llm_graph_centrality", tempSfDir("embeddings" -> emb))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("rank_scaled"))
+    // reference: same bucketing, same top-3 edges, same truncating
+    // integer mass arithmetic (Long ops mirror Spark div exactly)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until 64) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val inBucket = vecs.keySet - 7L
+    val edges: Map[Long, Seq[Long]] = inBucket.map { s =>
+      s -> inBucket.filter(_ != s).toSeq
+        .sortBy(d => (-cos(vecs(s), vecs(d)), d)).take(3)
+    }.toMap
+    val mass = 1000000000L
+    val v = vecs.size.toLong
+    var rank: Map[Long, Long] = vecs.keys.map(_ -> mass / v).toMap
+    for (_ <- 1 to 3) {
+      val contrib = collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      edges.foreach { case (s, ds) =>
+        ds.foreach(d => contrib(d) += rank(s) / ds.length)
+      }
+      val dmass = vecs.keys.filterNot(edges.contains).map(rank).sum
+      rank = vecs.keys.map(n => n ->
+        ((mass * 15) / (v * 100) + (85 * contrib(n)) / 100 +
+          (85 * (dmass / v)) / 100)).toMap
+    }
+    out.foreach { case (id, r) => assert(r == rank(id), s"vec $id") }
+    // hub 0 is everyone's best neighbor → strictly top-ranked
+    val byRank = out.sortBy(-_._2)
+    assert(byRank.head._1 == 0L, s"hub must win: ${byRank.toSeq}")
+    // order in the output is (rank desc, vec_id) — dense and total
+    assert(out.length == 8)
+  }
+
+  test("llm_mutual_knn_cc: mutual groups split, isolated is a singleton") {
+    // two tight 4-vector groups (orthogonal directions) — with k=3
+    // every vector's top-3 stays inside its own group, so mutual edges
+    // never cross; plus a bucket-isolated vector → singleton
+    val emb = (Seq(
+      (0L, sv(8 -> 1f)), (1L, sv(8 -> 1f, 20 -> 0.1f)),
+      (2L, sv(8 -> 1f, 21 -> 0.1f)), (3L, sv(8 -> 1f, 22 -> 0.1f)),
+      (4L, sv(9 -> 1f)), (5L, sv(9 -> 1f, 30 -> 0.1f)),
+      (6L, sv(9 -> 1f, 31 -> 0.1f)), (7L, sv(9 -> 1f, 32 -> 0.1f)),
+      (8L, sv(0 -> -1f, 8 -> 1f))))
+      .map { case (i, v) => (i, v, 0) }.toDF("vec_id", "embedding", "label")
+    val out = q("llm_mutual_knn_cc", tempSfDir("embeddings" -> emb))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("component_id"), r.getAs[Long]("csize"))).toMap
+    assert(out.size == 9, "every vector must be labeled")
+    (0L to 3L).foreach(i => assert(out(i) == ((0L, 4L)), s"A member $i"))
+    (4L to 7L).foreach(i => assert(out(i) == ((4L, 4L)), s"B member $i"))
+    assert(out(8L) == ((8L, 1L)), "isolated vector must be a singleton")
+  }
+
   test("llm_cluster_silhouette: tight groups score near 1, ambiguous near 0") {
     // two tight groups around e10 and e11 (ids 0/1 seed the k=2 init),
     // plus one point at 45 degrees between them

@@ -91,14 +91,27 @@ def compare(name, spark_df, duck_df):
 def main():
     import duckdb, pandas as pd
     if not SKIP: run_verify()
-    con = duckdb.connect()
-    for t in TABLES:
-        # driver corpora are single files; DevScale corpora (target/sf1)
-        # are Spark-written directories of part files — glob those
-        p = f"{SF}/{t}.parquet"
-        if os.path.isdir(p):
-            p = f"{p}/*.parquet"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    # A fresh capped connection per oracle: a long-lived 32-thread
+    # default-config connection accumulates buffer-pool memory across
+    # the ~210 queries until the process hits the environment's
+    # allocation ceiling and every LATER query "fails" with rotating
+    # spurious OOMs (observed 2026-08-14: 24-64 rotating "Out of
+    # Memory" failures on an idle 122G-free host; each query green
+    # standalone). 8 threads + 8G is far above any single sf<=1
+    # oracle's need, and reconnecting bounds retained state at one
+    # query's worth — runs are burst-immune and failures isolate.
+    def fresh_con():
+        c = duckdb.connect()
+        c.execute("SET threads TO 8")
+        c.execute("SET memory_limit='8GB'")
+        for t in TABLES:
+            # driver corpora are single files; DevScale corpora
+            # (target/sf1) are Spark-written directories of part files
+            p = f"{SF}/{t}.parquet"
+            if os.path.isdir(p):
+                p = f"{p}/*.parquet"
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        return c
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     # an ONLY name that is neither oracled nor dumped is a typo — fail
     # loudly instead of reporting a vacuous green run
@@ -118,7 +131,11 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: read spark parquet: {e}"); n_fail += 1; continue
         try:
-            duck_df = con.sql(oracle[name]).df()
+            con = fresh_con()
+            try:
+                duck_df = con.sql(oracle[name]).df()
+            finally:
+                con.close()
         except Exception as e:
             print(f"FAIL {name}: oracle sql: {str(e)[:300]}"); n_fail += 1; continue
         issues = compare(name, spark_df, duck_df)
