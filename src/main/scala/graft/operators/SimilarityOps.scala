@@ -120,12 +120,16 @@ object SimilarityOps {
 
   /** DuckDB mirror of [[graft.api.GraftPipelines.knnEdges]]: directed
     * top-k cosine edges inside sign-LSH buckets. Shared by the
-    * centrality and mutual-component oracles.
+    * centrality and mutual-component oracles. MATERIALIZED because
+    * both consumers reference `knn` from several downstream CTEs
+    * (rank iterations / both symmetrize directions) — inlined, DuckDB
+    * replays the 64-dim cosine window join per reference and OOMs at
+    * check.py's 8 GB limit; materialized it is an ~n·k-row table.
     */
   private def knnEdgesCtes(k: Int): String =
     s"""kb AS (SELECT vec_id, embedding,
        |  ${bucketSql("embedding")} AS bucket FROM embeddings),
-       |knn AS (
+       |knn AS MATERIALIZED (
        |  SELECT src, dst FROM (
        |    SELECT a.vec_id AS src, c.vec_id AS dst,
        |     row_number() OVER (PARTITION BY a.vec_id
