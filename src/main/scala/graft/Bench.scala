@@ -57,11 +57,14 @@ object Bench {
     "rel_distinct_incremental", "rel_zorder", "rel_cdc_apply",
     "rel_snapshot_diff", "rel_reconcile", "rel_compact",
     "llm_bpe_vocab", "llm_bpe_apply",
-    "llm_dedup_exact", "llm_dedup_prefix", "llm_dedup_incremental",
+    "llm_dedup_exact", "llm_dedup_normalized", "llm_dedup_prefix",
+    "llm_dedup_incremental", "llm_effective_tokens",
     "llm_minhash_pairs", "llm_neardup_verified", "llm_neardup_served",
-    "llm_ppjoin", "llm_ppjoin_served", "llm_dup_matrix",
+    "llm_ppjoin", "llm_ppjoin_served", "llm_containment_join",
+    "llm_dup_matrix",
     "llm_minhash_recall",
     "llm_dup_clusters", "llm_golden_record", "llm_curate", "llm_decontaminate",
+    "llm_bloom_decontaminate",
     "llm_embed_ivf",
     "llm_span_dedup", "llm_sample_stratified", "llm_sample_weighted", "llm_dsir_sample", "llm_pack_sequences",
     "llm_train_manifest",
@@ -83,6 +86,7 @@ object Bench {
     "llm_embed_pq_served", "llm_embed_ivf_served", "llm_embed_ivfpq",
     "llm_ann_recall", "llm_retrieval_eval", "llm_knn_graph",
     "llm_graph_centrality", "llm_mutual_knn_cc",
+    "llm_label_prop", "llm_graph_triangles",
     "llm_hard_negatives", "llm_embed_pca", "llm_kcenter", "llm_probe_auc",
     "llm_cluster_silhouette",
     "llm_source_centroid_sim", "llm_global_shuffle",

@@ -383,6 +383,80 @@ object GraftPipelines {
     rank
   }
 
+  /** Semi-supervised label propagation (Zhu & Ghahramani, CMU-CALD-02-107;
+    * the hard majority-vote form of Raghavan et al. 2007) over an
+    * undirected edge list `(u, v)`, exact and deterministic: each round
+    * every non-seed node adopts the plurality label among its LABELED
+    * neighbors (ties broken toward the smaller label), keeping its
+    * previous label when no neighbor is labeled; seeds never change;
+    * `-1` means unlabeled. All-integer — no scores, no damping — so the
+    * oracle's unrolled-CTE twin agrees row-for-row. `seeds` carries
+    * `(node, lab, seed)` with seed ∈ {0,1}.
+    *
+    * 100 TB: state per round is one node-sized table (localCheckpoint'd,
+    * prior round's blocks released via [[Bridge.unpersistCheckpointBlocks]]);
+    * each round is one edge-keyed shuffle plus a per-node window over
+    * ≤ deg vote rows — nothing quadratic, nothing driver-side.
+    */
+  def labelPropagate(edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    val dirE = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    var state = seeds.select(col("node"), col("lab"), col("seed"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val votes = dirE
+        .join(state.filter(col("lab") =!= -1), col("src") === col("node"))
+        .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("dst"))
+        .orderBy(col("c").desc, col("lab"))
+      val win = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("dst"), col("lab").as("wlab"))
+      val prev = state
+      state = prev.join(win, prev("node") === win("dst"), "left_outer")
+        .select(col("node"),
+          when(col("seed") === 1, col("lab"))
+            .otherwise(coalesce(col("wlab"), col("lab"))).as("lab"),
+          col("seed"))
+        .localCheckpoint()
+      Bridge.unpersistCheckpointBlocks(prev)
+    }
+    state
+  }
+
+  /** Per-node triangle count + local clustering coefficient over an
+    * undirected `(u < v)` edge list, by the oriented wedge join
+    * (Schank & Wagner 2005: a<b<c ⇒ edge(a,b) ⋈ edge(b,c) ⋈ edge(a,c)),
+    * so each triangle materializes exactly once. Candidates are bounded
+    * by Σ deg² of the input graph — on a k-NN graph deg ≤ 2k, so the
+    * wedge join is linear in edges, never all-pairs. The coefficient is
+    * exact fixed-point: `(2·tri·10^6) div (deg·(deg−1))`, 0 when
+    * deg < 2 — both engines truncate identically.
+    */
+  def triangleStats(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v")).localCheckpoint()
+    val deg = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val wedges = e.select(col("u").as("a"), col("v").as("b"))
+      .join(e.select(col("u").as("b"), col("v").as("c")), "b")
+    val tris = wedges
+      .join(e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
+    val perNode = tris.select(col("a").as("node"))
+      .unionByName(tris.select(col("b").as("node")))
+      .unionByName(tris.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    nodes.join(deg, Seq("node"), "left_outer")
+      .join(perNode, Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("clust_scaled",
+        when(col("deg") >= 2,
+          expr("(2 * tri * 1000000) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)))
+  }
+
   /** [[kmeans]] with the cluster count scaled to the corpus instead of
     * fixed: k = ceil(n / targetClusterSize), computed DECLARATIVELY (a
     * 1-row count aggregate joined into the init filter — no driver
@@ -1301,6 +1375,38 @@ object GraftPipelines {
     * Per batch only the batch shingles; see
     * `EventStreaming.decontaminationGate` for the running loop.
     */
+  /** [[decontaminate]] with a Bloom pre-prune on the corpus side — the
+    * 100 TB form of the eval-suite leak check. The eval suite is the
+    * bounded side by design, so its distinct gram set compresses into a
+    * Bloom filter (~9.6 bits per expected item at 1 % fpp — a few
+    * hundred KB for any real suite) that rides the filter expression to
+    * every task ([[VectorExpressions.BloomMightContainLong]], codegen'd):
+    * corpus gram-index rows that cannot match — the overwhelming
+    * majority of a pretraining corpus — die inside the scan filter
+    * BEFORE the gram join's exchange, so the corpus-side shuffle
+    * carries only true hits + fpp·|corpus grams| false positives
+    * instead of every gram. The downstream join is the unchanged exact
+    * confirm, so the result is bit-identical to [[decontaminate]]
+    * (Bloom has no false negatives) — the prune Spark's own
+    * InjectRuntimeFilter applies to eligible shuffle joins, made
+    * explicit, suite-sized, and independent of join-planning
+    * thresholds. Building the filter runs one eager job over the small
+    * eval side at call time, like the other fit-at-call-time pipelines
+    * here.
+    */
+  def bloomDecontaminate(corpus: DataFrame, evalSet: DataFrame, n: Int = 5,
+      expectedItems: Long = 1L << 18, fpp: Double = 0.01,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val evalGrams = corpusGramIndex(evalSet, n, id, text)
+      .select(col("g")).distinct().localCheckpoint()
+    val bf = evalGrams.stat.bloomFilter("g", expectedItems, fpp)
+    val os = new java.io.ByteArrayOutputStream()
+    bf.writeTo(os)
+    val pruned = corpusGramIndex(corpus, n, id, text)
+      .filter(VectorExpressions.bloomMightContainLong(col("g"), os.toByteArray))
+    flagGramOverlap(pruned, corpus.select(col(id)), evalGrams, id)
+  }
+
   def decontaminateAgainstGrams(docs: DataFrame, evalGrams: DataFrame,
       n: Int = 5, id: String = "doc_id", text: String = "text"): DataFrame =
     flagGramOverlap(corpusGramIndex(docs, n, id, text),
@@ -2031,6 +2137,56 @@ object GraftPipelines {
       .filter(col("inter") * (num + den) >= (col("na") + col("nb")) * num)
       .select(col("a_id"), col("b_id"), col("na"), col("nb"), col("inter"))
       .withColumn("jac_x1000", expr("(1000 * inter) div (na + nb - inter)"))
+  }
+
+  /** Exact set-CONTAINMENT join (Xiao et al. PPJoin, TODS 2011 §6's
+    * asymmetric variant): ordered pairs with
+    * `|T_a ∩ T_b| / |T_a| ≥ num/den` — "a is mostly inside b", the
+    * quote / boilerplate-superset / excerpt detector Jaccard misses
+    * when the containing document is much larger. Same df-ordered
+    * prefix filter as [[ppjoinPairs]] on the CONTAINED side (pigeonhole:
+    * a can miss at most `na − ceil(τ·na)` of b's tokens, so its first
+    * `na − ceil(τ·na) + 1` rarest tokens must hit b), joined against the
+    * container's FULL ranked token list, with the size bound
+    * `nb·den ≥ na·num` and the positional prune
+    * `min(na−rnₐ, nb−rn_b) + 1 ≥ ceil(τ·na)` — both sound because the
+    * first common token in the global (df, s) order is inside a's
+    * prefix. Verify is the exact bounded intersection count; all
+    * integer cross-multiplication, no floats.
+    *
+    * 100 TB: candidates are prefix-token collisions (rare tokens by
+    * construction), never all-pairs; the two window passes are
+    * per-doc-bounded; everything shuffles on token or pair keys.
+    */
+  def containmentPairs(docs: DataFrame, num: Int = 4, den: Int = 5,
+      shingleWidth: Int = 3, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    require(num > 0 && den >= num, "threshold must be in (0, 1]")
+    val toks = ppjoinTokens(docs, shingleWidth, id, text).localCheckpoint()
+    val dfreq = toks.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col(id))
+    val ranked = toks.join(dfreq, "s")
+      .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("s"))))
+      .withColumn("sz", count(lit(1)).over(wDoc))
+      .select(col(id), col("s"), col("rn"), col("sz"))
+      .localCheckpoint()
+    val pref = ranked.filter(col("rn") <= col("sz") -
+      expr(s"($num * sz + $den - 1) div $den") + 1)
+    val cand = pref.as("a").join(ranked.as("b"),
+        col("a.s") === col("b.s") && col(s"a.$id") =!= col(s"b.$id") &&
+          col("b.sz") * den >= col("a.sz") * num &&
+          expr("least(a.sz - a.rn, b.sz - b.rn) + 1 >= " +
+            s"($num * a.sz + $den - 1) div $den"))
+      .select(col(s"a.$id").as("a_id"), col(s"b.$id").as("b_id"),
+        col("a.sz").as("na"), col("b.sz").as("nb")).distinct()
+    cand
+      .join(toks.as("ta"), col(s"ta.$id") === col("a_id"))
+      .join(toks.as("tb"),
+        col(s"tb.$id") === col("b_id") && col("tb.s") === col("ta.s"))
+      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * den >= col("na") * num)
+      .withColumn("contain_x1000", expr("(1000 * inter) div na"))
   }
 
   /** Max-min fair (water-filling) allocation of a global budget across

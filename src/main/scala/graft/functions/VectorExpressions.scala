@@ -219,6 +219,42 @@ object VectorExpressions {
         newChild: Expression): Expression = copy(child = newChild)
   }
 
+  /** Bloom-filter membership probe over long hashes (Bloom CACM 1970;
+    * `org.apache.spark.util.sketch.BloomFilter`) — the broadcast-side
+    * pre-prune of [[graft.api.GraftPipelines.bloomDecontaminate]]. The
+    * serialized filter bytes ride the expression to every task; the
+    * filter deserializes once per use site (transient lazy) and codegen
+    * emits a direct `mightContainLong` call via a reference object, so
+    * the probe runs inside the whole-stage-codegen'd scan filter — no
+    * UDF, no shuffle. Bloom filters have no false negatives, so a
+    * downstream exact join sees every true match; false positives are
+    * bounded by the fpp the builder chose.
+    */
+  case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[BridgeTypes.AbstractDataType] =
+      Seq(org.apache.spark.sql.types.LongType)
+    override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+    override def prettyName: String = "bloom_might_contain_long"
+
+    @transient private lazy val bloom =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bloomBytes))
+
+    override def nullSafeEval(input: Any): Any =
+      bloom.mightContainLong(input.asInstanceOf[Long])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloom", bloom,
+        classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+    }
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
+
   /** Column-level API. */
   def cosineSimilarity(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
@@ -234,4 +270,7 @@ object VectorExpressions {
 
   def md5Km(s: Column, numHashes: Int): Column =
     Bridge.column(Md5Km(Bridge.expression(s), numHashes))
+
+  def bloomMightContainLong(v: Column, bloomBytes: Array[Byte]): Column =
+    Bridge.column(BloomMightContainLong(Bridge.expression(v), bloomBytes))
 }

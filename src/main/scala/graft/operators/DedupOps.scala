@@ -148,6 +148,33 @@ object DedupOps {
   /** Shared by llm_neardup_verified and llm_neardup_served: the serve
     * path reads a persisted band index, but the rows must be identical.
     */
+  /** Shared by llm_decontaminate and llm_bloom_decontaminate: the exact
+    * 5-gram overlap flag — the Bloom variant must agree byte-for-byte.
+    */
+  private lazy val decontaminateOracleSql: String = {
+    val gram5 =
+      "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]"
+    def grams(pred: String) =
+      s"""SELECT DISTINCT doc_id,
+         |   CAST(md5_number_lower(s) % 1152921504606846976 AS BIGINT) AS g
+         |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+         |           i -> $gram5)) AS s
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |              FROM documents WHERE $pred)
+         |        WHERE len(w) >= 5)""".stripMargin
+    s"""WITH cg AS (${grams("source <> 'src19'")}),
+       |eg AS (SELECT DISTINCT g FROM (${grams("source = 'src19'")})),
+       |hits AS (
+       |  SELECT doc_id, count(*) AS n_eval_grams
+       |  FROM cg JOIN eg USING (g) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       | CAST(coalesce(n_eval_grams, 0) AS BIGINT) AS n_eval_grams,
+       | CAST(coalesce(n_eval_grams, 0) > 0 AS INTEGER) AS is_contaminated
+       |FROM (SELECT doc_id FROM documents WHERE source <> 'src19') d
+       |LEFT JOIN hits USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private lazy val neardupOracleSql: String =
     s"""WITH $shinglesSql, $minhashSql, $bandsSql,
        |cands AS (
@@ -268,6 +295,59 @@ object DedupOps {
         .groupBy(md5($"text").as("h"))
         .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
         .orderBy($"h")
+    }),
+
+    // Normalization-insensitive exact dedup: lowercase, strip
+    // non-alphanumerics, collapse space runs, trim — the canonical-form
+    // pass that catches trivial reformattings (case, punctuation,
+    // spacing) byte-exact md5 dedup misses, at the same pure-map-side
+    // cost: only the 32-char digest shuffles, never text.
+    "llm_dedup_normalized" -> ((s, dir) => {
+      import s.implicits._
+      val norm = trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " "))
+      Tables.documents(s, dir)
+        .groupBy(md5(norm).as("h"))
+        .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy($"h")
+    }),
+
+    // Dedup-aware effective dataset size: per source, the whitespace
+    // tokens surviving cluster-level dedup (keepers only) vs the raw
+    // total — the "effective tokens" a data-mix planner actually
+    // budgets, since raw counts over-state near-duplicated sources
+    // (keepers attribute their tokens to their own source). Composes
+    // the verified near-dup cluster chain (docs outside any cluster
+    // are their own keeper) with llm_token_count's tokenization.
+    "llm_effective_tokens" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val clusters = graft.api.GraftPipelines
+        .dupClusters(graft.api.GraftPipelines.nearDuplicates(docs, 0.7))
+      docs.select($"doc_id", $"source",
+          size(split($"text", " ")).cast("long").as("n_ws"))
+        .join(clusters, Seq("doc_id"), "left_outer")
+        .withColumn("cluster_id", coalesce($"cluster_id", $"doc_id"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_ws").as("total_tokens"),
+          sum(when($"doc_id" === $"cluster_id", $"n_ws").otherwise(0L))
+            .as("effective_tokens"))
+        .withColumn("eff_x1000",
+          expr("(1000 * effective_tokens) div total_tokens"))
+        .orderBy($"source")
+    }),
+
+    // Exact set-containment join at τ = 4/5 (see
+    // GraftPipelines.containmentPairs): ordered pairs where ≥ 80 % of
+    // a's 3-gram shingles appear in b — quotes, excerpts, and
+    // boilerplate supersets that symmetric Jaccard misses when the
+    // container is much larger than the contained doc.
+    "llm_containment_join" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.GraftPipelines
+        .containmentPairs(Tables.documents(s, dir), num = 4, den = 5)
+        .orderBy($"a_id", $"b_id")
     }),
 
     // Prefix dedup: group by the digest of the first 10 words — the
@@ -582,6 +662,21 @@ object DedupOps {
         .orderBy($"doc_id")
     }),
 
+    // llm_decontaminate with the corpus-side Bloom pre-prune (see
+    // GraftPipelines.bloomDecontaminate): the eval suite's gram set
+    // compresses into a ~300 KB Bloom filter probed inside the
+    // codegen'd scan filter, so at 100 TB the gram join's corpus-side
+    // exchange carries probable hits only, not every corpus gram. The
+    // result is bit-identical to the plain entry — same oracle SQL.
+    "llm_bloom_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      graft.api.GraftPipelines.bloomDecontaminate(
+          docs.filter($"source" =!= "src19"),
+          docs.filter($"source" === "src19"), 5)
+        .orderBy($"doc_id")
+    }),
+
     // n-gram Jaccard similarity for adjacent docs within a source —
     // the verify step a MinHash candidate pair would go through.
     "llm_jaccard_adjacent" -> ((s, dir) => {
@@ -749,6 +844,60 @@ object DedupOps {
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
 
+    "llm_dedup_normalized" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS h,
+        | min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+
+    "llm_effective_tokens" ->
+      s"""WITH RECURSIVE $shinglesSql, $minhashSql, $bandsSql,
+         |$clusterChainSql,
+         |tok AS (SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+         |  FROM documents),
+         |lab AS (SELECT t.doc_id, t.source, t.n_ws,
+         |  coalesce(c.cluster_id, t.doc_id) AS cluster_id
+         |  FROM tok t LEFT JOIN clusters c USING (doc_id))
+         |SELECT source, count(*) AS n_docs,
+         | CAST(sum(n_ws) AS BIGINT) AS total_tokens,
+         | CAST(sum(CASE WHEN doc_id = cluster_id THEN n_ws ELSE 0 END)
+         |   AS BIGINT) AS effective_tokens,
+         | CAST((1000 * sum(CASE WHEN doc_id = cluster_id THEN n_ws
+         |   ELSE 0 END)) // sum(n_ws) AS BIGINT) AS eff_x1000
+         |FROM lab GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same prefix-filter construction as the engine (complete by the
+    // pigeonhole argument in GraftPipelines.containmentPairs, so it IS
+    // the exact answer) — the ppjoin-oracle precedent: candidates from
+    // the contained side's prefix against the container's full tokens.
+    "llm_containment_join" ->
+      s"""WITH $shinglesSql,
+         |toks AS (SELECT DISTINCT doc_id, s FROM sh),
+         |dfreq AS (SELECT s, count(*) AS df FROM toks GROUP BY s),
+         |ranked AS (
+         |  SELECT doc_id, s,
+         |   row_number() OVER (PARTITION BY doc_id ORDER BY df, s) AS rn,
+         |   count(*) OVER (PARTITION BY doc_id) AS sz
+         |  FROM toks JOIN dfreq USING (s)),
+         |pref AS (SELECT doc_id, s FROM ranked
+         |         WHERE rn <= sz - ((4 * sz + 4) // 5) + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |         FROM pref a JOIN toks b
+         |           ON a.s = b.s AND a.doc_id <> b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a_id, b_id, count(*) AS inter
+         |  FROM cand JOIN toks ta ON ta.doc_id = a_id
+         |  JOIN toks tb ON tb.doc_id = b_id AND tb.s = ta.s
+         |  GROUP BY a_id, b_id)
+         |SELECT a_id, b_id, sa.sz AS na, sb.sz AS nb, inter,
+         | (1000 * inter) // sa.sz AS contain_x1000
+         |FROM inter JOIN sizes sa ON sa.doc_id = a_id
+         |JOIN sizes sb ON sb.doc_id = b_id
+         |WHERE 5 * inter >= 4 * sa.sz
+         |ORDER BY a_id, b_id""".stripMargin,
+
     "llm_dedup_prefix" ->
       """SELECT md5(array_to_string(w[1:10], ' ')) AS h,
         | min(doc_id) AS keeper, count(*) AS n_docs
@@ -885,29 +1034,13 @@ object DedupOps {
         |   AS DOUBLE) / count(*) AS dup_frac
         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "llm_decontaminate" -> {
-      val gram5 =
-        "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]"
-      def grams(pred: String) =
-        s"""SELECT DISTINCT doc_id,
-           |   CAST(md5_number_lower(s) % 1152921504606846976 AS BIGINT) AS g
-           |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
-           |           i -> $gram5)) AS s
-           |        FROM (SELECT doc_id, string_split(text, ' ') AS w
-           |              FROM documents WHERE $pred)
-           |        WHERE len(w) >= 5)""".stripMargin
-      s"""WITH cg AS (${grams("source <> 'src19'")}),
-         |eg AS (SELECT DISTINCT g FROM (${grams("source = 'src19'")})),
-         |hits AS (
-         |  SELECT doc_id, count(*) AS n_eval_grams
-         |  FROM cg JOIN eg USING (g) GROUP BY doc_id)
-         |SELECT d.doc_id,
-         | CAST(coalesce(n_eval_grams, 0) AS BIGINT) AS n_eval_grams,
-         | CAST(coalesce(n_eval_grams, 0) > 0 AS INTEGER) AS is_contaminated
-         |FROM (SELECT doc_id FROM documents WHERE source <> 'src19') d
-         |LEFT JOIN hits USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "llm_decontaminate" -> decontaminateOracleSql,
+
+    // Bit-identical to llm_decontaminate by construction (the Bloom
+    // pre-prune has no false negatives and the exact confirm join
+    // removes false positives), so the two entries share one oracle —
+    // the same twin-oracle contract as the *_served family.
+    "llm_bloom_decontaminate" -> decontaminateOracleSql,
 
     // Transitive closure (small at test scale) mirrors the engine's
     // min-label-propagation connected components exactly: both define

@@ -42,6 +42,22 @@ object SimilarityOps {
   private val PQ_TOPK = 10
   private val COS_SCALE = 1073741824.0 // 2^30 fixed-point for cosine means
   private val COS_SCALE_SQL = "1073741824.0"
+  private val LP_ITERS = 3 // label-propagation rounds, unrolled in the oracle
+
+  /** Mutual-kNN undirected edges (u < v): both endpoints pick each other
+    * in the directed top-3 graph. Shared by the component, label-prop,
+    * and triangle entries — one localCheckpoint'd directed edge table,
+    * one intersect.
+    */
+  private def mutualEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dirE = graft.api.GraftPipelines
+      .knnEdges(Tables.embeddings(s, dir), 3, LSH_BITS)
+      .select($"src", $"dst").localCheckpoint()
+    dirE.intersect(dirE.select($"dst".as("src"), $"src".as("dst")))
+      .filter($"src" < $"dst")
+      .select($"src".as("u"), $"dst".as("v"))
+  }
   private val PCA_ITERS = 3        // power-iteration rounds, unrolled
   private val PCA_QSCALE = 10000L  // component quantization: floor(x·10^4)
   private val PCA_VSCALE = 1000000L // per-round renorm: max|v| = 10^6
@@ -138,6 +154,36 @@ object SimilarityOps {
        |    FROM kb a JOIN kb c
        |      ON a.bucket = c.bucket AND a.vec_id <> c.vec_id)
        |  WHERE rn <= $k)""".stripMargin
+
+  /** Mutual (undirected, a < b) edges from the shared `knn` CTE —
+    * MATERIALIZED for the same reason as `knn` itself: the triangle
+    * oracle references it three times and label-prop's `edges` twice.
+    */
+  private def mutCteSql: String =
+    """mut AS MATERIALIZED (
+      |  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM knn GROUP BY 1, 2 HAVING count(*) = 2)""".stripMargin
+
+  /** One label-propagation round (the
+    * [[graft.api.GraftPipelines.labelPropagate]] vote as CTEs): plurality
+    * label among labeled neighbors, ties toward the smaller label,
+    * sticky otherwise, seeds pinned. `l$r` is MATERIALIZED — each round
+    * references the previous state twice (votes + carry-forward), so an
+    * inlined chain re-evaluates exponentially.
+    */
+  private def labelPropIterSql(r: Int): String = {
+    val prev = s"l${r - 1}"
+    s"""v$r AS (SELECT e.dst AS node, l.lab, count(*) AS c
+       |  FROM edges e JOIN $prev l ON l.node = e.src
+       |  WHERE l.lab <> -1 GROUP BY 1, 2),
+       |w$r AS (SELECT node, lab AS wlab FROM (
+       |  SELECT node, lab, row_number() OVER (PARTITION BY node
+       |    ORDER BY c DESC, lab) AS rn FROM v$r) WHERE rn = 1),
+       |l$r AS MATERIALIZED (
+       |  SELECT p.node, CASE WHEN p.seed = 1 THEN p.lab
+       |    ELSE coalesce(w.wlab, p.lab) END AS lab, p.seed
+       |  FROM $prev p LEFT JOIN w$r w ON w.node = p.node)""".stripMargin
+  }
 
   /** One damped integer-rank round (the
     * [[graft.api.GraftPipelines.integerPagerank]] arithmetic as CTEs —
@@ -406,12 +452,8 @@ object SimilarityOps {
     "llm_mutual_knn_cc" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      val dirE = graft.api.GraftPipelines.knnEdges(emb, 3, LSH_BITS)
-        .select($"src", $"dst").localCheckpoint()
-      val mutual = dirE
-        .intersect(dirE.select($"dst".as("src"), $"src".as("dst")))
-        .filter($"src" < $"dst")
-      val pairs = mutual
+      val pairs = mutualEdges(s, dir)
+        .select($"u".as("src"), $"v".as("dst"))
         .unionByName(emb.select($"vec_id".as("src"), $"vec_id".as("dst")))
       val comp = graft.api.GraftPipelines
         .dupClusters(pairs, "src", "dst", "vec_id")
@@ -421,6 +463,43 @@ object SimilarityOps {
         .agg(count(lit(1)).as("csize"))
       comp.join(sizes, "component_id")
         .select($"vec_id", $"component_id", $"csize")
+        .orderBy($"vec_id")
+    }),
+
+    // Semi-supervised label propagation over the mutual-kNN graph:
+    // 20 % of vectors (vec_id % 5 = 0) keep their gold label as seeds,
+    // the rest start unlabeled (-1) and adopt the plurality label among
+    // labeled neighbors each round (ties toward the smaller label,
+    // sticky when no neighbor is labeled). The cheap spreading pass
+    // that turns a small labeled probe set into corpus-wide weak labels
+    // — and, against the held-out 80 %, measures how label-coherent the
+    // embedding neighborhood structure is. Exact integer votes; the
+    // oracle unrolls the 3 rounds as materialized CTEs.
+    "llm_label_prop" -> ((s, dir) => {
+      import s.implicits._
+      val seeds = Tables.embeddings(s, dir).select($"vec_id".as("node"),
+        when($"vec_id" % 5 === 0, $"label").otherwise(lit(-1))
+          .cast("int").as("lab"),
+        ($"vec_id" % 5 === 0).cast("int").as("seed"))
+      graft.api.GraftPipelines
+        .labelPropagate(mutualEdges(s, dir), seeds, LP_ITERS)
+        .select($"node".as("vec_id"), $"lab".cast("int").as("label_prop"),
+          $"seed".as("is_seed"))
+        .orderBy($"vec_id")
+    }),
+
+    // Per-vector triangle count + local clustering coefficient over the
+    // mutual-kNN graph — the local-density signal that separates tight
+    // semantic clusters (high coefficient: neighbors also know each
+    // other — near-dup nests, boilerplate families) from bridge nodes
+    // (low coefficient at equal degree — genuinely diverse docs worth
+    // keeping). Oriented wedge join, each triangle formed once;
+    // coefficient in exact fixed-point (·10^6, truncating div).
+    "llm_graph_triangles" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.GraftPipelines.triangleStats(mutualEdges(s, dir),
+          Tables.embeddings(s, dir).select($"vec_id".as("node")))
+        .select($"node".as("vec_id"), $"deg", $"tri", $"clust_scaled")
         .orderBy($"vec_id")
     }),
 
@@ -1265,6 +1344,41 @@ object SimilarityOps {
          |FROM comp c JOIN (SELECT component_id, count(*) AS csize
          |                  FROM comp GROUP BY 1) s USING (component_id)
          |ORDER BY c.vec_id""".stripMargin,
+
+    "llm_label_prop" ->
+      s"""WITH ${knnEdgesCtes(3)},
+         |$mutCteSql,
+         |edges AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM mut
+         |  UNION ALL SELECT b AS src, a AS dst FROM mut),
+         |l0 AS MATERIALIZED (SELECT vec_id AS node,
+         |  CASE WHEN vec_id % 5 = 0 THEN label ELSE -1 END AS lab,
+         |  CAST(vec_id % 5 = 0 AS INTEGER) AS seed FROM embeddings),
+         |${(1 to LP_ITERS).map(labelPropIterSql).mkString(",\n")}
+         |SELECT node AS vec_id, CAST(lab AS INTEGER) AS label_prop,
+         | CAST(seed AS INTEGER) AS is_seed
+         |FROM l$LP_ITERS ORDER BY vec_id""".stripMargin,
+
+    "llm_graph_triangles" ->
+      s"""WITH ${knnEdgesCtes(3)},
+         |$mutCteSql,
+         |dg AS (SELECT node, count(*) AS deg FROM (
+         |  SELECT a AS node FROM mut UNION ALL SELECT b AS node FROM mut)
+         |  GROUP BY 1),
+         |tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+         |  FROM mut e1 JOIN mut e2 ON e1.b = e2.a
+         |  JOIN mut e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |pern AS (SELECT node, count(*) AS tri FROM (
+         |  SELECT a AS node FROM tri UNION ALL SELECT b AS node FROM tri
+         |  UNION ALL SELECT c AS node FROM tri) GROUP BY 1)
+         |SELECT e.vec_id, CAST(coalesce(d.deg, 0) AS BIGINT) AS deg,
+         | CAST(coalesce(p.tri, 0) AS BIGINT) AS tri,
+         | CAST(CASE WHEN d.deg >= 2
+         |   THEN (2 * coalesce(p.tri, 0) * 1000000) // (d.deg * (d.deg - 1))
+         |   ELSE 0 END AS BIGINT) AS clust_scaled
+         |FROM embeddings e LEFT JOIN dg d ON d.node = e.vec_id
+         |LEFT JOIN pern p ON p.node = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
 
     "llm_knn_graph" ->
       s"""WITH b AS (SELECT vec_id, embedding,

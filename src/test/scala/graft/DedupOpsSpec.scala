@@ -377,4 +377,91 @@ class DedupOpsSpec extends SparkSpec {
     for (r <- q("llm_ppjoin").collect())
       assert(r.getLong(5) >= 500L, s"pair below threshold: $r")
   }
+
+  test("llm_dedup_normalized: case/punctuation/spacing variants collapse " +
+      "to one canonical keeper that byte-exact dedup keeps apart") {
+    val variant1 = base.capitalize + "!"
+    val variant2 = "  " + base.replace(" ", "  ") + " ."
+    val dir = tempSfDir("documents" ->
+      docs((1L, base, "s0"), (2L, variant1, "s0"), (3L, variant2, "s0"),
+        (4L, distinct, "s0")))
+    val exact = q("llm_dedup_exact", dir).collect()
+    assert(exact.length == 4, "byte-exact sees four distinct texts")
+    val norm = q("llm_dedup_normalized", dir).collect()
+    assert(norm.length == 2)
+    val merged = norm.find(_.getAs[Long]("n_copies") == 3L).get
+    assert(merged.getAs[Long]("keeper") == 1L)
+  }
+
+  test("containmentPairs: prefix-filtered candidates equal the all-pairs " +
+      "truth; asymmetry detects the excerpt but not the container") {
+    val extra = "meanwhile completely unrelated material continues " +
+      "for a while longer in this much bigger container document"
+    val container = base + " " + extra
+    val dir = tempSfDir("documents" ->
+      docs((1L, base, "s0"), (2L, container, "s0"), (3L, distinct, "s0")))
+    val got = graft.api.GraftPipelines
+      .containmentPairs(Tables.documents(spark, dir), 4, 5)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("inter"), r.getAs[Long]("contain_x1000"))).toSet
+    // all-pairs truth over the same 3-gram shingle sets
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ")
+      (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val texts = Map(1L -> base, 2L -> container, 3L -> distinct)
+    val want = (for {
+      (a, ta) <- texts.toSeq; (b, tb) <- texts.toSeq if a != b
+      sa = shingles(ta); inter = (sa & shingles(tb)).size
+      if 5 * inter >= 4 * sa.size
+    } yield (a, b, inter.toLong, (1000L * inter) / sa.size)).toSet
+    assert(got == want)
+    assert(got.exists { case (a, b, _, c) => a == 1L && b == 2L && c == 1000L },
+      "the base doc is fully contained in its container")
+    assert(!got.exists { case (a, b, _, _) => a == 2L && b == 1L },
+      "containment is asymmetric: the container is not inside the excerpt")
+  }
+
+  test("llm_effective_tokens: near-dup cluster tokens counted once, " +
+      "singletons fully effective") {
+    val dir = tempSfDir("documents" ->
+      docs((1L, base, "s0"), (2L, nearDup, "s0"), (3L, distinct, "s1")))
+    val out = q("llm_effective_tokens", dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("total_tokens"), r.getAs[Long]("effective_tokens"))))
+      .toMap
+    val t = Map(1L -> base, 2L -> nearDup, 3L -> distinct)
+      .map { case (k, v) => k -> v.split(" ").length.toLong }
+    assert(out("s0") == ((t(1L) + t(2L), t(1L))),
+      "only the keeper's tokens survive in the near-dup cluster")
+    assert(out("s1") == ((t(3L), t(3L))), "singletons keep every token")
+  }
+
+  test("bloomDecontaminate: bit-identical to the exact pass; the Bloom " +
+      "pre-prune keeps every true hit and actually prunes") {
+    import graft.api.GraftPipelines
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter($"source" =!= "src19")
+    val evalSet = docs.filter($"source" === "src19")
+    val exact = GraftPipelines.decontaminate(corpus, evalSet, 5)
+      .orderBy("doc_id").collect().toSeq
+    val bloomed = GraftPipelines.bloomDecontaminate(corpus, evalSet, 5)
+      .orderBy("doc_id").collect().toSeq
+    assert(bloomed == exact,
+      "Bloom pre-prune + exact confirm must reproduce the exact result")
+    // the prune contract, measured on the same filter the pipeline builds
+    val evalGrams = GraftPipelines.corpusGramIndex(evalSet, 5)
+      .select($"g").distinct()
+    val bf = evalGrams.stat.bloomFilter("g", 1L << 18, 0.01)
+    val os = new java.io.ByteArrayOutputStream()
+    bf.writeTo(os)
+    val grams = GraftPipelines.corpusGramIndex(corpus, 5)
+    val total = grams.count()
+    val kept = grams.filter(graft.functions.VectorExpressions
+      .bloomMightContainLong($"g", os.toByteArray)).count()
+    val trueHits = grams.join(evalGrams, "g").count()
+    assert(kept >= trueHits, "a Bloom filter has no false negatives")
+    assert(kept < total, "the filter must prune non-matching grams")
+  }
 }

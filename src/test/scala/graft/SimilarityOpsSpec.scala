@@ -585,4 +585,41 @@ class SimilarityOpsSpec extends SparkSpec {
     val tightMin = Seq(0L, 1L, 2L, 3L, 4L, 5L).map(out(_)._4).min
     assert(out(6L)._4 < tightMin - 0.25, s"ambiguous point: ${out(6L)}")
   }
+
+  test("labelPropagate: seeds pinned, plurality spreads hop by hop, " +
+      "ties break toward the smaller label, isolated stays unlabeled") {
+    // path 1-2-3 seeded at both ends (tie at 2 → smaller label);
+    // 4-5 one-hop spread; 6 isolated; 7-8-9 two-hop spread (9 labels
+    // in round 2, not round 1 — the sticky carry-forward in between).
+    val edges =
+      Seq((1L, 2L), (2L, 3L), (4L, 5L), (7L, 8L), (8L, 9L)).toDF("u", "v")
+    val seeds = Seq(
+      (1L, 10, 1), (2L, -1, 0), (3L, 20, 1), (4L, 7, 1), (5L, -1, 0),
+      (6L, -1, 0), (7L, 9, 1), (8L, -1, 0), (9L, -1, 0))
+      .toDF("node", "lab", "seed")
+    val round1 = graft.api.GraftPipelines.labelPropagate(edges, seeds, 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(round1(9L) == -1, "two hops cannot arrive in one round")
+    assert(round1(8L) == 9 && round1(5L) == 7)
+    val out = graft.api.GraftPipelines.labelPropagate(edges, seeds, 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 10, 2L -> 10, 3L -> 20, 4L -> 7, 5L -> 7,
+      6L -> -1, 7L -> 9, 8L -> 9, 9L -> 9))
+  }
+
+  test("triangleStats: each triangle counted once per member; exact " +
+      "fixed-point clustering coefficient; absent nodes report zeros") {
+    // K3 {1,2,3} + pendant 4 on node 3 + isolated node 5
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
+    val out = graft.api.GraftPipelines.triangleStats(edges, nodes)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((2L, 1L, 1000000L)))
+    assert(out(2L) == ((2L, 1L, 1000000L)))
+    assert(out(3L) == ((3L, 1L, 333333L))) // 2*1e6/6 truncates
+    assert(out(4L) == ((1L, 0L, 0L)))
+    assert(out(5L) == ((0L, 0L, 0L)))
+  }
 }
