@@ -44,6 +44,22 @@ object SimilarityOps {
   private val COS_SCALE_SQL = "1073741824.0"
   private val LP_ITERS = 3 // label-propagation rounds, unrolled in the oracle
 
+  /** Directed (src, dst, cosine) edges → undirected (u, v, cosine,
+    * mutual) presentation shared by llm_knn_graph and its incremental
+    * twin. cos(a,b) and cos(b,a) are term-for-term identical sums, so
+    * max() never mixes two different doubles.
+    */
+  private def symmetrizeKnn(s: SparkSession, edges: DataFrame): DataFrame = {
+    import s.implicits._
+    edges
+      .select(least($"src", $"dst").as("u"),
+        greatest($"src", $"dst").as("v"), $"cosine")
+      .groupBy($"u", $"v")
+      .agg(max($"cosine").as("cosine"),
+        (count(lit(1)) === 2).cast("int").as("mutual"))
+      .orderBy($"u", $"v")
+  }
+
   /** Mutual-kNN undirected edges (u < v): both endpoints pick each other
     * in the directed top-3 graph. Shared by the component, label-prop,
     * and triangle entries — one localCheckpoint'd directed edge table,
@@ -184,6 +200,30 @@ object SimilarityOps {
        |    ELSE coalesce(w.wlab, p.lab) END AS lab, p.seed
        |  FROM $prev p LEFT JOIN w$r w ON w.node = p.node)""".stripMargin
   }
+
+  /** Shared by llm_knn_graph and llm_knn_incremental — the full-rebuild
+    * symmetrized k-NN graph (the incremental engine path must equal it
+    * exactly; see the entry comment).
+    */
+  private lazy val knnGraphOracleSql: String =
+    s"""WITH b AS (SELECT vec_id, embedding,
+       |  ${bucketSql("embedding")} AS bucket FROM embeddings),
+       |knn AS (
+       |  SELECT src, dst, cosine FROM (
+       |    SELECT a.vec_id AS src, c.vec_id AS dst,
+       |     ${cosineSql("a.embedding", "c.embedding")} AS cosine,
+       |     row_number() OVER (PARTITION BY a.vec_id
+       |       ORDER BY ${cosineSql("a.embedding", "c.embedding")} DESC,
+       |         c.vec_id) AS rn
+       |    FROM b a JOIN b c
+       |      ON a.bucket = c.bucket AND a.vec_id <> c.vec_id)
+       |  WHERE rn <= 3)
+       |SELECT u, v, max(cosine) AS cosine,
+       | CAST(CASE WHEN count(*) = 2 THEN 1 ELSE 0 END AS INTEGER)
+       |   AS mutual
+       |FROM (SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+       |       cosine FROM knn)
+       |GROUP BY u, v ORDER BY u, v""".stripMargin
 
   /** One damped integer-rank round (the
     * [[graft.api.GraftPipelines.integerPagerank]] arithmetic as CTEs —
@@ -411,14 +451,41 @@ object SimilarityOps {
     // sums, so max() in the symmetrize step is a no-op arithmetic-wise.
     "llm_knn_graph" -> ((s, dir) => {
       import s.implicits._
-      graft.api.GraftPipelines
-        .knnEdges(Tables.embeddings(s, dir), 3, LSH_BITS)
-        .select(least($"src", $"dst").as("u"),
-          greatest($"src", $"dst").as("v"), $"cosine")
-        .groupBy($"u", $"v")
-        .agg(max($"cosine").as("cosine"),
-          (count(lit(1)) === 2).cast("int").as("mutual"))
-        .orderBy($"u", $"v")
+      symmetrizeKnn(s,
+        graft.api.GraftPipelines.knnEdges(Tables.embeddings(s, dir), 3,
+          LSH_BITS))
+    }),
+
+    // Incremental k-NN graph maintenance: sign-LSH buckets make every
+    // edge strictly bucket-local, so when a delta batch lands (here
+    // vec_id % 17 = 0, ~6 % of the corpus) only the buckets the delta
+    // touches can change. The persisted base-graph edges of untouched
+    // buckets are kept as-is; touched buckets recompute over their full
+    // (base + delta) membership; the union is PROVABLY equal to the
+    // full rebuild — this entry shares llm_knn_graph's oracle, so the
+    // equality is hash-checked, not asserted. At 100 TB this is the
+    // difference between re-scanning the corpus per ingest batch and
+    // work proportional to the touched buckets (the same
+    // never-rebuild-the-world contract as llm_dedup_incremental's band
+    // index).
+    "llm_knn_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir).withColumn("bucket",
+        graft.api.GraftPipelines.signLshBucket($"embedding", LSH_BITS, 0))
+        .localCheckpoint()
+      val base = emb.filter($"vec_id" % 17 =!= 0)
+      val delta = emb.filter($"vec_id" % 17 === 0)
+      // the persisted artifact a production deployment reads back
+      val baseEdges = graft.api.GraftPipelines
+        .knnEdges(base.drop("bucket"), 3, LSH_BITS).localCheckpoint()
+      val touched = delta.select($"bucket").distinct().localCheckpoint()
+      val srcBucket = emb.select($"vec_id".as("src"), $"bucket")
+      val untouched = baseEdges.join(srcBucket, "src")
+        .join(touched, Seq("bucket"), "left_anti").drop("bucket")
+      val recomputed = graft.api.GraftPipelines.knnEdges(
+        emb.join(touched, Seq("bucket"), "left_semi").drop("bucket"),
+        3, LSH_BITS)
+      symmetrizeKnn(s, untouched.unionByName(recomputed))
     }),
 
     // Graph centrality over the directed k-NN graph: damped stationary
@@ -1380,25 +1447,13 @@ object SimilarityOps {
          |LEFT JOIN pern p ON p.node = e.vec_id
          |ORDER BY e.vec_id""".stripMargin,
 
-    "llm_knn_graph" ->
-      s"""WITH b AS (SELECT vec_id, embedding,
-         |  ${bucketSql("embedding")} AS bucket FROM embeddings),
-         |knn AS (
-         |  SELECT src, dst, cosine FROM (
-         |    SELECT a.vec_id AS src, c.vec_id AS dst,
-         |     ${cosineSql("a.embedding", "c.embedding")} AS cosine,
-         |     row_number() OVER (PARTITION BY a.vec_id
-         |       ORDER BY ${cosineSql("a.embedding", "c.embedding")} DESC,
-         |         c.vec_id) AS rn
-         |    FROM b a JOIN b c
-         |      ON a.bucket = c.bucket AND a.vec_id <> c.vec_id)
-         |  WHERE rn <= 3)
-         |SELECT u, v, max(cosine) AS cosine,
-         | CAST(CASE WHEN count(*) = 2 THEN 1 ELSE 0 END AS INTEGER)
-         |   AS mutual
-         |FROM (SELECT least(src, dst) AS u, greatest(src, dst) AS v,
-         |       cosine FROM knn)
-         |GROUP BY u, v ORDER BY u, v""".stripMargin,
+    "llm_knn_graph" -> knnGraphOracleSql,
+
+    // Identical by construction: untouched buckets' persisted edges are
+    // exactly the full-graph edges of those buckets (edges never cross
+    // buckets), touched buckets recompute in full — so the incremental
+    // union must hash-match the full rebuild's oracle.
+    "llm_knn_incremental" -> knnGraphOracleSql,
 
     "llm_hybrid_search" -> {
       val stopList = graft.api.GraftPipelines.DefaultStopwords

@@ -586,6 +586,22 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out(6L)._4 < tightMin - 0.25, s"ambiguous point: ${out(6L)}")
   }
 
+  test("llm_knn_incremental: touched-bucket recompute + untouched " +
+      "persisted edges equals the full rebuild, and both paths do work") {
+    val full = q("llm_knn_graph").collect().toSeq
+    val inc = q("llm_knn_incremental").collect().toSeq
+    assert(inc == full, "incremental union must equal the full rebuild")
+    // the fixture genuinely exercises both paths: a non-empty delta
+    // that leaves some buckets untouched
+    val emb = Tables.embeddings(spark, sf).withColumn("bucket",
+      graft.api.GraftPipelines.signLshBucket(col("embedding"), 8, 0))
+    val touched = emb.filter(col("vec_id") % 17 === 0)
+      .select("bucket").distinct().count()
+    val all = emb.select("bucket").distinct().count()
+    assert(touched > 0 && touched < all,
+      s"delta must touch some but not all buckets ($touched of $all)")
+  }
+
   test("labelPropagate: seeds pinned, plurality spreads hop by hop, " +
       "ties break toward the smaller label, isolated stays unlabeled") {
     // path 1-2-3 seeded at both ends (tie at 2 → smaller label);
