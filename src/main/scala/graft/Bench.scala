@@ -85,7 +85,7 @@ object Bench {
     "llm_embed_lsh_knn", "llm_embed_lsh_knn2", "llm_embed_pq",
     "llm_embed_pq_served", "llm_embed_ivf_served", "llm_embed_ivfpq",
     "llm_ann_recall", "llm_retrieval_eval", "llm_knn_graph",
-    "llm_knn_incremental",
+    "llm_knn_incremental", "llm_lsh_occupancy",
     "llm_graph_centrality", "llm_mutual_knn_cc",
     "llm_label_prop", "llm_graph_triangles",
     "llm_hard_negatives", "llm_embed_pca", "llm_kcenter", "llm_probe_auc",

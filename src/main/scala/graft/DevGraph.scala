@@ -45,6 +45,45 @@ object DevGraph {
         f"maxocc=${occ.getLong(1)}%-6d cand_pairs=${occ.getLong(2)}%-12d " +
         f"knn_edges=$nEdges%-8d mutual=$mutual%-7d knn_secs=$secs%.2f")
     }
+    // Incremental-maintenance cost (llm_knn_incremental's 100 TB claim,
+    // measured): what fraction of buckets/vectors does the ~6 % delta
+    // (vec_id % 17 = 0) force to recompute, and how does the
+    // incremental wall compare to the full rebuild — at the committed
+    // 8-bit scheme AND the 12-bit widening the occupancy table above
+    // says a 10× corpus should run.
+    for ((tag, dir) <- dirs; bits <- Seq(8, 12)) {
+      val emb = Tables.embeddings(spark, dir)
+        .withColumn("bucket",
+          graft.api.GraftPipelines.signLshBucket(col("embedding"), bits, 0))
+        .localCheckpoint()
+      val n = emb.count()
+      val delta = emb.filter(col("vec_id") % 17 === 0)
+      val touched = delta.select("bucket").distinct().localCheckpoint()
+      val tB = touched.count()
+      val allB = emb.select("bucket").distinct().count()
+      val recompute = emb.join(touched, Seq("bucket"), "left_semi").count()
+      val t0 = System.nanoTime()
+      graft.api.GraftPipelines.knnEdges(emb.drop("bucket"), 3, bits)
+        .localCheckpoint().count()
+      val fullSec = (System.nanoTime() - t0) / 1e9
+      // base edges are the persisted artifact — built outside the timer
+      val baseEdges = graft.api.GraftPipelines
+        .knnEdges(emb.filter(col("vec_id") % 17 =!= 0).drop("bucket"),
+          3, bits)
+        .localCheckpoint()
+      val t1 = System.nanoTime()
+      val srcBucket = emb.select(col("vec_id").as("src"), col("bucket"))
+      baseEdges.join(srcBucket, "src")
+        .join(touched, Seq("bucket"), "left_anti").drop("bucket")
+        .unionByName(graft.api.GraftPipelines.knnEdges(
+          emb.join(touched, Seq("bucket"), "left_semi").drop("bucket"),
+          3, bits))
+        .localCheckpoint().count()
+      val incSec = (System.nanoTime() - t1) / 1e9
+      println(f"$tag%-6s bits=$bits%-3d touched_buckets=$tB%-5d of=$allB%-5d " +
+        f"recompute_vecs=$recompute%-7d of=$n%-7d " +
+        f"full_secs=$fullSec%-6.2f inc_secs=$incSec%.2f")
+    }
     spark.stop()
   }
 }

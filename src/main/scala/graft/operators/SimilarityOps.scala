@@ -533,6 +533,24 @@ object SimilarityOps {
         .orderBy($"vec_id")
     }),
 
+    // LSH bucket-occupancy histogram — the operational signal that
+    // tells you WHEN to widen the signature (DevGraph's measured
+    // lesson: at 10× data the fixed 8-bit scheme's candidate mass grew
+    // 89× while 12 bits held it to 13× less). Per occupancy level:
+    // bucket count and the candidate-pair mass those buckets
+    // contribute (Σ occ² over the level). One corpus scan + two
+    // bounded aggs — cheap enough to run per ingest batch.
+    "llm_lsh_occupancy" -> ((s, dir) => {
+      import s.implicits._
+      Tables.embeddings(s, dir)
+        .select(graft.api.GraftPipelines
+          .signLshBucket($"embedding", LSH_BITS, 0).as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("occ"))
+        .groupBy($"occ").agg(count(lit(1)).as("n_buckets"))
+        .withColumn("cand_pairs", $"occ" * $"occ" * $"n_buckets")
+        .orderBy($"occ")
+    }),
+
     // Semi-supervised label propagation over the mutual-kNN graph:
     // 20 % of vectors (vec_id % 5 = 0) keep their gold label as seeds,
     // the rest start unlabeled (-1) and adopt the plurality label among
@@ -1411,6 +1429,14 @@ object SimilarityOps {
          |FROM comp c JOIN (SELECT component_id, count(*) AS csize
          |                  FROM comp GROUP BY 1) s USING (component_id)
          |ORDER BY c.vec_id""".stripMargin,
+
+    "llm_lsh_occupancy" ->
+      s"""WITH b AS (SELECT ${bucketSql("embedding")} AS bucket
+         |           FROM embeddings),
+         |o AS (SELECT bucket, count(*) AS occ FROM b GROUP BY 1)
+         |SELECT occ, count(*) AS n_buckets,
+         | CAST(occ * occ * count(*) AS BIGINT) AS cand_pairs
+         |FROM o GROUP BY occ ORDER BY occ""".stripMargin,
 
     "llm_label_prop" ->
       s"""WITH ${knnEdgesCtes(3)},

@@ -586,6 +586,18 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(out(6L)._4 < tightMin - 0.25, s"ambiguous point: ${out(6L)}")
   }
 
+  test("llm_lsh_occupancy: histogram masses account for every vector " +
+      "and every candidate pair") {
+    val n = Tables.embeddings(spark, sf).count()
+    val rows = q("llm_lsh_occupancy").collect()
+    val vecs = rows.map(r => r.getAs[Long]("occ") * r.getAs[Long]("n_buckets")).sum
+    assert(vecs == n, "occ·n_buckets must sum to the corpus size")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cand_pairs") ==
+        r.getAs[Long]("occ") * r.getAs[Long]("occ") * r.getAs[Long]("n_buckets"))
+    }
+  }
+
   test("llm_knn_incremental: touched-bucket recompute + untouched " +
       "persisted edges equals the full rebuild, and both paths do work") {
     val full = q("llm_knn_graph").collect().toSeq
