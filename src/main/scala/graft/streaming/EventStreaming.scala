@@ -314,6 +314,71 @@ object EventStreaming {
       sink(postings, batchId)
     }
 
+  /** Streaming k-NN graph maintenance — the streaming twin of the batch
+    * `llm_knn_incremental` (whose bucket-locality identity is
+    * hash-checked against the full-rebuild oracle). State is two
+    * copy-on-write parquet artifacts under `statePath` — `vectors/`
+    * (the corpus seen so far, bucket column precomputed) and `edges/`
+    * (the directed top-k edge table) — versioned `v=batchId` exactly
+    * like [[snapshotUpsertLoop]]: a foreachBatch replay re-reads the
+    * previous intact version and overwrites only its own output, so
+    * the loop is exactly-once by idempotent rewrite. Per micro-batch:
+    *
+    *  1. read the previous vectors + edges versions (bootstrap: empty);
+    *  2. touched = the arriving delta's distinct LSH buckets;
+    *  3. recompute [[graft.api.GraftPipelines.knnEdges]] over the
+    *     touched buckets' FULL membership (previous ∪ batch); keep
+    *     every untouched bucket's edges as-is;
+    *  4. write `v=batchId` of both artifacts; the sink sees the new
+    *     edge version.
+    *
+    * Vector ids must be unique across the stream (append-only corpus —
+    * the usual ingest contract). Per-trigger work is Σ touched-bucket²,
+    * never a corpus rescan; BASELINE round-9 measures the recompute
+    * fraction and `llm_lsh_occupancy` is the signal for widening
+    * `lshBits` as the corpus grows.
+    */
+  def knnMaintenanceLoop(vectors: DataFrame, statePath: String,
+      k: Int = 3, lshBits: Int = 8,
+      checkpointDir: Option[String] = None)
+      (sink: (Dataset[Row], Long) => Unit = (_, _) => ()): StreamingQuery =
+    deliver(vectors, checkpointDir) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      val vPath = s"$statePath/vectors"
+      val ePath = s"$statePath/edges"
+      def prevVersion(path: String): Option[Long] = {
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(hPath))
+          fs.listStatus(hPath).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+            .filter(_ < batchId).sorted.lastOption
+        else None
+      }
+      val delta = batch.toDF.withColumn("bucket",
+          graft.api.GraftPipelines.signLshBucket(col("embedding"), lshBits, 0))
+        .localCheckpoint()
+      val (prevVecs, prevEdges) = prevVersion(vPath) match {
+        case Some(v) => (spark.read.parquet(s"$vPath/v=$v"),
+          spark.read.parquet(s"$ePath/v=$v"))
+        case None => (delta.limit(0),
+          delta.limit(0).select(col("vec_id").as("src"),
+            col("vec_id").as("dst"), lit(0.0).as("cosine")))
+      }
+      val all = prevVecs.unionByName(delta).localCheckpoint()
+      val touched = delta.select(col("bucket")).distinct().localCheckpoint()
+      val srcBucket = all.select(col("vec_id").as("src"), col("bucket"))
+      val untouched = prevEdges.join(srcBucket, "src")
+        .join(touched, Seq("bucket"), "left_anti").drop("bucket")
+      val recomputed = graft.api.GraftPipelines.knnEdges(
+        all.join(touched, Seq("bucket"), "left_semi").drop("bucket"),
+        k, lshBits)
+      all.write.mode("overwrite").parquet(s"$vPath/v=$batchId")
+      untouched.unionByName(recomputed)
+        .write.mode("overwrite").parquet(s"$ePath/v=$batchId")
+      sink(spark.read.parquet(s"$ePath/v=$batchId"), batchId)
+    }
+
   /** Streaming MERGE/upsert maintenance: keep a keyed snapshot current
     * against an update stream — the streaming twin of the batch
     * `rel_merge_upsert` ([[graft.operators.MaintenanceOps]]). Per

@@ -614,4 +614,42 @@ class StreamingSpec extends SparkSpec {
         $"count".as("n"))
     assert(batch.except(oracle).isEmpty && oracle.except(batch).isEmpty)
   }
+
+  test("knnMaintenanceLoop: touched-bucket maintenance equals the full " +
+      "rebuild after every micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val vecs = mem.toDF().toDF("vec_id", "embedding")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_knn_state").toString + "/knn"
+    @volatile var lastEdges: Set[(Long, Long)] = Set.empty
+    val query = EventStreaming.knnMaintenanceLoop(vecs, stateDir) {
+      (batch, _) =>
+        lastEdges = batch.collect()
+          .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    }
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def rebuild(upTo: Long): Set[(Long, Long)] = graft.api.GraftPipelines
+      .knnEdges(Tables.embeddings(spark, sf)
+        .filter(col("vec_id") < upTo), 3, 8)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      mem.addData(emb.filter(_._1 < 200).toSeq: _*)
+      query.processAllAvailable()
+      assert(lastEdges == rebuild(200L), "bootstrap batch")
+      mem.addData(emb.filter(t => t._1 >= 200 && t._1 < 350).toSeq: _*)
+      query.processAllAvailable()
+      assert(lastEdges == rebuild(350L), "second ingest")
+      mem.addData(emb.filter(_._1 >= 350).toSeq: _*)
+      query.processAllAvailable()
+      assert(lastEdges == rebuild(Long.MaxValue), "final ingest")
+      // copy-on-write versions: one per batch, all retained
+      val eDirs = new java.io.File(s"$stateDir/edges").listFiles()
+        .map(_.getName).filter(_.startsWith("v=")).sorted.toSeq
+      assert(eDirs == Seq("v=0", "v=1", "v=2"))
+    } finally query.stop()
+  }
 }
