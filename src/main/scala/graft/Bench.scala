@@ -89,7 +89,7 @@ object Bench {
     "llm_graph_centrality", "llm_mutual_knn_cc",
     "llm_label_prop", "llm_graph_triangles",
     "llm_hard_negatives", "llm_embed_pca", "llm_kcenter", "llm_probe_auc",
-    "llm_cluster_silhouette",
+    "llm_cluster_silhouette", "llm_cluster_quota",
     "llm_source_centroid_sim", "llm_global_shuffle",
     "llm_embed_neardup", "llm_embed_neardup_lsh", "llm_lang_id", "llm_tfidf",
     "llm_fuzzy_pairs", "llm_sorted_neighborhood",

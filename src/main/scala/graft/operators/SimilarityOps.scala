@@ -43,6 +43,7 @@ object SimilarityOps {
   private val COS_SCALE = 1073741824.0 // 2^30 fixed-point for cosine means
   private val COS_SCALE_SQL = "1073741824.0"
   private val LP_ITERS = 3 // label-propagation rounds, unrolled in the oracle
+  private val QUOTA = 16   // cluster-quota picks per kmeans cluster
 
   /** Directed (src, dst, cosine) edges → undirected (u, v, cosine,
     * mutual) presentation shared by llm_knn_graph and its incremental
@@ -1035,6 +1036,28 @@ object SimilarityOps {
         .orderBy($"cluster")
     }),
 
+    // Cluster-balanced quota sampling: pick ≤ QUOTA vectors per fitted
+    // k-means cluster in deterministic salted-hash order — the
+    // diversity-first selection that caps dominant semantic clusters
+    // instead of sampling proportionally (the cluster-quota form of
+    // source-stratified sampling; same md5-salt idiom as
+    // llm_pack_salted, so the pick is unbiased, reproducible, and
+    // hash-checkable). Window runs per cluster over its members only;
+    // the fit is the already-oracled kmeans unroll.
+    "llm_cluster_quota" -> ((s, dir) => {
+      import s.implicits._
+      val af = graft.api.GraftPipelines
+        .kmeans(Tables.embeddings(s, dir), KM_K, KM_ITERS, DIM)
+      val h = graft.functions.VectorExpressions.md5Half60Prefixed(
+        "cq|", $"vec_id".cast("string"), upperHalf = false)
+      val w = Window.partitionBy($"cluster").orderBy(h.asc, $"vec_id")
+      af.withColumn("pick_rank", row_number().over(w))
+        .filter($"pick_rank" <= QUOTA)
+        .select($"vec_id", $"cluster".cast("int").as("cluster"),
+          $"pick_rank".cast("int").as("pick_rank"))
+        .orderBy($"cluster", $"pick_rank")
+    }),
+
     // Clustering-quality gate: per-point simplified silhouette
     // s = (cos1 − cos2) / (1 − cos2) from the same fitted centroids as
     // llm_embed_kmeans (see GraftPipelines.clusterSilhouette). Linear
@@ -1663,6 +1686,23 @@ object SimilarityOps {
          | CAST(sum(CAST(floor(ccos * $COS_SCALE_SQL) AS DECIMAL(28,0))) AS DOUBLE)
          |   / count(*) / $COS_SCALE_SQL AS mean_cos
          |FROM af GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    // same fitted assignment CTE `af`, then a per-cluster salted-hash
+    // row_number capped at the quota — the md5 salt is the verbatim
+    // llm_pack_salted mirror
+    "llm_cluster_quota" ->
+      s"""WITH $kmeansOracleCtes,
+         |r AS (
+         |  SELECT vec_id, cluster,
+         |   row_number() OVER (PARTITION BY cluster
+         |     ORDER BY CAST(md5_number_lower('cq|' ||
+         |       CAST(vec_id AS VARCHAR)) % 1152921504606846976 AS BIGINT),
+         |       vec_id) AS pick_rank
+         |  FROM af)
+         |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+         | CAST(pick_rank AS INTEGER) AS pick_rank
+         |FROM r WHERE pick_rank <= $QUOTA
+         |ORDER BY cluster, pick_rank""".stripMargin,
 
     // same unrolled fit as llm_embed_kmeans (CTEs reused verbatim), then
     // rank-2 cosines to the FINAL centroids u$KM_ITERS; s is one

@@ -598,6 +598,21 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("llm_cluster_quota: caps every cluster at the quota with " +
+      "contiguous salted ranks, deterministically") {
+    def run() = q("llm_cluster_quota").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cluster"),
+        r.getAs[Int]("pick_rank"))).toSeq
+    val a = run()
+    a.groupBy(_._2).values.foreach { rows =>
+      assert(rows.length <= 16, "quota cap")
+      assert(rows.map(_._3).sorted == (1 to rows.length),
+        "pick ranks are contiguous from 1")
+    }
+    assert(a.map(_._1).distinct.size == a.size, "each vector picked once")
+    assert(a == run(), "salted pick is deterministic across runs")
+  }
+
   test("llm_knn_incremental: touched-bucket recompute + untouched " +
       "persisted edges equals the full rebuild, and both paths do work") {
     val full = q("llm_knn_graph").collect().toSeq
