@@ -297,6 +297,38 @@ object MaintenanceOps {
     // avg derives from merged sums — the distributive/algebraic split.
     // The oracle aggregates the unsliced table directly: hash equality
     // IS the merge-equals-recompute proof.
+    // Incremental JOIN-view maintenance (Gupta & Mumick 1995's delta
+    // rule for V = A ⋈ B): with base snapshots and arriving deltas,
+    // ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — three joins whose inputs are
+    // delta-sized on at least one side, so at 100 TB the view updates
+    // with work proportional to the CHANGES, never a base×base rescan.
+    // The maintained view (old V ∪ ΔV) must equal the full recompute
+    // exactly; the oracle is the plain full join, so that identity is
+    // hash-checked (the llm_knn_incremental contract, applied to
+    // relational views). The join completion of rel_incremental_agg.
+    "rel_incremental_join" -> ((s, dir) => {
+      import s.implicits._
+      val cust = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_name", $"c_nationkey")
+      val ord = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val (baseC, deltaC) =
+        (cust.filter($"c_custkey" % 13 =!= 0),
+          cust.filter($"c_custkey" % 13 === 0))
+      val (baseO, deltaO) =
+        (ord.filter($"o_orderkey" % 7 =!= 0),
+          ord.filter($"o_orderkey" % 7 === 0))
+      val on = $"c_custkey" === $"o_custkey"
+      // the persisted view a production deployment reads back
+      val oldV = baseC.join(baseO, on).localCheckpoint()
+      val deltaV = deltaC.join(baseO, on)
+        .unionByName(baseC.join(deltaO, on))
+        .unionByName(deltaC.join(deltaO, on))
+      oldV.unionByName(deltaV)
+        .select($"c_custkey", $"o_orderkey", $"c_name", $"o_totalprice")
+        .orderBy($"c_custkey", $"o_orderkey")
+    }),
+
     "rel_incremental_agg" -> ((s, dir) => {
       import s.implicits._
       val cut = to_timestamp(lit("1996-07-01 00:00:00"))
@@ -499,6 +531,12 @@ object MaintenanceOps {
 
     // direct (non-incremental) aggregate: equality with the merged
     // partials proves the maintenance identity
+    // the plain full join: the delta-maintained view must equal it
+    "rel_incremental_join" ->
+      """SELECT c_custkey, o_orderkey, c_name, o_totalprice
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+
     "rel_incremental_agg" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,

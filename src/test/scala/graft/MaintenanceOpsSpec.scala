@@ -282,4 +282,24 @@ class MaintenanceOpsSpec extends SparkSpec {
       ((r.getString(3), d(r, 4), r.getLong(5)))).toMap
     assert(got == expect.toMap, "as-of versions diverge from the reference walk")
   }
+
+  test("rel_incremental_join: every delta leg is exercised and the " +
+      "maintained view equals the full recompute") {
+    import org.apache.spark.sql.functions.col
+    val cust = Tables.customer(spark, sf)
+    val ord = Tables.orders(spark, sf)
+    val on = col("c_custkey") === col("o_custkey")
+    def n(c: org.apache.spark.sql.DataFrame,
+        o: org.apache.spark.sql.DataFrame): Long = c.join(o, on).count()
+    val (bc, dc) = (cust.filter(col("c_custkey") % 13 =!= 0),
+      cust.filter(col("c_custkey") % 13 === 0))
+    val (bo, dOrd) = (ord.filter(col("o_orderkey") % 7 =!= 0),
+      ord.filter(col("o_orderkey") % 7 === 0))
+    val legs = Seq(n(bc, bo), n(dc, bo), n(bc, dOrd), n(dc, dOrd))
+    assert(legs.forall(_ > 0),
+      s"all four legs must carry rows, got $legs — the delta formula " +
+        "would pass trivially otherwise")
+    assert(q("rel_incremental_join").count() == legs.sum &&
+      legs.sum == cust.join(ord, on).count())
+  }
 }
