@@ -72,12 +72,8 @@ object DevGraph {
           3, bits)
         .localCheckpoint()
       val t1 = System.nanoTime()
-      val srcBucket = emb.select(col("vec_id").as("src"), col("bucket"))
-      baseEdges.join(srcBucket, "src")
-        .join(touched, Seq("bucket"), "left_anti").drop("bucket")
-        .unionByName(graft.api.GraftPipelines.knnEdges(
-          emb.join(touched, Seq("bucket"), "left_semi").drop("bucket"),
-          3, bits))
+      graft.api.GraftPipelines
+        .knnIncrementalEdges(emb, touched, baseEdges, 3, bits)
         .localCheckpoint().count()
       val incSec = (System.nanoTime() - t1) / 1e9
       println(f"$tag%-6s bits=$bits%-3d touched_buckets=$tB%-5d of=$allB%-5d " +

@@ -307,6 +307,15 @@ object GraftPipelines {
   def clusterSilhouette(emb: DataFrame, k: Int, iters: Int, dim: Int = 64,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val (cent, _) = kmeansFit(emb, k, iters, dim, id, vec)
+    // With a single surviving centroid cos2 has no source row: the
+    // engine would emit null cos2/sil while the SQL oracle's crn = 2
+    // join drops the rows entirely — fail loudly instead of silently
+    // diverging (review finding; centroids are a k-row table, the
+    // count is a trivial job on the already-eager fit).
+    val nCent = cent.count()
+    require(nCent >= 2,
+      s"clusterSilhouette needs >= 2 surviving centroids, got $nCent " +
+        "(clusters that lose every member drop out of the fit)")
     emb.select(col(id), col(vec))
       .crossJoin(broadcast(cent))
       .withColumn("ccos", cosine(col(vec), col("c")))
@@ -381,6 +390,29 @@ object GraftPipelines {
       Bridge.unpersistCheckpointBlocks(prev)
     }
     rank
+  }
+
+  /** The bucket-locality maintenance core shared by `llm_knn_incremental`
+    * and DevGraph's cost probe (the streaming
+    * `EventStreaming.knnMaintenanceLoop` applies the same identity
+    * through partition-directory arithmetic instead): keep the
+    * persisted base edges of every bucket the delta does NOT touch,
+    * recompute touched buckets over their full membership. `all` must
+    * carry a `bucket` column computed with the SAME `lshBits` the base
+    * edges were built with — edges never cross buckets, so the union
+    * equals the full rebuild exactly (hash-checked by the shared
+    * oracle).
+    */
+  def knnIncrementalEdges(all: DataFrame, touched: DataFrame,
+      baseEdges: DataFrame, k: Int, lshBits: Int,
+      id: String = "vec_id"): DataFrame = {
+    val srcBucket = all.select(col(id).as("src"), col("bucket"))
+    val untouched = baseEdges.join(srcBucket, "src")
+      .join(touched, Seq("bucket"), "left_anti").drop("bucket")
+    val recomputed = knnEdges(
+      all.join(touched, Seq("bucket"), "left_semi").drop("bucket"),
+      k, lshBits, id)
+    untouched.unionByName(recomputed)
   }
 
   /** Semi-supervised label propagation (Zhu & Ghahramani, CMU-CALD-02-107;
@@ -2098,16 +2130,30 @@ object GraftPipelines {
   def ppjoinPrefix(toks: DataFrame, num: Int = 1, den: Int = 2,
       id: String = "doc_id"): DataFrame = {
     require(num > 0 && den >= num, "threshold must be in (0, 1]")
+    ppjoinRanked(toks, id).filter(prefixCond(num, den))
+  }
+
+  /** The df-ordered ranked token table `(id, s, rn, sz)` — tokens of
+    * each doc ranked rarest-first in the GLOBAL (df, s) order — that
+    * both the Jaccard prefix ([[ppjoinPrefix]]) and the containment
+    * join ([[containmentPairs]], which also needs the container side's
+    * unfiltered ranks for its positional prune) derive from.
+    */
+  def ppjoinRanked(toks: DataFrame, id: String = "doc_id"): DataFrame = {
     val dfreq = toks.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col(id))
     toks.join(dfreq, "s")
       .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("s"))))
       .withColumn("sz", count(lit(1)).over(wDoc))
-      // prefix length = sz − ceil(θ·sz) + 1
-      .filter(col("rn") <= col("sz") -
-        expr(s"($num * sz + $den - 1) div $den") + 1)
       .select(col(id), col("s"), col("rn"), col("sz"))
   }
+
+  /** Prefix length = sz − ceil(θ·sz) + 1: the ONE pigeonhole bound both
+    * prefix filters apply (a true match can miss at most sz − ceil(θ·sz)
+    * of the partner's tokens).
+    */
+  private def prefixCond(num: Int, den: Int): Column =
+    col("rn") <= col("sz") - expr(s"($num * sz + $den - 1) div $den") + 1
 
   /** The PPJoin probe phase over a prebuilt [[ppjoinIndex]] (or the
     * same tables read back from storage): candidate generation from
@@ -2163,15 +2209,8 @@ object GraftPipelines {
       text: String = "text"): DataFrame = {
     require(num > 0 && den >= num, "threshold must be in (0, 1]")
     val toks = ppjoinTokens(docs, shingleWidth, id, text).localCheckpoint()
-    val dfreq = toks.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy(col(id))
-    val ranked = toks.join(dfreq, "s")
-      .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("s"))))
-      .withColumn("sz", count(lit(1)).over(wDoc))
-      .select(col(id), col("s"), col("rn"), col("sz"))
-      .localCheckpoint()
-    val pref = ranked.filter(col("rn") <= col("sz") -
-      expr(s"($num * sz + $den - 1) div $den") + 1)
+    val ranked = ppjoinRanked(toks, id).localCheckpoint()
+    val pref = ranked.filter(prefixCond(num, den))
     val cand = pref.as("a").join(ranked.as("b"),
         col("a.s") === col("b.s") && col(s"a.$id") =!= col(s"b.$id") &&
           col("b.sz") * den >= col("a.sz") * num &&

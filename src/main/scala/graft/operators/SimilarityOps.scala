@@ -480,13 +480,8 @@ object SimilarityOps {
       val baseEdges = graft.api.GraftPipelines
         .knnEdges(base.drop("bucket"), 3, LSH_BITS).localCheckpoint()
       val touched = delta.select($"bucket").distinct().localCheckpoint()
-      val srcBucket = emb.select($"vec_id".as("src"), $"bucket")
-      val untouched = baseEdges.join(srcBucket, "src")
-        .join(touched, Seq("bucket"), "left_anti").drop("bucket")
-      val recomputed = graft.api.GraftPipelines.knnEdges(
-        emb.join(touched, Seq("bucket"), "left_semi").drop("bucket"),
-        3, LSH_BITS)
-      symmetrizeKnn(s, untouched.unionByName(recomputed))
+      symmetrizeKnn(s, graft.api.GraftPipelines
+        .knnIncrementalEdges(emb, touched, baseEdges, 3, LSH_BITS))
     }),
 
     // Graph centrality over the directed k-NN graph: damped stationary

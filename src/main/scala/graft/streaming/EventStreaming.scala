@@ -316,27 +316,36 @@ object EventStreaming {
 
   /** Streaming k-NN graph maintenance — the streaming twin of the batch
     * `llm_knn_incremental` (whose bucket-locality identity is
-    * hash-checked against the full-rebuild oracle). State is two
-    * copy-on-write parquet artifacts under `statePath` — `vectors/`
-    * (the corpus seen so far, bucket column precomputed) and `edges/`
-    * (the directed top-k edge table) — versioned `v=batchId` exactly
-    * like [[snapshotUpsertLoop]]: a foreachBatch replay re-reads the
-    * previous intact version and overwrites only its own output, so
-    * the loop is exactly-once by idempotent rewrite. Per micro-batch:
+    * hash-checked against the full-rebuild oracle), with per-trigger
+    * I/O proportional to the DELTA, not the corpus. State under
+    * `statePath`:
     *
-    *  1. read the previous vectors + edges versions (bootstrap: empty);
-    *  2. touched = the arriving delta's distinct LSH buckets;
-    *  3. recompute [[graft.api.GraftPipelines.knnEdges]] over the
-    *     touched buckets' FULL membership (previous ∪ batch); keep
-    *     every untouched bucket's edges as-is;
-    *  4. write `v=batchId` of both artifacts; the sink sees the new
-    *     edge version.
+    *  - `scheme/` — a 1-row (k, lsh_bits) marker written at bootstrap;
+    *    every later batch `require`s it matches, because edges built
+    *    under one bucketing are meaningless under another — restarting
+    *    with a widened `lshBits` against existing state must fail
+    *    loudly and force a rebuild, never silently corrupt the graph.
+    *  - `vectors/b=<batchId>/bucket=<v>/` — each batch's vectors,
+    *    bucket-partitioned; append-only corpus expressed as idempotent
+    *    per-batch directory overwrites (a replayed batch rewrites only
+    *    its own `b=` dir).
+    *  - `edges/bucket=<v>/` — the directed top-k edge table,
+    *    partitioned by bucket; a batch rewrites ONLY its touched
+    *    buckets' partitions (dynamic partition overwrite — idempotent,
+    *    the recompute is deterministic).
     *
-    * Vector ids must be unique across the stream (append-only corpus —
-    * the usual ingest contract). Per-trigger work is Σ touched-bucket²,
-    * never a corpus rescan; BASELINE round-9 measures the recompute
-    * fraction and `llm_lsh_occupancy` is the signal for widening
-    * `lshBits` as the corpus grows.
+    * Per micro-batch: touched = the delta's distinct buckets (a
+    * bounded, ≤ 2^lshBits set); read PRIOR vectors of touched buckets
+    * only (explicit `b=<old>/bucket=<touched>` paths — never this
+    * attempt's half-written output, never an untouched bucket);
+    * recompute [[graft.api.GraftPipelines.knnEdges]] over that
+    * membership ∪ delta; overwrite those edge partitions. Untouched
+    * buckets' vectors and edges are never read OR written — per-trigger
+    * work is Σ touched-bucket² compute plus touched-partition I/O. The
+    * sink sees the CHANGED edges (readers consume the full graph from
+    * `edges/` directly); vector ids must be unique across the stream.
+    * BASELINE round-9 measures the recompute fraction and
+    * `llm_lsh_occupancy` is the widen-the-bits signal.
     */
   def knnMaintenanceLoop(vectors: DataFrame, statePath: String,
       k: Int = 3, lshBits: Int = 8,
@@ -346,37 +355,55 @@ object EventStreaming {
       val spark = batch.sparkSession
       val vPath = s"$statePath/vectors"
       val ePath = s"$statePath/edges"
-      def prevVersion(path: String): Option[Long] = {
+      val sPath = s"$statePath/scheme"
+      val fs = new org.apache.hadoop.fs.Path(statePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def subdirs(path: String, prefix: String): Seq[(Long, String)] = {
         val hPath = new org.apache.hadoop.fs.Path(path)
-        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(hPath))
           fs.listStatus(hPath).toSeq.map(_.getPath.getName)
-            .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
-            .filter(_ < batchId).sorted.lastOption
-        else None
+            .filter(_.startsWith(prefix))
+            .map(n => n.stripPrefix(prefix).toLong -> s"$path/$n")
+        else Seq.empty
+      }
+      if (fs.exists(new org.apache.hadoop.fs.Path(sPath))) {
+        val sch = spark.read.parquet(sPath).head()
+        require(sch.getAs[Int]("k") == k &&
+          sch.getAs[Int]("lsh_bits") == lshBits,
+          s"knnMaintenanceLoop state at $statePath was built with " +
+            s"(k=${sch.getAs[Int]("k")}, lshBits=${sch.getAs[Int]("lsh_bits")}); " +
+            s"restarting with (k=$k, lshBits=$lshBits) would corrupt " +
+            "the graph — rebuild the state instead")
+      } else {
+        import spark.implicits._
+        Seq((k, lshBits)).toDF("k", "lsh_bits")
+          .write.mode("overwrite").parquet(sPath)
       }
       val delta = batch.toDF.withColumn("bucket",
           graft.api.GraftPipelines.signLshBucket(col("embedding"), lshBits, 0))
         .localCheckpoint()
-      val (prevVecs, prevEdges) = prevVersion(vPath) match {
-        case Some(v) => (spark.read.parquet(s"$vPath/v=$v"),
-          spark.read.parquet(s"$ePath/v=$v"))
-        case None => (delta.limit(0),
-          delta.limit(0).select(col("vec_id").as("src"),
-            col("vec_id").as("dst"), lit(0.0).as("cosine")))
-      }
-      val all = prevVecs.unionByName(delta).localCheckpoint()
-      val touched = delta.select(col("bucket")).distinct().localCheckpoint()
-      val srcBucket = all.select(col("vec_id").as("src"), col("bucket"))
-      val untouched = prevEdges.join(srcBucket, "src")
-        .join(touched, Seq("bucket"), "left_anti").drop("bucket")
-      val recomputed = graft.api.GraftPipelines.knnEdges(
-        all.join(touched, Seq("bucket"), "left_semi").drop("bucket"),
-        k, lshBits)
-      all.write.mode("overwrite").parquet(s"$vPath/v=$batchId")
-      untouched.unionByName(recomputed)
-        .write.mode("overwrite").parquet(s"$ePath/v=$batchId")
-      sink(spark.read.parquet(s"$ePath/v=$batchId"), batchId)
+      val touchedSet = delta.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      delta.write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$vPath/b=$batchId")
+      val priorTouchedPaths = for {
+        (b, bDir) <- subdirs(vPath, "b=") if b < batchId
+        (_, vDir) <- subdirs(bDir, "bucket=")
+          if touchedSet.contains(vDir.split("bucket=").last.toInt)
+      } yield vDir
+      val members =
+        if (priorTouchedPaths.isEmpty) delta
+        else delta.unionByName(spark.read
+          .option("basePath", vPath).parquet(priorTouchedPaths: _*)
+          .drop("b"))
+      val recomputed = graft.api.GraftPipelines
+        .knnEdges(members.drop("bucket"), k, lshBits)
+        .join(members.select(col("vec_id").as("src"), col("bucket")), "src")
+        .localCheckpoint()
+      recomputed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(ePath)
+      sink(recomputed.drop("bucket"), batchId)
     }
 
   /** Streaming MERGE/upsert maintenance: keep a keyed snapshot current

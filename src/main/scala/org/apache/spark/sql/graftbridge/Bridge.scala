@@ -29,23 +29,26 @@ object Bridge {
     * release the superseded round's blocks NOW, not at some future GC,
     * or peak storage grows O(rounds) instead of O(1).
     *
-    * A checkpointed Dataset's analyzed plan is a [[LogicalRDD]] leaf
+    * A checkpointed Dataset's analyzed plan IS a [[LogicalRDD]] leaf
     * wrapping the materialized RDD; unpersisting that RDD drops its
-    * blocks directly at the BlockManager. Returns the number of RDDs
-    * actually unpersisted (0 for a non-checkpointed frame — callers on
-    * plain cached frames should keep using `Dataset.unpersist`).
+    * blocks directly at the BlockManager. Only the TOP-LEVEL plan node
+    * is considered — deliberately: a derived frame's plan may CONTAIN
+    * checkpointed leaves that other live frames still read (e.g. an
+    * iterative round built on a caller's checkpointed input), and
+    * freeing those would strand the other frames on missing blocks
+    * with no recompute path (the checkpoint truncated their lineage).
+    * Returns 1 if blocks were freed, 0 otherwise (non-checkpointed or
+    * derived frame — callers on plain cached frames should keep using
+    * `Dataset.unpersist`; callers holding a derived frame must pass
+    * the checkpointed frame itself).
     */
   def unpersistCheckpointBlocks(ds: Dataset[_],
-      blocking: Boolean = false): Int = {
-    var n = 0
-    ds.queryExecution.analyzed.foreach {
-      case lr: LogicalRDD
-          if lr.rdd.getStorageLevel != StorageLevel.NONE =>
-        lr.rdd.unpersist(blocking); n += 1
-      case _ => ()
+      blocking: Boolean = false): Int =
+    ds.queryExecution.analyzed match {
+      case lr: LogicalRDD if lr.rdd.getStorageLevel != StorageLevel.NONE =>
+        lr.rdd.unpersist(blocking); 1
+      case _ => 0
     }
-    n
-  }
 }
 
 /** Type aliases for `private[sql]` Catalyst types that extension

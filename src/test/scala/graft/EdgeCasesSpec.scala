@@ -203,5 +203,16 @@ class EdgeCasesSpec extends SparkSpec {
       "checkpoint blocks must be gone after unpersistCheckpointBlocks")
     // non-checkpointed frame: nothing to free, helper reports 0
     assert(Bridge.unpersistCheckpointBlocks(Seq(1).toDF("x")) == 0)
+    // a DERIVED frame whose plan merely CONTAINS someone's checkpoint
+    // must not free it — other frames may still read those blocks and
+    // the truncated lineage leaves no recompute path (review finding)
+    val ck2 = Seq(4, 5).toDF("x").localCheckpoint()
+    val pinned2 = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(Bridge.unpersistCheckpointBlocks(
+      ck2.select((org.apache.spark.sql.functions.col("x") + 1).as("y")),
+      blocking = true) == 0)
+    assert((spark.sparkContext.getPersistentRDDs.keySet & pinned2) == pinned2,
+      "derived frame must leave the underlying checkpoint pinned")
+    assert(Bridge.unpersistCheckpointBlocks(ck2, blocking = true) == 1)
   }
 }

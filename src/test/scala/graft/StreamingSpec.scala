@@ -616,16 +616,16 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("knnMaintenanceLoop: touched-bucket maintenance equals the full " +
-      "rebuild after every micro-batch") {
+      "rebuild after every micro-batch; a scheme change fails loudly") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Seq[Float])]
     val vecs = mem.toDF().toDF("vec_id", "embedding")
     val stateDir = java.nio.file.Files
       .createTempDirectory("graft_knn_state").toString + "/knn"
-    @volatile var lastEdges: Set[(Long, Long)] = Set.empty
+    @volatile var changed: Set[(Long, Long)] = Set.empty
     val query = EventStreaming.knnMaintenanceLoop(vecs, stateDir) {
       (batch, _) =>
-        lastEdges = batch.collect()
+        changed = batch.collect()
           .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
     }
     val emb = Tables.embeddings(spark, sf)
@@ -636,20 +636,39 @@ class StreamingSpec extends SparkSpec {
         .filter(col("vec_id") < upTo), 3, 8)
       .select("src", "dst").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def state(): Set[(Long, Long)] = spark.read
+      .parquet(s"$stateDir/edges").select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     try {
       mem.addData(emb.filter(_._1 < 200).toSeq: _*)
       query.processAllAvailable()
-      assert(lastEdges == rebuild(200L), "bootstrap batch")
+      assert(state() == rebuild(200L), "bootstrap batch")
       mem.addData(emb.filter(t => t._1 >= 200 && t._1 < 350).toSeq: _*)
       query.processAllAvailable()
-      assert(lastEdges == rebuild(350L), "second ingest")
+      assert(state() == rebuild(350L), "second ingest")
+      assert(changed.subsetOf(state()) && changed.nonEmpty,
+        "the sink sees the changed (touched-bucket) edges")
       mem.addData(emb.filter(_._1 >= 350).toSeq: _*)
       query.processAllAvailable()
-      assert(lastEdges == rebuild(Long.MaxValue), "final ingest")
-      // copy-on-write versions: one per batch, all retained
-      val eDirs = new java.io.File(s"$stateDir/edges").listFiles()
-        .map(_.getName).filter(_.startsWith("v=")).sorted.toSeq
-      assert(eDirs == Seq("v=0", "v=1", "v=2"))
+      assert(state() == rebuild(Long.MaxValue), "final ingest")
+      // delta-sized vector state: one b= dir per batch, all retained
+      val vDirs = new java.io.File(s"$stateDir/vectors").listFiles()
+        .map(_.getName).filter(_.startsWith("b=")).sorted.toSeq
+      assert(vDirs == Seq("b=0", "b=1", "b=2"))
     } finally query.stop()
+    // restarting against the same state with a widened signature must
+    // refuse (edges built under one bucketing are meaningless under
+    // another) — the scheme marker makes the failure loud
+    val mem2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = EventStreaming.knnMaintenanceLoop(
+      mem2.toDF().toDF("vec_id", "embedding"), stateDir, lshBits = 12)()
+    try {
+      mem2.addData((9999L, Seq.fill(64)(0.1f)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("lshBits") ||
+        Option(e.getCause).exists(_.getMessage.contains("lshBits")))
+    } finally q2.stop()
   }
 }
