@@ -457,6 +457,48 @@ object GraftPipelines {
     state
   }
 
+  /** Iterative k-core peel (Seidman 1983; the Batagelj–Zaveršnik peel
+    * truncated at a FIXED round count so the SQL oracle can unroll it —
+    * per-round degree aggregation is not expressible in a recursive
+    * CTE): each round drops every surviving node whose degree among
+    * survivors is < `kMin`. After `rounds` rounds, reports membership
+    * and the surviving-subgraph degree. A chain peels one layer per
+    * round, so truncation can leave a supergraph of the true core —
+    * both engines run the IDENTICAL rounds, so the hash check is exact
+    * regardless; callers wanting the fixpoint raise `rounds`.
+    *
+    * 100 TB: per round one edge-keyed join against the (shrinking)
+    * survivor set + one degree aggregate; survivor state is node-sized,
+    * checkpointed, prior round freed.
+    */
+  def kcorePeel(edges: DataFrame, nodes: DataFrame, kMin: Int,
+      rounds: Int): DataFrame = {
+    val dirE = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint()
+    var alive = nodes.select(col("node")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val deg = dirE
+        .join(alive, dirE("a") === alive("node")).select(col("a"), col("b"))
+        .join(alive.select(col("node").as("nb")), col("b") === col("nb"))
+        .groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      val prev = alive
+      alive = deg.filter(col("deg") >= kMin)
+        .select(col("a").as("node")).localCheckpoint()
+      Bridge.unpersistCheckpointBlocks(prev)
+    }
+    val coreDeg = dirE
+      .join(alive, dirE("a") === alive("node")).select(col("a"), col("b"))
+      .join(alive.select(col("node").as("nb")), col("b") === col("nb"))
+      .groupBy(col("a")).agg(count(lit(1)).as("core_deg"))
+    nodes
+      .join(alive.withColumn("in_core", lit(1)), Seq("node"), "left_outer")
+      .join(coreDeg.withColumnRenamed("a", "node"), Seq("node"), "left_outer")
+      .select(col("node"),
+        coalesce(col("in_core"), lit(0)).cast("int").as("in_core"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+  }
+
   /** Per-node triangle count + local clustering coefficient over an
     * undirected `(u < v)` edge list, by the oriented wedge join
     * (Schank & Wagner 2005: a<b<c ⇒ edge(a,b) ⋈ edge(b,c) ⋈ edge(a,c)),

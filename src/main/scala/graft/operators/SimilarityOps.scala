@@ -43,7 +43,9 @@ object SimilarityOps {
   private val COS_SCALE = 1073741824.0 // 2^30 fixed-point for cosine means
   private val COS_SCALE_SQL = "1073741824.0"
   private val LP_ITERS = 3 // label-propagation rounds, unrolled in the oracle
-  private val QUOTA = 16   // cluster-quota picks per kmeans cluster
+  private val QUOTA = 16     // cluster-quota picks per kmeans cluster
+  private val KCORE_MIN = 2  // k-core threshold over the mutual graph
+  private val KCORE_ROUNDS = 4 // peel rounds, unrolled in the oracle
 
   /** Directed (src, dst, cosine) edges → undirected (u, v, cosine,
     * mutual) presentation shared by llm_knn_graph and its incremental
@@ -225,6 +227,20 @@ object SimilarityOps {
        |FROM (SELECT least(src, dst) AS u, greatest(src, dst) AS v,
        |       cosine FROM knn)
        |GROUP BY u, v ORDER BY u, v""".stripMargin
+
+  /** One k-core peel round ([[graft.api.GraftPipelines.kcorePeel]] as
+    * CTEs): degree among survivors, then the `>= KCORE_MIN` filter.
+    * `a$r` is MATERIALIZED — referenced twice by the next round's
+    * degree join (both endpoints).
+    */
+  private def kcoreIterSql(r: Int): String = {
+    val prev = if (r == 1) "a0" else s"a${r - 1}"
+    s"""d$r AS (SELECT e.a, count(*) AS deg
+       |  FROM edges e JOIN $prev p ON p.node = e.a
+       |  JOIN $prev q ON q.node = e.b GROUP BY e.a),
+       |a$r AS MATERIALIZED (
+       |  SELECT a AS node FROM d$r WHERE deg >= $KCORE_MIN)""".stripMargin
+  }
 
   /** One damped integer-rank round (the
     * [[graft.api.GraftPipelines.integerPagerank]] arithmetic as CTEs —
@@ -566,6 +582,23 @@ object SimilarityOps {
         .labelPropagate(mutualEdges(s, dir), seeds, LP_ITERS)
         .select($"node".as("vec_id"), $"lab".cast("int").as("label_prop"),
           $"seed".as("is_seed"))
+        .orderBy($"vec_id")
+    }),
+
+    // 4-round peel toward the 2-core of the mutual-kNN graph (Seidman
+    // 1983): drop nodes with < 2 surviving mutual neighbors each round.
+    // What survives is the densely-interconnected residue — near-dup
+    // nests and boilerplate families whose members all endorse each
+    // other — separated from the tree-like periphery triangles alone
+    // miss. Truncated-fixpoint honesty: both engines run the identical
+    // unrolled rounds, so the hash check is exact regardless of
+    // whether a longer chain would keep peeling.
+    "llm_kcore_peel" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.GraftPipelines.kcorePeel(mutualEdges(s, dir),
+          Tables.embeddings(s, dir).select($"vec_id".as("node")),
+          KCORE_MIN, KCORE_ROUNDS)
+        .select($"node".as("vec_id"), $"in_core", $"core_deg")
         .orderBy($"vec_id")
     }),
 
@@ -1469,6 +1502,24 @@ object SimilarityOps {
          |SELECT node AS vec_id, CAST(lab AS INTEGER) AS label_prop,
          | CAST(seed AS INTEGER) AS is_seed
          |FROM l$LP_ITERS ORDER BY vec_id""".stripMargin,
+
+    "llm_kcore_peel" ->
+      s"""WITH ${knnEdgesCtes(3)},
+         |$mutCteSql,
+         |edges AS MATERIALIZED (
+         |  SELECT a, b FROM mut UNION ALL SELECT b AS a, a AS b FROM mut),
+         |a0 AS MATERIALIZED (SELECT vec_id AS node FROM embeddings),
+         |${(1 to KCORE_ROUNDS).map(kcoreIterSql).mkString(",\n")},
+         |fd AS (SELECT e.a, count(*) AS core_deg
+         |  FROM edges e JOIN a$KCORE_ROUNDS p ON p.node = e.a
+         |  JOIN a$KCORE_ROUNDS q ON q.node = e.b GROUP BY e.a)
+         |SELECT v.vec_id,
+         | CAST(CASE WHEN c.node IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+         |   AS in_core,
+         | CAST(coalesce(f.core_deg, 0) AS BIGINT) AS core_deg
+         |FROM embeddings v LEFT JOIN a$KCORE_ROUNDS c ON c.node = v.vec_id
+         |LEFT JOIN fd f ON f.a = v.vec_id
+         |ORDER BY v.vec_id""".stripMargin,
 
     "llm_graph_triangles" ->
       s"""WITH ${knnEdgesCtes(3)},

@@ -650,6 +650,22 @@ class SimilarityOpsSpec extends SparkSpec {
       6L -> -1, 7L -> 9, 8L -> 9, 9L -> 9))
   }
 
+  test("kcorePeel: a path peels from the ends inward, a triangle is " +
+      "the surviving 2-core, isolated nodes drop immediately") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (6L, 8L), (7L, 8L)).toDF("u", "v")
+    val nodes = (1L to 9L).toDF("node")
+    def run(rounds: Int) = graft.api.GraftPipelines
+      .kcorePeel(edges, nodes, 2, rounds).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val r1 = run(1) // one round: only the path ENDPOINTS (+isolated) drop
+    assert(r1.filter(_._2._1 == 1).keySet == Set(2L, 3L, 4L, 6L, 7L, 8L))
+    val r4 = run(4) // fixpoint here: the whole path has peeled
+    assert(r4.filter(_._2._1 == 1).keySet == Set(6L, 7L, 8L))
+    Seq(6L, 7L, 8L).foreach(n => assert(r4(n) == ((1, 2L))))
+    Seq(1L, 2L, 3L, 4L, 5L, 9L).foreach(n => assert(r4(n) == ((0, 0L))))
+  }
+
   test("triangleStats: each triangle counted once per member; exact " +
       "fixed-point clustering coefficient; absent nodes report zeros") {
     // K3 {1,2,3} + pendant 4 on node 3 + isolated node 5
