@@ -1236,18 +1236,23 @@ object SimilarityOps {
       val wmax = (1 to DIM).map(i => s"abs(w$i)").mkString(", ")
       s"m$k AS (SELECT *, greatest($wmax) AS wmax FROM w$k)"
     }
+    // v$k MATERIALIZED: the next round references it twice and the
+    // final unpivot references v$PCA_ITERS 64 times — inlined, DuckDB
+    // re-evaluates the whole upstream chain (including the embeddings
+    // scan) per reference and OOMs at check.py's 8 GB cap on the
+    // 32-file layout (where parallel scan buffering is larger).
     def vCte(k: Int): String = {
       val sel = (1 to DIM)
         .map(i => s"(w$i * $PCA_VSCALE) // wmax AS vv$i")
         .mkString(", ")
-      s"v$k AS (SELECT $sel FROM m$k)"
+      s"v$k AS MATERIALIZED (SELECT $sel FROM m$k)"
     }
     val rounds = (1 to PCA_ITERS)
       .flatMap(k => Seq(sCte(k), wCte(k), mCte(k), vCte(k))).mkString(",\n")
     val unpivot = (1 to DIM)
       .map(i => s"SELECT $i AS dim_idx, CAST(vv$i AS BIGINT) AS loading FROM v$PCA_ITERS")
       .mkString(" UNION ALL ")
-    s"""WITH q AS (
+    s"""WITH q AS MATERIALIZED (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * $PCA_QSCALE) AS BIGINT)) AS qv
        |  FROM embeddings),
