@@ -86,7 +86,8 @@ object Bench {
     "llm_embed_pq_served", "llm_embed_ivf_served", "llm_embed_ivfpq",
     "llm_ann_recall", "llm_retrieval_eval", "llm_knn_graph",
     "llm_knn_incremental", "llm_lsh_occupancy",
-    "llm_graph_centrality", "llm_mutual_knn_cc",
+    "llm_graph_centrality", "llm_graph_centrality_weighted",
+    "llm_mutual_knn_cc",
     "llm_label_prop", "llm_graph_triangles", "llm_kcore_peel",
     "llm_hard_negatives", "llm_embed_pca", "llm_kcenter", "llm_probe_auc",
     "llm_cluster_silhouette", "llm_cluster_quota",

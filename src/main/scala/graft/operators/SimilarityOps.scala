@@ -45,6 +45,7 @@ object SimilarityOps {
   private val LP_ITERS = 3 // label-propagation rounds, unrolled in the oracle
   private val QUOTA = 16     // cluster-quota picks per kmeans cluster
   private val KCORE_MIN = 2  // k-core threshold over the mutual graph
+  private val WRANK_SCALE = 1048576L // 2^20 edge-weight quantization
   private val KCORE_ROUNDS = 4 // peel rounds, unrolled in the oracle
 
   /** Directed (src, dst, cosine) edges → undirected (u, v, cosine,
@@ -165,8 +166,9 @@ object SimilarityOps {
     s"""kb AS (SELECT vec_id, embedding,
        |  ${bucketSql("embedding")} AS bucket FROM embeddings),
        |knn AS MATERIALIZED (
-       |  SELECT src, dst FROM (
+       |  SELECT src, dst, cosine FROM (
        |    SELECT a.vec_id AS src, c.vec_id AS dst,
+       |     ${cosineSql("a.embedding", "c.embedding")} AS cosine,
        |     row_number() OVER (PARTITION BY a.vec_id
        |       ORDER BY ${cosineSql("a.embedding", "c.embedding")} DESC,
        |         c.vec_id) AS rn
@@ -227,6 +229,24 @@ object SimilarityOps {
        |FROM (SELECT least(src, dst) AS u, greatest(src, dst) AS v,
        |       cosine FROM knn)
        |GROUP BY u, v ORDER BY u, v""".stripMargin
+
+  /** The damped integer-rank oracle, parameterized on the per-edge
+    * weight expression over the `knn` CTE — `CAST(1 AS BIGINT)` is
+    * llm_graph_centrality, the shifted-cosine floor is its weighted
+    * twin.
+    */
+  private def centralityOracleSql(weightSql: String): String =
+    s"""WITH ${knnEdgesCtes(3)},
+       |edges AS (SELECT src, dst, $weightSql AS n FROM knn),
+       |nodes AS (SELECT vec_id AS node FROM embeddings),
+       |vc AS (SELECT count(*) AS vcnt FROM nodes),
+       |outw AS (SELECT src, sum(n) AS outn FROM edges GROUP BY 1),
+       |r0 AS (SELECT node, CAST($RANK_MASS AS BIGINT) // vcnt AS r
+       |       FROM nodes CROSS JOIN vc),
+       |${(1 to RANK_ITERS).map(centralityIterSql).mkString(",\n")}
+       |SELECT node AS vec_id, CAST(r AS BIGINT) AS rank_scaled
+       |FROM r$RANK_ITERS
+       |ORDER BY rank_scaled DESC, vec_id""".stripMargin
 
   /** One k-core peel round ([[graft.api.GraftPipelines.kcorePeel]] as
     * CTEs): degree among survivors, then the `>= KCORE_MIN` filter.
@@ -513,6 +533,30 @@ object SimilarityOps {
       val emb = Tables.embeddings(s, dir)
       val edges = graft.api.GraftPipelines.knnEdges(emb, 3, LSH_BITS)
         .select($"src", $"dst").withColumn("n", lit(1L))
+        .localCheckpoint()
+      val nodes = emb.select($"vec_id".as("node"))
+      graft.api.GraftPipelines
+        .integerPagerank(edges, nodes, RANK_ITERS, RANK_MASS)
+        .select($"node".as("vec_id"), $"r".as("rank_scaled"))
+        .orderBy($"rank_scaled".desc, $"vec_id")
+    }),
+
+    // Cosine-weighted stationary rank: the same damped integer rank,
+    // but each neighbor edge carries weight floor((cos+1)·2^20)
+    // (shifted positive, clamped ≥ 1) — contributions flow in
+    // proportion to similarity STRENGTH, so a hub of strong near-dup
+    // edges outranks an equal-degree hub of weak ones. The weight
+    // quantization is a floor of bit-identical doubles at a power of
+    // two, so both engines derive the exact same integer weights and
+    // the rank arithmetic stays unit-exact (integerPagerank already
+    // takes per-edge weights — weight 1 IS llm_graph_centrality).
+    "llm_graph_centrality_weighted" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val edges = graft.api.GraftPipelines.knnEdges(emb, 3, LSH_BITS)
+        .select($"src", $"dst",
+          greatest(lit(1L), floor(($"cosine" + lit(1.0d)) *
+            lit(WRANK_SCALE.toDouble)).cast("long")).as("n"))
         .localCheckpoint()
       val nodes = emb.select($"vec_id".as("node"))
       graft.api.GraftPipelines
@@ -1447,18 +1491,13 @@ object SimilarityOps {
          |   AS INTEGER) AS hits_at_10
          |FROM ranked GROUP BY qid, qlabel ORDER BY qid""".stripMargin,
 
-    "llm_graph_centrality" ->
-      s"""WITH ${knnEdgesCtes(3)},
-         |edges AS (SELECT src, dst, CAST(1 AS BIGINT) AS n FROM knn),
-         |nodes AS (SELECT vec_id AS node FROM embeddings),
-         |vc AS (SELECT count(*) AS vcnt FROM nodes),
-         |outw AS (SELECT src, sum(n) AS outn FROM edges GROUP BY 1),
-         |r0 AS (SELECT node, CAST($RANK_MASS AS BIGINT) // vcnt AS r
-         |       FROM nodes CROSS JOIN vc),
-         |${(1 to RANK_ITERS).map(centralityIterSql).mkString(",\n")}
-         |SELECT node AS vec_id, CAST(r AS BIGINT) AS rank_scaled
-         |FROM r$RANK_ITERS
-         |ORDER BY rank_scaled DESC, vec_id""".stripMargin,
+    "llm_graph_centrality" -> centralityOracleSql("CAST(1 AS BIGINT)"),
+
+    // identical rank unroll, edge weight = the engine's shifted-cosine
+    // floor at 2^20 (bit-identical doubles → identical integers)
+    "llm_graph_centrality_weighted" -> centralityOracleSql(
+      "greatest(CAST(1 AS BIGINT), " +
+        s"CAST(floor((cosine + 1.0) * $WRANK_SCALE.0) AS BIGINT))"),
 
     // cedges is MATERIALIZED: without it DuckDB re-inlines the whole
     // kb→knn→mut chain (64-dim cosine window join) into EVERY recursion

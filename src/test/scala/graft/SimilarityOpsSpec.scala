@@ -650,6 +650,22 @@ class SimilarityOpsSpec extends SparkSpec {
       6L -> -1, 7L -> 9, 8L -> 9, 9L -> 9))
   }
 
+  test("weighted integerPagerank: contributions flow by weight, and " +
+      "the weighted corpus entry genuinely differs from weight-1") {
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    // 1 → 2 carries 9× the weight of 1 → 3: rank(2) must beat rank(3)
+    val edges = Seq((1L, 2L, 9L), (1L, 3L, 1L)).toDF("src", "dst", "n")
+    val r = graft.api.GraftPipelines
+      .integerPagerank(edges, nodes, 3, 1000000000L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(2L) > r(3L), s"strong edge must attract more mass: $r")
+    def ranks(name: String) = q(name).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(ranks("llm_graph_centrality_weighted") !=
+      ranks("llm_graph_centrality"),
+      "cosine weights must change the stationary distribution")
+  }
+
   test("kcorePeel: a path peels from the ends inward, a triangle is " +
       "the surviving 2-core, isolated nodes drop immediately") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
