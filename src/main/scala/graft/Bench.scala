@@ -34,6 +34,7 @@ object Bench {
     "ev_sliding_1h15m", "ev_session_window", "ev_asof_join", "ev_range_join",
     "ev_interval_join", "ev_follow_band",
     "ev_transitions", "ev_top_paths", "ev_markov_rank", "ev_drift", "ev_ewma",
+    "ev_cusum",
     "ev_attribution", "ev_seasonal_residual",
     "ev_value_histogram", "ev_heatmap", "ev_funnel", "ev_retention",
     "ev_anomaly", "ev_anomaly_mad", "ev_rate_1m", "ev_stickiness",

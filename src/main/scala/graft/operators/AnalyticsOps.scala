@@ -194,6 +194,38 @@ object AnalyticsOps {
     // The fold runs over the hour-ordered list exactly as DuckDB's
     // list_reduce does (seeded with the first element; re-applying it
     // is the identity step), so the two engines share one recurrence.
+    // CUSUM change detection (Page, Biometrika 1954) per event type
+    // over hourly arrival counts — the drift ALARM that complements
+    // ev_drift (distribution shift) and ev_ewma (smoothed level):
+    // S_i = max(0, S_{i-1} + d_i) accumulates only SUSTAINED positive
+    // deviation and resets on quiet hours. The reset-at-zero scan is
+    // non-associative, but the prefix-sum identity
+    // S_i = P_i − min(0, min_{j≤i} P_j) makes it two ordinary window
+    // passes — no recursion, no UDAF, and the oracle mirrors it
+    // verbatim. Everything integer: the deviation is cross-multiplied
+    // by the per-type observed-hour count H (d_i = n_i·H − total −
+    // total div 10, i.e. (n_i − mean − 10 % slack)·H), the alarm
+    // threshold is two mean-hours of excess (S > 2·total).
+    "ev_cusum" -> ((s, dir) => {
+      import s.implicits._
+      val hourly = EventOps.events(s, dir)
+        .groupBy($"event_type", floorDiv("ts_ms", 3600000L).as("hour_idx"))
+        .agg(count(lit(1)).as("n"))
+      val wt = Window.partitionBy($"event_type")
+      val w = Window.partitionBy($"event_type").orderBy($"hour_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hourly
+        .withColumn("h_cnt", count(lit(1)).over(wt))
+        .withColumn("total", sum($"n").over(wt))
+        .withColumn("d", $"n" * $"h_cnt" - $"total" - expr("total div 10"))
+        .withColumn("p", sum($"d").over(w))
+        .withColumn("cusum_scaled",
+          $"p" - least(lit(0L), min($"p").over(w)))
+        .withColumn("alarm", ($"cusum_scaled" > $"total" * 2).cast("int"))
+        .select($"event_type", $"hour_idx", $"n", $"cusum_scaled", $"alarm")
+        .orderBy($"event_type", $"hour_idx")
+    }),
+
     "ev_ewma" -> ((s, dir) => {
       import s.implicits._
       val ev = EventOps.events(s, dir)
@@ -234,6 +266,31 @@ object AnalyticsOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // verbatim mirror of the engine's two window passes; DuckDB sums
+    // widen to HUGEINT, cast back at every boundary
+    "ev_cusum" -> {
+      val hourIdx = graft.functions.Fns.floorDivDuckSql("epoch_ms(ts)", 3600000L)
+      s"""WITH h AS (
+         |  SELECT event_type, $hourIdx AS hour_idx, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS h_cnt,
+         |       CAST(sum(n) AS BIGINT) AS total FROM h GROUP BY 1),
+         |d AS (SELECT h.event_type, hour_idx, n, total,
+         |       n * h_cnt - total - total // 10 AS d
+         |      FROM h JOIN t USING (event_type)),
+         |p AS (SELECT *, CAST(sum(d) OVER (PARTITION BY event_type
+         |       ORDER BY hour_idx ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+         |      FROM d),
+         |c AS (SELECT *, p - least(CAST(0 AS BIGINT),
+         |       CAST(min(p) OVER (PARTITION BY event_type ORDER BY hour_idx
+         |         ROWS UNBOUNDED PRECEDING) AS BIGINT)) AS s
+         |      FROM p)
+         |SELECT event_type, hour_idx, CAST(n AS BIGINT) AS n,
+         | CAST(s AS BIGINT) AS cusum_scaled,
+         | CAST(s > total * 2 AS INTEGER) AS alarm
+         |FROM c ORDER BY event_type, hour_idx""".stripMargin
+    },
+
     "ev_drift" ->
       s"""WITH b AS (
          |  SELECT min(epoch_ms(ts)) AS mn, max(epoch_ms(ts)) AS mx,

@@ -153,4 +153,22 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out("onesided").getAs[Long]("tvd_scaled") == 0L)
     assert(out("onesided").isNullAt(out("onesided").fieldIndex("tvd")))
   }
+
+  test("ev_cusum: the prefix-sum window form equals the sequential " +
+      "reset-at-zero scan, row for row") {
+    val byType = q("ev_cusum").collect().groupBy(_.getString(0))
+    assert(byType.nonEmpty)
+    byType.foreach { case (tpe, rs0) =>
+      val rs = rs0.sortBy(_.getLong(1))
+      val ns = rs.map(_.getLong(2))
+      val h = ns.length.toLong
+      val total = ns.sum
+      var s = 0L
+      rs.zip(ns).foreach { case (r, ni) =>
+        s = math.max(0L, s + (ni * h - total - total / 10))
+        assert(r.getLong(3) == s, s"$tpe cusum diverges at $r")
+        assert(r.getInt(4) == (if (s > 2 * total) 1 else 0))
+      }
+    }
+  }
 }
