@@ -89,7 +89,8 @@ object Bench {
     "llm_knn_incremental", "llm_lsh_occupancy",
     "llm_graph_centrality", "llm_graph_centrality_weighted",
     "llm_mutual_knn_cc",
-    "llm_label_prop", "llm_graph_triangles", "llm_kcore_peel",
+    "llm_label_prop", "llm_label_prop_eval", "llm_graph_triangles",
+    "llm_kcore_peel",
     "llm_hard_negatives", "llm_embed_pca", "llm_kcenter", "llm_probe_auc",
     "llm_cluster_silhouette", "llm_cluster_quota",
     "llm_source_centroid_sim", "llm_global_shuffle",

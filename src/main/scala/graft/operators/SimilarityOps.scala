@@ -646,6 +646,33 @@ object SimilarityOps {
         .orderBy($"vec_id")
     }),
 
+    // Held-out evaluation of the label spread: every NON-seed vector
+    // has a gold label the propagation never saw, so per gold class we
+    // can score coverage (how many non-seeds got any label) and
+    // accuracy (how many got the right one) — the number that decides
+    // whether the cheap spreading pass is good enough to weak-label
+    // the corpus. Pure re-aggregation over the same propagation.
+    "llm_label_prop_eval" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val seeds = emb.select($"vec_id".as("node"),
+        when($"vec_id" % 5 === 0, $"label").otherwise(lit(-1))
+          .cast("int").as("lab"),
+        ($"vec_id" % 5 === 0).cast("int").as("seed"))
+      graft.api.GraftPipelines
+        .labelPropagate(mutualEdges(s, dir), seeds, LP_ITERS)
+        .filter($"seed" === 0)
+        .join(emb.select($"vec_id".as("node"), $"label".as("gold")), "node")
+        .groupBy($"gold")
+        .agg(count(lit(1)).as("n_nonseed"),
+          sum(($"lab" =!= -1).cast("long")).as("n_labeled"),
+          sum(($"lab" === $"gold").cast("long")).as("n_correct"))
+        .withColumn("acc_x1000",
+          when($"n_labeled" > 0, expr("(1000 * n_correct) div n_labeled"))
+            .otherwise(lit(0L)))
+        .orderBy($"gold")
+    }),
+
     // Per-vector triangle count + local clustering coefficient over the
     // mutual-kNN graph — the local-density signal that separates tight
     // semantic clusters (high coefficient: neighbors also know each
@@ -1564,6 +1591,32 @@ object SimilarityOps {
          |FROM embeddings v LEFT JOIN a$KCORE_ROUNDS c ON c.node = v.vec_id
          |LEFT JOIN fd f ON f.a = v.vec_id
          |ORDER BY v.vec_id""".stripMargin,
+
+    // same propagation CTEs, re-aggregated per gold class over the
+    // held-out (non-seed) population
+    "llm_label_prop_eval" ->
+      s"""WITH ${knnEdgesCtes(3)},
+         |$mutCteSql,
+         |edges AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM mut
+         |  UNION ALL SELECT b AS src, a AS dst FROM mut),
+         |l0 AS MATERIALIZED (SELECT vec_id AS node,
+         |  CASE WHEN vec_id % 5 = 0 THEN label ELSE -1 END AS lab,
+         |  CAST(vec_id % 5 = 0 AS INTEGER) AS seed FROM embeddings),
+         |${(1 to LP_ITERS).map(labelPropIterSql).mkString(",\n")},
+         |agg AS (
+         |  SELECT e.label AS gold, count(*) AS n_nonseed,
+         |   CAST(sum(CASE WHEN l.lab <> -1 THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS n_labeled,
+         |   CAST(sum(CASE WHEN l.lab = e.label THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS n_correct
+         |  FROM l$LP_ITERS l JOIN embeddings e ON e.vec_id = l.node
+         |  WHERE l.seed = 0 GROUP BY 1)
+         |SELECT gold, n_nonseed, n_labeled, n_correct,
+         | CAST(CASE WHEN n_labeled > 0
+         |   THEN (1000 * n_correct) // n_labeled ELSE 0 END AS BIGINT)
+         |   AS acc_x1000
+         |FROM agg ORDER BY gold""".stripMargin,
 
     "llm_graph_triangles" ->
       s"""WITH ${knnEdgesCtes(3)},

@@ -682,6 +682,26 @@ class SimilarityOpsSpec extends SparkSpec {
     Seq(1L, 2L, 3L, 4L, 5L, 9L).foreach(n => assert(r4(n) == ((0, 0L))))
   }
 
+  test("llm_label_prop_eval: per-class accounting is consistent with " +
+      "the propagation output") {
+    val prop = q("llm_label_prop").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val gold = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nonSeed = prop.filter(_._3 == 0)
+    val rows = q("llm_label_prop_eval").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows.values.map(_._1).sum == nonSeed.length)
+    rows.foreach { case (_, (n, l, c)) => assert(c <= l && l <= n) }
+    // re-derive per-class correct counts from the propagation itself
+    val want = nonSeed.groupBy(t => gold(t._1)).map { case (g, ts) =>
+      g -> ts.count(t => t._2 == g).toLong
+    }
+    assert(rows.map { case (g, (_, _, c)) => g -> c } == want)
+  }
+
   test("triangleStats: each triangle counted once per member; exact " +
       "fixed-point clustering coefficient; absent nodes report zeros") {
     // K3 {1,2,3} + pendant 4 on node 3 + isolated node 5
