@@ -86,9 +86,10 @@ object Bench {
     "llm_embed_lsh_knn", "llm_embed_lsh_knn2", "llm_embed_pq",
     "llm_embed_pq_served", "llm_embed_ivf_served", "llm_embed_ivfpq",
     "llm_ann_recall", "llm_retrieval_eval", "llm_knn_graph",
-    "llm_knn_incremental", "llm_lsh_occupancy",
+    "llm_knn_graph_wide",
+    "llm_knn_incremental", "llm_knn_incremental_wide", "llm_lsh_occupancy",
     "llm_graph_centrality", "llm_graph_centrality_weighted",
-    "llm_mutual_knn_cc",
+    "llm_mutual_knn_cc", "llm_mutual_knn_served",
     "llm_label_prop", "llm_label_prop_eval", "llm_graph_triangles",
     "llm_kcore_peel",
     "llm_hard_negatives", "llm_embed_pca", "llm_kcenter", "llm_probe_auc",
@@ -127,7 +128,7 @@ object Bench {
     // timed figure below is then the production per-query cost: the
     // pruned/served READ.
     Seq("ev_partition_pruned", "llm_embed_pq_served", "llm_embed_ivf_served",
-        "llm_ppjoin_served", "llm_neardup_served")
+        "llm_ppjoin_served", "llm_neardup_served", "llm_mutual_knn_served")
       .filter(selected.contains).foreach { n =>
         SparkEntry.queries(n)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()
@@ -220,9 +221,36 @@ object Bench {
     // bench_multifile.json, whose corpus dir is NOT the sf0.1 headline
     // dir): full-headline zero-failure runs only, same as the default
     val outOverride = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    // Recording-discipline guard (rounds 7 and 9 both saw the driver's
+    // routine run committed OVER a healthier definitive recording): an
+    // artifact on disk whose control_sec is LOWER (healthier host) than
+    // this run's wins — refuse the overwrite unless explicitly forced
+    // with SPARK_GRAFT_BENCH_FORCE=1. The control is the comparator, not
+    // the total: a lower control means the recording's host was closer
+    // to quiet, so its per-query minima are the better estimates.
+    def keepExisting(path: String): Boolean = {
+      val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
+      if (force) return false
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) return false
+      val prior = """"control_sec":([0-9.]+)""".r
+        .findFirstMatchIn(java.nio.file.Files.readString(p))
+        .map(_.group(1).toDouble)
+      (prior, controlSec) match {
+        case (Some(old), Some(now)) if old < now =>
+          System.err.println(
+            f"[bench] $path holds a healthier recording (control $old%.3f" +
+              f" < $now%.3f) - left untouched (SPARK_GRAFT_BENCH_FORCE=1" +
+              " to overwrite)")
+          true
+        case _ => false
+      }
+    }
     if (failed > 0)
       System.err.println(
         s"[bench] $failed quer${if (failed == 1) "y" else "ies"} failed - bench_result.json left untouched")
+    else if (outOverride.isDefined && selected == headline &&
+             keepExisting(outOverride.get)) ()
     else if (outOverride.isDefined && selected == headline)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outOverride.get), line + "\n")
@@ -239,6 +267,7 @@ object Bench {
       // regression to anyone reading only the JSON
       System.err.println(
         s"[bench] non-sf0.1 corpus ($sfDir) - bench_result.json left untouched")
+    else if (selected == headline && keepExisting("bench_result.json")) ()
     else if (selected == headline)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_result.json"), line + "\n")

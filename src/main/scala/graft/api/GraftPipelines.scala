@@ -1473,7 +1473,14 @@ object GraftPipelines {
       id: String = "doc_id", text: String = "text"): DataFrame = {
     val evalGrams = corpusGramIndex(evalSet, n, id, text)
       .select(col("g")).distinct().localCheckpoint()
-    val bf = evalGrams.stat.bloomFilter("g", expectedItems, fpp)
+    // Size from the MEASURED distinct-gram count (evalGrams is already
+    // eagerly materialized), floored at the caller's hint: an eval suite
+    // larger than the hint would otherwise silently degrade fpp until
+    // the prune stops pruning — correctness would hold (the downstream
+    // join is the exact confirm) but the 100 TB shuffle reduction, the
+    // entire point of this entry, would quietly evaporate.
+    val bf = evalGrams.stat.bloomFilter("g",
+      math.max(expectedItems, evalGrams.count()), fpp)
     val os = new java.io.ByteArrayOutputStream()
     bf.writeTo(os)
     val pruned = corpusGramIndex(corpus, n, id, text)

@@ -242,6 +242,19 @@ object VectorExpressions {
       org.apache.spark.util.sketch.BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(bloomBytes))
 
+    // Array[Byte] equality is reference-based, so the synthesized
+    // case-class equals would make two semantically identical probes
+    // compare unequal — defeating Catalyst canonicalization and thus
+    // subexpression elimination / plan-fragment reuse whenever the same
+    // filter is built twice. Compare (and hash) the BYTES instead.
+    override def equals(other: Any): Boolean = other match {
+      case BloomMightContainLong(c, b) =>
+        c == child && java.util.Arrays.equals(b, bloomBytes)
+      case _ => false
+    }
+    override def hashCode(): Int =
+      31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+
     override def nullSafeEval(input: Any): Any =
       bloom.mightContainLong(input.asInstanceOf[Long])
 

@@ -29,6 +29,10 @@ object SimilarityOps {
   private val DIM = 64
   private val NQ = 5    // query vectors: vec_id < NQ
   private val LSH_BITS = 8
+  private val LSH_BITS_WIDE = 12 // the widened scheme (DevGraph: at 10×
+                                 // data, 8-bit candidate mass grows 89×
+                                 // and incremental recompute hits 99%;
+                                 // 12 bits holds 13× less mass, 28%)
   private val NC = 16   // IVF coarse centroids: vec_id < NC
   private val NPROBE = 2
   private val KM_K = 8      // k-means clusters (init = first KM_K vectors)
@@ -78,6 +82,79 @@ object SimilarityOps {
       .filter($"src" < $"dst")
       .select($"src".as("u"), $"dst".as("v"))
   }
+
+  /** The build/serve split of the mutual-kNN graph: [[mutualEdges]]
+    * written to parquet ONCE (offline, Bench-warmed, corpus-mtime +
+    * parameter keyed — the same `GraftIO.buildOnce` idiom as the
+    * PPJoin/band/IVF/PQ serve entries), then every graph analysis reads
+    * the edge table back. Before this split, label-prop, k-core,
+    * triangles, and the label-prop eval each refit the full kNN graph
+    * from the corpus — at 100 TB that is four redundant corpus-scaled
+    * bucketed self-joins per analysis pass; served, each analysis is a
+    * join-and-aggregate over an ~n·k-row edge table. Output (and thus
+    * every consumer's oracle) is identical — the split is a storage
+    * refactor, not a semantic one.
+    */
+  private def mutualEdgesServed(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.sources.GraftIO.buildOnce(
+        indexFixtureDir(dir, "mutualknn", s"k=3,bits=$LSH_BITS")) { tmp =>
+      mutualEdges(s, dir).write.parquet(s"$tmp/mutual.parquet")
+    }
+    s.read.parquet(s"$idx/mutual.parquet")
+  }
+
+  /** Mutual-kNN connected components over `edges(s, dir)` — shared by
+    * llm_mutual_knn_cc (refit) and llm_mutual_knn_served (read-back);
+    * both hash against the same oracle.
+    */
+  private def mutualKnnCcEntry(s: SparkSession, dir: String,
+      edges: (SparkSession, String) => DataFrame): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val pairs = edges(s, dir)
+      .select($"u".as("src"), $"v".as("dst"))
+      .unionByName(emb.select($"vec_id".as("src"), $"vec_id".as("dst")))
+    val comp = graft.api.GraftPipelines
+      .dupClusters(pairs, "src", "dst", "vec_id")
+      .withColumnRenamed("cluster_id", "component_id")
+      .localCheckpoint()
+    val sizes = comp.groupBy($"component_id")
+      .agg(count(lit(1)).as("csize"))
+    comp.join(sizes, "component_id")
+      .select($"vec_id", $"component_id", $"csize")
+      .orderBy($"vec_id")
+  }
+
+  /** Full-rebuild symmetrized k-NN graph at `bits` — shared by
+    * llm_knn_graph (8-bit) and llm_knn_graph_wide (12-bit).
+    */
+  private def knnGraphEntry(s: SparkSession, dir: String,
+      bits: Int): DataFrame =
+    symmetrizeKnn(s, graft.api.GraftPipelines
+      .knnEdges(Tables.embeddings(s, dir), 3, bits))
+
+  /** Incremental maintenance at `bits`: persisted base edges of
+    * untouched buckets + full recompute of touched buckets (delta =
+    * vec_id % 17 = 0, ~6 % of the corpus) — shared by
+    * llm_knn_incremental and its widened twin. Each shares its
+    * same-bits rebuild's oracle, so incremental ≡ rebuild is
+    * hash-checked, not asserted.
+    */
+  private def knnIncrementalEntry(s: SparkSession, dir: String,
+      bits: Int): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir).withColumn("bucket",
+      graft.api.GraftPipelines.signLshBucket($"embedding", bits, 0))
+      .localCheckpoint()
+    val base = emb.filter($"vec_id" % 17 =!= 0)
+    val delta = emb.filter($"vec_id" % 17 === 0)
+    // the persisted artifact a production deployment reads back
+    val baseEdges = graft.api.GraftPipelines
+      .knnEdges(base.drop("bucket"), 3, bits).localCheckpoint()
+    val touched = delta.select($"bucket").distinct().localCheckpoint()
+    symmetrizeKnn(s, graft.api.GraftPipelines
+      .knnIncrementalEdges(emb, touched, baseEdges, 3, bits))
+  }
   private val PCA_ITERS = 3        // power-iteration rounds, unrolled
   private val PCA_QSCALE = 10000L  // component quantization: floor(x·10^4)
   private val PCA_VSCALE = 1000000L // per-round renorm: max|v| = 10^6
@@ -112,8 +189,9 @@ object SimilarityOps {
   private def bucketCol(e: Column, offset: Int = 0): Column =
     graft.api.GraftPipelines.signLshBucket(e, LSH_BITS, offset)
 
-  private def bucketSql(e: String, offset: Int = 0): String =
-    (1 to LSH_BITS).map { i =>
+  private def bucketSql(e: String, offset: Int = 0,
+      bits: Int = LSH_BITS): String =
+    (1 to bits).map { i =>
       s"(CASE WHEN $e[${offset + i}] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)"
     }.mkString(" + ")
 
@@ -206,13 +284,14 @@ object SimilarityOps {
        |  FROM $prev p LEFT JOIN w$r w ON w.node = p.node)""".stripMargin
   }
 
-  /** Shared by llm_knn_graph and llm_knn_incremental — the full-rebuild
-    * symmetrized k-NN graph (the incremental engine path must equal it
-    * exactly; see the entry comment).
+  /** Shared by llm_knn_graph and llm_knn_incremental (at LSH_BITS) and
+    * by their `_wide` twins (at LSH_BITS_WIDE) — the full-rebuild
+    * symmetrized k-NN graph (each incremental engine path must equal
+    * its same-bits rebuild exactly; see the entry comments).
     */
-  private lazy val knnGraphOracleSql: String =
+  private def knnGraphOracleSql(bits: Int): String =
     s"""WITH b AS (SELECT vec_id, embedding,
-       |  ${bucketSql("embedding")} AS bucket FROM embeddings),
+       |  ${bucketSql("embedding", 0, bits)} AS bucket FROM embeddings),
        |knn AS (
        |  SELECT src, dst, cosine FROM (
        |    SELECT a.vec_id AS src, c.vec_id AS dst,
@@ -229,6 +308,34 @@ object SimilarityOps {
        |FROM (SELECT least(src, dst) AS u, greatest(src, dst) AS v,
        |       cosine FROM knn)
        |GROUP BY u, v ORDER BY u, v""".stripMargin
+
+  /** Shared by llm_mutual_knn_cc and llm_mutual_knn_served (the
+    * read-back twin). cedges is MATERIALIZED: without it DuckDB
+    * re-inlines the whole kb→knn→mut chain (64-dim cosine window join)
+    * into EVERY recursion step of `reach` and OOMs at default settings;
+    * materialized, the recursion iterates over the ~n-row edge table it
+    * actually needs. mut avoids referencing knn twice for the same
+    * reason (both directions present ⇔ the undirected pair occurs twice
+    * — the engine's symmetrize-count identity).
+    */
+  private lazy val mutualKnnCcOracleSql: String =
+    s"""WITH RECURSIVE ${knnEdgesCtes(3)},
+       |mut AS (
+       |  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM knn GROUP BY 1, 2 HAVING count(*) = 2),
+       |cedges AS MATERIALIZED (
+       |  SELECT a, b FROM mut UNION SELECT b, a FROM mut
+       |  UNION SELECT vec_id, vec_id FROM embeddings),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM cedges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN cedges e ON r.b = e.a),
+       |comp AS (SELECT a AS vec_id, min(b) AS component_id
+       |         FROM reach GROUP BY a)
+       |SELECT c.vec_id, c.component_id, s.csize
+       |FROM comp c JOIN (SELECT component_id, count(*) AS csize
+       |                  FROM comp GROUP BY 1) s USING (component_id)
+       |ORDER BY c.vec_id""".stripMargin
 
   /** The damped integer-rank oracle, parameterized on the per-edge
     * weight expression over the `knn` CTE — `CAST(1 AS BIGINT)` is
@@ -486,12 +593,15 @@ object SimilarityOps {
     // other LSH family here; the per-source window sorts only a
     // bucket's rows. cos(a,b) and cos(b,a) are term-for-term identical
     // sums, so max() in the symmetrize step is a no-op arithmetic-wise.
-    "llm_knn_graph" -> ((s, dir) => {
-      import s.implicits._
-      symmetrizeKnn(s,
-        graft.api.GraftPipelines.knnEdges(Tables.embeddings(s, dir), 3,
-          LSH_BITS))
-    }),
+    "llm_knn_graph" -> (knnGraphEntry(_, _, LSH_BITS)),
+
+    // The widened-signature twin (lshBits=12): identical semantics at
+    // 16× the bucket count — the production response when
+    // llm_lsh_occupancy reports saturation (DevGraph at sf1: 8-bit
+    // candidate mass 89× vs 12-bit holding 13× less). Add hyperplanes,
+    // not partitions: the same corpus scan, the same per-bucket top-k,
+    // only the signature widens.
+    "llm_knn_graph_wide" -> (knnGraphEntry(_, _, LSH_BITS_WIDE)),
 
     // Incremental k-NN graph maintenance: sign-LSH buckets make every
     // edge strictly bucket-local, so when a delta batch lands (here
@@ -505,20 +615,17 @@ object SimilarityOps {
     // work proportional to the touched buckets (the same
     // never-rebuild-the-world contract as llm_dedup_incremental's band
     // index).
-    "llm_knn_incremental" -> ((s, dir) => {
-      import s.implicits._
-      val emb = Tables.embeddings(s, dir).withColumn("bucket",
-        graft.api.GraftPipelines.signLshBucket($"embedding", LSH_BITS, 0))
-        .localCheckpoint()
-      val base = emb.filter($"vec_id" % 17 =!= 0)
-      val delta = emb.filter($"vec_id" % 17 === 0)
-      // the persisted artifact a production deployment reads back
-      val baseEdges = graft.api.GraftPipelines
-        .knnEdges(base.drop("bucket"), 3, LSH_BITS).localCheckpoint()
-      val touched = delta.select($"bucket").distinct().localCheckpoint()
-      symmetrizeKnn(s, graft.api.GraftPipelines
-        .knnIncrementalEdges(emb, touched, baseEdges, 3, LSH_BITS))
-    }),
+    "llm_knn_incremental" -> (knnIncrementalEntry(_, _, LSH_BITS)),
+
+    // Incremental maintenance under the WIDENED scheme — the regime the
+    // touched-bucket contract actually exists for: at 8 bits and 10×
+    // data the delta touches nearly every bucket (DevGraph: 99%
+    // recompute — the incremental path quietly stops paying), while at
+    // 12 bits the recompute fraction stays at 28%. Shares the 12-bit
+    // rebuild's oracle, so incremental ≡ rebuild is hash-proven at the
+    // width a 100 TB deployment would run.
+    "llm_knn_incremental_wide" ->
+      (knnIncrementalEntry(_, _, LSH_BITS_WIDE)),
 
     // Graph centrality over the directed k-NN graph: damped stationary
     // rank (integerPagerank — the generic twin of ev_markov_rank's
@@ -572,22 +679,17 @@ object SimilarityOps {
     // large-star/small-star O(log n) contraction as llm_dup_clusters
     // labels each vector with its component's min id. Self-pairs for
     // every vector make isolated vectors first-class singletons.
-    "llm_mutual_knn_cc" -> ((s, dir) => {
-      import s.implicits._
-      val emb = Tables.embeddings(s, dir)
-      val pairs = mutualEdges(s, dir)
-        .select($"u".as("src"), $"v".as("dst"))
-        .unionByName(emb.select($"vec_id".as("src"), $"vec_id".as("dst")))
-      val comp = graft.api.GraftPipelines
-        .dupClusters(pairs, "src", "dst", "vec_id")
-        .withColumnRenamed("cluster_id", "component_id")
-        .localCheckpoint()
-      val sizes = comp.groupBy($"component_id")
-        .agg(count(lit(1)).as("csize"))
-      comp.join(sizes, "component_id")
-        .select($"vec_id", $"component_id", $"csize")
-        .orderBy($"vec_id")
-    }),
+    // This is the graph family's REFIT entry — the one place the
+    // mutual graph is derived from the corpus; the other analyses read
+    // the buildOnce-persisted edge table ([[mutualEdgesServed]]).
+    "llm_mutual_knn_cc" -> (mutualKnnCcEntry(_, _, mutualEdges)),
+
+    // Build/serve twin of llm_mutual_knn_cc: identical components over
+    // the READ-BACK persisted edge table (shared oracle — the split is
+    // a storage refactor). The timed figure is the production per-
+    // analysis cost once the graph artifact exists: an ~n·k-row edge
+    // read + contraction, no corpus-scaled bucketed self-join.
+    "llm_mutual_knn_served" -> (mutualKnnCcEntry(_, _, mutualEdgesServed)),
 
     // LSH bucket-occupancy histogram — the operational signal that
     // tells you WHEN to widen the signature (DevGraph's measured
@@ -623,7 +725,7 @@ object SimilarityOps {
           .cast("int").as("lab"),
         ($"vec_id" % 5 === 0).cast("int").as("seed"))
       graft.api.GraftPipelines
-        .labelPropagate(mutualEdges(s, dir), seeds, LP_ITERS)
+        .labelPropagate(mutualEdgesServed(s, dir), seeds, LP_ITERS)
         .select($"node".as("vec_id"), $"lab".cast("int").as("label_prop"),
           $"seed".as("is_seed"))
         .orderBy($"vec_id")
@@ -639,7 +741,7 @@ object SimilarityOps {
     // whether a longer chain would keep peeling.
     "llm_kcore_peel" -> ((s, dir) => {
       import s.implicits._
-      graft.api.GraftPipelines.kcorePeel(mutualEdges(s, dir),
+      graft.api.GraftPipelines.kcorePeel(mutualEdgesServed(s, dir),
           Tables.embeddings(s, dir).select($"vec_id".as("node")),
           KCORE_MIN, KCORE_ROUNDS)
         .select($"node".as("vec_id"), $"in_core", $"core_deg")
@@ -660,7 +762,7 @@ object SimilarityOps {
           .cast("int").as("lab"),
         ($"vec_id" % 5 === 0).cast("int").as("seed"))
       graft.api.GraftPipelines
-        .labelPropagate(mutualEdges(s, dir), seeds, LP_ITERS)
+        .labelPropagate(mutualEdgesServed(s, dir), seeds, LP_ITERS)
         .filter($"seed" === 0)
         .join(emb.select($"vec_id".as("node"), $"label".as("gold")), "node")
         .groupBy($"gold")
@@ -682,7 +784,7 @@ object SimilarityOps {
     // coefficient in exact fixed-point (·10^6, truncating div).
     "llm_graph_triangles" -> ((s, dir) => {
       import s.implicits._
-      graft.api.GraftPipelines.triangleStats(mutualEdges(s, dir),
+      graft.api.GraftPipelines.triangleStats(mutualEdgesServed(s, dir),
           Tables.embeddings(s, dir).select($"vec_id".as("node")))
         .select($"node".as("vec_id"), $"deg", $"tri", $"clust_scaled")
         .orderBy($"vec_id")
@@ -1526,31 +1628,10 @@ object SimilarityOps {
       "greatest(CAST(1 AS BIGINT), " +
         s"CAST(floor((cosine + 1.0) * $WRANK_SCALE.0) AS BIGINT))"),
 
-    // cedges is MATERIALIZED: without it DuckDB re-inlines the whole
-    // kb→knn→mut chain (64-dim cosine window join) into EVERY recursion
-    // step of `reach` and OOMs at default settings; materialized, the
-    // recursion iterates over the ~n-row edge table it actually needs.
-    // mut avoids referencing knn twice for the same reason (both
-    // directions present ⇔ the undirected pair occurs twice — the
-    // engine's symmetrize-count identity).
-    "llm_mutual_knn_cc" ->
-      s"""WITH RECURSIVE ${knnEdgesCtes(3)},
-         |mut AS (
-         |  SELECT least(src, dst) AS a, greatest(src, dst) AS b
-         |  FROM knn GROUP BY 1, 2 HAVING count(*) = 2),
-         |cedges AS MATERIALIZED (
-         |  SELECT a, b FROM mut UNION SELECT b, a FROM mut
-         |  UNION SELECT vec_id, vec_id FROM embeddings),
-         |reach(a, b) AS (
-         |  SELECT a, a FROM cedges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN cedges e ON r.b = e.a),
-         |comp AS (SELECT a AS vec_id, min(b) AS component_id
-         |         FROM reach GROUP BY a)
-         |SELECT c.vec_id, c.component_id, s.csize
-         |FROM comp c JOIN (SELECT component_id, count(*) AS csize
-         |                  FROM comp GROUP BY 1) s USING (component_id)
-         |ORDER BY c.vec_id""".stripMargin,
+    "llm_mutual_knn_cc" -> mutualKnnCcOracleSql,
+    // read-back of the persisted edge table ≡ the refit (buildOnce
+    // writes exactly mutualEdges' rows) — shared oracle
+    "llm_mutual_knn_served" -> mutualKnnCcOracleSql,
 
     "llm_lsh_occupancy" ->
       s"""WITH b AS (SELECT ${bucketSql("embedding")} AS bucket
@@ -1639,13 +1720,15 @@ object SimilarityOps {
          |LEFT JOIN pern p ON p.node = e.vec_id
          |ORDER BY e.vec_id""".stripMargin,
 
-    "llm_knn_graph" -> knnGraphOracleSql,
+    "llm_knn_graph" -> knnGraphOracleSql(LSH_BITS),
+    "llm_knn_graph_wide" -> knnGraphOracleSql(LSH_BITS_WIDE),
 
     // Identical by construction: untouched buckets' persisted edges are
     // exactly the full-graph edges of those buckets (edges never cross
-    // buckets), touched buckets recompute in full — so the incremental
-    // union must hash-match the full rebuild's oracle.
-    "llm_knn_incremental" -> knnGraphOracleSql,
+    // buckets), touched buckets recompute in full — so each incremental
+    // union must hash-match its same-bits full rebuild's oracle.
+    "llm_knn_incremental" -> knnGraphOracleSql(LSH_BITS),
+    "llm_knn_incremental_wide" -> knnGraphOracleSql(LSH_BITS_WIDE),
 
     "llm_hybrid_search" -> {
       val stopList = graft.api.GraftPipelines.DefaultStopwords
