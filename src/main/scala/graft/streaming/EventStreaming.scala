@@ -329,29 +329,48 @@ object EventStreaming {
     *    bucket-partitioned; append-only corpus expressed as idempotent
     *    per-batch directory overwrites (a replayed batch rewrites only
     *    its own `b=` dir).
+    *  - `vectors/c=<batchId>/bucket=<v>/` — the CONSOLIDATED vector
+    *    state: once `compactEvery` per-batch `b=` dirs accumulate, the
+    *    batch folds the previous consolidation plus every live `b=`
+    *    dir into one bucket-partitioned generation and deletes the
+    *    inputs, so the per-trigger directory walk and the small-file
+    *    count stay O(compactEvery) over an UNBOUNDED stream lifetime
+    *    instead of growing one directory per batch forever (the
+    *    `rel_compact` coalesce discipline applied to stream state).
+    *    Crash-safe: the generation is written to a `tmpc-` temp and
+    *    published by a single rename; inputs are deleted only after
+    *    publication, and readers always take the NEWEST `c=` plus the
+    *    `b=` dirs above it, so a crash between publish and delete
+    *    only leaves redundant dirs the next compaction removes.
     *  - `edges/bucket=<v>/` — the directed top-k edge table,
     *    partitioned by bucket; a batch rewrites ONLY its touched
     *    buckets' partitions (dynamic partition overwrite — idempotent,
-    *    the recompute is deterministic).
+    *    the recompute is deterministic). Already consolidated per
+    *    bucket — compaction never needs to touch it.
     *
     * Per micro-batch: touched = the delta's distinct buckets (a
     * bounded, ≤ 2^lshBits set); read PRIOR vectors of touched buckets
-    * only (explicit `b=<old>/bucket=<touched>` paths — never this
-    * attempt's half-written output, never an untouched bucket);
-    * recompute [[graft.api.GraftPipelines.knnEdges]] over that
-    * membership ∪ delta; overwrite those edge partitions. Untouched
-    * buckets' vectors and edges are never read OR written — per-trigger
-    * work is Σ touched-bucket² compute plus touched-partition I/O. The
-    * sink sees the CHANGED edges (readers consume the full graph from
-    * `edges/` directly); vector ids must be unique across the stream.
-    * BASELINE round-9 measures the recompute fraction and
-    * `llm_lsh_occupancy` is the widen-the-bits signal.
+    * only (explicit `bucket=<touched>` subdirs of the newest `c=` and
+    * the `b=` dirs above it — never this attempt's half-written
+    * output, never an untouched bucket); recompute
+    * [[graft.api.GraftPipelines.knnEdges]] over that membership ∪
+    * delta; overwrite those edge partitions. Untouched buckets'
+    * vectors and edges are never read OR written — per-trigger work is
+    * Σ touched-bucket² compute plus touched-partition I/O. The prior
+    * membership is anti-joined on vec_id against the delta, so a
+    * replayed batch whose rows already reached a consolidation cannot
+    * double-count them (vector ids must be unique across the stream).
+    * The sink sees the CHANGED edges (readers consume the full graph
+    * from `edges/` directly). BASELINE round-9 measures the recompute
+    * fraction and `llm_lsh_occupancy` is the widen-the-bits signal.
     */
   def knnMaintenanceLoop(vectors: DataFrame, statePath: String,
       k: Int = 3, lshBits: Int = 8,
-      checkpointDir: Option[String] = None)
+      checkpointDir: Option[String] = None, compactEvery: Int = 8)
       (sink: (Dataset[Row], Long) => Unit = (_, _) => ()): StreamingQuery =
     deliver(vectors, checkpointDir) { (batch, batchId) =>
+      require(compactEvery >= 2,
+        s"compactEvery must be >= 2, got $compactEvery")
       val spark = batch.sparkSession
       val vPath = s"$statePath/vectors"
       val ePath = s"$statePath/edges"
@@ -386,16 +405,30 @@ object EventStreaming {
         .collect().map(_.getInt(0)).toSet
       delta.write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$vPath/b=$batchId")
-      val priorTouchedPaths = for {
-        (b, bDir) <- subdirs(vPath, "b=") if b < batchId
-        (_, vDir) <- subdirs(bDir, "bucket=")
-          if touchedSet.contains(vDir.split("bucket=").last.toInt)
-      } yield vDir
-      val members =
-        if (priorTouchedPaths.isEmpty) delta
-        else delta.unionByName(spark.read
-          .option("basePath", vPath).parquet(priorTouchedPaths: _*)
-          .drop("b"))
+      // newest consolidation at or below this batch (a replayed batch
+      // may find its OWN consolidation already published — the
+      // anti-join below makes that safe), then the per-batch dirs
+      // strictly between it and this batch
+      val cid = subdirs(vPath, "c=").map(_._1).filter(_ <= batchId)
+        .maxOption.getOrElse(-1L)
+      val priorTopDirs =
+        (if (cid >= 0) Seq(s"$vPath/c=$cid") else Seq.empty) ++
+          subdirs(vPath, "b=")
+            .collect { case (b, d) if b > cid && b < batchId => d }
+      // per top dir, only the touched buckets' partition subdirs;
+      // basePath = the top dir itself so `bucket` is the only inferred
+      // partition column regardless of b=/c= generation naming
+      val prior = priorTopDirs.flatMap { td =>
+        val bs = subdirs(td, "bucket=")
+          .collect { case (v, p) if touchedSet.contains(v.toInt) => p }
+        if (bs.isEmpty) None
+        else Some(spark.read.option("basePath", td).parquet(bs: _*))
+      }.reduceOption(_ unionByName _)
+      val members = prior match {
+        case None => delta
+        case Some(p) => delta.unionByName(
+          p.join(delta.select(col("vec_id")), Seq("vec_id"), "left_anti"))
+      }
       val recomputed = graft.api.GraftPipelines
         .knnEdges(members.drop("bucket"), k, lshBits)
         .join(members.select(col("vec_id").as("src"), col("bucket")), "src")
@@ -403,6 +436,37 @@ object EventStreaming {
       recomputed.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket").parquet(ePath)
+      // fold b= dirs into a fresh consolidated generation once enough
+      // accumulate: inputs = newest c= plus ALL b= in (cid, batchId]
+      // (disjoint by the unique-id contract — b= dirs at or below cid
+      // are already inside it and are ignored, then swept). Publish by
+      // rename BEFORE deleting inputs; a crash in between leaves only
+      // redundant dirs that the next compaction's sweep removes.
+      val liveB = subdirs(vPath, "b=")
+        .filter { case (b, _) => b > cid && b <= batchId }
+      if (liveB.size >= compactEvery) {
+        // sweep temp dirs a crashed attempt may have left (any batch id
+        // — they were never published, so they are pure garbage)
+        val vDir = new org.apache.hadoop.fs.Path(vPath)
+        fs.listStatus(vDir).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("tmpc-"))
+          .foreach(fs.delete(_, true))
+        val inputs =
+          (if (cid >= 0) Seq(s"$vPath/c=$cid") else Seq.empty) ++
+            liveB.map(_._2)
+        val tmp = new org.apache.hadoop.fs.Path(s"$vPath/tmpc-$batchId")
+        inputs.map(td => spark.read.option("basePath", td).parquet(td))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(tmp.toString)
+        fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$vPath/c=$batchId"))
+        subdirs(vPath, "b=").filter(_._1 <= batchId)
+          .foreach { case (_, d) =>
+            fs.delete(new org.apache.hadoop.fs.Path(d), true) }
+        subdirs(vPath, "c=").filter(_._1 < batchId)
+          .foreach { case (_, d) =>
+            fs.delete(new org.apache.hadoop.fs.Path(d), true) }
+      }
       sink(recomputed.drop("bucket"), batchId)
     }
 

@@ -671,4 +671,55 @@ class StreamingSpec extends SparkSpec {
         Option(e.getCause).exists(_.getMessage.contains("lshBits")))
     } finally q2.stop()
   }
+
+  test("knnMaintenanceLoop compaction: maintenance equals the rebuild " +
+      "across consolidation boundaries, and the vector-state directory " +
+      "count stays bounded instead of growing one dir per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val vecs = mem.toDF().toDF("vec_id", "embedding")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_knn_compact").toString + "/knn"
+    val query = EventStreaming.knnMaintenanceLoop(vecs, stateDir,
+      compactEvery = 2)()
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def rebuild(upTo: Long): Set[(Long, Long)] = graft.api.GraftPipelines
+      .knnEdges(Tables.embeddings(spark, sf)
+        .filter(col("vec_id") < upTo), 3, 8)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def state(): Set[(Long, Long)] = spark.read
+      .parquet(s"$stateDir/edges").select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def vDirs(): Seq[String] = new java.io.File(s"$stateDir/vectors")
+      .listFiles().map(_.getName).sorted.toSeq
+    def feed(lo: Long, hi: Long): Unit = {
+      mem.addData(emb.filter(t => t._1 >= lo && t._1 < hi).toSeq: _*)
+      query.processAllAvailable()
+    }
+    try {
+      feed(0, 150)                                   // b=0
+      assert(state() == rebuild(150L), "bootstrap")
+      assert(vDirs() == Seq("b=0"))
+      feed(150, 250)                                 // folds {b=0,b=1} -> c=1
+      assert(state() == rebuild(250L),
+        "maintenance must equal the rebuild right AFTER a compaction")
+      assert(vDirs() == Seq("c=1"),
+        "compaction must fold every b= dir into one consolidation")
+      feed(250, 350)                                 // b=2 atop c=1
+      assert(state() == rebuild(350L),
+        "reads spanning a consolidation + a live b= dir must agree")
+      assert(vDirs() == Seq("b=2", "c=1"))
+      feed(350, Long.MaxValue)                       // folds {c=1,b=2,b=3} -> c=3
+      assert(state() == rebuild(Long.MaxValue), "final ingest")
+      assert(vDirs() == Seq("c=3"),
+        "re-compaction must absorb the previous consolidation")
+      // nothing lost across two generations: the consolidated state
+      // holds every vector exactly once
+      assert(spark.read.parquet(s"$stateDir/vectors/c=3").count() ==
+        emb.length)
+    } finally query.stop()
+  }
 }
