@@ -80,7 +80,7 @@ object Bench {
     "llm_pmi_bigrams", "llm_quality_winsor",
     "llm_pii_redact", "llm_substring_dedup", "llm_doc_features",
     "llm_quality_classify", "llm_embed_kmeans", "llm_semdedup",
-    "llm_semdedup_scaled",
+    "llm_semdedup_scaled", "llm_semdedup_gated",
     "llm_simhash", "llm_simhash_pairs", "llm_simhash_pairs_wide",
     "llm_embed_topk",
     "llm_embed_lsh_knn", "llm_embed_lsh_knn2", "llm_embed_pq",

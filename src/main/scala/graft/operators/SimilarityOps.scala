@@ -1272,6 +1272,60 @@ object SimilarityOps {
         .orderBy($"vec_id")
     }),
 
+    // Silhouette-GATED SemDeDup — the composition llm_cluster_silhouette
+    // exists for (its doc comment's stated purpose): trust cluster-level
+    // dedup decisions only where the clustering is demonstrably tight.
+    // Per cluster, mean silhouette in exact fixed-point (floor(sil·2^30)
+    // summed as longs, truncating div); a cluster passes the gate iff
+    // its mean ≥ the corpus mean (cross-multiplied in DECIMAL(38,0) —
+    // exact at any magnitude, and a RELATIVE gate always splits the
+    // clusters, unlike an absolute τ that drifts with the corpus).
+    // Within passing clusters the SemDeDup rule drops every vector with
+    // a smaller-id near-dup partner (cos > 0.35, the llm_semdedup
+    // threshold); failing clusters keep everything — where the
+    // clustering is loose, "same cluster" is not evidence of
+    // duplication. Output: per vector, its cluster, the cluster's gate
+    // verdict, and the keep flag — the same composed-keep-list
+    // discipline as llm_curate_full. All joins are cluster-bounded or
+    // k-row broadcasts; the pair join meets Σ (passing cluster)²
+    // candidates only.
+    "llm_semdedup_gated" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val sil = graft.api.GraftPipelines
+        .clusterSilhouette(emb, KM_K, KM_ITERS, DIM)
+        .select($"vec_id", $"cluster",
+          floor($"sil" * lit(COS_SCALE)).cast("long").as("sils"))
+        .localCheckpoint()
+      val tot = sil.agg(sum($"sils").as("tsum"),
+        count(lit(1)).as("tcnt"))
+      val gate = sil.groupBy($"cluster")
+        .agg(sum($"sils").as("ssum"), count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .select($"cluster", expr("ssum div cnt").as("mean_sil_scaled"),
+          ($"ssum".cast("decimal(38,0)") * $"tcnt".cast("decimal(38,0)") >=
+            $"tsum".cast("decimal(38,0)") * $"cnt".cast("decimal(38,0)"))
+            .cast("int").as("gate_pass"))
+        .localCheckpoint() // k rows
+      val passing = sil.select($"vec_id", $"cluster")
+        .join(broadcast(gate.filter($"gate_pass" === 1).select($"cluster")),
+          "cluster")
+        .join(emb.select($"vec_id", $"embedding"), "vec_id")
+      val dups = passing.as("l").join(passing.as("r"),
+          col("l.cluster") === col("r.cluster") &&
+          col("l.vec_id") < col("r.vec_id"))
+        .withColumn("cosine", cosine(col("l.embedding"), col("r.embedding")))
+        .filter($"cosine" > 0.35)
+        .select(col("r.vec_id").as("vec_id")).distinct()
+      sil.select($"vec_id", $"cluster")
+        .join(broadcast(gate.drop("ssum", "cnt")), "cluster")
+        .join(dups.withColumn("dup", lit(1)), Seq("vec_id"), "left")
+        .select($"vec_id", $"cluster", $"mean_sil_scaled", $"gate_pass",
+          when($"dup".isNotNull, lit(0)).otherwise(lit(1))
+            .cast("int").as("keep"))
+        .orderBy($"vec_id")
+    }),
+
     // SemDeDup-style semantic dedup: near-dup pairs found WITHIN k-means
     // clusters only. The cluster id is the coarse partitioner — the
     // self-join meets Σ cluster² candidates instead of O(n²), which is
@@ -1947,6 +2001,51 @@ object SimilarityOps {
          |FROM sc a JOIN sc b ON a.vec_id = b.vec_id
          | AND a.crn = 1 AND b.crn = 2
          |ORDER BY a.vec_id""".stripMargin,
+
+    // same silhouette CTEs, then the gate (exact integer fixed-point
+    // mean, DECIMAL cross-multiplied relative comparison) and the
+    // within-passing-cluster smaller-id-partner drop rule
+    "llm_semdedup_gated" ->
+      s"""WITH $kmeansOracleCtes,
+         |sc AS (
+         |  SELECT vec_id, cluster, ccos,
+         |   row_number() OVER (PARTITION BY vec_id
+         |     ORDER BY ccos DESC, cluster) AS crn
+         |  FROM (SELECT v.vec_id, c.cluster, ${centCosSql("v", "c")} AS ccos
+         |        FROM embeddings v CROSS JOIN u$KM_ITERS c)),
+         |silv AS MATERIALIZED (
+         |  SELECT a.vec_id, a.cluster,
+         |   CAST(floor(((a.ccos - b.ccos) / (1.0 - b.ccos))
+         |     * $COS_SCALE_SQL) AS BIGINT) AS sils
+         |  FROM sc a JOIN sc b ON a.vec_id = b.vec_id
+         |   AND a.crn = 1 AND b.crn = 2),
+         |tot AS (SELECT CAST(sum(sils) AS BIGINT) AS tsum,
+         |        count(*) AS tcnt FROM silv),
+         |gate AS MATERIALIZED (
+         |  SELECT cluster,
+         |   CAST(CAST(sum(sils) AS BIGINT) // count(*) AS BIGINT)
+         |     AS mean_sil_scaled,
+         |   CAST(CASE WHEN
+         |     CAST(CAST(sum(sils) AS BIGINT) AS DECIMAL(38,0)) * tcnt >=
+         |     CAST(tsum AS DECIMAL(38,0)) * count(*)
+         |    THEN 1 ELSE 0 END AS INTEGER) AS gate_pass
+         |  FROM silv CROSS JOIN tot GROUP BY cluster, tsum, tcnt),
+         |pass AS MATERIALIZED (
+         |  SELECT v.vec_id, v.cluster, e.embedding
+         |  FROM silv v JOIN gate g ON v.cluster = g.cluster
+         |  JOIN embeddings e ON e.vec_id = v.vec_id
+         |  WHERE g.gate_pass = 1),
+         |dups AS (
+         |  SELECT DISTINCT r.vec_id FROM pass l JOIN pass r
+         |   ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+         |  WHERE ${cosineSql("l.embedding", "r.embedding")} > 0.35)
+         |SELECT s.vec_id, CAST(s.cluster AS INTEGER) AS cluster,
+         | g.mean_sil_scaled, g.gate_pass,
+         | CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
+         |   AS keep
+         |FROM silv s JOIN gate g ON s.cluster = g.cluster
+         |LEFT JOIN dups d ON d.vec_id = s.vec_id
+         |ORDER BY s.vec_id""".stripMargin,
 
     // SemDeDup over the oracled k-means assignment: within-cluster
     // pairs above the cosine threshold — the pair list hash-checks the

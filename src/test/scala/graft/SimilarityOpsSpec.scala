@@ -776,6 +776,32 @@ class SimilarityOpsSpec extends SparkSpec {
         f"($wide%.3f vs $narrow%.3f)")
   }
 
+  test("llm_semdedup_gated: the relative gate splits clusters, failing " +
+      "clusters keep everything, and drops are exactly the smaller-id-" +
+      "partner rule over llm_semdedup's pairs in passing clusters") {
+    val rows = q("llm_semdedup_gated").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cluster"),
+        r.getAs[Long]("mean_sil_scaled"), r.getAs[Int]("gate_pass"),
+        r.getAs[Int]("keep"))).toSeq
+    assert(rows.exists(_._4 == 1) && rows.exists(_._4 == 0),
+      "a mean-relative gate must pass some clusters and fail others")
+    // one verdict (mean, pass) per cluster
+    rows.groupBy(_._2).values.foreach { rs =>
+      assert(rs.map(x => (x._3, x._4)).distinct.size == 1)
+    }
+    assert(rows.filter(_._4 == 0).forall(_._5 == 1),
+      "where the clustering is loose, nothing may be dropped")
+    // the gated keep-list composes the already-verified pieces exactly:
+    // same fit => the dropped set is llm_semdedup's d2 side restricted
+    // to passing clusters
+    val passing = rows.filter(_._4 == 1).map(_._2).toSet
+    val wantDrop = q("llm_semdedup").collect()
+      .map(r => (r.getAs[Long]("d2"), r.getAs[Int]("cluster")))
+      .filter(p => passing.contains(p._2)).map(_._1).toSet
+    assert(rows.filter(_._5 == 0).map(_._1).toSet == wantDrop)
+    assert(wantDrop.nonEmpty, "the fixture must exercise actual drops")
+  }
+
   test("llm_mutual_knn_served: read-back components equal the refit " +
       "entry's, deterministically across calls") {
     val direct = q("llm_mutual_knn_cc").collect().toSeq
