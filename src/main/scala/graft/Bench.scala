@@ -87,7 +87,8 @@ object Bench {
     "llm_embed_pq_served", "llm_embed_ivf_served", "llm_embed_ivfpq",
     "llm_ann_recall", "llm_retrieval_eval", "llm_knn_graph",
     "llm_knn_graph_wide",
-    "llm_knn_incremental", "llm_knn_incremental_wide", "llm_lsh_occupancy",
+    "llm_knn_incremental", "llm_knn_incremental_served",
+    "llm_knn_incremental_wide", "llm_lsh_occupancy", "llm_lsh_occupancy_wide",
     "llm_graph_centrality", "llm_graph_centrality_weighted",
     "llm_mutual_knn_cc", "llm_mutual_knn_served",
     "llm_label_prop", "llm_label_prop_eval", "llm_graph_triangles",
@@ -128,7 +129,8 @@ object Bench {
     // timed figure below is then the production per-query cost: the
     // pruned/served READ.
     Seq("ev_partition_pruned", "llm_embed_pq_served", "llm_embed_ivf_served",
-        "llm_ppjoin_served", "llm_neardup_served", "llm_mutual_knn_served")
+        "llm_ppjoin_served", "llm_neardup_served", "llm_mutual_knn_served",
+        "llm_knn_incremental_served")
       .filter(selected.contains).foreach { n =>
         SparkEntry.queries(n)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()

@@ -103,6 +103,22 @@ object SimilarityOps {
     s.read.parquet(s"$idx/mutual.parquet")
   }
 
+  /** Bucket-occupancy histogram + candidate mass at `bits` — shared by
+    * llm_lsh_occupancy (8-bit) and its widened twin. One corpus scan +
+    * two bounded aggs; cheap enough to run per ingest batch.
+    */
+  private def occupancyEntry(s: SparkSession, dir: String,
+      bits: Int): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select(graft.api.GraftPipelines
+        .signLshBucket($"embedding", bits, 0).as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("occ"))
+      .groupBy($"occ").agg(count(lit(1)).as("n_buckets"))
+      .withColumn("cand_pairs", $"occ" * $"occ" * $"n_buckets")
+      .orderBy($"occ")
+  }
+
   /** Mutual-kNN connected components over `edges(s, dir)` — shared by
     * llm_mutual_knn_cc (refit) and llm_mutual_knn_served (read-back);
     * both hash against the same oracle.
@@ -336,6 +352,17 @@ object SimilarityOps {
        |FROM comp c JOIN (SELECT component_id, count(*) AS csize
        |                  FROM comp GROUP BY 1) s USING (component_id)
        |ORDER BY c.vec_id""".stripMargin
+
+  /** Occupancy-histogram oracle at `bits` — shared by llm_lsh_occupancy
+    * and its widened twin.
+    */
+  private def occupancyOracleSql(bits: Int): String =
+    s"""WITH b AS (SELECT ${bucketSql("embedding", 0, bits)} AS bucket
+       |           FROM embeddings),
+       |o AS (SELECT bucket, count(*) AS occ FROM b GROUP BY 1)
+       |SELECT occ, count(*) AS n_buckets,
+       | CAST(occ * occ * count(*) AS BIGINT) AS cand_pairs
+       |FROM o GROUP BY occ ORDER BY occ""".stripMargin
 
   /** The damped integer-rank oracle, parameterized on the per-edge
     * weight expression over the `knn` CTE — `CAST(1 AS BIGINT)` is
@@ -617,6 +644,33 @@ object SimilarityOps {
     // index).
     "llm_knn_incremental" -> (knnIncrementalEntry(_, _, LSH_BITS)),
 
+    // Incremental maintenance reading the PERSISTED base-edge artifact —
+    // the exact production shape: a deployment's maintenance job reads
+    // the edge table the previous run published (here buildOnce-keyed on
+    // corpus+params, the same artifact discipline as the served ANN
+    // indexes) instead of refitting it in-plan. The localCheckpoint
+    // variant above times the whole identity; this entry times what a
+    // 100 TB ingest batch actually pays: touched-bucket recompute plus a
+    // parquet read of untouched edges. Shares the rebuild's oracle —
+    // serve-path ≡ rebuild is hash-checked too.
+    "llm_knn_incremental_served" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir).withColumn("bucket",
+        graft.api.GraftPipelines.signLshBucket($"embedding", LSH_BITS, 0))
+        .localCheckpoint()
+      val idx = graft.sources.GraftIO.buildOnce(
+          indexFixtureDir(dir, "knnbase", s"k=3,bits=$LSH_BITS,mod=17")) {
+        tmp =>
+          graft.api.GraftPipelines.knnEdges(
+              emb.filter($"vec_id" % 17 =!= 0).drop("bucket"), 3, LSH_BITS)
+            .write.parquet(s"$tmp/edges.parquet")
+      }
+      val delta = emb.filter($"vec_id" % 17 === 0)
+      val touched = delta.select($"bucket").distinct().localCheckpoint()
+      symmetrizeKnn(s, graft.api.GraftPipelines.knnIncrementalEdges(
+        emb, touched, s.read.parquet(s"$idx/edges.parquet"), 3, LSH_BITS))
+    }),
+
     // Incremental maintenance under the WIDENED scheme — the regime the
     // touched-bucket contract actually exists for: at 8 bits and 10×
     // data the delta touches nearly every bucket (DevGraph: 99%
@@ -698,16 +752,13 @@ object SimilarityOps {
     // bucket count and the candidate-pair mass those buckets
     // contribute (Σ occ² over the level). One corpus scan + two
     // bounded aggs — cheap enough to run per ingest batch.
-    "llm_lsh_occupancy" -> ((s, dir) => {
-      import s.implicits._
-      Tables.embeddings(s, dir)
-        .select(graft.api.GraftPipelines
-          .signLshBucket($"embedding", LSH_BITS, 0).as("bucket"))
-        .groupBy($"bucket").agg(count(lit(1)).as("occ"))
-        .groupBy($"occ").agg(count(lit(1)).as("n_buckets"))
-        .withColumn("cand_pairs", $"occ" * $"occ" * $"n_buckets")
-        .orderBy($"occ")
-    }),
+    "llm_lsh_occupancy" -> (occupancyEntry(_, _, LSH_BITS)),
+
+    // The same monitor at the WIDENED signature — once a deployment
+    // runs 12 bits, THIS is the histogram that triggers the next
+    // widening (to 16) before Σ occ² bites again; widen-response
+    // monitoring must move with the scheme it monitors.
+    "llm_lsh_occupancy_wide" -> (occupancyEntry(_, _, LSH_BITS_WIDE)),
 
     // Semi-supervised label propagation over the mutual-kNN graph:
     // 20 % of vectors (vec_id % 5 = 0) keep their gold label as seeds,
@@ -1687,13 +1738,8 @@ object SimilarityOps {
     // writes exactly mutualEdges' rows) — shared oracle
     "llm_mutual_knn_served" -> mutualKnnCcOracleSql,
 
-    "llm_lsh_occupancy" ->
-      s"""WITH b AS (SELECT ${bucketSql("embedding")} AS bucket
-         |           FROM embeddings),
-         |o AS (SELECT bucket, count(*) AS occ FROM b GROUP BY 1)
-         |SELECT occ, count(*) AS n_buckets,
-         | CAST(occ * occ * count(*) AS BIGINT) AS cand_pairs
-         |FROM o GROUP BY occ ORDER BY occ""".stripMargin,
+    "llm_lsh_occupancy" -> occupancyOracleSql(LSH_BITS),
+    "llm_lsh_occupancy_wide" -> occupancyOracleSql(LSH_BITS_WIDE),
 
     "llm_label_prop" ->
       s"""WITH ${knnEdgesCtes(3)},
@@ -1782,6 +1828,7 @@ object SimilarityOps {
     // buckets), touched buckets recompute in full — so each incremental
     // union must hash-match its same-bits full rebuild's oracle.
     "llm_knn_incremental" -> knnGraphOracleSql(LSH_BITS),
+    "llm_knn_incremental_served" -> knnGraphOracleSql(LSH_BITS),
     "llm_knn_incremental_wide" -> knnGraphOracleSql(LSH_BITS_WIDE),
 
     "llm_hybrid_search" -> {

@@ -776,6 +776,28 @@ class SimilarityOpsSpec extends SparkSpec {
         f"($wide%.3f vs $narrow%.3f)")
   }
 
+  test("llm_knn_incremental_served: the persisted-base-edge serve path " +
+      "equals the full rebuild, twice (read-back determinism)") {
+    val full = q("llm_knn_graph").collect().toSeq
+    assert(q("llm_knn_incremental_served").collect().toSeq == full)
+    assert(q("llm_knn_incremental_served").collect().toSeq == full)
+  }
+
+  test("llm_lsh_occupancy_wide: histogram masses account for every " +
+      "vector, and widening strictly reduces candidate mass") {
+    def stats(name: String): (Long, Long) = {
+      val rows = q(name).collect().map(r => (r.getAs[Long]("occ"),
+        r.getAs[Long]("n_buckets"), r.getAs[Long]("cand_pairs")))
+      (rows.map(x => x._1 * x._2).sum, rows.map(_._3).sum)
+    }
+    val n = Tables.embeddings(spark, sf).count()
+    val (nNarrow, massNarrow) = stats("llm_lsh_occupancy")
+    val (nWide, massWide) = stats("llm_lsh_occupancy_wide")
+    assert(nNarrow == n && nWide == n, "every vector lands in a bucket")
+    assert(massWide < massNarrow,
+      s"12-bit candidate mass must undercut 8-bit ($massWide vs $massNarrow)")
+  }
+
   test("llm_semdedup_gated: the relative gate splits clusters, failing " +
       "clusters keep everything, and drops are exactly the smaller-id-" +
       "partner rule over llm_semdedup's pairs in passing clusters") {
