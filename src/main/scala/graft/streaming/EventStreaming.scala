@@ -243,7 +243,7 @@ object EventStreaming {
   def ingestDedupLoop(docs: DataFrame, indexPath: String,
       checkpointDir: Option[String] = None, shingleN: Int = 3,
       seeds: Int = 8, bands: Int = 4, id: String = "doc_id",
-      text: String = "text")
+      text: String = "text", compactThreshold: Int = 64)
       (sink: (Dataset[Row], Long) => Unit): StreamingQuery =
     deliver(docs, checkpointDir) { (batch, batchId) =>
       val spark = batch.sparkSession
@@ -266,6 +266,7 @@ object EventStreaming {
       graft.api.GraftPipelines
         .bandIndex(survivors, shingleN, seeds, bands, id, text)
         .write.mode("append").parquet(indexPath)
+      compactDupTolerantLog(spark, indexPath, compactThreshold)
     }
 
   /** Streaming decontamination gate: flag every arriving doc's n-gram
@@ -304,7 +305,7 @@ object EventStreaming {
     */
   def indexIngestLoop(docs: DataFrame, postingsPath: String,
       checkpointDir: Option[String] = None, id: String = "doc_id",
-      text: String = "text")
+      text: String = "text", compactThreshold: Int = 64)
       (sink: (Dataset[Row], Long) => Unit): StreamingQuery =
     deliver(docs, checkpointDir) { (batch, batchId) =>
       val postings = graft.api.GraftPipelines
@@ -312,7 +313,46 @@ object EventStreaming {
         .localCheckpoint()
       postings.write.mode("append").parquet(postingsPath)
       sink(postings, batchId)
+      compactDupTolerantLog(batch.sparkSession, postingsPath,
+        compactThreshold)
     }
+
+  /** Fold a flat append-only parquet log into a few files once its
+    * data-file count exceeds `threshold`: read the CURRENT part files,
+    * append their DISTINCT rows as one compacted segment, then delete
+    * exactly the files that were read — the `rel_compact` small-file
+    * discipline applied to streaming log state (without it, per-trigger
+    * listing cost and file count grow one-file-per-batch over an
+    * unbounded stream, the same growth class the knn loop's
+    * consolidated generations close).
+    *
+    * Correct at EVERY instant because both logs this serves are
+    * duplicate-tolerant by contract (the band index dedups candidate
+    * pairs before counting; the postings read side leads with
+    * `distinct`): mid-compaction a reader sees old + folded rows
+    * (duplicates — harmless), after the deletes it sees only the folded
+    * segment, and a crash between append and delete leaves duplicates
+    * the NEXT compaction removes. Appending before deleting means the
+    * log never passes through an empty or partial state, so no reader
+    * (including the loop's own next trigger) can bootstrap against a
+    * half-compacted index. `distinct` is semantics-preserving for the
+    * same reason: the only duplicate rows are replay artifacts the
+    * readers already cancel.
+    */
+  private def compactDupTolerantLog(spark: SparkSession, path: String,
+      threshold: Int): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return
+    val files = fs.listStatus(hPath).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+    if (files.size <= threshold) return
+    spark.read.parquet(files.map(_.toString): _*)
+      .distinct()
+      .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 8))
+      .write.mode("append").parquet(path)
+    files.foreach(fs.delete(_, false))
+  }
 
   /** Streaming k-NN graph maintenance — the streaming twin of the batch
     * `llm_knn_incremental` (whose bucket-locality identity is

@@ -486,6 +486,69 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("log compaction: band index and postings log fold to a bounded " +
+      "file count while flags and the serving view stay correct") {
+    implicit val sqlCtx = spark.sqlContext
+    def partFiles(dir: String): Int = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("part-"))
+    // band index at threshold 1: compaction runs every trigger
+    val memD = MemoryStream[(Long, String)]
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_band_cmp").toString + "/idx"
+    val flags = scala.collection.mutable.Map[Long, Int]()
+    val qd = EventStreaming.ingestDedupLoop(
+        memD.toDF().toDF("doc_id", "text"), idxDir,
+        compactThreshold = 1) { (batch, _) =>
+      batch.collect().foreach { r =>
+        flags.synchronized {
+          flags(r.getAs[Long]("batch_id")) = r.getAs[Int]("is_new") }
+      }
+    }
+    try {
+      memD.addData((1L, "aa bb cc dd ee"), (2L, "ww xx yy zz qq"))
+      qd.processAllAvailable()
+      memD.addData((3L, "aa bb cc dd ee"), (4L, "gg hh ii jj kk"))
+      qd.processAllAvailable()
+      memD.addData((5L, "gg hh ii jj kk"), (6L, "mm nn oo pp rr"))
+      qd.processAllAvailable()
+      // flags across compaction boundaries: dups of COMPACTED index
+      // content still flag, new content still passes
+      assert(flags.synchronized(flags.toMap) ==
+        Map(1L -> 1, 2L -> 1, 3L -> 0, 4L -> 1, 5L -> 0, 6L -> 1))
+      val idxIds = spark.read.parquet(idxDir)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(idxIds == Set(1L, 2L, 4L, 6L), "new docs only, none lost")
+      assert(partFiles(idxDir) <= 2,
+        s"index must stay folded, got ${partFiles(idxDir)} files")
+    } finally qd.stop()
+    // postings log: serving view identical after folding, file count flat
+    val memP = MemoryStream[(Long, String)]
+    val logDir = java.nio.file.Files
+      .createTempDirectory("graft_postings_cmp").toString + "/log"
+    val qp = EventStreaming.indexIngestLoop(
+      memP.toDF().toDF("doc_id", "text"), logDir,
+      compactThreshold = 1) { (_, _) => () }
+    try {
+      import spark.implicits._
+      memP.addData((1L, "a b c"), (2L, "b c d"))
+      qp.processAllAvailable()
+      memP.addData((3L, "c d e"))
+      qp.processAllAvailable()
+      memP.addData((4L, "e f a"))
+      qp.processAllAvailable()
+      val all = Seq((1L, "a b c"), (2L, "b c d"), (3L, "c d e"),
+        (4L, "e f a")).toDF("doc_id", "text")
+      val expect = api.GraftPipelines.invertedIndex(all).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      val serving = api.GraftPipelines
+        .invertedIndexFromPostings(spark.read.parquet(logDir)).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(serving == expect, "folding must not change the read side")
+      assert(partFiles(logDir) <= 2,
+        s"log must stay folded, got ${partFiles(logDir)} files")
+    } finally qp.stop()
+  }
+
   test("heavyHitters: bounded state, overestimate bound, cross-batch carry") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
