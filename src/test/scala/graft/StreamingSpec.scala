@@ -737,20 +737,21 @@ class StreamingSpec extends SparkSpec {
 
   test("knnMaintenanceLoop compaction: maintenance equals the rebuild " +
       "across consolidation boundaries, and the vector-state directory " +
-      "count stays bounded instead of growing one dir per batch") {
+      "count stays bounded instead of growing one dir per batch " +
+      "(at the WIDENED 12-bit scheme — the full widen-response story)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Seq[Float])]
     val vecs = mem.toDF().toDF("vec_id", "embedding")
     val stateDir = java.nio.file.Files
       .createTempDirectory("graft_knn_compact").toString + "/knn"
     val query = EventStreaming.knnMaintenanceLoop(vecs, stateDir,
-      compactEvery = 2)()
+      lshBits = 12, compactEvery = 2)()
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
     def rebuild(upTo: Long): Set[(Long, Long)] = graft.api.GraftPipelines
       .knnEdges(Tables.embeddings(spark, sf)
-        .filter(col("vec_id") < upTo), 3, 8)
+        .filter(col("vec_id") < upTo), 3, 12)
       .select("src", "dst").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     def state(): Set[(Long, Long)] = spark.read
