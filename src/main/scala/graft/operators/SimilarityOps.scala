@@ -1369,7 +1369,7 @@ object SimilarityOps {
         .filter($"cosine" > 0.35)
         .select(col("r.vec_id").as("vec_id")).distinct()
       sil.select($"vec_id", $"cluster")
-        .join(broadcast(gate.drop("ssum", "cnt")), "cluster")
+        .join(broadcast(gate), "cluster")
         .join(dups.withColumn("dup", lit(1)), Seq("vec_id"), "left")
         .select($"vec_id", $"cluster", $"mean_sil_scaled", $"gate_pass",
           when($"dup".isNotNull, lit(0)).otherwise(lit(1))

@@ -338,6 +338,12 @@ object EventStreaming {
     * half-compacted index. `distinct` is semantics-preserving for the
     * same reason: the only duplicate rows are replay artifacts the
     * readers already cancel.
+    *
+    * An EXTERNAL reader that listed the log just before a fold can hit
+    * a transient missing-file on the deleted segments — the standard
+    * log-structured compaction race; content is never lost, and a
+    * re-planned read (Spark re-lists at query planning, so a plain
+    * retry) succeeds. The loop's own next trigger always re-lists.
     */
   private def compactDupTolerantLog(spark: SparkSession, path: String,
       threshold: Int): Unit = {
