@@ -329,6 +329,50 @@ object MaintenanceOps {
         .orderBy($"c_custkey", $"o_orderkey")
     }),
 
+    // Aggregate-over-join view maintenance — the summary-delta form of
+    // Gupta & Mumick 1995 that completes the IVM family
+    // (rel_incremental_agg maintains an agg over ONE table,
+    // rel_incremental_join the join rows themselves): the stored
+    // artifact is the group-level SUMMARY of the old join, and a delta
+    // batch contributes only the AGGREGATE of its delta-join rows
+    // (ΔC⋈O ∪ C⋈ΔO ∪ ΔC⋈ΔO — every term delta-sized on a side),
+    // merged by re-aggregating two partial rows per group. Old join
+    // rows are never re-touched and nothing row-level is ever stored —
+    // at 100 TB the maintained state is group-count-sized, not
+    // join-sized. Insert-only deltas (the corpus-growth case);
+    // deletions would carry signed counts through the same merge.
+    // Shares the plain recompute's oracle: maintained ≡ recompute is
+    // hash-checked, the same proof shape as rel_incremental_join and
+    // llm_knn_incremental.
+    "rel_incremental_join_agg" -> ((s, dir) => {
+      import s.implicits._
+      val cust = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_mktsegment")
+      val ord = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val (baseC, deltaC) =
+        (cust.filter($"c_custkey" % 13 =!= 0),
+          cust.filter($"c_custkey" % 13 === 0))
+      val (baseO, deltaO) =
+        (ord.filter($"o_orderkey" % 7 =!= 0),
+          ord.filter($"o_orderkey" % 7 === 0))
+      val on = $"c_custkey" === $"o_custkey"
+      def partial(df: DataFrame): DataFrame =
+        df.groupBy($"c_mktsegment").agg(
+          count(lit(1)).as("cnt"),
+          sum(Fns.dec2($"o_totalprice")).as("s"))
+      // the persisted group-level summary a deployment reads back
+      val oldSummary = partial(baseC.join(baseO, on)).localCheckpoint()
+      val deltaRows = deltaC.join(baseO, on)
+        .unionByName(baseC.join(deltaO, on))
+        .unionByName(deltaC.join(deltaO, on))
+      oldSummary.unionByName(partial(deltaRows))
+        .groupBy($"c_mktsegment")
+        .agg(sum($"cnt").as("n_orders"),
+          sum($"s").cast("double").as("total_price"))
+        .orderBy($"c_mktsegment")
+    }),
+
     "rel_incremental_agg" -> ((s, dir) => {
       import s.implicits._
       val cut = to_timestamp(lit("1996-07-01 00:00:00"))
@@ -536,6 +580,14 @@ object MaintenanceOps {
       """SELECT c_custkey, o_orderkey, c_name, o_totalprice
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |ORDER BY c_custkey, o_orderkey""".stripMargin,
+
+    // the plain recompute — maintained summary must hash-match it
+    "rel_incremental_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |   AS total_price
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "rel_incremental_agg" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

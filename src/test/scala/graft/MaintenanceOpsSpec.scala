@@ -302,4 +302,27 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(q("rel_incremental_join").count() == legs.sum &&
       legs.sum == cust.join(ord, on).count())
   }
+
+  test("rel_incremental_join_agg: the maintained summary equals the " +
+      "recompute exactly, with both the old summary and the delta " +
+      "contributing") {
+    import org.apache.spark.sql.functions._
+    val cust = Tables.customer(spark, sf)
+    val ord = Tables.orders(spark, sf)
+    val recompute = cust.join(ord,
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(graft.functions.Fns.dec2(col("o_totalprice")))
+          .cast("double").as("total_price"))
+      .orderBy(col("c_mktsegment")).collect().toSeq
+    assert(q("rel_incremental_join_agg").collect().toSeq == recompute,
+      "summary-delta merge must equal the plain join-aggregate")
+    // both paths do work: the stored summary covers most rows, the
+    // delta legs are non-empty (the join spec above pins all four)
+    val deltaRows = cust.filter(col("c_custkey") % 13 === 0)
+      .join(ord, col("c_custkey") === col("o_custkey")).count()
+    assert(deltaRows > 0 && deltaRows < cust.join(ord,
+      col("c_custkey") === col("o_custkey")).count())
+  }
 }
