@@ -55,7 +55,7 @@ object Bench {
     "rel_profile_approx", "rel_percentile_approx",
     "rel_merge_upsert", "rel_scd2", "rel_temporal_lookup",
     "rel_incremental_agg", "rel_incremental_join",
-    "rel_incremental_join_agg",
+    "rel_incremental_join_agg", "rel_incremental_delete",
     "rel_distinct_incremental", "rel_zorder", "rel_cdc_apply",
     "rel_snapshot_diff", "rel_reconcile", "rel_compact",
     "llm_bpe_vocab", "llm_bpe_apply",

@@ -373,6 +373,40 @@ object MaintenanceOps {
         .orderBy($"c_mktsegment")
     }),
 
+    // The DELETION half of summary-delta maintenance (Gupta & Mumick's
+    // counting algorithm): a delete batch contributes its delta-join
+    // aggregate with NEGATED count and sum, merged through the identical
+    // two-partials-per-group re-aggregation; groups whose count reaches
+    // zero drop out — exactly what the recompute produces, which is why
+    // the two hash-match. Negation of exact DECIMAL sums is exact, so
+    // deletion maintenance inherits the insert path's bit-parity. At
+    // 100 TB: retention/right-to-be-forgotten passes update the
+    // group-sized summary from the delete batch's own join legs — the
+    // historical corpus is never re-scanned.
+    "rel_incremental_delete" -> ((s, dir) => {
+      import s.implicits._
+      val cust = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_mktsegment")
+      val ord = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val on = $"c_custkey" === $"o_custkey"
+      def partial(df: DataFrame): DataFrame =
+        df.groupBy($"c_mktsegment").agg(
+          count(lit(1)).as("cnt"),
+          sum(Fns.dec2($"o_totalprice")).as("s"))
+      // the stored summary covers the FULL corpus before the delete
+      val full = partial(cust.join(ord, on)).localCheckpoint()
+      val negated = partial(
+          cust.join(ord.filter($"o_orderkey" % 11 === 0), on))
+        .select($"c_mktsegment", (-$"cnt").as("cnt"), (-$"s").as("s"))
+      full.unionByName(negated)
+        .groupBy($"c_mktsegment")
+        .agg(sum($"cnt").as("n_orders"),
+          sum($"s").cast("double").as("total_price"))
+        .filter($"n_orders" > 0)
+        .orderBy($"c_mktsegment")
+    }),
+
     "rel_incremental_agg" -> ((s, dir) => {
       import s.implicits._
       val cut = to_timestamp(lit("1996-07-01 00:00:00"))
@@ -587,6 +621,15 @@ object MaintenanceOps {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
         |   AS total_price
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // recompute AFTER the deletion — the maintained summary must match
+    "rel_incremental_delete" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |   AS total_price
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |WHERE o_orderkey % 11 <> 0
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "rel_incremental_agg" ->

@@ -325,4 +325,30 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(deltaRows > 0 && deltaRows < cust.join(ord,
       col("c_custkey") === col("o_custkey")).count())
   }
+
+  test("rel_incremental_delete: negated summary-delta equals the " +
+      "post-delete recompute; counts strictly shrink and never go " +
+      "negative") {
+    import org.apache.spark.sql.functions._
+    val cust = Tables.customer(spark, sf)
+    val ord = Tables.orders(spark, sf)
+    val on = col("c_custkey") === col("o_custkey")
+    val recompute = cust.join(ord.filter(col("o_orderkey") % 11 =!= 0), on)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(graft.functions.Fns.dec2(col("o_totalprice")))
+          .cast("double").as("total_price"))
+      .orderBy(col("c_mktsegment")).collect().toSeq
+    val maintained = q("rel_incremental_delete").collect().toSeq
+    assert(maintained == recompute,
+      "counting-algorithm merge must equal the post-delete recompute")
+    // the delete batch genuinely removed rows from every group it hit
+    val before = cust.join(ord, on).groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = maintained.map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(after.exists { case (k, v) => v < before(k) },
+      "the fixture must exercise an actual deletion")
+    assert(after.values.forall(_ > 0), "no group may go negative")
+  }
 }
