@@ -65,7 +65,8 @@ object Bench {
     "llm_ppjoin", "llm_ppjoin_served", "llm_containment_join",
     "llm_dup_matrix",
     "llm_minhash_recall",
-    "llm_dup_clusters", "llm_golden_record", "llm_curate", "llm_decontaminate",
+    "llm_dup_clusters", "llm_dup_clusters_served", "llm_golden_record",
+    "llm_curate", "llm_decontaminate",
     "llm_bloom_decontaminate",
     "llm_embed_ivf",
     "llm_span_dedup", "llm_sample_stratified", "llm_sample_weighted", "llm_dsir_sample", "llm_pack_sequences",
@@ -131,7 +132,7 @@ object Bench {
     // pruned/served READ.
     Seq("ev_partition_pruned", "llm_embed_pq_served", "llm_embed_ivf_served",
         "llm_ppjoin_served", "llm_neardup_served", "llm_mutual_knn_served",
-        "llm_knn_incremental_served")
+        "llm_knn_incremental_served", "llm_dup_clusters_served")
       .filter(selected.contains).foreach { n =>
         SparkEntry.queries(n)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()

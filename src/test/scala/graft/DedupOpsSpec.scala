@@ -464,4 +464,17 @@ class DedupOpsSpec extends SparkSpec {
     assert(kept >= trueHits, "a Bloom filter has no false negatives")
     assert(kept < total, "the filter must prune non-matching grams")
   }
+
+  test("llm_dup_clusters_served: the read-back label map reproduces " +
+      "the refit entry exactly, and its consumers agree with the chain") {
+    val direct = q("llm_dup_clusters").collect().toSeq
+    assert(q("llm_dup_clusters_served").collect().toSeq == direct,
+      "the serve split is a storage refactor — output must be identical")
+    // the consumers now riding the persisted map keep the chain's
+    // keeper semantics: every golden-record canonical cluster id is a
+    // cluster the label map knows
+    val clusterIds = direct.map(_.getLong(1)).toSet
+    val canon = q("llm_golden_record").collect().map(_.getLong(0)).toSet
+    assert(canon.subsetOf(clusterIds) && canon.nonEmpty)
+  }
 }
