@@ -49,13 +49,15 @@ object Bench {
     "rel_q17_small_qty", "rel_q19_disjunctive",
     "rel_basket_pairs", "rel_skew_report", "rel_listagg",
     "rel_running_distinct",
-    "rel_window_rank", "rel_window_range", "rel_join_broadcast", "rel_rollup",
+    "rel_window_rank", "rel_window_range", "rel_window_distribution",
+    "rel_join_broadcast", "rel_join_bucketed", "rel_rollup",
     "rel_percentile", "rel_corr", "rel_q14_type_share", "rel_profile",
     "rel_constraints", "rel_jdbc_roundtrip",
     "rel_profile_approx", "rel_percentile_approx",
     "rel_merge_upsert", "rel_scd2", "rel_temporal_lookup",
     "rel_incremental_agg", "rel_incremental_join",
     "rel_incremental_join_agg", "rel_incremental_delete",
+    "rel_incremental_topk",
     "rel_distinct_incremental", "rel_zorder", "rel_cdc_apply",
     "rel_snapshot_diff", "rel_reconcile", "rel_compact",
     "llm_bpe_vocab", "llm_bpe_apply",
@@ -80,7 +82,8 @@ object Bench {
     "llm_gopher_rules",
     "llm_budget_waterfill", "llm_tokenizer_fertility",
     "llm_pmi_bigrams", "llm_quality_winsor",
-    "llm_pii_redact", "llm_substring_dedup", "llm_doc_features",
+    "llm_pii_redact", "llm_k_anonymity", "llm_substring_dedup",
+    "llm_doc_features",
     "llm_quality_classify", "llm_embed_kmeans", "llm_semdedup",
     "llm_semdedup_scaled", "llm_semdedup_gated",
     "llm_simhash", "llm_simhash_pairs", "llm_simhash_pairs_wide",
@@ -132,7 +135,8 @@ object Bench {
     // pruned/served READ.
     Seq("ev_partition_pruned", "llm_embed_pq_served", "llm_embed_ivf_served",
         "llm_ppjoin_served", "llm_neardup_served", "llm_mutual_knn_served",
-        "llm_knn_incremental_served", "llm_dup_clusters_served")
+        "llm_knn_incremental_served", "llm_dup_clusters_served",
+        "rel_join_bucketed")
       .filter(selected.contains).foreach { n =>
         SparkEntry.queries(n)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()

@@ -407,6 +407,38 @@ object MaintenanceOps {
         .orderBy($"c_mktsegment")
     }),
 
+    // Incremental TOP-K view maintenance with BOUNDED state: the stored
+    // artifact is the per-group top-k buffer (k rows per group — KB-sized
+    // at any corpus size), and an insert batch re-ranks only
+    // buffer ∪ delta. Sound because top-k is insert-monotone:
+    // topk(S ∪ Δ) = topk(topk(S) ∪ Δ) — a row outside the old top-k
+    // can never enter the new one when rows are only added (deletions
+    // would need the rel_incremental_delete counting discipline plus a
+    // refill scan, which is why production systems keep a buffer of
+    // k' > k). Shares the plain recompute's oracle: maintained ≡
+    // recompute is hash-checked, the rel_incremental_join proof shape.
+    // At 100 TB the leaderboard updates from (k·groups + |Δ|) rows —
+    // the historical corpus is never re-ranked.
+    "rel_incremental_topk" -> ((s, dir) => {
+      import s.implicits._
+      val k = 5
+      val ord = Tables.orders(s, dir)
+        .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+      val (base, delta) =
+        (ord.filter($"o_orderkey" % 7 =!= 0),
+          ord.filter($"o_orderkey" % 7 === 0))
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      def topk(df: DataFrame): DataFrame =
+        df.withColumn("rn", row_number().over(w).cast("int"))
+          .filter($"rn" <= k)
+      // the persisted k-per-group buffer a deployment reads back
+      val stored = topk(base).drop("rn").localCheckpoint()
+      topk(stored.unionByName(delta))
+        .select($"o_orderpriority", $"rn", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_orderpriority", $"rn")
+    }),
+
     "rel_incremental_agg" -> ((s, dir) => {
       import s.implicits._
       val cut = to_timestamp(lit("1996-07-01 00:00:00"))
@@ -631,6 +663,17 @@ object MaintenanceOps {
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         |WHERE o_orderkey % 11 <> 0
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // the plain full-table top-k — the buffer-maintained view must
+    // hash-match it (the insert-monotonicity identity, machine-checked)
+    "rel_incremental_topk" ->
+      """SELECT o_orderpriority, CAST(rn AS INTEGER) AS rn, o_orderkey,
+        | o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |   row_number() OVER (PARTITION BY o_orderpriority
+        |     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 5 ORDER BY o_orderpriority, rn""".stripMargin,
 
     "rel_incremental_agg" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

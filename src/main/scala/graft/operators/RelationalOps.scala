@@ -273,6 +273,37 @@ object RelationalOps {
         .orderBy($"o_custkey", $"o_orderkey")
     }),
 
+    // The distribution windows rel_window_ntile leaves out: dense_rank
+    // over the DATE axis (many genuine ties per priority — gapless rank
+    // semantics actually exercised, unlike a unique-key ordering where
+    // dense_rank degenerates to row_number), cume_dist over the same
+    // peer groups (#peers-at-or-before / n — exact small-int rational,
+    // the division computes on identical operands in both engines so
+    // the doubles are bit-identical), and nth_value(3) over its own
+    // TOTALLY-ordered window with an explicit full-partition frame:
+    // the default frame stops at the current row, which would leave
+    // the first two rows NULL — "this order vs the partition's
+    // 3rd-highest price" needs UNBOUNDED FOLLOWING, and ties on the
+    // double price are broken by the unique key so row 3 is the same
+    // row everywhere. Both windows share one partition key (one
+    // exchange, two in-partition sorts).
+    "rel_window_distribution" -> ((s, dir) => {
+      import s.implicits._
+      val wDate = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_orderdate")
+      val wPrice = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .withColumn("dr", dense_rank().over(wDate).cast("int"))
+        .withColumn("cd", cume_dist().over(wDate))
+        .withColumn("third_price", nth_value($"o_totalprice", 3).over(wPrice))
+        .filter($"o_orderkey" % 10 === 0)
+        .select($"o_orderpriority", $"o_orderkey", $"dr", $"cd",
+          $"third_price")
+        .orderBy($"o_orderpriority", $"o_orderkey")
+    }),
+
     // ROLLUP over region → nation customer account balances.
     "rel_rollup" -> ((s, dir) => {
       import s.implicits._
@@ -645,6 +676,21 @@ object RelationalOps {
         | epoch_ms(o_orderdate) - lag(epoch_ms(o_orderdate))
         |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS gap_ms
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "rel_window_distribution" ->
+      """SELECT o_orderpriority, o_orderkey, dr, cd, third_price FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |   CAST(dense_rank() OVER wd AS INTEGER) AS dr,
+        |   cume_dist() OVER wd AS cd,
+        |   nth_value(o_totalprice, 3) OVER (
+        |     PARTITION BY o_orderpriority
+        |     ORDER BY o_totalprice DESC, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |     AS third_price
+        |  FROM orders
+        |  WINDOW wd AS (PARTITION BY o_orderpriority ORDER BY o_orderdate))
+        |WHERE o_orderkey % 10 = 0
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "rel_rollup" ->
       """SELECT r_name, n_name, count(*) AS n,

@@ -215,6 +215,41 @@ object RelationalOps3 {
         .orderBy($"key_col")
     }),
 
+    // Bucketed CO-LOCATED join, promoted from GraftIOSpec to the oracle
+    // surface: customer and orders are laid out ONCE as bucketed tables
+    // on the join key (the offline layout job a 100 TB deployment runs
+    // when a fact is joined repeatedly — rel_zorder orders data WITHIN
+    // files for skipping; bucketing co-locates rows ACROSS tables for
+    // shuffle-free equi-joins), then the per-query read joins the two
+    // bucketed scans with NO exchange on either side — the join cost
+    // that stops scaling with cluster bisection bandwidth. The
+    // zero-Exchange plan is asserted in GraftIOSpec; hash equality with
+    // the plain-table oracle proves the layout is lossless. The write
+    // is guarded per (corpus, mtime, JVM) like rel_compact's fixture —
+    // pid-keyed so concurrent JVMs never race on one warehouse dir
+    // (the in-memory catalog is per-session anyway).
+    "rel_join_bucketed" -> ((s, dir) => {
+      import s.implicits._
+      val stamp = new java.io.File(dir, "orders.parquet").lastModified
+      val key = java.lang.Long.toHexString(
+        (dir, stamp).hashCode.toLong & 0xffffffffL) +
+        "_" + ProcessHandle.current().pid()
+      val (cT, oT) = (s"cust_bkt_$key", s"ord_bkt_$key")
+      if (!s.catalog.tableExists(cT)) {
+        graft.sources.GraftIO.writeBucketed(
+          Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment"),
+          cT, "c_custkey", 16)
+        graft.sources.GraftIO.writeBucketed(
+          Tables.orders(s, dir).select($"o_custkey", $"o_totalprice"),
+          oT, "o_custkey", 16)
+      }
+      s.table(cT).join(s.table(oT), $"c_custkey" === $"o_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2($"o_totalprice")).cast("double").as("total_price"))
+        .orderBy($"c_mktsegment")
+    }),
+
     // Running COUNT(DISTINCT) over a window — the classic SQL surface
     // Spark does not support directly (DISTINCT aggregates are invalid
     // in window frames). The scalable idiom: mark each customer's FIRST
@@ -354,6 +389,14 @@ object RelationalOps3 {
         |  ON a.okey = b.okey AND a.pkey < b.pkey
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY support DESC, part_a, part_b LIMIT 20""".stripMargin,
+
+    // plain-table join+agg: the bucketed layout must be lossless
+    "rel_join_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |   AS total_price
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "rel_skew_report" ->
       """WITH oc AS (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1),

@@ -403,6 +403,32 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
+    // k-anonymity audit + suppression gate (Sweeney 2002, public
+    // formulation): the privacy pass AFTER the PII scrub — with direct
+    // identifiers redacted, a row is still re-identifiable when its
+    // quasi-identifier combination (lang × source × length bucket) is
+    // shared by fewer than k rows. Emits every doc with its QI-group
+    // size and the k=5 keep/suppress verdict; a release pipeline
+    // filters on `kept` (the l-diversity refinement would swap
+    // count(*) for a distinct count over a sensitive column through
+    // the identical plan). Scale shape: the QI-group table is bounded
+    // by the QI DOMAIN (langs × sources × length-policy buckets — a
+    // policy constant, not a corpus count), so group sizes aggregate
+    // map-side and BROADCAST back onto the corpus — document rows
+    // never shuffle, the llm_mix_temperature discipline.
+    "llm_k_anonymity" -> ((s, dir) => {
+      import s.implicits._
+      val q = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", $"source",
+          expr("n_chars DIV 100").as("len_bucket"))
+      val g = q.groupBy($"lang", $"source", $"len_bucket")
+        .agg(count(lit(1)).as("group_n"))
+      q.join(broadcast(g), Seq("lang", "source", "len_bucket"))
+        .select($"doc_id", $"lang", $"source", $"len_bucket", $"group_n",
+          ($"group_n" >= 5).cast("int").as("kept"))
+        .orderBy($"doc_id")
+    }),
+
     // Array/higher-order function surface over the tokenized documents
     // (slice/sort/reverse/contains/element_at; string-joined outputs so
     // the oracle compare is scalar).
@@ -1166,6 +1192,19 @@ object TextOps {
          |FROM (${piiStagedSql("SELECT doc_id, t0 FROM aug")})
          |ORDER BY doc_id""".stripMargin
     },
+
+    // same QI bucketing + group sizes; kept = group_n >= k
+    "llm_k_anonymity" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, source, n_chars // 100 AS len_bucket
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, source, len_bucket, count(*) AS group_n
+        |  FROM q GROUP BY 1, 2, 3)
+        |SELECT q.doc_id, q.lang, q.source, q.len_bucket, g.group_n,
+        | CAST(g.group_n >= 5 AS INTEGER) AS kept
+        |FROM q JOIN g USING (lang, source, len_bucket)
+        |ORDER BY q.doc_id""".stripMargin,
 
     "llm_array_funcs" ->
       """SELECT doc_id,

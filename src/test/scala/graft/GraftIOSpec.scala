@@ -242,4 +242,26 @@ class GraftIOSpec extends SparkSpec {
     // be collision-resistant, and its format is part of the contract
     assert(a.matches(""".*graft_ppjoin_index_[0-9a-f]{16}$"""))
   }
+
+  test("rel_join_bucketed: the co-located join itself never exchanges — " +
+      "only the downstream aggregate does — and the layout is lossless") {
+    import org.apache.spark.sql.functions.col
+    val df = SparkEntry.queries("rel_join_bucketed")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    // no exchange on EITHER join key: the bucketed scans are already
+    // co-partitioned, so the only hashpartitioning in the plan is the
+    // 5-group aggregate's
+    assert(!plan.matches("(?s).*Exchange hashpartitioning\\((?:c_custkey|o_custkey).*"),
+      s"bucketed join must not shuffle on the join key:\n${plan.take(1200)}")
+    val plain = spark.read.parquet(s"$sf/customer.parquet")
+      .join(spark.read.parquet(s"$sf/orders.parquet"),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(df.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      == plain, "bucketed layout changed the join result")
+  }
 }

@@ -351,4 +351,36 @@ class MaintenanceOpsSpec extends SparkSpec {
       "the fixture must exercise an actual deletion")
     assert(after.values.forall(_ > 0), "no group may go negative")
   }
+
+  test("rel_incremental_topk: buffer-maintained top-k equals the full " +
+      "recompute, the stored state is k-per-group bounded, and a delta " +
+      "row genuinely enters the leaderboard") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val k = 5
+    val ord = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val recompute = ord
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= k)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rn")).collect().toSeq
+    val maintained = q("rel_incremental_topk").collect().toSeq
+    assert(maintained == recompute,
+      "insert-monotone merge must equal the plain full-table top-k")
+    // the stored artifact is k·groups-sized, never corpus-sized
+    val base = ord.filter(col("o_orderkey") % 7 =!= 0)
+    val nGroups = base.select(col("o_orderpriority")).distinct().count()
+    val bufferRows = base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).count()
+    assert(bufferRows <= k * nGroups)
+    assert(bufferRows < base.count(),
+      "fixture degenerate: buffer must be smaller than the base corpus")
+    // the merge is non-trivial: some delta row displaced a buffer row
+    assert(maintained.exists(r => r.getLong(2) % 7 == 0),
+      "no delta row reached the top-k — the merge was never exercised")
+  }
 }

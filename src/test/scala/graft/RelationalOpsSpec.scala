@@ -222,4 +222,30 @@ class RelationalOpsSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("rel_window_distribution: cume_dist stays in (0,1], third_price is " +
+      "the partition's true 3rd-highest, dense ranks are date-bounded") {
+    val rows = q("rel_window_distribution").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderpriority", "o_totalprice", "o_orderdate").collect()
+    // 3rd-highest price per priority under (price desc, key) — price
+    // alone suffices here because we only compare the price value
+    val third = ord.groupBy(_.getString(0)).map { case (p, rs) =>
+      p -> rs.map(-_.getDouble(1)).sorted.apply(2) * -1
+    }
+    assert(rows.forall(r => r.getDouble(4) == third(r.getString(0))))
+    // dense_rank ranges over DISTINCT dates, not rows — the tie
+    // semantics rel_window_rank's row_number can't show
+    val nDates = ord.groupBy(_.getString(0)).map { case (p, rs) =>
+      p -> rs.map(_.get(2)).distinct.length
+    }
+    assert(rows.forall(r => r.getInt(2) >= 1 &&
+      r.getInt(2) <= nDates(r.getString(0))))
+    val rowsPerPartition = ord.groupBy(_.getString(0))
+      .map { case (p, rs) => p -> rs.length }
+    assert(nDates.exists { case (p, d) => d < rowsPerPartition(p) },
+      "no partition had date ties — dense_rank degenerated to row_number")
+  }
 }

@@ -562,4 +562,22 @@ class TextMultimodalSpec extends SparkSpec {
       .map { case (l, rs) => l -> rs.map(_.getLong(1)).sum }
     assert(fert.map { case (l, (_, t)) => l -> t } == byLang)
   }
+
+  test("llm_k_anonymity: group sizes are true QI counts, verdicts split " +
+      "exactly at k, and both classes occur on the corpus") {
+    val rows = q("llm_k_anonymity").collect()
+    // every document appears exactly once — the audit drops nobody
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length &&
+      rows.length == spark.read.parquet(s"$sf/documents.parquet").count())
+    // group_n is the true count of rows sharing the QI triple
+    val counts = rows
+      .groupBy(r => (r.getString(1), r.getString(2), r.getLong(3)))
+      .view.mapValues(_.length.toLong).toMap
+    assert(rows.forall(r =>
+      r.getLong(4) == counts((r.getString(1), r.getString(2), r.getLong(3)))))
+    // kept ⟺ group_n ≥ k, and the corpus exercises both verdicts
+    assert(rows.forall(r => (r.getInt(5) == 1) == (r.getLong(4) >= 5)))
+    assert(rows.exists(_.getInt(5) == 1) && rows.exists(_.getInt(5) == 0),
+      "fixture degenerate: need both kept and suppressed QI groups")
+  }
 }
