@@ -66,13 +66,13 @@ object Bench {
     "llm_minhash_pairs", "llm_neardup_verified", "llm_neardup_served",
     "llm_ppjoin", "llm_ppjoin_served", "llm_containment_join",
     "llm_dup_matrix",
-    "llm_minhash_recall",
+    "llm_minhash_recall", "llm_lsh_tuning",
     "llm_dup_clusters", "llm_dup_clusters_served", "llm_golden_record",
     "llm_curate", "llm_decontaminate",
     "llm_bloom_decontaminate",
     "llm_embed_ivf",
     "llm_span_dedup", "llm_sample_stratified", "llm_sample_weighted", "llm_dsir_sample", "llm_pack_sequences",
-    "llm_train_manifest",
+    "llm_train_manifest", "llm_split_leakage_safe",
     "llm_pack_salted",
     "llm_hybrid_search", "llm_hybrid_rrf", "llm_corpus_report",
     "llm_bm25", "llm_inverted_index", "llm_mix_temperature",

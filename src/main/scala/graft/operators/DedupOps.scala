@@ -214,6 +214,19 @@ object DedupOps {
     s"bands AS (${rows.mkString(" UNION ALL ")})"
   }
 
+  /** Band CTE for an arbitrary (bands × rowsPerBand) slicing of the
+    * 8-seed signature — the parameterized twin of [[bandsSql]], mirror
+    * of [[graft.api.GraftPipelines.lshBands]]'s hash format.
+    */
+  private def bandsSqlCfg(nb: Int, r: Int, name: String) = {
+    val rows = (0 until nb).map { b =>
+      val cols = (0 until r).map(j => s"CAST(h${b * r + j} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, md5('b$b|' || $cols) AS b FROM mh"
+    }
+    s"$name AS (${rows.mkString(" UNION ALL ")})"
+  }
+
   /** Shared by llm_dup_clusters and llm_dup_clusters_served (the
     * read-back twin of the persisted label map).
     */
@@ -667,6 +680,32 @@ object DedupOps {
     "llm_dup_clusters_served" -> ((s, dir) =>
       dupClustersEntry(s, dupClustersServed(s, dir))),
 
+    // Leakage-safe train/val/test split: the assignment unit is the
+    // VERIFIED near-dup cluster, not the document. Per-doc hashing
+    // (llm_split) routinely lands two near-identical docs on opposite
+    // sides of the train/eval wall — contamination that the
+    // decontaminate gate then has to catch after the fact; assigning
+    // by the salted hash of the CLUSTER id (component-min doc id,
+    // inherited by every member) makes near-dups co-travel by
+    // construction. Docs outside any verified pair hash by their own
+    // id — bitwise the llm_split rule, so the two entries agree
+    // everywhere dedup found nothing. Serves from the persisted
+    // dup-chain label map: at 100 TB this is one id-keyed join against
+    // a pair-count-sized table plus the same map-side bucket rule —
+    // the split NEVER re-runs the dedup.
+    "llm_split_leakage_safe" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id")
+      val labels = dupClustersServed(s, dir)
+        .select($"doc_id", $"cluster_id")
+      val units = docs.join(labels, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"cluster_id", $"doc_id").as("split_unit"))
+      graft.api.GraftPipelines.hashSplit(units, id = "split_unit")
+        .select($"doc_id", $"split_unit", $"split")
+        .orderBy($"doc_id")
+    }),
+
     // Golden record (survivorship): collapse each duplicate cluster to
     // ONE canonical record by explicit, deterministic survivorship
     // rules — the master-data step that follows clustering in every ER
@@ -845,6 +884,44 @@ object DedupOps {
           sum(coalesce($"hit", lit(0L))).as("n_hit"))
         .select($"n_exact", $"n_hit",
           expr("(1000 * n_hit) div n_exact").as("recall_x1000"))
+    }),
+
+    // LSH band-tuning curve: the S-curve measurement behind the "which
+    // banding do I run?" decision. The SAME 8-hash signature is sliced
+    // three ways — 8 bands × 1 row (recall-max), 4 × 2 (the committed
+    // production scheme), 2 × 4 (precision-max) — and each config is
+    // scored against the exact θ≥1/2 PPJoin truth set: candidate mass,
+    // recall, and candidate precision. The signature is computed ONCE
+    // and persisted (one shingle-explode + md5-min pass feeds all three
+    // band joins); the truth set likewise. At 100 TB this runs on a
+    // SAMPLE and the chosen (b, r) goes into the production dedup —
+    // exactly how the committed 4×2 scheme and the simhash/knn "widen"
+    // twins were justified, now as a first-class queryable audit.
+    "llm_lsh_tuning" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val sig = minhash(s, dir).persist()
+      sig.count()
+      val exact = graft.api.GraftPipelines.ppjoinPairs(docs, 1, 2)
+        .select($"a_id".as("d1"), $"b_id".as("d2")).persist()
+      exact.count()
+      val rows = Seq((8, 1), (4, 2), (2, 4)).map { case (b, r) =>
+        val cands = graft.api.GraftPipelines.bandCandidates(
+          graft.api.GraftPipelines.lshBands(sig, b, r))
+        val nCand = cands.agg(count(lit(1)).as("n_candidates"))
+        exact.join(cands.withColumn("hit", lit(1L)), Seq("d1", "d2"),
+            "left")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce($"hit", lit(0L))).as("n_hit"))
+          .crossJoin(nCand)
+          .select(lit(b).as("n_bands"), lit(r).as("rows_per_band"),
+            $"n_candidates", $"n_exact", $"n_hit",
+            expr("(1000 * n_hit) div n_exact").as("recall_x1000"),
+            expr("CASE WHEN n_candidates = 0 THEN NULL " +
+              "ELSE (1000 * n_hit) div n_candidates END")
+              .as("precision_x1000"))
+      }
+      rows.reduce(_.unionByName(_)).orderBy($"n_bands".desc)
     }),
 
     // Cross-source duplication matrix: PPJoin's exact θ≥1/2 pairs
@@ -1190,6 +1267,67 @@ object DedupOps {
          | (1000 * CAST(sum(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END)
          |          AS BIGINT)) // count(*) AS recall_x1000
          |FROM exact e LEFT JOIN cands c ON e.d1 = c.d1 AND e.d2 = c.d2""".stripMargin,
+
+    // three band slicings of the one signature vs the exact PPJoin
+    // truth set (toks/sizes/inter/exact mirror llm_minhash_recall)
+    "llm_lsh_tuning" -> {
+      def cfg(nb: Int, r: Int) = {
+        val t = s"bands${nb}x$r"
+        s"""c$t AS (
+           |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+           |  FROM $t l JOIN $t r ON l.b = r.b AND l.doc_id < r.doc_id),
+           |m$t AS (
+           |  SELECT $nb AS n_bands, $r AS rows_per_band,
+           |   (SELECT count(*) FROM c$t) AS n_candidates,
+           |   (SELECT count(*) FROM exact) AS n_exact,
+           |   (SELECT count(*) FROM exact e JOIN c$t c
+           |      ON e.d1 = c.d1 AND e.d2 = c.d2) AS n_hit)""".stripMargin
+      }
+      s"""WITH $shinglesSql, $minhashSql,
+         |${bandsSqlCfg(8, 1, "bands8x1")},
+         |${bandsSqlCfg(4, 2, "bands4x2")},
+         |${bandsSqlCfg(2, 4, "bands2x4")},
+         |toks AS (SELECT DISTINCT doc_id, s FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+         |inter AS (
+         |  SELECT ta.doc_id AS d1, tb.doc_id AS d2, count(*) AS i
+         |  FROM toks ta JOIN toks tb
+         |    ON ta.s = tb.s AND ta.doc_id < tb.doc_id
+         |  GROUP BY 1, 2),
+         |exact AS (
+         |  SELECT d1, d2 FROM inter
+         |  JOIN sizes sa ON sa.doc_id = d1
+         |  JOIN sizes sb ON sb.doc_id = d2
+         |  WHERE 3 * i >= sa.sz + sb.sz),
+         |${cfg(8, 1)},
+         |${cfg(4, 2)},
+         |${cfg(2, 4)}
+         |SELECT n_bands, rows_per_band, n_candidates, n_exact, n_hit,
+         | (1000 * n_hit) // n_exact AS recall_x1000,
+         | CASE WHEN n_candidates = 0 THEN NULL
+         |      ELSE (1000 * n_hit) // n_candidates END AS precision_x1000
+         |FROM (SELECT * FROM mbands8x1 UNION ALL
+         |      SELECT * FROM mbands4x2 UNION ALL
+         |      SELECT * FROM mbands2x4)
+         |ORDER BY n_bands DESC""".stripMargin
+    },
+
+    // cluster-unit split: clusters CTE = the verified-pair components;
+    // singletons fall through to their own id (the llm_split rule)
+    "llm_split_leakage_safe" ->
+      s"""WITH RECURSIVE $shinglesSql, $minhashSql, $bandsSql,
+         |$clusterChainSql,
+         |u AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS split_unit
+         |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
+         |SELECT doc_id, split_unit,
+         | CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM (SELECT doc_id, split_unit,
+         |       CAST(md5_number_lower('spl|' || CAST(split_unit AS VARCHAR))
+         |            % 1152921504606846976 AS BIGINT) % 1000 AS b
+         |      FROM u)
+         |ORDER BY doc_id""".stripMargin,
 
     "llm_dup_matrix" ->
       s"""WITH $shinglesSql,
