@@ -77,7 +77,8 @@ object Bench {
     "llm_hybrid_search", "llm_hybrid_rrf", "llm_corpus_report",
     "llm_bm25", "llm_inverted_index", "llm_mix_temperature",
     "llm_sample_topk", "llm_embed_quantize", "llm_chunk", "llm_bigram_lm",
-    "llm_lm_score", "llm_dsir_weight", "llm_ngram_diversity",
+    "llm_lm_score", "llm_ccnet_buckets", "llm_dsir_weight",
+    "llm_ngram_diversity",
     "llm_score_calibrate", "llm_padding_waste", "llm_curriculum",
     "llm_gopher_rules",
     "llm_budget_waterfill", "llm_tokenizer_fertility",
@@ -95,7 +96,7 @@ object Bench {
     "llm_knn_incremental", "llm_knn_incremental_served",
     "llm_knn_incremental_wide", "llm_lsh_occupancy", "llm_lsh_occupancy_wide",
     "llm_graph_centrality", "llm_graph_centrality_weighted",
-    "llm_mutual_knn_cc", "llm_mutual_knn_served",
+    "llm_mutual_knn_cc", "llm_mutual_knn_served", "llm_graph_khop",
     "llm_label_prop", "llm_label_prop_eval", "llm_graph_triangles",
     "llm_kcore_peel",
     "llm_hard_negatives", "llm_embed_pca", "llm_kcenter", "llm_probe_auc",

@@ -745,6 +745,38 @@ object SimilarityOps {
     // read + contraction, no corpus-scaled bucketed self-join.
     "llm_mutual_knn_served" -> (mutualKnnCcEntry(_, _, mutualEdgesServed)),
 
+    // 2-hop neighborhood expansion over the SERVED mutual graph from a
+    // deterministic seed set (vec_id % 20 = 0) — the GNN-style
+    // neighborhood-sampling shape (GraphSAGE's fan-out, PPR push
+    // frontiers): per (seed, reached node) the exact minimum hop count
+    // ≤ 2, computed as BFS-by-union (hop-0 seeds ∪ hop-1 join ∪ hop-2
+    // join, min over the union — exact because every ≤2-hop path is
+    // enumerated). Rides the persisted edge table: two edge joins,
+    // never a corpus refit. Scale: frontier size is seeds × deg² with
+    // deg ≤ k = 3 by graph construction — the expansion is bounded a
+    // priori, the reason kNN graphs (not raw similarity graphs) are
+    // the unit GNN pipelines sample from at 100 TB.
+    "llm_graph_khop" -> ((s, dir) => {
+      import s.implicits._
+      val und = mutualEdgesServed(s, dir)
+      val edges = und.select($"u".as("a"), $"v".as("b"))
+        .unionByName(und.select($"v".as("a"), $"u".as("b")))
+        .localCheckpoint()
+      val seeds = Tables.embeddings(s, dir)
+        .filter($"vec_id" % 20 === 0).select($"vec_id".as("seed"))
+      val h1 = seeds.join(edges, $"seed" === $"a")
+        .select($"seed", $"b".as("node"))
+      val h2 = h1.join(edges, $"node" === $"a")
+        .select($"seed", $"b".as("node2"))
+      seeds.select($"seed", $"seed".as("node"), lit(0).as("h"))
+        .unionByName(h1.select($"seed", $"node", lit(1).as("h")))
+        .unionByName(h2.select($"seed", $"node2".as("node"),
+          lit(2).as("h")))
+        .groupBy($"seed", $"node")
+        .agg(min($"h").cast("int").as("min_hops"))
+        .orderBy($"seed", $"node")
+    }),
+
     // LSH bucket-occupancy histogram — the operational signal that
     // tells you WHEN to widen the signature (DevGraph's measured
     // lesson: at 10× data the fixed 8-bit scheme's candidate mass grew
@@ -1734,6 +1766,27 @@ object SimilarityOps {
         s"CAST(floor((cosine + 1.0) * $WRANK_SCALE.0) AS BIGINT))"),
 
     "llm_mutual_knn_cc" -> mutualKnnCcOracleSql,
+
+    // BFS-by-union over the mutual graph re-derived from scratch —
+    // anchors the served edge table's 2-hop expansion to the corpus
+    "llm_graph_khop" ->
+      s"""WITH ${knnEdgesCtes(3)},
+         |mut AS (
+         |  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM knn GROUP BY 1, 2 HAVING count(*) = 2),
+         |edges AS MATERIALIZED (
+         |  SELECT a, b FROM mut UNION ALL SELECT b, a FROM mut),
+         |seeds AS (
+         |  SELECT vec_id AS seed FROM embeddings WHERE vec_id % 20 = 0),
+         |h1 AS (SELECT s.seed, e.b AS node
+         |       FROM seeds s JOIN edges e ON s.seed = e.a),
+         |h2 AS (SELECT h.seed, e.b AS node
+         |       FROM h1 h JOIN edges e ON h.node = e.a)
+         |SELECT seed, node, CAST(min(h) AS INTEGER) AS min_hops
+         |FROM (SELECT seed, seed AS node, 0 AS h FROM seeds
+         |      UNION ALL SELECT seed, node, 1 FROM h1
+         |      UNION ALL SELECT seed, node, 2 FROM h2)
+         |GROUP BY seed, node ORDER BY seed, node""".stripMargin,
     // read-back of the persisted edge table ≡ the refit (buildOnce
     // writes exactly mutualEdges' rows) — shared oracle
     "llm_mutual_knn_served" -> mutualKnnCcOracleSql,

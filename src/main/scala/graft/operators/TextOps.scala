@@ -628,6 +628,40 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
+    // CCNet-style head/middle/tail quality terciles (Wenzek et al.,
+    // LREC 2020): per language, rank docs by LM fluency and cut into
+    // three equal buckets — the standard pretraining treatment where
+    // "head" trains, "middle" is kept conditionally and "tail" is
+    // dropped or down-weighted. Rides llm_lm_score's exact-integer
+    // fluency (high lm_x = fluent = head; CCNet uses low perplexity,
+    // the same ordering), cut by ntile(3) over a TOTALLY ordered
+    // per-lang window (score desc, doc_id) so the bucket boundary is
+    // deterministic in both engines. Output is the per-(lang, bucket)
+    // audit a mixing decision reads: doc/token mass + the score range
+    // each bucket spans. Scale: the window partitions by lang over
+    // score-sized rows (doc_id + two ints — never text), and the
+    // aggregate is map-side partial; at 100 TB the per-lang sort is
+    // the one genuinely ranked step, bounded by the largest language.
+    "llm_ccnet_buckets" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val scored = graft.api.GraftPipelines
+        .lmScore(docs, graft.api.GraftPipelines.bigramLmRatios(docs))
+        .join(docs.select($"doc_id", $"lang",
+          size(split($"text", " ")).as("n_toks")), "doc_id")
+      val w = Window.partitionBy($"lang")
+        .orderBy($"lm_x".desc, $"doc_id")
+      scored.withColumn("t", ntile(3).over(w))
+        .withColumn("bucket",
+          when($"t" === 1, "head").when($"t" === 2, "middle")
+            .otherwise("tail"))
+        .groupBy($"lang", $"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_toks".cast("long")).as("n_tokens"),
+          min($"lm_x").as("min_lm"), max($"lm_x").as("max_lm"))
+        .orderBy($"lang", $"bucket")
+    }),
+
     // DSIR-style importance weight (Xie et al., NeurIPS 2023 "Data
     // Selection for Language Models via Importance Resampling"): weight
     // every corpus doc by how much its n-gram distribution looks like a
@@ -1370,6 +1404,38 @@ object TextOps {
         | CAST(CAST(sum(r) AS BIGINT) // count(*) AS BIGINT) AS lm_x
         |FROM bi JOIN lm ON bi.w1 = lm.w1 AND bi.w2 = lm.w2
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // lm_x CTEs mirror llm_lm_score; the tercile cut shares the exact
+    // (score desc, doc_id) total order in both engines
+    "llm_ccnet_buckets" ->
+      """WITH bi AS (
+        |  SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |             i -> {'w1': w[i], 'w2': w[i+1]})) AS b
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |    WHERE len(w) >= 2)),
+        |n12 AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY w1, w2),
+        |n1 AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY w1),
+        |lm AS (
+        |  SELECT n12.w1, w2, (n12 * 1000000) // n1 AS r
+        |  FROM n12 JOIN n1 ON n12.w1 = n1.w1),
+        |scored AS (
+        |  SELECT doc_id, CAST(CAST(sum(r) AS BIGINT) // count(*) AS BIGINT)
+        |     AS lm_x
+        |  FROM bi JOIN lm ON bi.w1 = lm.w1 AND bi.w2 = lm.w2
+        |  GROUP BY doc_id),
+        |cut AS (
+        |  SELECT s.doc_id, d.lang, len(string_split(d.text, ' ')) AS n_toks,
+        |   s.lm_x,
+        |   ntile(3) OVER (PARTITION BY d.lang
+        |                  ORDER BY s.lm_x DESC, s.doc_id) AS t
+        |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id)
+        |SELECT lang,
+        | CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+        |   AS bucket,
+        | count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        | min(lm_x) AS min_lm, max(lm_x) AS max_lm
+        |FROM cut GROUP BY lang, t ORDER BY lang, bucket""".stripMargin,
 
     "llm_dsir_weight" ->
       """WITH bi AS (

@@ -835,4 +835,31 @@ class SimilarityOpsSpec extends SparkSpec {
     // must agree on the same edge set
     assert(q("llm_mutual_knn_served").collect().toSeq == direct)
   }
+
+  test("llm_graph_khop: hop counts are exact BFS distances <= 2 over " +
+      "the mutual graph, with complete 1-hop frontiers") {
+    import org.apache.spark.sql.functions.col
+    val rows = q("llm_graph_khop").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty && rows.forall(t => t._3 >= 0 && t._3 <= 2))
+    // reconstruct the adjacency from the knn-graph entry's mutual flag
+    val adj = SparkEntry.queries("llm_knn_graph")(spark, sf)
+      .filter(col("mutual") === 1).select(col("u"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = rows.filter(_._3 == 0).map(_._1).toSet
+    assert(seeds.nonEmpty && seeds.forall(_ % 20 == 0))
+    seeds.foreach { s =>
+      val h1 = adj.getOrElse(s, Set.empty[Long])
+      val got1 = rows.filter(t => t._1 == s && t._3 == 1).map(_._2).toSet
+      // every direct neighbor appears at hop 1 exactly (never 2)
+      assert(got1 == h1, s"seed $s: 1-hop frontier mismatch")
+      val h2 = h1.flatMap(n => adj.getOrElse(n, Set.empty[Long])) -- h1 - s
+      val got2 = rows.filter(t => t._1 == s && t._3 == 2).map(_._2).toSet
+      assert(got2 == h2, s"seed $s: 2-hop frontier mismatch")
+    }
+    assert(rows.exists(_._3 == 2),
+      "fixture degenerate: no 2-hop expansion happened")
+  }
 }

@@ -563,6 +563,29 @@ class TextMultimodalSpec extends SparkSpec {
     assert(fert.map { case (l, (_, t)) => l -> t } == byLang)
   }
 
+  test("llm_ccnet_buckets: per-lang terciles are balanced, score ranges " +
+      "are ordered head >= middle >= tail, and doc mass is conserved") {
+    val rows = q("llm_ccnet_buckets").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(4), r.getLong(5)))
+    val byLang = rows.groupBy(_._1)
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == Seq("head", "middle", "tail"),
+        s"$lang must have exactly the three CCNet buckets")
+      val n = rs.map(t => t._2 -> t._3).toMap
+      assert(n.values.max - n.values.min <= 1,
+        s"$lang terciles must be balanced: $n")
+      // the cut is on (score desc): every head score >= every middle
+      // score >= every tail score
+      val rng = rs.map(t => t._2 -> ((t._4, t._5))).toMap
+      assert(rng("head")._1 >= rng("middle")._2 &&
+        rng("middle")._1 >= rng("tail")._2, s"$lang ranges overlap: $rng")
+    }
+    // every scored doc lands in exactly one bucket
+    val scored = q("llm_lm_score").count()
+    assert(rows.map(_._3).sum == scored)
+  }
+
   test("llm_k_anonymity: group sizes are true QI counts, verdicts split " +
       "exactly at k, and both classes occur on the corpus") {
     val rows = q("llm_k_anonymity").collect()
