@@ -31,8 +31,9 @@ object Bench {
   /** Headline queries: one per operator family, heaviest shapes first. */
   val headline: Seq[String] = Seq(
     "ev_flagship", "ev_catalog", "ev_sessionize", "ev_tumbling_1h",
-    "ev_sliding_1h15m", "ev_session_window", "ev_asof_join", "ev_range_join",
-    "ev_interval_join", "ev_follow_band",
+    "ev_sliding_1h15m", "ev_session_window", "ev_asof_join",
+    "ev_asof_nearest", "ev_range_join",
+    "ev_interval_join", "ev_follow_band", "ev_pattern_match",
     "ev_transitions", "ev_top_paths", "ev_markov_rank", "ev_drift", "ev_ewma",
     "ev_cusum",
     "ev_attribution", "ev_seasonal_residual",

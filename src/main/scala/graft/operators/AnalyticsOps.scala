@@ -226,6 +226,54 @@ object AnalyticsOps {
         .orderBy($"event_type", $"hour_idx")
     }),
 
+    // CEP pattern match — the MATCH_RECOGNIZE shape SQL engines bolt
+    // on and Spark lacks natively: "purchase within 1 h of the user's
+    // latest signup, with NO error in between" (A then B within T,
+    // ¬C between — the negation is what ev_funnel's ordered-count
+    // chain cannot express). Two running windows over ONE per-user
+    // sort: a cumulative error count, and the carried-forward
+    // (signup ts, error-count-at-signup) pair; a purchase matches iff
+    // its running error count equals the count carried from its
+    // matched signup — zero errors strictly between, O(1) state per
+    // row, no self-join, no per-row range probe. Same-instant ties
+    // order (error, signup, purchase) then event_id, so boundary
+    // events resolve identically in both engines: an error sharing
+    // the signup's timestamp counts as BEFORE it (not between), one
+    // sharing the purchase's counts as between. At 100 TB: one
+    // user-keyed exchange + in-partition sort — the ev_asof_join
+    // merge-scan discipline extended to pattern negation.
+    "ev_pattern_match" -> ((s, dir) => {
+      import s.implicits._
+      val ev = EventOps.events(s, dir)
+        .filter($"event_type".isin("signup", "error", "purchase"))
+        .select($"event_id", $"user_id", $"ts_ns", $"event_type")
+        .withColumn("prio",
+          when($"event_type" === "error", 0)
+            .when($"event_type" === "signup", 1).otherwise(2))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts_ns", $"prio", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev
+        .withColumn("ec",
+          sum(($"event_type" === "error").cast("long")).over(w))
+        .withColumn("sig_ns_c",
+          when($"event_type" === "signup", $"ts_ns"))
+        .withColumn("sig_ec_c", when($"event_type" === "signup", $"ec"))
+        .withColumn("last_sig_ns",
+          last($"sig_ns_c", ignoreNulls = true).over(w))
+        .withColumn("last_sig_ec",
+          last($"sig_ec_c", ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase" &&
+          $"last_sig_ns".isNotNull &&
+          $"ts_ns" - $"last_sig_ns" <= lit(3600000000000L) &&
+          $"ec" === $"last_sig_ec")
+        .withColumn("gap_ns", $"ts_ns" - $"last_sig_ns")
+        .select($"event_id", $"user_id",
+          floorDiv("last_sig_ns", 1000000L).as("signup_ms"),
+          floorDiv("gap_ns", 1000000L).as("gap_ms"))
+        .orderBy($"event_id")
+    }),
+
     "ev_ewma" -> ((s, dir) => {
       import s.implicits._
       val ev = EventOps.events(s, dir)
@@ -289,6 +337,42 @@ object AnalyticsOps {
          | CAST(s AS BIGINT) AS cusum_scaled,
          | CAST(s > total * 2 AS INTEGER) AS alarm
          |FROM c ORDER BY event_type, hour_idx""".stripMargin
+    },
+
+    // two-stage window mirror: ec first, then the carried signup pair
+    // over the identical (ts, prio, id) per-user order
+    "ev_pattern_match" -> {
+      val sigMs = graft.functions.Fns.floorDivDuckSql("last_sig_ns", 1000000L)
+      val gapMs = graft.functions.Fns
+        .floorDivDuckSql("ts_ns - last_sig_ns", 1000000L)
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, event_type,
+         |   CASE event_type WHEN 'error' THEN 0 WHEN 'signup' THEN 1
+         |        ELSE 2 END AS prio
+         |  FROM events
+         |  WHERE event_type IN ('signup', 'error', 'purchase')),
+         |r1 AS (
+         |  SELECT *, CAST(sum(CASE WHEN event_type = 'error' THEN 1
+         |                    ELSE 0 END) OVER w AS BIGINT) AS ec
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id
+         |    ORDER BY ts_ns, prio, event_id ROWS UNBOUNDED PRECEDING)),
+         |r2 AS (
+         |  SELECT *,
+         |   last_value(sig_ns_c IGNORE NULLS) OVER w AS last_sig_ns,
+         |   last_value(sig_ec_c IGNORE NULLS) OVER w AS last_sig_ec
+         |  FROM (SELECT *,
+         |         CASE WHEN event_type = 'signup' THEN ts_ns END AS sig_ns_c,
+         |         CASE WHEN event_type = 'signup' THEN ec END AS sig_ec_c
+         |        FROM r1)
+         |  WINDOW w AS (PARTITION BY user_id
+         |    ORDER BY ts_ns, prio, event_id ROWS UNBOUNDED PRECEDING))
+         |SELECT event_id, user_id, $sigMs AS signup_ms, $gapMs AS gap_ms
+         |FROM r2
+         |WHERE event_type = 'purchase' AND last_sig_ns IS NOT NULL
+         | AND ts_ns - last_sig_ns <= 3600000000000
+         | AND ec = last_sig_ec
+         |ORDER BY event_id""".stripMargin
     },
 
     "ev_drift" ->

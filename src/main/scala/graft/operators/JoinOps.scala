@@ -41,6 +41,53 @@ object JoinOps {
         .orderBy($"event_id")
     }),
 
+    // Nearest as-of join (pandas merge_asof direction='nearest' with a
+    // tolerance, the time-series enrichment the backward-only
+    // ev_asof_join can't express): every error event matched to the
+    // temporally NEAREST signup within ±30 min in EITHER direction,
+    // ties to the earlier (backward) signup. Same merge-scan
+    // discipline — one per-user sort feeds a running last (backward
+    // candidate) and a running first over the following frame
+    // (forward candidate); the nearest pick is a pure per-row
+    // projection. A signup sharing the error's instant sorts before
+    // it, so it is the backward candidate at distance 0. Unmatched
+    // errors survive with pick='none' (the audit needs the misses).
+    // At 100 TB: one user-keyed exchange + in-partition sort, two
+    // window passes over the SAME sort — no N×M range probe.
+    "ev_asof_nearest" -> ((s, dir) => {
+      import s.implicits._
+      val tol = 1800000000000L // 30 min in ns
+      val ev = EventOps.events(s, dir)
+        .filter($"event_type".isin("signup", "error"))
+        .select($"user_id", $"ts_ns",
+          when($"event_type" === "error", $"event_id").as("err_id"),
+          when($"event_type" === "signup", $"ts_ns").as("sig_ns"))
+      val ord = Window.partitionBy($"user_id")
+        .orderBy($"ts_ns", $"err_id".isNotNull.cast("int"))
+      val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ev
+        .withColumn("back_ns", last($"sig_ns", ignoreNulls = true).over(wb))
+        .withColumn("fwd_ns", first($"sig_ns", ignoreNulls = true).over(wf))
+        .filter($"err_id".isNotNull)
+        .withColumn("db", $"ts_ns" - $"back_ns")
+        .withColumn("df", $"fwd_ns" - $"ts_ns")
+        .withColumn("pick",
+          when($"db".isNotNull && $"db" <= tol &&
+            ($"df".isNull || $"df" > tol || $"db" <= $"df"), lit("back"))
+            .when($"df".isNotNull && $"df" <= tol, lit("fwd"))
+            .otherwise(lit("none")))
+        .withColumn("near_ns",
+          when($"pick" === "back", $"back_ns")
+            .when($"pick" === "fwd", $"fwd_ns"))
+        .withColumn("dist_ns",
+          when($"pick" === "back", $"db").when($"pick" === "fwd", $"df"))
+        .select($"err_id".as("event_id"), $"user_id", $"pick",
+          floorDiv("near_ns", 1000000L).as("signup_ms"),
+          floorDiv("dist_ns", 1000000L).as("dist_ms"))
+        .orderBy($"event_id")
+    }),
+
     // Salted equi-join: the skew-safe join shape from the library API,
     // oracle-checked for result equivalence with the plain join. The
     // deterministic per-row salt splits each hot key across `salts`
@@ -153,6 +200,41 @@ object JoinOps {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    // identical two-window merge-scan; the pick is the same per-row CASE
+    "ev_asof_nearest" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_ns(ts) AS ts_ns,
+         |   CASE WHEN event_type = 'error' THEN event_id END AS err_id,
+         |   CASE WHEN event_type = 'signup' THEN epoch_ns(ts) END AS sig_ns
+         |  FROM events WHERE event_type IN ('signup', 'error')),
+         |r AS (
+         |  SELECT *,
+         |   last_value(sig_ns IGNORE NULLS) OVER (PARTITION BY user_id
+         |     ORDER BY ts_ns, CAST(err_id IS NOT NULL AS INTEGER)
+         |     ROWS UNBOUNDED PRECEDING) AS back_ns,
+         |   first_value(sig_ns IGNORE NULLS) OVER (PARTITION BY user_id
+         |     ORDER BY ts_ns, CAST(err_id IS NOT NULL AS INTEGER)
+         |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_ns
+         |  FROM e),
+         |p AS (
+         |  SELECT err_id, user_id, ts_ns, back_ns, fwd_ns,
+         |   ts_ns - back_ns AS db, fwd_ns - ts_ns AS df,
+         |   CASE
+         |    WHEN db IS NOT NULL AND db <= 1800000000000 AND
+         |         (df IS NULL OR df > 1800000000000 OR db <= df)
+         |     THEN 'back'
+         |    WHEN df IS NOT NULL AND df <= 1800000000000 THEN 'fwd'
+         |    ELSE 'none' END AS pick
+         |  FROM r WHERE err_id IS NOT NULL)
+         |SELECT err_id AS event_id, user_id, pick,
+         | ${floorDivDuckSql(
+              "CASE WHEN pick = 'back' THEN back_ns WHEN pick = 'fwd' THEN fwd_ns END",
+              1000000L)} AS signup_ms,
+         | ${floorDivDuckSql(
+              "CASE WHEN pick = 'back' THEN db WHEN pick = 'fwd' THEN df END",
+              1000000L)} AS dist_ms
+         |FROM p ORDER BY event_id""".stripMargin,
 
     "ev_asof_join" ->
       s"""SELECT err_id AS event_id, user_id,

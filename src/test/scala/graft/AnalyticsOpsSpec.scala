@@ -171,4 +171,68 @@ class AnalyticsOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("ev_pattern_match: matches agree with a brute-force replay and " +
+      "the no-error-between negation genuinely excludes purchases") {
+    import org.apache.spark.sql.functions.col
+    val got = q("ev_pattern_match").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // brute-force per-user replay on the small fixture
+    val ev = operators.EventOps.events(spark, sf)
+      .filter(col("event_type").isin("signup", "error", "purchase"))
+      .select("event_id", "user_id", "ts_ns", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def prio(t: String) = t match {
+      case "error" => 0; case "signup" => 1; case _ => 2
+    }
+    val want = ev.groupBy(_._2).values.flatMap { rows =>
+      val ordered = rows.sortBy(e => (e._3, prio(e._4), e._1))
+      ordered.zipWithIndex.flatMap {
+        case ((id, _, ts, "purchase"), i) =>
+          val before = ordered.take(i)
+          before.reverse.find(_._4 == "signup").flatMap {
+            case (_, _, sigTs, _) =>
+              val within = ts - sigTs <= 3600000000000L
+              // an error at the signup's own instant sorts before it
+              // (prio error < signup) and is NOT between
+              val errBetween = before
+                .exists(e => e._4 == "error" && e._3 > sigTs)
+              if (within && !errBetween)
+                Some(id -> ((sigTs / 1000000L, (ts - sigTs) / 1000000L)))
+              else None
+          }
+        case _ => None
+      }
+    }.toMap
+    assert(got == want, "engine matches must equal the replay")
+    assert(got.nonEmpty, "fixture degenerate: no pattern fired")
+  }
+
+  test("ev_pattern_match: hand-built fixture pins the negation, the " +
+      "window cut, and the same-instant boundary semantics") {
+    val M = 60L * 1000000000L // one minute in ns
+    val rows = Seq(
+      // user 1: error strictly between -> excluded; 2 h purchase ->
+      // outside the window
+      (1L, 0L, 1L, "signup", 1.0, "{}"),
+      (2L, 10L * M, 1L, "error", 1.0, "{}"),
+      (3L, 20L * M, 1L, "purchase", 1.0, "{}"),
+      (4L, 120L * M, 1L, "purchase", 1.0, "{}"),
+      // user 2: error BEFORE the signup doesn't block the match
+      (5L, 0L, 2L, "error", 1.0, "{}"),
+      (6L, 5L * M, 2L, "signup", 1.0, "{}"),
+      (7L, 35L * M, 2L, "purchase", 1.0, "{}"),
+      // user 3: purchase with no signup at all
+      (8L, 0L, 3L, "purchase", 1.0, "{}"),
+      // user 4: error at the signup's OWN instant sorts before it
+      // (error < signup priority) -> not between -> match
+      (9L, 0L, 4L, "signup", 1.0, "{}"),
+      (10L, 0L, 4L, "error", 1.0, "{}"),
+      (11L, 10L * M, 4L, "purchase", 1.0, "{}"))
+    val dir = tempSfDir("events" -> eventsDf(rows))
+    val got = q("ev_pattern_match", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((7L, 300000L, 1800000L), (11L, 0L, 600000L)),
+      s"fixture mismatch: $got")
+  }
 }

@@ -128,4 +128,40 @@ class JoinOpsSpec extends SparkSpec {
       else assert(math.abs(cell.asInstanceOf[Double] - a.getDouble(0)) < 1e-6)
     }
   }
+
+  test("ev_asof_nearest: picks are truly nearest within tolerance with " +
+      "backward ties, and agree with a brute-force scan") {
+    import org.apache.spark.sql.functions.col
+    val tol = 1800000000000L
+    val got = q("ev_asof_nearest").collect().map(r => r.getLong(0) ->
+      ((r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    val ev = operators.EventOps.events(spark, sf)
+      .filter(col("event_type").isin("signup", "error"))
+      .select("event_id", "user_id", "ts_ns", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val sigsByUser = ev.filter(_._4 == "signup").groupBy(_._2)
+      .view.mapValues(_.map(_._3).sorted).toMap
+    val want = ev.filter(_._4 == "error").map { case (id, u, ts, _) =>
+      val sigs = sigsByUser.getOrElse(u, Array.empty[Long])
+      val back = sigs.filter(_ <= ts).lastOption.filter(ts - _ <= tol)
+      val fwd = sigs.filter(_ > ts).headOption.filter(_ - ts <= tol)
+      val pick = (back, fwd) match {
+        case (Some(b), Some(f)) =>
+          if (ts - b <= f - ts) ("back", b / 1000000L, (ts - b) / 1000000L)
+          else ("fwd", f / 1000000L, (f - ts) / 1000000L)
+        case (Some(b), None) => ("back", b / 1000000L, (ts - b) / 1000000L)
+        case (None, Some(f)) => ("fwd", f / 1000000L, (f - ts) / 1000000L)
+        case _ => ("none", -1L, -1L)
+      }
+      id -> pick
+    }.toMap
+    assert(got == want, "nearest picks must equal the brute-force scan")
+    val picks = got.values.map(_._1).toSet
+    assert(picks == Set("back", "fwd", "none"),
+      s"fixture degenerate: need all three outcomes, got $picks")
+    assert(got.values.forall(p => p._1 == "none" ||
+      p._3 <= tol / 1000000L))
+  }
 }
