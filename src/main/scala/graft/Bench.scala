@@ -59,7 +59,8 @@ object Bench {
     "rel_incremental_agg", "rel_incremental_join",
     "rel_incremental_join_agg", "rel_incremental_delete",
     "rel_incremental_topk",
-    "rel_distinct_incremental", "rel_zorder", "rel_cdc_apply",
+    "rel_distinct_incremental", "ev_sliding_distinct", "rel_zorder",
+    "rel_cdc_apply",
     "rel_snapshot_diff", "rel_reconcile", "rel_compact",
     "llm_bpe_vocab", "llm_bpe_apply",
     "llm_dedup_exact", "llm_dedup_normalized", "llm_dedup_prefix",

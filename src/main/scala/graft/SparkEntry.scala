@@ -60,6 +60,10 @@ object SparkEntry {
       exactTwin = "rel_percentile",
       tolerance = "sketch p50/p90 within 2.5% of exact, per group",
       spec = "src/test/scala/graft/RelationalOpsSpec.scala: \"rel_percentile_approx: sketch medians within 2.5% of the exact query\""),
+    "ev_sliding_distinct" -> RowsOnlyMeta(
+      exactTwin = "exact trailing-6h countDistinct(user_id) per window (inline in spec)",
+      tolerance = "HLL sliding union within 5% of exact, per window; merge arity <= 6",
+      spec = "src/test/scala/graft/AnalyticsOpsSpec.scala: \"ev_sliding_distinct: sketch windows within 5% of exact, merge arity bounded\""),
     "rel_distinct_incremental" -> RowsOnlyMeta(
       exactTwin = "countDistinct(o_custkey) per o_orderpriority (inline in spec)",
       tolerance = "merged-batch HLL union == single-pass HLL exactly (bit-identical estimates); both within 2% of exact countDistinct, per group",

@@ -274,6 +274,32 @@ object AnalyticsOps {
         .orderBy($"event_id")
     }),
 
+    // Sliding-window DISTINCT users via mergeable sketches — the shape
+    // that justifies sketches at 100 TB beyond rel_distinct_incremental's
+    // batch merge: the raw stream is scanned ONCE into an hours-sized
+    // HLL state table, and every trailing-6h window is a union of ≤ 6
+    // stored states (hour h feeds windows h..h+5 via one bounded
+    // sequence-explode — window count × 6 rows, never events × windows).
+    // The exact computation would either rescan events per window or
+    // carry (user, hour) pairs through every window — both scale with
+    // the stream, the sketch path with the CLOCK. Engine-specific
+    // binary states → rows-only entry (SparkEntry.rowsOnlyMeta); the
+    // spec pins each window within 5% of the exact trailing distinct
+    // count and the merge arity at ≤ 6.
+    "ev_sliding_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val hourly = EventOps.events(s, dir)
+        .groupBy(floorDiv("ts_ms", 3600000L).as("hour_idx"))
+        .agg(hll_sketch_agg($"user_id").as("sk"))
+      hourly
+        .select(explode(expr("sequence(hour_idx, hour_idx + 5)")).as("w"),
+          $"sk")
+        .groupBy($"w")
+        .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"),
+          count(lit(1)).as("n_hours_merged"))
+        .orderBy($"w")
+    }),
+
     "ev_ewma" -> ((s, dir) => {
       import s.implicits._
       val ev = EventOps.events(s, dir)

@@ -208,6 +208,29 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture degenerate: no pattern fired")
   }
 
+  test("ev_sliding_distinct: sketch windows within 5% of exact, merge " +
+      "arity bounded") {
+    import org.apache.spark.sql.functions._
+    val got = q("ev_sliding_distinct").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.nonEmpty && got.values.forall(_._2 <= 6),
+      "a window must merge at most 6 hourly states")
+    // exact twin: same explode, exact distinct per trailing window
+    val exact = operators.EventOps.events(spark, sf)
+      .select(graft.functions.Fns.floorDiv("ts_ms", 3600000L).as("h"),
+        col("user_id"))
+      .select(explode(expr("sequence(h, h + 5)")).as("w"), col("user_id"))
+      .groupBy(col("w"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (w, (approx, _)) =>
+      val e = exact(w)
+      assert(math.abs(approx - e) <= math.max(1L, e / 20),
+        s"window $w: approx $approx vs exact $e")
+    }
+  }
+
   test("ev_pattern_match: hand-built fixture pins the negation, the " +
       "window cut, and the same-instant boundary semantics") {
     val M = 60L * 1000000000L // one minute in ns
