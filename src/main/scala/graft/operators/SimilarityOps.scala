@@ -33,7 +33,7 @@ object SimilarityOps {
                                  // data, 8-bit candidate mass grows 89×
                                  // and incremental recompute hits 99%;
                                  // 12 bits holds 13× less mass, 28%)
-  private val NC = 16   // IVF coarse centroids: vec_id < NC
+  private[graft] val NC = 16   // IVF coarse centroids: vec_id < NC
   private val NPROBE = 2
   private val KM_K = 8      // k-means clusters (init = first KM_K vectors)
   private val KM_ITERS = 2  // Lloyd assign→update rounds before final assign

@@ -236,9 +236,13 @@ class SimilarityOpsSpec extends SparkSpec {
     // reading one centroid's list must touch only that partition
     val ix = q("llm_embed_ivf_served") // ensure fixture exists
     ix.collect()
-    val stamp = new java.io.File(sf, "embeddings.parquet").lastModified
-    val ixDir = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_ivf_index_" + Integer.toHexString((sf, stamp).hashCode))
+    // derive the fixture path exactly as the entry does (SHA-256 keyed
+    // fixtureDir) — a hand-rolled hash here silently reads a STALE or
+    // absent directory the moment the keying scheme evolves (it did:
+    // this line once mirrored the old 32-bit Tuple.hashCode key and
+    // broke when the last old-scheme dir aged out of /tmp)
+    val ixDir = graft.sources.GraftIO.fixtureDir(
+      sf, "embeddings.parquet", "ivf", s"nc=${operators.SimilarityOps.NC}")
     val oneList = spark.read.parquet(s"$ixDir/assignments")
       .filter(col("centroid") === 3)
     val scan = oneList.queryExecution.executedPlan.toString()
