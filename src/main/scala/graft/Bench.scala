@@ -35,7 +35,7 @@ object Bench {
     "ev_asof_nearest", "ev_range_join",
     "ev_interval_join", "ev_follow_band", "ev_pattern_match",
     "ev_transitions", "ev_top_paths", "ev_markov_rank", "ev_drift", "ev_ewma",
-    "ev_cusum",
+    "ev_cusum", "ev_ab_test",
     "ev_attribution", "ev_seasonal_residual",
     "ev_value_histogram", "ev_heatmap", "ev_funnel", "ev_retention",
     "ev_anomaly", "ev_anomaly_mad", "ev_rate_1m", "ev_stickiness",
@@ -73,7 +73,7 @@ object Bench {
     "llm_curate", "llm_decontaminate",
     "llm_bloom_decontaminate",
     "llm_embed_ivf",
-    "llm_span_dedup", "llm_sample_stratified", "llm_sample_weighted", "llm_dsir_sample", "llm_pack_sequences",
+    "llm_span_dedup", "llm_boilerplate_scrub", "llm_sample_stratified", "llm_sample_weighted", "llm_dsir_sample", "llm_pack_sequences",
     "llm_train_manifest", "llm_split_leakage_safe",
     "llm_pack_salted",
     "llm_hybrid_search", "llm_hybrid_rrf", "llm_corpus_report",

@@ -318,6 +318,47 @@ object AnalyticsOps {
         .withColumn("ewma",
           $"ewma_scaled".cast("double") / lit(EwmaScale.toDouble))
         .orderBy($"event_type")
+    }),
+
+    // A/B experiment readout — the two-proportion z-test over an
+    // exposure→conversion funnel, the decision-making completion of the
+    // funnel/retention family (count WHAT happened) and ev_cusum (alarm
+    // WHEN it changed): did variant A convert better than B, and is the
+    // difference significant? Cohort = user_id % 2 (the corpus carries no
+    // assignment column; production swaps in the experiment's hash
+    // bucket). Exposure = the user's first 'view'; conversion = first
+    // 'purchase' landing within 24 h at or after it. Determinism: the
+    // funnel reduces to four exact BIGINT counts — rates, pooled
+    // variance, and z are then ONE double expression in the same
+    // association order on both engines (the rel_corr moment-form
+    // discipline). Scale: one user_id-keyed shuffle with map-side
+    // partial min() aggregation (conditional min, not an event sort),
+    // then a single-row global reduce — per-executor state is two
+    // timestamps per user, and the z-test itself touches 4 numbers
+    // regardless of corpus size.
+    "ev_ab_test" -> ((s, dir) => {
+      import s.implicits._
+      val perUser = EventOps.events(s, dir)
+        .groupBy($"user_id")
+        .agg(min(when($"event_type" === "view", $"ts_ms")).as("fv"),
+          min(when($"event_type" === "purchase", $"ts_ms")).as("fp"))
+        .filter($"fv".isNotNull)
+        .select(($"user_id" % 2).as("cohort"),
+          ($"fp".isNotNull && $"fp" >= $"fv" &&
+            $"fp" - $"fv" <= lit(86400000L)).cast("long").as("conv"))
+      perUser.groupBy()
+        .agg(sum(when($"cohort" === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when($"cohort" === 0, $"conv").otherwise(0L)).as("c_a"),
+          sum(when($"cohort" === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when($"cohort" === 1, $"conv").otherwise(0L)).as("c_b"))
+        .withColumn("rate_a", $"c_a".cast("double") / $"n_a")
+        .withColumn("rate_b", $"c_b".cast("double") / $"n_b")
+        .withColumn("p_pool",
+          ($"c_a" + $"c_b").cast("double") / ($"n_a" + $"n_b"))
+        .withColumn("z", ($"rate_a" - $"rate_b") /
+          sqrt($"p_pool" * (lit(1.0) - $"p_pool") *
+            (lit(1.0) / $"n_a" + lit(1.0) / $"n_b")))
+        .withColumn("significant_95", (abs($"z") > 1.96).cast("int"))
     })
   )
 
@@ -501,6 +542,38 @@ object AnalyticsOps {
          |    count(*) AS n
          |   FROM events GROUP BY 1, 2)
          |  GROUP BY event_type)
-         |ORDER BY event_type""".stripMargin
+         |ORDER BY event_type""".stripMargin,
+
+    "ev_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |   min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS fv,
+        |   min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS fp
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT user_id % 2 AS cohort,
+        |   CASE WHEN fp IS NOT NULL AND fp >= fv AND fp - fv <= 86400000
+        |        THEN 1 ELSE 0 END AS conv
+        |  FROM u WHERE fv IS NOT NULL),
+        |t AS (
+        |  SELECT
+        |   CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |   CAST(sum(CASE WHEN cohort = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+        |   CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |   CAST(sum(CASE WHEN cohort = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+        |  FROM c)
+        |SELECT n_a, c_a, n_b, c_b,
+        | CAST(c_a AS DOUBLE) / n_a AS rate_a,
+        | CAST(c_b AS DOUBLE) / n_b AS rate_b,
+        | CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) AS p_pool,
+        | (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b) /
+        |  sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
+        |       (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
+        |       (1.0 / n_a + 1.0 / n_b)) AS z,
+        | CAST(abs((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b) /
+        |  sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
+        |       (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
+        |       (1.0 / n_a + 1.0 / n_b))) > 1.96 AS INTEGER) AS significant_95
+        |FROM t""".stripMargin
   )
 }

@@ -984,6 +984,50 @@ object DedupOps {
         .sortedNeighborhoodPairs(Tables.part(s, dir), "p_name",
           window = 2, maxDist = 3)
         .orderBy($"name_a", $"name_b")
+    }),
+
+    // Boilerplate SCRUB — the rewrite completion of llm_span_dedup
+    // (which only SCORES chunk duplication): C4-style removal of
+    // corpus-frequent spans (Raffel et al. 2020 drop lines shared by
+    // ≥3 pages; here the unit is the 10-word chunk, the corpus has no
+    // newlines). Every doc is re-emitted with its boilerplate chunks
+    // deleted and the survivors rejoined in order — licence blocks,
+    // shared headers, templated footers disappear from the training
+    // text instead of merely being counted. Plan shape at 100 TB:
+    //   1. chunk + hash (narrow — no shuffle),
+    //   2. ONE hash-keyed shuffle for the frequency count
+    //      (partial-agg'd map-side; countDistinct(doc_id) is the
+    //      standard two-phase expand),
+    //   3. the ≥3-docs filter makes the boilerplate set tiny BY
+    //      CONSTRUCTION (bounded by chunks/3, in practice the few
+    //      templated spans) → broadcast it back, so the corpus-sized
+    //      chunk table is tagged WITHOUT a second shuffle,
+    //   4. one doc_id shuffle to reassemble — the unavoidable
+    //      rewrite pass, same size as the corpus itself.
+    // Chunking runs twice (freq pass + tag pass) on purpose: re-doing
+    // cheap narrow CPU beats pinning an exploded corpus-sized chunk
+    // table in executor storage.
+    "llm_boilerplate_scrub" -> ((s, dir) => {
+      import s.implicits._
+      def chunks = Tables.documents(s, dir)
+        .select($"doc_id", posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(split(text, ' ')) / 10.0) as int) - 1), " +
+            "i -> concat_ws(' ', slice(split(text, ' '), i*10+1, 10)))"))
+          .as(Seq("pos", "chunk")))
+        .withColumn("h", md5($"chunk"))
+      val boiler = chunks.groupBy($"h")
+        .agg(countDistinct($"doc_id").as("nd"))
+        .filter($"nd" >= 3)
+        .select($"h", lit(1).as("bp"))
+      chunks.join(broadcast(boiler), Seq("h"), "left")
+        .withColumn("keep", $"bp".isNull)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when($"keep", 0L).otherwise(1L)).as("n_removed"),
+          concat_ws(" ", expr(
+            "transform(filter(sort_array(collect_list(struct(pos, keep, chunk))), " +
+              "x -> x.keep), x -> x.chunk)")).as("clean_text"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -1380,6 +1424,22 @@ object DedupOps {
         |SELECT name_a, name_b,
         | CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
         |FROM pairs WHERE levenshtein(name_a, name_b) <= 3
-        |ORDER BY name_a, name_b""".stripMargin
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "llm_boilerplate_scrub" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (SELECT doc_id,
+        |  unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS pos, w
+        | FROM w),
+        |t AS (SELECT doc_id, pos,
+        |  array_to_string(w[pos*10+1 : pos*10+10], ' ') AS chunk FROM ch),
+        |t2 AS (SELECT doc_id, pos, chunk, md5(chunk) AS h FROM t),
+        |b AS (SELECT h FROM t2 GROUP BY h HAVING count(DISTINCT doc_id) >= 3)
+        |SELECT doc_id, count(*) AS n_chunks,
+        | CAST(sum(CASE WHEN h IN (SELECT h FROM b) THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_removed,
+        | coalesce(string_agg(CASE WHEN h NOT IN (SELECT h FROM b) THEN chunk END,
+        |   ' ' ORDER BY pos), '') AS clean_text
+        |FROM t2 GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

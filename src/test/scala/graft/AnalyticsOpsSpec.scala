@@ -258,4 +258,46 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got == Seq((7L, 300000L, 1800000L), (11L, 0L, 600000L)),
       s"fixture mismatch: $got")
   }
+
+  test("ev_ab_test: hand-built funnel -> exact counts and the z the " +
+      "same double expression gives") {
+    val H = 3600L * 1000000000L // 1 h in ns
+    val rows = Seq(
+      // cohort A (even users):
+      //   u0 converts (purchase 1 h after first view)
+      (1L, 0L, 0L, "view", 1.0, "{}"),
+      (2L, H, 0L, "purchase", 1.0, "{}"),
+      //   u2 exposed, purchase at +25 h -> OUTSIDE the 24 h window
+      (3L, 0L, 2L, "view", 1.0, "{}"),
+      (4L, 25L * H, 2L, "purchase", 1.0, "{}"),
+      //   u4 exposed, never purchases
+      (5L, 0L, 4L, "view", 1.0, "{}"),
+      // cohort B (odd users):
+      //   u1's FIRST purchase precedes the first view -> not a conversion
+      (6L, 0L, 1L, "purchase", 1.0, "{}"),
+      (7L, H, 1L, "view", 1.0, "{}"),
+      //   u3 purchase at the view's own instant (delta 0) -> converts
+      (8L, 2L * H, 3L, "view", 1.0, "{}"),
+      (9L, 2L * H, 3L, "purchase", 1.0, "{}"),
+      // u5 purchases but was never exposed -> excluded from both cohorts
+      (10L, 0L, 5L, "purchase", 1.0, "{}"))
+    val dir = tempSfDir("events" -> eventsDf(rows))
+    val out = q("ev_ab_test", dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val (nA, cA, nB, cB) = (r.getAs[Long]("n_a"), r.getAs[Long]("c_a"),
+      r.getAs[Long]("n_b"), r.getAs[Long]("c_b"))
+    assert((nA, cA, nB, cB) == ((3L, 1L, 2L, 1L)))
+    // recompute z with the entry's exact association order — must be
+    // bit-equal, not merely close (the oracle hash demands the same)
+    val rateA = cA.toDouble / nA
+    val rateB = cB.toDouble / nB
+    val p = (cA + cB).toDouble / (nA + nB)
+    val z = (rateA - rateB) /
+      math.sqrt(p * (1.0 - p) * (1.0 / nA + 1.0 / nB))
+    assert(r.getAs[Double]("rate_a") == rateA)
+    assert(r.getAs[Double]("rate_b") == rateB)
+    assert(r.getAs[Double]("z") == z)
+    assert(r.getAs[Int]("significant_95") == 0)
+  }
 }

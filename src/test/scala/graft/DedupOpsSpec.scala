@@ -522,4 +522,28 @@ class DedupOpsSpec extends SparkSpec {
     assert(singletons.nonEmpty &&
       singletons.forall(t => t._3 == perDoc(t._1)))
   }
+
+  test("llm_boilerplate_scrub: >=3-doc chunks removed, 2-doc chunks kept, " +
+      "clean docs reconstruct bit-exactly") {
+    val bp = (1 to 10).map(i => s"b$i").mkString(" ")   // in docs 1,2,3
+    val pair = (1 to 10).map(i => s"p$i").mkString(" ") // in docs 4,5 only
+    val uniq = (1 to 10).map(i => s"u$i").mkString(" ")
+    val dir = tempSfDir("documents" -> docs(
+      (1L, s"$bp x1 x2 x3", "s0"),
+      (2L, s"$uniq $bp", "s0"),
+      (3L, bp, "s0"),
+      (4L, s"$pair y1 y2 y3", "s1"),
+      (5L, s"$pair z1 z2 z3", "s1")))
+    val out = q("llm_boilerplate_scrub", dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 1L, "x1 x2 x3")))
+    assert(out(2L) == ((2L, 1L, uniq)))
+    // a doc that was ALL boilerplate survives as an empty row, not a drop
+    assert(out(3L) == ((1L, 1L, "")))
+    // frequency 2 < 3: the pair chunk is NOT boilerplate — both docs
+    // reconstruct to their original text exactly
+    assert(out(4L) == ((2L, 0L, s"$pair y1 y2 y3")))
+    assert(out(5L) == ((2L, 0L, s"$pair z1 z2 z3")))
+  }
 }
