@@ -35,7 +35,7 @@ object Bench {
     "ev_asof_nearest", "ev_range_join",
     "ev_interval_join", "ev_follow_band", "ev_pattern_match",
     "ev_transitions", "ev_top_paths", "ev_markov_rank", "ev_drift", "ev_ewma",
-    "ev_cusum", "ev_ab_test",
+    "ev_cusum", "ev_ab_test", "ev_ab_cuped",
     "ev_attribution", "ev_seasonal_residual",
     "ev_value_histogram", "ev_heatmap", "ev_funnel", "ev_retention",
     "ev_anomaly", "ev_anomaly_mad", "ev_rate_1m", "ev_stickiness",

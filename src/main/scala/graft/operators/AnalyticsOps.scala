@@ -359,6 +359,57 @@ object AnalyticsOps {
           sqrt($"p_pool" * (lit(1.0) - $"p_pool") *
             (lit(1.0) / $"n_a" + lit(1.0) / $"n_b")))
         .withColumn("significant_95", (abs($"z") > 1.96).cast("int"))
+    }),
+
+    // CUPED variance reduction (Deng et al. WSDM'13) — the revenue-side
+    // companion of ev_ab_test's proportion z: per-user post-period
+    // purchase revenue adjusted by the pre-period covariate,
+    // adj = ȳ_c − θ·(x̄_c − x̄), θ = cov(x,y)/var(x). The experiment
+    // split (corpus midpoint) and cohort stand in for the production
+    // assignment timestamp + hash bucket. Determinism: per-user revenue
+    // sums are DECIMAL(18,2)-exact, the cross moments multiply WITHIN
+    // decimal bounds (18,2 × 18,2 → 37,4 < 38) so sums stay exact, and
+    // θ/means/adjustment are single identically-associated double
+    // expressions (the rel_corr moment form). Scale: one user_id-keyed
+    // shuffle (map-side partial sums), then a 1-row global moment
+    // aggregate cross-joined with the 2-row cohort table — the
+    // sanctioned broadcast shape; nothing downstream of the per-user
+    // agg scales with the corpus.
+    "ev_ab_cuped" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val ev = EventOps.events(s, dir)
+        .select($"user_id", $"event_type", $"value", $"ts_ms")
+      val bounds = ev.agg(min($"ts_ms").as("mn"), max($"ts_ms").as("mx"))
+      val u = ev.crossJoin(bounds)
+        .withColumn("mid", expr("(mn + mx) div 2"))
+        .groupBy($"user_id")
+        .agg(
+          sum(when($"event_type" === "purchase" && $"ts_ms" < $"mid",
+            dec2($"value")).otherwise(dec2(lit(0))))
+            .cast(DecimalType(18, 2)).as("x"),
+          sum(when($"event_type" === "purchase" && $"ts_ms" >= $"mid",
+            dec2($"value")).otherwise(dec2(lit(0))))
+            .cast(DecimalType(18, 2)).as("y"))
+      val g = u.agg(count(lit(1)).as("gn"),
+        sum($"x").cast("double").as("sx"),
+        sum($"y").cast("double").as("sy"),
+        sum($"x" * $"x").cast("double").as("sxx"),
+        sum($"x" * $"y").cast("double").as("sxy"))
+      u.groupBy(($"user_id" % 2).as("cohort"))
+        .agg(count(lit(1)).as("n"),
+          sum($"x").cast("double").as("sxc"),
+          sum($"y").cast("double").as("syc"))
+        .crossJoin(g)
+        .withColumn("theta", (($"gn" * $"sxy") - ($"sx" * $"sy")) /
+          (($"gn" * $"sxx") - ($"sx" * $"sx")))
+        .select($"cohort", $"n",
+          ($"syc" / $"n").as("mean_y"),
+          ($"sxc" / $"n").as("mean_x"),
+          (($"syc" / $"n") - $"theta" *
+            (($"sxc" / $"n") - ($"sx" / $"gn"))).as("adj_mean"),
+          $"theta")
+        .orderBy($"cohort")
     })
   )
 
@@ -574,6 +625,37 @@ object AnalyticsOps {
         |  sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
         |       (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
         |       (1.0 / n_a + 1.0 / n_b))) > 1.96 AS INTEGER) AS significant_95
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+
+    "ev_ab_cuped" ->
+      """WITH b AS (
+        |  SELECT min(epoch_ms(ts)) AS mn, max(epoch_ms(ts)) AS mx FROM events),
+        |u AS (
+        |  SELECT user_id,
+        |   CAST(sum(CASE WHEN event_type = 'purchase'
+        |         AND epoch_ms(ts) < (mn + mx) // 2
+        |        THEN CAST(value AS DECIMAL(12,2))
+        |        ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS x,
+        |   CAST(sum(CASE WHEN event_type = 'purchase'
+        |         AND epoch_ms(ts) >= (mn + mx) // 2
+        |        THEN CAST(value AS DECIMAL(12,2))
+        |        ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS y
+        |  FROM events, b GROUP BY user_id),
+        |g AS (
+        |  SELECT count(*) AS gn,
+        |   CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |   CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(x*y) AS DOUBLE) AS sxy
+        |  FROM u),
+        |c AS (
+        |  SELECT user_id % 2 AS cohort, count(*) AS n,
+        |   CAST(sum(x) AS DOUBLE) AS sxc, CAST(sum(y) AS DOUBLE) AS syc
+        |  FROM u GROUP BY 1)
+        |SELECT cohort, n,
+        | syc / n AS mean_y,
+        | sxc / n AS mean_x,
+        | (syc / n) - ((gn * sxy) - (sx * sy)) / ((gn * sxx) - (sx * sx)) *
+        |   ((sxc / n) - (sx / gn)) AS adj_mean,
+        | ((gn * sxy) - (sx * sy)) / ((gn * sxx) - (sx * sx)) AS theta
+        |FROM c, g ORDER BY cohort""".stripMargin
   )
 }

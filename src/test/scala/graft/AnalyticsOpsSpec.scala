@@ -300,4 +300,44 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("z") == z)
     assert(r.getAs[Int]("significant_95") == 0)
   }
+
+  test("ev_ab_cuped: hand-built pre/post revenue -> exact moments, " +
+      "bit-equal theta and adjusted means") {
+    val H = 3600L * 1000000000L // 1 h in ns
+    // corpus spans [0, 100 h] -> midpoint 50 h; pre purchases at 10 h,
+    // post at 60 h. Per-user (x, y): u0 (10,20) u2 (0,5) | u1 (4,8) u3 (7,1)
+    val rows = Seq(
+      (1L, 0L, 0L, "view", 1.0, "{}"),        // pins min ts
+      (2L, 100L * H, 1L, "view", 1.0, "{}"),  // pins max ts
+      (3L, 10L * H, 0L, "purchase", 10.0, "{}"),
+      (4L, 60L * H, 0L, "purchase", 20.0, "{}"),
+      (5L, 60L * H, 2L, "purchase", 5.0, "{}"),
+      (6L, 10L * H, 1L, "purchase", 4.0, "{}"),
+      (7L, 60L * H, 1L, "purchase", 8.0, "{}"),
+      (8L, 10L * H, 3L, "purchase", 7.0, "{}"),
+      (9L, 60L * H, 3L, "purchase", 1.0, "{}"))
+    val dir = tempSfDir("events" -> eventsDf(rows))
+    val out = q("ev_ab_cuped", dir).collect()
+    assert(out.map(_.getAs[Long]("cohort")).toSeq == Seq(0L, 1L))
+    // exact moments over all 4 users
+    val (gn, sx, sy) = (4L, 21.0, 34.0)
+    val sxx = 100.0 + 16.0 + 0.0 + 49.0
+    val sxy = 200.0 + 32.0 + 0.0 + 7.0
+    val theta = ((gn * sxy) - (sx * sy)) / ((gn * sxx) - (sx * sx))
+    val r0 = out(0); val r1 = out(1)
+    assert(r0.getAs[Long]("n") == 2L && r1.getAs[Long]("n") == 2L)
+    assert(r0.getAs[Double]("mean_x") == 10.0 / 2 &&
+      r0.getAs[Double]("mean_y") == 25.0 / 2)
+    assert(r1.getAs[Double]("mean_x") == 11.0 / 2 &&
+      r1.getAs[Double]("mean_y") == 9.0 / 2)
+    assert(r0.getAs[Double]("theta") == theta)
+    // the adjustment must move the two cohorts' means in OPPOSITE
+    // directions (mean_x straddles the global mean) and be bit-equal
+    // to the same association order
+    val adj0 = (25.0 / 2) - theta * ((10.0 / 2) - (sx / gn))
+    val adj1 = (9.0 / 2) - theta * ((11.0 / 2) - (sx / gn))
+    assert(r0.getAs[Double]("adj_mean") == adj0)
+    assert(r1.getAs[Double]("adj_mean") == adj1)
+    assert(adj0 != 25.0 / 2 && adj1 != 9.0 / 2)
+  }
 }
