@@ -546,4 +546,14 @@ class DedupOpsSpec extends SparkSpec {
     assert(out(4L) == ((2L, 0L, s"$pair y1 y2 y3")))
     assert(out(5L) == ((2L, 0L, s"$pair z1 z2 z3")))
   }
+
+  test("llm_boilerplate_scrub: the tag join broadcasts — the corpus-sized " +
+      "chunk table is never shuffled for tagging") {
+    val plan = q("llm_boilerplate_scrub")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast tag join:\n${plan.take(800)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "the scrub's tag join must not sort-merge the chunk table")
+  }
 }
