@@ -1013,8 +1013,78 @@ object TextOps {
         .groupBy($"doc_id")
         .agg(sum($"n_sym").cast("long").as("n_tokens_bpe"))
         .orderBy($"doc_id")
+    }),
+
+    // EXACT top-K frequent words under a bounded-memory candidate pass
+    // — the two-pass heavy-hitter discipline (Misra & Gries 1982):
+    // pass 1 runs an O(cap)-state summary PER PARTITION, whose
+    // guarantee is that any word with global frequency > N/cap
+    // survives in at least one partition's summary (pigeonhole over
+    // partition totals); pass 2 recounts ONLY the broadcast candidate
+    // set exactly. The naive exact groupBy's shuffle carries up to
+    // |vocab|·partitions partial rows — on heavy-tailed natural text
+    // the tail IS the vocabulary, so the MG prune cuts the shuffle to
+    // ≤ cap·partitions rows while returning bit-identical top-K. The
+    // frequency premise (Kth count > N/cap, or a sub-K vocabulary
+    // fully enumerated) is CHECKED, not assumed: a corpus that
+    // violates it fails loudly instead of silently dropping a true
+    // heavy hitter — the knnMaintenanceLoop scheme-refusal discipline.
+    // (Production fuses the N tally into pass 1 via an accumulator;
+    // here it is one extra column-pruned scan for clarity.)
+    "llm_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val words = Tables.documents(s, dir)
+        .select(explode(split($"text", " ")).as("w"))
+        .filter($"w" =!= "").as[String]
+      val cands = words.mapPartitions(mgCandidates(MgCap))
+        .toDF("w").distinct()
+      val counts = words.toDF().join(broadcast(cands), Seq("w"))
+        .groupBy($"w").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val top = counts.orderBy($"n".desc, $"w").limit(HhK)
+      val rows = top.collect()
+      if (rows.length == HhK) {
+        val kth = rows.last.getAs[Long]("n")
+        val total = words.count()
+        require(kth * MgCap > total,
+          s"llm_heavy_hitters: MG premise violated (rank-$HhK count $kth" +
+            s" <= N/cap = $total/$MgCap) - raise MgCap; a silent result" +
+            " could miss a true heavy hitter")
+      } else {
+        // sub-K vocabulary: exactness requires the candidate set to BE
+        // the vocabulary
+        require(counts.count() == words.distinct().count(),
+          "llm_heavy_hitters: candidate set lost words of a sub-K vocabulary")
+      }
+      top
     })
   )
+
+  /** Misra–Gries frequency summary over one partition: at most `cap`
+    * counters; every item with partition-local frequency > n_p/cap is
+    * guaranteed to survive. Public so the spec can drive the
+    * superset property on crafted partitions directly.
+    */
+  def mgCandidates(cap: Int)(it: Iterator[String]): Iterator[String] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { w =>
+      m.get(w) match {
+        case Some(c) => m.update(w, c + 1L)
+        case None if m.size < cap => m.update(w, 1L)
+        case None =>
+          // decrement-all eviction; removals deferred off the live map
+          val ks = m.keys.toArray
+          ks.foreach { k =>
+            val c = m(k)
+            if (c == 1L) m.remove(k) else m.update(k, c - 1L)
+          }
+      }
+    }
+    m.keysIterator
+  }
+
+  private val MgCap = 256
+  private val HhK = 20
 
   /** One BPE oracle round: pair counts over the previous dictionary,
     * deterministic argmax, fold-applied merge — the exact mirror of the
@@ -1791,6 +1861,12 @@ object TextOps {
          |      FROM documents) d
          |JOIN toks ON d.word = toks.tw
          |WHERE d.word <> ''
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_heavy_hitters" ->
+      """SELECT w, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |WHERE w <> ''
+        |GROUP BY w ORDER BY n DESC, w LIMIT 20""".stripMargin
   )
 }

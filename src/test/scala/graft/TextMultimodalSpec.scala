@@ -603,4 +603,40 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rows.exists(_.getInt(5) == 1) && rows.exists(_.getInt(5) == 0),
       "fixture degenerate: need both kept and suppressed QI groups")
   }
+
+  test("llm_heavy_hitters: equals the unpruned exact top-20") {
+    import org.apache.spark.sql.functions._
+    val got = q("llm_heavy_hitters").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(20).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
+  test("mgCandidates: every item with freq > N/cap survives partitioned " +
+      "summaries; a premise-violating corpus fails LOUDLY") {
+    // 3 partitions, cap 4: 'hot' has global freq 30 > N/cap = 90/4,
+    // spread so no partition sees it as a local majority
+    val words = (Seq.fill(10)("hot") ++ (1 to 20).map(i => s"a$i")) ++
+      (Seq.fill(10)("hot") ++ (1 to 20).map(i => s"b$i")) ++
+      (Seq.fill(10)("hot") ++ (1 to 20).map(i => s"c$i"))
+    val ds = spark.createDataset(words)(
+      org.apache.spark.sql.Encoders.STRING).repartition(3)
+    val cands = ds.mapPartitions(graft.operators.TextOps.mgCandidates(4))(
+      org.apache.spark.sql.Encoders.STRING).collect().toSet
+    assert(cands.contains("hot"),
+      s"MG summaries dropped the global heavy hitter: $cands")
+    // 300 distinct single-occurrence words: rank-20 count 1 fails the
+    // kth*cap > N premise -> the entry must refuse, not silently answer
+    val flat = (1 to 300).map(i => (i.toLong, s"w$i", "en", "s0", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempSfDir("documents" -> flat)
+    intercept[IllegalArgumentException] {
+      q("llm_heavy_hitters", dir).collect()
+    }
+  }
 }
