@@ -67,6 +67,7 @@ object Bench {
     "llm_dedup_incremental", "llm_effective_tokens",
     "llm_minhash_pairs", "llm_neardup_verified", "llm_neardup_served",
     "llm_ppjoin", "llm_ppjoin_served", "llm_containment_join",
+    "llm_containment_served",
     "llm_dup_matrix",
     "llm_minhash_recall", "llm_lsh_tuning",
     "llm_dup_clusters", "llm_dup_clusters_served", "llm_golden_record",

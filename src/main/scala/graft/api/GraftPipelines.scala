@@ -2256,9 +2256,19 @@ object GraftPipelines {
   def containmentPairs(docs: DataFrame, num: Int = 4, den: Int = 5,
       shingleWidth: Int = 3, id: String = "doc_id",
       text: String = "text"): DataFrame = {
-    require(num > 0 && den >= num, "threshold must be in (0, 1]")
     val toks = ppjoinTokens(docs, shingleWidth, id, text).localCheckpoint()
     val ranked = ppjoinRanked(toks, id).localCheckpoint()
+    containmentPairsFromIndex(toks, ranked, num, den, id)
+  }
+
+  /** The containment probe phase over a prebuilt (token, ranked) pair —
+    * the [[ppjoinPairsFromIndex]] idiom for the asymmetric join: the
+    * contained side's prefix cut is a cheap filter of the read-back
+    * ranked table, so a persisted index serves any τ without a rebuild.
+    */
+  def containmentPairsFromIndex(toks: DataFrame, ranked: DataFrame,
+      num: Int = 4, den: Int = 5, id: String = "doc_id"): DataFrame = {
+    require(num > 0 && den >= num, "threshold must be in (0, 1]")
     val pref = ranked.filter(prefixCond(num, den))
     val cand = pref.as("a").join(ranked.as("b"),
         col("a.s") === col("b.s") && col(s"a.$id") =!= col(s"b.$id") &&

@@ -90,8 +90,35 @@ object DedupOps {
           num = 1, den = 2)
         .write.parquet(s"$tmp/pref.parquet")
     }
-    (s.read.parquet(s"$idx/toks.parquet"),
-      s.read.parquet(s"$idx/pref.parquet"))
+    // the probe phase consumes BOTH tables twice (pref self-join,
+    // toks verify self-join) — materialize each read-back once per
+    // query; without this the sf1 serve path re-decodes parquet per
+    // join side and loses to the refit's checkpointed tables
+    (s.read.parquet(s"$idx/toks.parquet").localCheckpoint(),
+      s.read.parquet(s"$idx/pref.parquet").localCheckpoint())
+  }
+
+  /** Write-once (token, ranked) tables for the CONTAINMENT join — the
+    * ppjoinIndexServed idiom for the asymmetric variant: the ranked
+    * table persists UNFILTERED (the container side needs full ranks),
+    * and any τ's prefix cut is a cheap filter of the read-back, so one
+    * index serves every containment threshold.
+    */
+  private def containmentIndexServed(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val idx = graft.sources.GraftIO.buildOnce(
+        indexFixtureDir(dir, "ppjoin_ranked", "w=3")) { tmp =>
+      graft.api.GraftPipelines
+        .ppjoinTokens(Tables.documents(s, dir))
+        .write.parquet(s"$tmp/toks.parquet")
+      graft.api.GraftPipelines
+        .ppjoinRanked(s.read.parquet(s"$tmp/toks.parquet"))
+        .write.parquet(s"$tmp/ranked.parquet")
+    }
+    // toks feeds the verify self-join twice — materialize once (see
+    // ppjoinIndexServed); ranked is consumed once per side, read as-is
+    (s.read.parquet(s"$idx/toks.parquet").localCheckpoint(),
+      s.read.parquet(s"$idx/ranked.parquet"))
   }
 
   /** Write-once exact θ≥1/2 PPJoin pair set — the dedup family's
@@ -313,6 +340,37 @@ object DedupOps {
   /** Shared by llm_ppjoin and llm_ppjoin_served: the serve path reads
     * a persisted index, but the rows must be identical.
     */
+  /** Shared by llm_containment_join (refit) and llm_containment_served
+    * (read-back index) — the serve path is a storage refactor, so both
+    * hash against the one oracle.
+    */
+  private lazy val containmentOracleSql: String =
+    s"""WITH $shinglesSql,
+       |toks AS (SELECT DISTINCT doc_id, s FROM sh),
+       |dfreq AS (SELECT s, count(*) AS df FROM toks GROUP BY s),
+       |ranked AS (
+       |  SELECT doc_id, s,
+       |   row_number() OVER (PARTITION BY doc_id ORDER BY df, s) AS rn,
+       |   count(*) OVER (PARTITION BY doc_id) AS sz
+       |  FROM toks JOIN dfreq USING (s)),
+       |pref AS (SELECT doc_id, s FROM ranked
+       |         WHERE rn <= sz - ((4 * sz + 4) // 5) + 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM pref a JOIN toks b
+       |           ON a.s = b.s AND a.doc_id <> b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a_id, b_id, count(*) AS inter
+       |  FROM cand JOIN toks ta ON ta.doc_id = a_id
+       |  JOIN toks tb ON tb.doc_id = b_id AND tb.s = ta.s
+       |  GROUP BY a_id, b_id)
+       |SELECT a_id, b_id, sa.sz AS na, sb.sz AS nb, inter,
+       | (1000 * inter) // sa.sz AS contain_x1000
+       |FROM inter JOIN sizes sa ON sa.doc_id = a_id
+       |JOIN sizes sb ON sb.doc_id = b_id
+       |WHERE 5 * inter >= 4 * sa.sz
+       |ORDER BY a_id, b_id""".stripMargin
+
   private lazy val ppjoinOracleSql: String =
     s"""WITH $shinglesSql,
        |toks AS (SELECT DISTINCT doc_id, s FROM sh),
@@ -463,6 +521,20 @@ object DedupOps {
       import s.implicits._
       graft.api.GraftPipelines
         .containmentPairs(Tables.documents(s, dir), num = 4, den = 5)
+        .orderBy($"a_id", $"b_id")
+    }),
+
+    // Build/serve split of llm_containment_join (the llm_ppjoin_served
+    // idiom for the asymmetric join): the (token, ranked) tables
+    // persist once per corpus and the timed query is candidate +
+    // verify over the read-back — identical output, shared oracle.
+    // The ranked table persists UNFILTERED so one index serves every
+    // containment threshold's prefix cut.
+    "llm_containment_served" -> ((s, dir) => {
+      import s.implicits._
+      val (toks, ranked) = containmentIndexServed(s, dir)
+      graft.api.GraftPipelines
+        .containmentPairsFromIndex(toks, ranked, num = 4, den = 5)
         .orderBy($"a_id", $"b_id")
     }),
 
@@ -1085,33 +1157,9 @@ object DedupOps {
     // pigeonhole argument in GraftPipelines.containmentPairs, so it IS
     // the exact answer) — the ppjoin-oracle precedent: candidates from
     // the contained side's prefix against the container's full tokens.
-    "llm_containment_join" ->
-      s"""WITH $shinglesSql,
-         |toks AS (SELECT DISTINCT doc_id, s FROM sh),
-         |dfreq AS (SELECT s, count(*) AS df FROM toks GROUP BY s),
-         |ranked AS (
-         |  SELECT doc_id, s,
-         |   row_number() OVER (PARTITION BY doc_id ORDER BY df, s) AS rn,
-         |   count(*) OVER (PARTITION BY doc_id) AS sz
-         |  FROM toks JOIN dfreq USING (s)),
-         |pref AS (SELECT doc_id, s FROM ranked
-         |         WHERE rn <= sz - ((4 * sz + 4) // 5) + 1),
-         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |         FROM pref a JOIN toks b
-         |           ON a.s = b.s AND a.doc_id <> b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a_id, b_id, count(*) AS inter
-         |  FROM cand JOIN toks ta ON ta.doc_id = a_id
-         |  JOIN toks tb ON tb.doc_id = b_id AND tb.s = ta.s
-         |  GROUP BY a_id, b_id)
-         |SELECT a_id, b_id, sa.sz AS na, sb.sz AS nb, inter,
-         | (1000 * inter) // sa.sz AS contain_x1000
-         |FROM inter JOIN sizes sa ON sa.doc_id = a_id
-         |JOIN sizes sb ON sb.doc_id = b_id
-         |WHERE 5 * inter >= 4 * sa.sz
-         |ORDER BY a_id, b_id""".stripMargin,
-
+    // The served twin writes exactly the refit's rows — shared oracle.
+    "llm_containment_join" -> containmentOracleSql,
+    "llm_containment_served" -> containmentOracleSql,
     "llm_dedup_prefix" ->
       """SELECT md5(array_to_string(w[1:10], ' ')) AS h,
         | min(doc_id) AS keeper, count(*) AS n_docs

@@ -132,6 +132,11 @@ class DedupOpsSpec extends SparkSpec {
     assertServedEqualsDirect("llm_ppjoin_served", "llm_ppjoin")
   }
 
+  test("llm_containment_served: the persisted-ranked-index serve path " +
+      "equals the direct containment join row-for-row") {
+    assertServedEqualsDirect("llm_containment_served", "llm_containment_join")
+  }
+
   test("llm_jaccard_adjacent: identical adjacent docs have jaccard 1.0") {
     val dir = tempSfDir("documents" ->
       docs((1L, base, "s0"), (2L, base, "s0"), (3L, distinct, "s0")))
