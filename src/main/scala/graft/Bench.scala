@@ -28,7 +28,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Headline queries: one per operator family, heaviest shapes first. */
+  /** Headline queries: one per operator family, heaviest shapes first.
+    *
+    * Deliberate exclusion: `llm_heavy_hitters` runs its Misra-Gries
+    * premise check (a bounded top-20 collect + two corpus counts) INSIDE
+    * the query builder — a correctness guard by design, but it makes the
+    * builder itself run driver-side actions, so a noop-sink timing of the
+    * returned frame would charge the premise check to the query and
+    * under-time the actual aggregation. Its per-stage cost is recorded in
+    * BASELINE.md instead; the bench keeps only entries whose builder is
+    * action-free.
+    */
   val headline: Seq[String] = Seq(
     "ev_flagship", "ev_catalog", "ev_sessionize", "ev_tumbling_1h",
     "ev_sliding_1h15m", "ev_session_window", "ev_asof_join",
@@ -222,7 +232,6 @@ object Bench {
     }.getOrElse("")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"passes":$passes$health}"""
-    println(line)
     // also durably on disk: round 3's official artifact lost the total
     // line to sbt log-tail truncation; the file is immune to that.
     // FULL headline runs only — a dev-subset run must never overwrite
@@ -288,6 +297,23 @@ object Bench {
       }
     else System.err.println(
       "[bench] subset run - bench_result.json left untouched")
+    // Every run — subset, guarded, non-sf0.1 alike — records its raw line
+    // at a stable path the driver can read without parsing stdout. This is
+    // NOT the official artifact (bench_result.json keeps its guards above);
+    // it is the "what did this invocation measure" dump.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_last.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] target/bench_last.json write failed: ${e.getMessage}")
+    }
+    // The result JSON is the FINAL stdout line of the run: round 10's
+    // driver artifact had parsed:null because the overwrite-guard message
+    // (stderr, but sbt re-prefixes it onto the combined log as [error])
+    // trailed the JSON. All guard/summary messaging above happens BEFORE
+    // this print, so a driver that takes the last JSON-looking stdout line
+    // always gets the result.
+    println(line)
+    System.out.flush()
     spark.stop()
   }
 }

@@ -993,12 +993,17 @@ object DedupOps {
     // twins were justified, now as a first-class queryable audit.
     "llm_lsh_tuning" -> ((s, dir) => {
       import s.implicits._
-      val sig = minhash(s, dir).persist()
-      sig.count()
+      // localCheckpoint (eager), not persist+count: the returned plan
+      // references both tables, so a persist here could never be
+      // unpersisted and would pin CacheManager entries for the whole
+      // session — later bench iterations would then time against warm
+      // cache. Checkpointed blocks are ContextCleaner-reclaimable once
+      // the plan is dropped (the ppjoinIndexServed / rel_incremental_topk
+      // pattern).
+      val sig = minhash(s, dir).localCheckpoint()
       // truth read back from the write-once pair set (ppjoinTruthServed)
       val exact = ppjoinTruthServed(s, dir)
-        .select($"a_id".as("d1"), $"b_id".as("d2")).persist()
-      exact.count()
+        .select($"a_id".as("d1"), $"b_id".as("d2")).localCheckpoint()
       val rows = Seq((8, 1), (4, 2), (2, 4)).map { case (b, r) =>
         val cands = graft.api.GraftPipelines.bandCandidates(
           graft.api.GraftPipelines.lshBands(sig, b, r))
@@ -1113,7 +1118,16 @@ object DedupOps {
         .agg(countDistinct($"doc_id").as("nd"))
         .filter($"nd" >= 3)
         .select($"h", lit(1).as("bp"))
-      chunks.join(broadcast(boiler), Seq("h"), "left")
+      // No broadcast hint: the >=3-doc chunk set is bounded only by
+      // chunks/3 — corpus-scaled on heavily templated crawl data, so a
+      // HARD broadcast would risk driver OOM at 100 TB (the same "never
+      // broadcast a data-scaled table" rule as minhashCandidates).
+      // Stats decide instead: at any sane boilerplate density the agg
+      // output is far under autoBroadcastJoinThreshold and the planner
+      // (or AQE at runtime, once real sizes are known) broadcasts it;
+      // on pathological corpora it degrades to a shuffle join rather
+      // than an OOM. DedupOpsSpec pins the small-scale broadcast plan.
+      chunks.join(boiler, Seq("h"), "left")
         .withColumn("keep", $"bp".isNull)
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_chunks"),

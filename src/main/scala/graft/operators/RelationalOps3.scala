@@ -230,9 +230,13 @@ object RelationalOps3 {
     // (the in-memory catalog is per-session anyway).
     "rel_join_bucketed" -> ((s, dir) => {
       import s.implicits._
-      val stamp = new java.io.File(dir, "orders.parquet").lastModified
-      val key = java.lang.Long.toHexString(
-        (dir, stamp).hashCode.toLong & 0xffffffffL) +
+      // SHA-256 corpus key, not (dir, stamp).hashCode: a 32-bit tuple
+      // hash collides silently between corpus dirs in one JVM and
+      // would serve another corpus's bucketed tables as this one's —
+      // the same wrong-answer failure GraftIO.fixtureDir documents.
+      // pid suffix kept: concurrent JVMs never race on one warehouse.
+      val key = graft.sources.GraftIO
+        .corpusKey(dir, "orders.parquet", "bkt=16") +
         "_" + ProcessHandle.current().pid()
       val (cT, oT) = (s"cust_bkt_$key", s"ord_bkt_$key")
       if (!s.catalog.tableExists(cT)) {

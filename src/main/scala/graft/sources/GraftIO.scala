@@ -146,23 +146,32 @@ object GraftIO {
     * θ-specific), so changing a constant in a later round must key a
     * FRESH directory instead of silently serving the old one.
     */
-  def fixtureDir(corpusDir: String, stampFile: String, kind: String,
+  /** 64-bit hex identity of a (corpus, mtime, params) triple.
+    * Cryptographic key, NOT Tuple.hashCode: a 32-bit hash over
+    * (corpus, mtime, params) collides silently and the failure mode
+    * is a WRONG-ANSWER artifact (stale corpus or mismatched θ/seed
+    * served as if valid), not an error. SHA-256 over the verbatim
+    * triple makes a collision practically impossible; 16 hex chars
+    * (64 bits) keeps the name short while staying far beyond
+    * birthday range for any realistic number of corpora×params.
+    * Exposed separately from [[fixtureDir]] so callers keying
+    * NON-path identities (e.g. per-corpus in-session catalog table
+    * names, rel_join_bucketed) share the same collision-safe scheme.
+    */
+  def corpusKey(corpusDir: String, stampFile: String,
       params: String): String = {
     val stamp = new java.io.File(corpusDir, stampFile).lastModified
-    // Cryptographic key, NOT Tuple.hashCode: a 32-bit hash over
-    // (corpus, mtime, params) collides silently and the failure mode
-    // is a WRONG-ANSWER index (stale corpus or mismatched θ/seed
-    // served as if valid), not an error. SHA-256 over the verbatim
-    // triple makes a collision practically impossible; 16 hex chars
-    // (64 bits) keeps the path short while staying far beyond
-    // birthday range for any realistic number of corpora×params.
     val keySrc = s"$corpusDir|$stamp|$params"
     val sha = java.security.MessageDigest.getInstance("SHA-256")
       .digest(keySrc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val key = sha.take(8).map(b => f"$b%02x").mkString
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_${kind}_index_$key").getAbsolutePath
+    sha.take(8).map(b => f"$b%02x").mkString
   }
+
+  def fixtureDir(corpusDir: String, stampFile: String, kind: String,
+      params: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${kind}_index_${corpusKey(corpusDir, stampFile, params)}")
+      .getAbsolutePath
 
   /** Build-once with ATOMIC publication: `build` writes into a private
     * temp directory; a single POSIX rename publishes it. Closes the

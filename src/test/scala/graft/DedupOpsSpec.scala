@@ -552,13 +552,18 @@ class DedupOpsSpec extends SparkSpec {
     assert(out(5L) == ((2L, 0L, s"$pair z1 z2 z3")))
   }
 
-  test("llm_boilerplate_scrub: the tag join broadcasts — the corpus-sized " +
-      "chunk table is never shuffled for tagging") {
-    val plan = q("llm_boilerplate_scrub")
-      .queryExecution.executedPlan.toString()
+  test("llm_boilerplate_scrub: the tag join broadcasts at realistic " +
+      "boilerplate density — chosen by stats/AQE, not a hard hint") {
+    // The builder carries NO broadcast hint (the >=3-doc chunk set is
+    // corpus-bounded, so a hard hint would be an OOM risk at scale);
+    // this spec pins that the planner still lands on a broadcast tag
+    // join when the set is actually small. Assert on the FINAL plan —
+    // under AQE the pre-execution plan may be a provisional
+    // SortMergeJoin that runtime stats convert.
+    val df = q("llm_boilerplate_scrub")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
     assert(plan.contains("BroadcastHashJoin"),
-      s"expected a broadcast tag join:\n${plan.take(800)}")
-    assert(!plan.contains("SortMergeJoin"),
-      "the scrub's tag join must not sort-merge the chunk table")
+      s"expected a broadcast tag join in the final plan:\n${plan.take(1200)}")
   }
 }
