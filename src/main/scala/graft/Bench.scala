@@ -121,6 +121,27 @@ object Bench {
     "mm_image_features", "mm_image_resize", "mm_frame_sample", "mm_scene_cuts",
     "mm_payload_dedup", "mm_payload_shard", "mm_perceptual_dedup")
 
+  /** The sf1 scaling subset (SPARK_GRAFT_BENCH_SF1_DIR): the 15
+    * heaviest headline queries at the 10× corpus (per BASELINE.md's
+    * round-10 sf1 run) plus EVERY build/serve split's served twin —
+    * the entries whose whole point is staying scale-flat. Runs in the
+    * same JVM after the main recording and lands in the artifact as
+    * `sf1_subset`, so each round's artifact carries both scales from
+    * one invocation instead of a separate closing-ritual run.
+    */
+  val sf1Subset: Seq[String] = Seq(
+    // 15 heaviest at sf1
+    "llm_ppjoin", "llm_containment_join", "llm_dup_clusters",
+    "llm_cluster_silhouette", "llm_semdedup_gated", "llm_lsh_tuning",
+    "llm_minhash_recall", "llm_dup_matrix", "llm_curate",
+    "llm_substring_dedup", "llm_knn_graph", "llm_span_dedup",
+    "rel_q21_waiting", "llm_bpe_vocab", "llm_decontaminate",
+    // every served twin
+    "llm_embed_pq_served", "llm_embed_ivf_served", "llm_ppjoin_served",
+    "llm_neardup_served", "llm_mutual_knn_served",
+    "llm_knn_incremental_served", "llm_dup_clusters_served",
+    "llm_containment_served")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -230,8 +251,38 @@ object Bench {
         else ""
       f""","control_sec":$c%.3f$taxed"""
     }.getOrElse("")
+    // Optional sf1 scaling block: with SPARK_GRAFT_BENCH_SF1_DIR set
+    // (e.g. target/sf1), run the scaling subset against that corpus in
+    // the same JVM — served fixtures warm up untimed exactly like the
+    // main run's — and embed the per-query seconds in the artifact.
+    val sf1Block = sys.env.get("SPARK_GRAFT_BENCH_SF1_DIR").map { sf1Dir =>
+      System.err.println(s"[bench] sf1 scaling subset on $sf1Dir")
+      sf1Subset.filter(_.endsWith("_served")).foreach { n =>
+        try SparkEntry.queries(n)(spark, sf1Dir)
+          .write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $n sf1 warmup failed: ${e.getMessage}")
+        }
+      }
+      spark.catalog.clearCache()
+      val rows = sf1Subset.map { n =>
+        val fn = SparkEntry.queries(n)
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sf1Dir).write.mode("overwrite").format("noop").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $n failed (sf1): ${e.getMessage}")
+            false
+          }
+        val t = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] sf1 $n%s ${t}%.3f s")
+        spark.catalog.clearCache()
+        "\"" + n + "\":" + (if (ok) t else 0.0)
+      }.mkString("{", ",", "}")
+      s""","sf1_dir":"$sf1Dir","sf1_subset":$rows"""
+    }.getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"passes":$passes$health}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"passes":$passes$health$sf1Block}"""
     // also durably on disk: round 3's official artifact lost the total
     // line to sbt log-tail truncation; the file is immune to that.
     // FULL headline runs only — a dev-subset run must never overwrite

@@ -66,6 +66,6 @@ object SparkEntry {
       spec = "src/test/scala/graft/AnalyticsOpsSpec.scala: \"ev_sliding_distinct: sketch windows within 5% of exact, merge arity bounded\""),
     "rel_distinct_incremental" -> RowsOnlyMeta(
       exactTwin = "countDistinct(o_custkey) per o_orderpriority (inline in spec)",
-      tolerance = "merged-batch HLL union == single-pass HLL exactly (bit-identical estimates); both within 2% of exact countDistinct, per group",
+      tolerance = "merged-batch HLL (lgK=14) union == single-pass HLL exactly (bit-identical estimates); both within 2% of exact countDistinct, per group",
       spec = "src/test/scala/graft/MaintenanceOpsSpec.scala: \"rel_distinct_incremental: merged sketch states equal the single-pass sketch\""))
 }

@@ -2215,24 +2215,73 @@ object GraftPipelines {
     require(num > 0 && den >= num, "threshold must be in (0, 1]")
     // α = ceil(num·(na+nb)/(num+den)); jac ≥ num/den ⟺
     // (num+den)·|∩| ≥ num·(na+nb)
-    val cand = pref.as("a").join(pref.as("b"),
-        col("a.s") === col("b.s") && col(s"a.$id") < col(s"b.$id") &&
-          col("a.sz") * num <= col("b.sz") * den &&
-          col("b.sz") * num <= col("a.sz") * den &&
-          expr("least(a.sz - a.rn, b.sz - b.rn) + 1 >= " +
-            s"($num * (a.sz + b.sz) + ${num + den} - 1) div ${num + den}"))
-      .select(col(s"a.$id").as("a_id"), col(s"b.$id").as("b_id"),
-        col("a.sz").as("na"), col("b.sz").as("nb")).distinct()
-    cand
-      .join(toks.as("ta"), col(s"ta.$id") === col("a_id"))
-      .join(toks.as("tb"),
-        col(s"tb.$id") === col("b_id") && col("tb.s") === col("ta.s"))
-      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
+    //
+    // Candidate prune (PPJoin+-strength, Xiao et al. WWW'08 §4, in
+    // aggregate form): instead of keeping a pair when ANY single
+    // prefix collision leaves enough tail (the per-row positional
+    // filter), aggregate ALL its collisions — P = |prefix∩prefix|,
+    // (i*, j*) = the LAST collision's ranks (max(rn) on each side IS
+    // the same token: within-doc ranks follow the one global (df, s)
+    // order, so the order of common tokens agrees across docs). Any
+    // common token ranked before that last collision sits inside both
+    // prefixes (its ranks are below i*≤prefLen_a / j*≤prefLen_b), so
+    // it is itself one of the P; the rest rank after it on BOTH sides,
+    // bounded by min(na−i*, nb−j*). Hence overlap ≤ P + min(na−i*,
+    // nb−j*) — a SOUND bound that is never weaker than the best
+    // per-row one (the P−1 collisions between first and last each
+    // consume a tail slot the per-row bound counted as free). The
+    // groupBy replaces the old distinct() — same keys, same single
+    // shuffle, map-side partial agg — so the stronger prune costs no
+    // extra exchange and the verify joins see strictly fewer pairs.
+    val cand = ppjoinCandidates(pref, num, den, id)
+    // Verify via per-pair array intersection, not a token-level join:
+    // exploding each candidate into its na token rows and re-joining on
+    // (b_id, s) shuffles a Σ|a|-sized intermediate TWICE and then pays a
+    // pair-key groupBy — three exchanges over token-granularity data.
+    // Joining the candidate list to a per-doc token-ARRAY table (two
+    // pair-id-keyed joins) moves the same bytes once each and computes
+    // |∩| per-row with array_intersect (hash-set, O(na+nb); toks is
+    // distinct per (id, s) so set semantics are exact). Measured at
+    // sf1 (DevPpjoinAb, BASELINE.md round 11): verify stage 12.5→7.2 s
+    // symmetric, 13.8→3.0 s containment; identical output pairs.
+    verifyByIntersect(toks, cand, id)
       .filter(col("inter") * (num + den) >= (col("na") + col("nb")) * num)
-      .select(col("a_id"), col("b_id"), col("na"), col("nb"), col("inter"))
       .withColumn("jac_x1000", expr("(1000 * inter) div (na + nb - inter)"))
   }
+
+  /** (a_id, b_id, na, nb, inter) for a candidate pair list: exact
+    * distinct-token intersection sizes via per-doc arrays (see
+    * [[ppjoinPairsFromIndex]] for why this beats a token-level join).
+    */
+  private def verifyByIntersect(toks: DataFrame, cand: DataFrame,
+      id: String): DataFrame = {
+    val arrs = toks.groupBy(col(id)).agg(collect_list(col("s")).as("arr"))
+    cand
+      .join(arrs.select(col(id).as("a_id"), col("arr").as("arr_a")), "a_id")
+      .join(arrs.select(col(id).as("b_id"), col("arr").as("arr_b")), "b_id")
+      .select(col("a_id"), col("b_id"), col("na"), col("nb"),
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long")
+          .as("inter"))
+  }
+
+  /** The symmetric candidate stage alone — (a_id, b_id, na, nb) pairs
+    * surviving the size band + aggregate positional prune. Exposed so
+    * probes (DevPpjoinAb) count exactly the pair set the library feeds
+    * to verify.
+    */
+  def ppjoinCandidates(pref: DataFrame, num: Int, den: Int,
+      id: String = "doc_id"): DataFrame =
+    pref.as("a").join(pref.as("b"),
+        col("a.s") === col("b.s") && col(s"a.$id") < col(s"b.$id") &&
+          col("a.sz") * num <= col("b.sz") * den &&
+          col("b.sz") * num <= col("a.sz") * den)
+      .groupBy(col(s"a.$id").as("a_id"), col(s"b.$id").as("b_id"),
+        col("a.sz").as("na"), col("b.sz").as("nb"))
+      .agg(count(lit(1)).as("p_common"),
+        max(col("a.rn")).as("i_last"), max(col("b.rn")).as("j_last"))
+      .filter(expr("p_common + least(na - i_last, nb - j_last) >= " +
+        s"($num * (na + nb) + ${num + den} - 1) div ${num + den}"))
+      .select(col("a_id"), col("b_id"), col("na"), col("nb"))
 
   /** Exact set-CONTAINMENT join (Xiao et al. PPJoin, TODS 2011 §6's
     * asymmetric variant): ordered pairs with
@@ -2270,22 +2319,37 @@ object GraftPipelines {
       num: Int = 4, den: Int = 5, id: String = "doc_id"): DataFrame = {
     require(num > 0 && den >= num, "threshold must be in (0, 1]")
     val pref = ranked.filter(prefixCond(num, den))
-    val cand = pref.as("a").join(ranked.as("b"),
-        col("a.s") === col("b.s") && col(s"a.$id") =!= col(s"b.$id") &&
-          col("b.sz") * den >= col("a.sz") * num &&
-          expr("least(a.sz - a.rn, b.sz - b.rn) + 1 >= " +
-            s"($num * a.sz + $den - 1) div $den"))
-      .select(col(s"a.$id").as("a_id"), col(s"b.$id").as("b_id"),
-        col("a.sz").as("na"), col("b.sz").as("nb")).distinct()
-    cand
-      .join(toks.as("ta"), col(s"ta.$id") === col("a_id"))
-      .join(toks.as("tb"),
-        col(s"tb.$id") === col("b_id") && col("tb.s") === col("ta.s"))
-      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
+    // Aggregate positional prune, the ppjoinPairsFromIndex bound for
+    // the asymmetric join: P = |a-prefix ∩ b|, (i*, j*) = last
+    // collision's ranks (max(rn) per side is the same token — shared
+    // global order). A common token ranked before the last collision
+    // has rn_a < i* ≤ prefLen_a, so it is in a's prefix and already
+    // one of the P; the rest rank after it on both sides. Hence
+    // overlap ≤ P + min(na−i*, nb−j*) ≥ α = ceil(τ·na) required.
+    // groupBy replaces distinct — no extra exchange, fewer verifies.
+    val cand = containmentCandidates(pref, ranked, num, den, id)
+    // array-intersect verify — see ppjoinPairsFromIndex for the trade
+    verifyByIntersect(toks, cand, id)
       .filter(col("inter") * den >= col("na") * num)
       .withColumn("contain_x1000", expr("(1000 * inter) div na"))
   }
+
+  /** The asymmetric candidate stage alone — pairs surviving the size
+    * bound + aggregate positional prune (see
+    * [[containmentPairsFromIndex]]). Exposed for probes (DevPpjoinAb).
+    */
+  def containmentCandidates(pref: DataFrame, ranked: DataFrame,
+      num: Int, den: Int, id: String = "doc_id"): DataFrame =
+    pref.as("a").join(ranked.as("b"),
+        col("a.s") === col("b.s") && col(s"a.$id") =!= col(s"b.$id") &&
+          col("b.sz") * den >= col("a.sz") * num)
+      .groupBy(col(s"a.$id").as("a_id"), col(s"b.$id").as("b_id"),
+        col("a.sz").as("na"), col("b.sz").as("nb"))
+      .agg(count(lit(1)).as("p_common"),
+        max(col("a.rn")).as("i_last"), max(col("b.rn")).as("j_last"))
+      .filter(expr("p_common + least(na - i_last, nb - j_last) >= " +
+        s"($num * na + $den - 1) div $den"))
+      .select(col("a_id"), col("b_id"), col("na"), col("nb"))
 
   /** Max-min fair (water-filling) allocation of a global budget across
     * strata: caps large strata at the unique integer level c where

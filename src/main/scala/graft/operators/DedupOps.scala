@@ -43,6 +43,15 @@ object DedupOps {
       params: String): String =
     graft.sources.GraftIO.fixtureDir(dir, "documents.parquet", kind, params)
 
+  /** buildOnce at the params-keyed fixture path, with the SAME params
+    * string as the in-index marker — one argument, so path key and
+    * marker can never drift apart.
+    */
+  private def buildIndexOnce(dir: String, kind: String, params: String)(
+      build: String => Unit): String =
+    graft.sources.GraftIO.buildOnce(
+      indexFixtureDir(dir, kind, params), params)(build)
+
   /** Build/serve split of the near-dup CLUSTER chain: the verified
     * pair list and its connected-component label map are persisted
     * ONCE per corpus (`GraftIO.buildOnce`, mtime + parameter keyed —
@@ -57,8 +66,7 @@ object DedupOps {
     * oracle) is identical — a storage refactor, hash-checked.
     */
   private def dupClustersServed(s: SparkSession, dir: String): DataFrame = {
-    val idx = graft.sources.GraftIO.buildOnce(
-        indexFixtureDir(dir, "dupchain", "n=3,seeds=8,bands=4,theta=0.7")) {
+    val idx = buildIndexOnce(dir, "dupchain", "n=3,seeds=8,bands=4,theta=0.7") {
       tmp =>
         val pairs = graft.api.GraftPipelines
           .nearDuplicates(Tables.documents(s, dir), 0.7)
@@ -80,8 +88,7 @@ object DedupOps {
     */
   private def ppjoinIndexServed(s: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
-    val idx = graft.sources.GraftIO.buildOnce(
-        indexFixtureDir(dir, "ppjoin", "num=1,den=2,w=3")) { tmp =>
+    val idx = buildIndexOnce(dir, "ppjoin", "num=1,den=2,w=3") { tmp =>
       graft.api.GraftPipelines
         .ppjoinTokens(Tables.documents(s, dir))
         .write.parquet(s"$tmp/toks.parquet")
@@ -106,8 +113,7 @@ object DedupOps {
     */
   private def containmentIndexServed(s: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
-    val idx = graft.sources.GraftIO.buildOnce(
-        indexFixtureDir(dir, "ppjoin_ranked", "w=3")) { tmp =>
+    val idx = buildIndexOnce(dir, "ppjoin_ranked", "w=3") { tmp =>
       graft.api.GraftPipelines
         .ppjoinTokens(Tables.documents(s, dir))
         .write.parquet(s"$tmp/toks.parquet")
@@ -132,8 +138,7 @@ object DedupOps {
     * same oracles, the dupClustersServed discipline.
     */
   private def ppjoinTruthServed(s: SparkSession, dir: String): DataFrame = {
-    val idx = graft.sources.GraftIO.buildOnce(
-        indexFixtureDir(dir, "ppjoin_truth", "num=1,den=2,w=3")) { tmp =>
+    val idx = buildIndexOnce(dir, "ppjoin_truth", "num=1,den=2,w=3") { tmp =>
       val (toks, pref) = ppjoinIndexServed(s, dir)
       graft.api.GraftPipelines.ppjoinPairsFromIndex(toks, pref,
           num = 1, den = 2)
@@ -739,8 +744,7 @@ object DedupOps {
     // to llm_neardup_verified.
     "llm_neardup_served" -> ((s, dir) => {
       import s.implicits._
-      val idx = graft.sources.GraftIO.buildOnce(
-          indexFixtureDir(dir, "band", "n=3,seeds=8,bands=4")) { tmp =>
+      val idx = buildIndexOnce(dir, "band", "n=3,seeds=8,bands=4") { tmp =>
         graft.api.GraftPipelines.bandIndex(Tables.documents(s, dir))
           .write.parquet(s"$tmp/bands.parquet")
       }

@@ -96,8 +96,7 @@ object SimilarityOps {
     * refactor, not a semantic one.
     */
   private def mutualEdgesServed(s: SparkSession, dir: String): DataFrame = {
-    val idx = graft.sources.GraftIO.buildOnce(
-        indexFixtureDir(dir, "mutualknn", s"k=3,bits=$LSH_BITS")) { tmp =>
+    val idx = buildIndexOnce(dir, "mutualknn", s"k=3,bits=$LSH_BITS") { tmp =>
       mutualEdges(s, dir).write.parquet(s"$tmp/mutual.parquet")
     }
     s.read.parquet(s"$idx/mutual.parquet")
@@ -192,6 +191,14 @@ object SimilarityOps {
   private def indexFixtureDir(dir: String, kind: String,
       params: String): String =
     graft.sources.GraftIO.fixtureDir(dir, "embeddings.parquet", kind, params)
+
+  /** buildOnce at the params-keyed fixture path with the SAME params
+    * string as the in-index marker — path key and marker never drift.
+    */
+  private def buildIndexOnce(dir: String, kind: String, params: String)(
+      build: String => Unit): String =
+    graft.sources.GraftIO.buildOnce(
+      indexFixtureDir(dir, kind, params), params)(build)
 
   private def cosineSql(a: String, b: String): String =
     s"(${dotUnrolledSql(a, b, DIM)}) / " +
@@ -658,9 +665,8 @@ object SimilarityOps {
       val emb = Tables.embeddings(s, dir).withColumn("bucket",
         graft.api.GraftPipelines.signLshBucket($"embedding", LSH_BITS, 0))
         .localCheckpoint()
-      val idx = graft.sources.GraftIO.buildOnce(
-          indexFixtureDir(dir, "knnbase", s"k=3,bits=$LSH_BITS,mod=17")) {
-        tmp =>
+      val idx = buildIndexOnce(dir, "knnbase",
+          s"k=3,bits=$LSH_BITS,mod=17") { tmp =>
           graft.api.GraftPipelines.knnEdges(
               emb.filter($"vec_id" % 17 =!= 0).drop("bucket"), 3, LSH_BITS)
             .write.parquet(s"$tmp/edges.parquet")
@@ -1219,8 +1225,7 @@ object SimilarityOps {
     "llm_embed_ivf_served" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      val ix = graft.sources.GraftIO.buildOnce(
-          indexFixtureDir(dir, "ivf", s"nc=$NC")) { tmp =>
+      val ix = buildIndexOnce(dir, "ivf", s"nc=$NC") { tmp =>
         val (cent, assign) = graft.api.GraftPipelines.ivfIndex(emb, NC)
         graft.sources.GraftIO.writeParquet(cent, s"$tmp/centroids")
         graft.sources.GraftIO.writeParquet(assign, s"$tmp/assignments",
@@ -1244,9 +1249,8 @@ object SimilarityOps {
     "llm_embed_pq_served" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      val ix = graft.sources.GraftIO.buildOnce(
-          indexFixtureDir(dir, "pq",
-            s"m=$PQ_M,k=$PQ_K,it=$PQ_ITERS,d=$DIM")) { tmp =>
+      val ix = buildIndexOnce(dir, "pq",
+          s"m=$PQ_M,k=$PQ_K,it=$PQ_ITERS,d=$DIM") { tmp =>
         val (books, codes) = graft.api.GraftPipelines
           .pqIndex(emb, PQ_M, PQ_K, PQ_ITERS, DIM)
         graft.sources.GraftIO.writeParquet(books, s"$tmp/codebooks")

@@ -183,22 +183,67 @@ object GraftIO {
     * the loser discards its copy. Existence of `finalDir` IS the
     * built marker — no separate flag file to leave half-set.
     */
-  def buildOnce(finalDir: String)(build: String => Unit): String = {
+  private val tmpCounter = new java.util.concurrent.atomic.AtomicLong
+
+  def buildOnce(finalDir: String)(build: String => Unit): String =
+    buildOnce(finalDir, params = "")(build)
+
+  /** As [[buildOnce]], with a PARAMS MARKER: `params` (the same string
+    * the caller keyed [[fixtureDir]] with) is written to
+    * `_graft_params` inside the private temp dir BEFORE the publishing
+    * rename — so a published index atomically carries its own identity
+    * — and every later hit `require`s the marker matches. The SHA key
+    * in the path already separates params; the marker is the
+    * defense-in-depth for everything the key cannot see: a dir built
+    * by an older scheme, a hand-copied fixture, a torn directory left
+    * by a pre-rename crash of some OTHER tool. Mismatch or absence
+    * fails LOUDLY (the streaming knn scheme-marker discipline) —
+    * serving an index built under different parameters is a
+    * wrong-answer failure, never a fallback.
+    */
+  def buildOnce(finalDir: String, params: String)(
+      build: String => Unit): String = {
     val target = new java.io.File(finalDir)
+    val marker = new java.io.File(target, "_graft_params")
     if (!target.exists()) {
+      // pid separates JVMs; the counter separates threads WITHIN one
+      // JVM (two sessions, or a spec's simulated race) — a shared tmp
+      // would let two in-process builders tear each other's build
+      // before either reaches the atomic publish
       val tmp = new java.io.File(
-        finalDir + ".tmp-" + ProcessHandle.current().pid())
+        finalDir + ".tmp-" + ProcessHandle.current().pid() + "-" +
+          tmpCounter.incrementAndGet())
       try {
+        // don't rely on the build to create the dir (Spark writers do,
+        // plain-file builds don't; the marker write below needs it)
+        tmp.mkdirs()
         build(tmp.getAbsolutePath)
+        java.nio.file.Files.writeString(
+          new java.io.File(tmp, "_graft_params").toPath, params)
         try java.nio.file.Files.move(tmp.toPath, target.toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         catch {
-          // another JVM published first — its index is equally valid
+          // another builder published first — its index is equally
+          // valid. ENOTEMPTY from rename(2) surfaces as the GENERIC
+          // FileSystemException, not DirectoryNotEmptyException (the
+          // GraftIOSpec race test caught exactly that: the loser
+          // crashed instead of serving the winner's index), so accept
+          // any move failure where the target has appeared and rethrow
+          // the rest.
           case _: java.nio.file.FileAlreadyExistsException => ()
           case _: java.nio.file.DirectoryNotEmptyException => ()
+          case e: java.nio.file.FileSystemException =>
+            if (!target.exists()) throw e
         }
       } finally deleteRecursively(tmp)
     }
+    val found =
+      if (marker.exists()) java.nio.file.Files.readString(marker.toPath)
+      else "<missing>"
+    require(found == params,
+      s"$finalDir: params marker '$found' != expected '$params' - the " +
+        "index was built under different parameters (or torn); delete " +
+        "the directory to force a rebuild")
     finalDir
   }
 

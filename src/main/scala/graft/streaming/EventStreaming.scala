@@ -292,6 +292,122 @@ object EventStreaming {
       sink(flagged, batchId)
     }
 
+  /** Streaming END-TO-END curation: the full five-stage batch pipeline
+    * (`GraftPipelines.curateClean` — decontaminate → quality gate →
+    * exact dedup → verified near-dup drop → token count) as an ingest
+    * loop whose per-trigger work is O(batch + touched candidates),
+    * never a corpus re-scan. Composes the independently-proven gates:
+    * [[decontaminationGate]]'s gram check, the quality filter,
+    * [[ingestDedupLoop]]'s growing band index, plus a digest log and a
+    * doc store. State under `statePath` (all dup-tolerant append logs,
+    * the ingestDedupLoop discipline):
+    *
+    *  - `digests/` — md5(text) of every EXACT survivor so far; the
+    *    arriving batch anti-joins it (exact dedup across triggers).
+    *  - `bands/` — the LSH band index of every exact survivor; cross
+    *    near-dup candidates are band collisions batch × index.
+    *  - `docs/` — (id, text) of every exact survivor, for the verify
+    *    stage's word-set Jaccard (candidates only — the store is read
+    *    by id-keyed semi-join, never scanned for shingling).
+    *
+    * BATCH-EQUIVALENCE (proven in StreamingSpec): under id-monotone
+    * ingest (doc ids non-decreasing across triggers — the natural
+    * ingest order), the accumulated survivor set EQUALS
+    * `curateClean(allBatches, evalSet)` exactly, including dup CHAINS:
+    * the batch rule drops every verified pair's larger id even when the
+    * smaller was itself dropped, so the state logs append ALL exact
+    * survivors (dropped-or-not), not just emitted ones — an index of
+    * emitted survivors only would let the third link of an a~b~c chain
+    * slip through (b dropped by a, c similar only to b). Out-of-order
+    * ingest degrades gracefully to first-seen-wins (a cross pair drops
+    * the BATCH member — the already-emitted doc can't be retracted),
+    * which is the same policy at a different tie-break, not a
+    * correctness hole.
+    *
+    * Replay caveat (shared with [[ingestDedupLoop]]): the logs are
+    * append-only and dup-tolerant on read (`dropDuplicates` on the id /
+    * digest key), so a foreachBatch retry re-appends rows harmlessly;
+    * however a retried batch whose digests already landed emits no
+    * survivors on the retry — the sink must treat emissions as
+    * at-least-once per batch id, not per doc.
+    */
+  def curationIngest(docs: DataFrame, evalGramsPath: String,
+      statePath: String, checkpointDir: Option[String] = None,
+      stopwords: Seq[String] = graft.api.GraftPipelines.DefaultStopwords,
+      nGram: Int = 5, minScore: Double = 0.45, minWords: Int = 5,
+      minJaccard: Double = 0.7, shingleN: Int = 3, seeds: Int = 8,
+      bands: Int = 4, id: String = "doc_id", text: String = "text")
+      (sink: (Dataset[Row], Long) => Unit): StreamingQuery =
+    deliver(docs, checkpointDir) { (batch0, batchId) =>
+      val spark = batch0.sparkSession
+      val P = graft.api.GraftPipelines
+      def readLog(sub: String, bootstrap: => DataFrame): DataFrame =
+        try spark.read.parquet(s"$statePath/$sub")
+        catch {
+          case _: org.apache.spark.sql.AnalysisException => bootstrap.limit(0)
+        }
+      val batch = batch0.toDF.localCheckpoint()
+      // 1. decontamination gate (per-doc, vs the persisted eval grams)
+      val evalGrams = spark.read.parquet(evalGramsPath)
+      val clean = batch.join(
+        P.decontaminateAgainstGrams(batch, evalGrams, nGram, id, text)
+          .filter(col("is_contaminated") === 1).select(col(id)),
+        Seq(id), "left_anti")
+      // 2. quality gate (per-doc)
+      val kept = clean.join(
+        P.qualityScores(clean, stopwords, id, text)
+          .filter(col("score") >= minScore && col("n_words") >= minWords)
+          .select(col(id)),
+        Seq(id), "left_semi")
+      // 3. exact dedup: min-id per digest within the batch, then
+      // anti-join the cross-trigger digest log
+      val inBatch = kept.withColumn("__digest", md5(col(text)))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__digest")).orderBy(col(id))))
+        .filter(col("__rn") === 1).drop("__rn")
+      val digestLog = readLog("digests",
+        inBatch.select(col("__digest").as("digest")))
+        .dropDuplicates("digest")
+      val exact = inBatch.join(
+          digestLog.withColumnRenamed("digest", "__digest"),
+          Seq("__digest"), "left_anti")
+        .localCheckpoint()
+      // 4. near-dup: in-batch candidates (d1 < d2) + cross candidates
+      // against the band index of ALL prior exact survivors
+      val batchBands = P
+        .bandIndex(exact, shingleN, seeds, bands, id, text)
+        .localCheckpoint()
+      val priorBands = readLog("bands", batchBands).dropDuplicates(id, "b")
+      val priorDocs = readLog("docs", exact.select(col(id), col(text)))
+        .dropDuplicates(id)
+      val inCands = P.bandCandidates(batchBands, id)
+      // cross pairs: d2 is ALWAYS the batch member (the prior doc was
+      // already emitted) — equals the min-id rule under ordered ingest
+      val cross = priorBands.select(col(id).as("d1"), col("b"))
+        .join(batchBands.select(col(id).as("d2"), col("b")), "b")
+        .filter(col("d1") =!= col("d2"))
+        .select(col("d1"), col("d2")).distinct()
+      val cands = inCands.unionByName(cross).distinct()
+      val universe = priorDocs.select(col(id), col(text))
+        .unionByName(exact.select(col(id), col(text)))
+      val dropIds = P
+        .nearDuplicatesFromCandidates(universe, cands, minJaccard, id, text)
+        .select(col("d2").as(id)).distinct()
+      val survivors = exact.join(dropIds, Seq(id), "left_anti")
+        .withColumn("n_tokens", size(split(col(text), " ")))
+        .drop("__digest")
+        .localCheckpoint()
+      sink(survivors, batchId)
+      // 5. grow the state by ALL exact survivors (near-dup-dropped ones
+      // included — see the chain note above)
+      exact.select(col("__digest").as("digest"))
+        .write.mode("append").parquet(s"$statePath/digests")
+      exact.select(col(id), col(text))
+        .write.mode("append").parquet(s"$statePath/docs")
+      batchBands.write.mode("append").parquet(s"$statePath/bands")
+    }
+
   /** Streaming inverted-index maintenance: per micro-batch, append the
     * batch docs' (id, term) posting rows to an append-only parquet log —
     * the segment model of every production search index (writers only

@@ -243,6 +243,79 @@ class GraftIOSpec extends SparkSpec {
     assert(a.matches(""".*graft_ppjoin_index_[0-9a-f]{16}$"""))
   }
 
+  test("buildOnce: two concurrent builders never publish a torn index — " +
+      "one builder's files win whole, and both callers read it back") {
+    // Each builder writes TWO files that must agree; racing publication
+    // through the same final dir must yield a dir whose files come from
+    // ONE builder (atomic rename), never an interleaving. A barrier
+    // starts both builds inside the not-exists window so both actually
+    // enter the build branch.
+    val base = Files.createTempDirectory("graft_race").toString
+    (1 to 5).foreach { i =>
+      val finalDir = s"$base/idx$i"
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val ts = Seq("a", "b").map { tag =>
+        new Thread(() => {
+          try {
+            barrier.await()
+            val d = GraftIO.buildOnce(finalDir, "theta=0.7") { tmp =>
+              // both files must carry the same tag for the publish to
+              // be un-torn
+              java.nio.file.Files.writeString(
+                java.nio.file.Paths.get(tmp, "part1.txt"), tag)
+              java.nio.file.Files.writeString(
+                java.nio.file.Paths.get(tmp, "part2.txt"), tag)
+            }
+            results.add(d)
+          } catch { case t: Throwable => errors.add(t) }
+          ()
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(errors.isEmpty, s"builder threw: ${errors.peek()}")
+      assert(results.size == 2)   // both callers returned successfully
+      val p1 = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(finalDir, "part1.txt"))
+      val p2 = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(finalDir, "part2.txt"))
+      assert(p1 == p2, s"torn index: part1=$p1 part2=$p2")
+      // the params marker was published atomically with the content
+      assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(finalDir, "_graft_params")) == "theta=0.7")
+    }
+  }
+
+  test("buildOnce: a params-marker mismatch or absence refuses loudly — " +
+      "an index built under other parameters is never served") {
+    val base = Files.createTempDirectory("graft_marker").toString
+    // build under one params string
+    GraftIO.buildOnce(s"$base/idx", "theta=0.7") { tmp =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tmp, "data.txt"), "x")
+    }
+    // same path, different expected params → loud refusal, not a serve
+    val e = intercept[IllegalArgumentException] {
+      GraftIO.buildOnce(s"$base/idx", "theta=0.8") { _ => fail("rebuilt") }
+    }
+    assert(e.getMessage.contains("theta=0.8") &&
+      e.getMessage.contains("theta=0.7"))
+    // a marker-less directory (legacy / torn by a foreign tool) refuses
+    // too rather than serving unverifiable content
+    val bare = new java.io.File(s"$base/bare"); bare.mkdirs()
+    val e2 = intercept[IllegalArgumentException] {
+      GraftIO.buildOnce(s"$base/bare", "theta=0.7") { _ => fail("rebuilt") }
+    }
+    assert(e2.getMessage.contains("<missing>"))
+    // matching params serve without rebuilding
+    val served = GraftIO.buildOnce(s"$base/idx", "theta=0.7") { _ =>
+      fail("must serve the existing index, not rebuild")
+    }
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(served, "data.txt")) == "x")
+  }
+
   test("rel_join_bucketed: the co-located join itself never exchanges — " +
       "only the downstream aggregate does — and the layout is lossless") {
     import org.apache.spark.sql.functions.col

@@ -148,7 +148,7 @@ class MaintenanceOpsSpec extends SparkSpec {
     val merged = q("rel_distinct_incremental").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val single = Tables.orders(spark, sf).groupBy($"o_orderpriority")
-      .agg(hll_sketch_estimate(hll_sketch_agg($"o_custkey")).as("est"),
+      .agg(hll_sketch_estimate(hll_sketch_agg($"o_custkey", 14)).as("est"),
         countDistinct($"o_custkey").as("exact"))
       .collect()
     assert(single.length == merged.size && merged.nonEmpty)

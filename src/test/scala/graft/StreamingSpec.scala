@@ -453,6 +453,64 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("curationIngest: 3-trigger replay emits exactly curateClean's " +
+      "survivors — contamination, quality, exact-dup, near-dup chains") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_curation").toString
+    val evalDir = s"$base/evalgrams"
+    val stateDir = s"$base/state"
+    val evalSet = Seq((100L, "secret eval answer token sequence"))
+      .toDF("doc_id", "text")
+    api.GraftPipelines.corpusGramIndex(evalSet)
+      .select("g").write.parquet(evalDir)
+    // Fixture (all quality-passing texts are 10 distinct 4-6-letter
+    // words: ttr 1.0 + length bonus = score 0.7 ≥ 0.45):
+    val tA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val tA1 = tA.replace("juliet", "kilos")   // 9/11 = 0.82 ~ tA
+    val tA2 = tA1.replace("india", "limax")   // 0.82 ~ tA1, 8/12 = 0.67 vs tA
+    val tB = "limes mikes november oscar papa quebec romeo sierra tango uniform"
+    val batches = Seq(
+      Seq(1L -> tA,
+        2L -> "alpha secret eval answer token sequence hotel india juliet",
+        3L -> "zz zz zz zz zz zz"),            // quality fail
+      Seq(4L -> tA,                            // exact dup of 1 (same trigger set)
+        5L -> tA1,                             // near-dup of 1
+        6L -> tB),                             // fresh
+      Seq(7L -> tA2,                           // chain: ~5 only, NOT ~1
+        8L -> tA))                             // exact dup via the digest LOG
+    val emitted =
+      scala.collection.mutable.Map[Long, Seq[(Long, Int)]]()
+    val query = EventStreaming.curationIngest(docs, evalDir, stateDir) {
+      (batch, bid) =>
+        val rows = batch.collect()
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_tokens"))
+          .toSeq.sortBy(_._1)
+        emitted.synchronized { emitted(bid) = rows }
+    }
+    try {
+      batches.foreach { b => mem.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+    val out = emitted.synchronized(emitted.toMap)
+    // per-trigger: 1 survives; 4 exact-dup, 5 near-dup of 1, 6 fresh;
+    // 7 caught by the CHAIN (its only verified partner, 5, was itself
+    // dropped — the all-exact-survivors index is what catches it), 8
+    // caught by the cross-trigger digest log
+    assert(out(0L).map(_._1) == Seq(1L), s"trigger 0: ${out(0L)}")
+    assert(out(1L).map(_._1) == Seq(6L), s"trigger 1: ${out(1L)}")
+    assert(out(2L).map(_._1) == Seq(), s"trigger 2: ${out(2L)}")
+    // batch equivalence: the accumulated survivors equal curateClean
+    // over the union of all three frames, ids AND token counts
+    val all = batches.flatten.toDF("doc_id", "text")
+    val twin = api.GraftPipelines.curateClean(all, evalSet)
+      .select($"doc_id", $"n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toSeq.sortBy(_._1)
+    assert(out.values.flatten.toSeq.sortBy(_._1) == twin,
+      s"stream=${out.values.flatten.toSeq.sortBy(_._1)} batch=$twin")
+  }
+
   test("indexIngestLoop: serving view equals batch index, replay-idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
