@@ -155,6 +155,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // shuffle/block scratch under the workdir, NOT /tmp: the host's
+      // tmp reaper deleted a long run's blockmgr dir mid-flight
+      // (round 11: every shuffle write died with ENOENT and the
+      // context shut down 40 min into the recording)
+      .config("spark.local.dir", "target/spark-local")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb one-time JVM/codegen/session cost so timings measure queries

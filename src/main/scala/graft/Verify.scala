@@ -16,6 +16,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // scratch under the workdir — the host tmp reaper kills /tmp
+      // blockmgr dirs of long runs (see Bench)
+      .config("spark.local.dir", "target/spark-local")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

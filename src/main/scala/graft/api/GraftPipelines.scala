@@ -1853,8 +1853,11 @@ object GraftPipelines {
   def nearDuplicatesFromCandidates(docs: DataFrame,
       candidatePairs: DataFrame, minJaccard: Double,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val cands = candidatePairs.persist()
-    cands.count()
+    // localCheckpoint (eager), not persist+count: checkpointed blocks
+    // are ContextCleaner-reclaimable once the plan drops, so repeated
+    // calls from a long-running application (a streaming curation loop,
+    // a bench pass) never accumulate pinned CacheManager entries.
+    val cands = candidatePairs.localCheckpoint()
     // Docs referenced by any candidate pair. No broadcast hint: this set's
     // cardinality scales with the corpus (a dup-heavy crawl puts a large
     // fraction of all docs in some candidate pair), so a compile-time
@@ -1863,36 +1866,29 @@ object GraftPipelines {
     // lets AQE broadcast only when the runtime size is actually small.
     val inPlay = cands.select(col("d1").as(id))
       .union(cands.select(col("d2"))).distinct()
+    // Verify via per-pair array intersection (the round-11
+    // ppjoinPairsFromIndex rationale): the old explode-join-count form
+    // shuffled a Σ|doc|-sized word table twice and paid a pair-key
+    // groupBy; two pair-id-keyed joins against the word-ARRAY table
+    // move the same bytes once each and compute |∩| per row —
+    // array_intersect is exact on the array_distinct'd word sets.
     val sets = docs.join(inPlay, Seq(id), "left_semi")
       .select(col(id), array_distinct(split(col(text), " ")).as("wset"))
-      .select(col(id), size(col("wset")).as("sz"), col("wset"))
-      .persist()
-    val words = sets.select(col(id), explode(col("wset")).as("w"))
-    val common = cands
-      .join(words.withColumnRenamed(id, "d1"), "d1")
-      .join(words.withColumnRenamed(id, "d2"), Seq("d2", "w"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).cast("int").as("n_common"))
-    val sizes = sets.select(col(id), col("sz"))
     val out = cands
-      .join(common, Seq("d1", "d2"), "left")
-      .withColumn("n_common", coalesce(col("n_common"), lit(0)))
-      .join(sizes.select(col(id).as("d1"), col("sz").as("sz1")), "d1")
-      .join(sizes.select(col(id).as("d2"), col("sz").as("sz2")), "d2")
-      .withColumn("n_union", col("sz1") + col("sz2") - col("n_common"))
+      .join(sets.select(col(id).as("d1"), col("wset").as("wa")), "d1")
+      .join(sets.select(col(id).as("d2"), col("wset").as("wb")), "d2")
+      .withColumn("n_common",
+        size(array_intersect(col("wa"), col("wb"))))
+      .withColumn("n_union",
+        size(col("wa")) + size(col("wb")) - col("n_common"))
       .withColumn("jaccard", col("n_common").cast("double") / col("n_union"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("d1"), col("d2"), col("n_common"), col("n_union"),
         col("jaccard"))
-    // Materialize the (candidate-bounded, post-filter) result eagerly and
-    // release the intermediate caches — repeated calls from a long-running
-    // application must not accumulate pinned partitions. The returned
-    // DataFrame itself is cached; callers may .unpersist() it when done.
-    val result = out.persist()
-    result.count()
-    cands.unpersist(blocking = false)
-    sets.unpersist(blocking = false)
-    result
+    // Materialize the (candidate-bounded, post-filter) result eagerly —
+    // callers consume pairs on several paths (cluster chain, anti-join,
+    // matrices) and must not re-run the verify per path.
+    out.localCheckpoint()
   }
 
   // ===== Fuzzy entity resolution (round 8) =====

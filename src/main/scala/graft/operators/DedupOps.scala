@@ -1101,10 +1101,12 @@ object DedupOps {
     //   2. ONE hash-keyed shuffle for the frequency count
     //      (partial-agg'd map-side; countDistinct(doc_id) is the
     //      standard two-phase expand),
-    //   3. the ≥3-docs filter makes the boilerplate set tiny BY
-    //      CONSTRUCTION (bounded by chunks/3, in practice the few
-    //      templated spans) → broadcast it back, so the corpus-sized
-    //      chunk table is tagged WITHOUT a second shuffle,
+    //   3. the ≥3-docs filter usually leaves a small boilerplate set
+    //      (in practice the few templated spans) that stats/AQE
+    //      broadcast back, tagging the corpus-sized chunk table
+    //      WITHOUT a second shuffle — but the bound is only chunks/3,
+    //      corpus-scaled on pathological crawl data, so the broadcast
+    //      is deliberately NOT a hard hint (see the join below),
     //   4. one doc_id shuffle to reassemble — the unavoidable
     //      rewrite pass, same size as the corpus itself.
     // Chunking runs twice (freq pass + tag pass) on purpose: re-doing
