@@ -98,8 +98,9 @@ object Bench {
     "llm_pmi_bigrams", "llm_quality_winsor",
     "llm_pii_redact", "llm_k_anonymity", "llm_substring_dedup",
     "llm_doc_features",
-    "llm_quality_classify", "llm_embed_kmeans", "llm_semdedup",
-    "llm_semdedup_scaled", "llm_semdedup_gated",
+    "llm_quality_classify", "llm_embed_kmeans", "llm_embed_kmeans_served",
+    "llm_semdedup", "llm_semdedup_served",
+    "llm_semdedup_scaled", "llm_semdedup_gated", "llm_semdedup_gated_served",
     "llm_simhash", "llm_simhash_pairs", "llm_simhash_pairs_wide",
     "llm_embed_topk",
     "llm_embed_lsh_knn", "llm_embed_lsh_knn2", "llm_embed_pq",
@@ -113,7 +114,8 @@ object Bench {
     "llm_label_prop", "llm_label_prop_eval", "llm_graph_triangles",
     "llm_kcore_peel",
     "llm_hard_negatives", "llm_embed_pca", "llm_kcenter", "llm_probe_auc",
-    "llm_cluster_silhouette", "llm_cluster_quota",
+    "llm_cluster_silhouette", "llm_cluster_silhouette_served",
+    "llm_cluster_quota", "llm_cluster_quota_served",
     "llm_source_centroid_sim", "llm_global_shuffle",
     "llm_embed_neardup", "llm_embed_neardup_lsh", "llm_lang_id", "llm_tfidf",
     "llm_fuzzy_pairs", "llm_sorted_neighborhood",
@@ -140,7 +142,9 @@ object Bench {
     "llm_embed_pq_served", "llm_embed_ivf_served", "llm_ppjoin_served",
     "llm_neardup_served", "llm_mutual_knn_served",
     "llm_knn_incremental_served", "llm_dup_clusters_served",
-    "llm_containment_served")
+    "llm_containment_served", "llm_embed_kmeans_served",
+    "llm_cluster_quota_served", "llm_cluster_silhouette_served",
+    "llm_semdedup_served", "llm_semdedup_gated_served")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -176,6 +180,9 @@ object Bench {
     Seq("ev_partition_pruned", "llm_embed_pq_served", "llm_embed_ivf_served",
         "llm_ppjoin_served", "llm_neardup_served", "llm_mutual_knn_served",
         "llm_knn_incremental_served", "llm_dup_clusters_served",
+        "llm_containment_served", "llm_embed_kmeans_served",
+        "llm_cluster_quota_served", "llm_cluster_silhouette_served",
+        "llm_semdedup_served", "llm_semdedup_gated_served",
         "rel_join_bucketed")
       .filter(selected.contains).foreach { n =>
         SparkEntry.queries(n)(spark, sfDir)

@@ -305,8 +305,18 @@ object GraftPipelines {
     * combine, so the shape survives any corpus scale with bounded k.
     */
   def clusterSilhouette(emb: DataFrame, k: Int, iters: Int, dim: Int = 64,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    clusterSilhouetteFrom(emb, kmeansFit(emb, k, iters, dim, id, vec)._1,
+      id, vec)
+
+  /** [[clusterSilhouette]] over an ALREADY-FITTED centroid table
+    * (cluster, c: array<float>) — the serve half of the k-means fit's
+    * build/serve split: the fit is persisted once per corpus+params
+    * and every centroid-reusing consumer reads it back instead of
+    * re-running the Lloyd iterations. Same arithmetic, same output.
+    */
+  def clusterSilhouetteFrom(emb: DataFrame, cent: DataFrame,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val (cent, _) = kmeansFit(emb, k, iters, dim, id, vec)
     // With a single surviving centroid cos2 has no source row: the
     // engine would emit null cos2/sil while the SQL oracle's crn = 2
     // join drops the rows entirely — fail loudly instead of silently

@@ -200,6 +200,90 @@ object SimilarityOps {
     graft.sources.GraftIO.buildOnce(
       indexFixtureDir(dir, kind, params), params)(build)
 
+  /** Build/serve split of the fixed-k k-means fit: centroids (k rows)
+    * and the final assignment (vec_id, cluster, ccos — n rows) written
+    * ONCE per corpus+params ([[buildIndexOnce]], same write-once
+    * discipline as the ANN/PPJoin/mutual-kNN indexes), then every
+    * centroid- or assignment-reusing consumer reads the fit back
+    * instead of re-running the Lloyd iterations. Before this split the
+    * four k-means consumers (mean-cos report, quota sampling,
+    * silhouette, SemDeDup) each refit from the corpus — at 100 TB that
+    * is four redundant O(iters)-pass fits per analysis sweep; served,
+    * a consumer reads a k-row table and/or an n-row assignment. Output
+    * (and thus every consumer's oracle) is identical — a storage
+    * refactor, not a semantic one.
+    */
+  private def kmeansFitServed(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val idx = buildIndexOnce(dir, "kmeans",
+      s"k=$KM_K,iters=$KM_ITERS,dim=$DIM") { tmp =>
+      val (cent, assign) = graft.api.GraftPipelines.kmeansFit(
+        Tables.embeddings(s, dir), KM_K, KM_ITERS, DIM)
+      cent.write.parquet(s"$tmp/centroids.parquet")
+      assign.write.parquet(s"$tmp/assign.parquet")
+    }
+    (s.read.parquet(s"$idx/centroids.parquet"),
+      s.read.parquet(s"$idx/assign.parquet"))
+  }
+
+  /** Refit twin of [[kmeansFitServed]] — shared so refit and served
+    * entries run the same consumer code over the two fit providers.
+    */
+  private def kmeansFitDirect(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    graft.api.GraftPipelines.kmeansFit(
+      Tables.embeddings(s, dir), KM_K, KM_ITERS, DIM)
+
+  /** Per-cluster size + exact fixed-point mean cosine-to-centroid over
+    * a fit's final assignment — shared by llm_embed_kmeans (refit) and
+    * llm_embed_kmeans_served (read-back); both hash the same oracle.
+    */
+  private def kmeansMeanCosEntry(assign: DataFrame): DataFrame =
+    assign
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("ccos") * lit(COS_SCALE)).cast("decimal(28,0)"))
+          .cast("double") / count(lit(1)) / lit(COS_SCALE)).as("mean_cos"))
+      .orderBy(col("cluster"))
+
+  /** Cluster-balanced quota pick over a fit's assignment — shared by
+    * llm_cluster_quota (refit) and llm_cluster_quota_served.
+    */
+  private def clusterQuotaEntry(assign: DataFrame): DataFrame = {
+    val h = graft.functions.VectorExpressions.md5Half60Prefixed(
+      "cq|", col("vec_id").cast("string"), upperHalf = false)
+    val w = Window.partitionBy(col("cluster")).orderBy(h.asc, col("vec_id"))
+    assign.withColumn("pick_rank", row_number().over(w))
+      .filter(col("pick_rank") <= QUOTA)
+      .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
+        col("pick_rank").cast("int").as("pick_rank"))
+      .orderBy(col("cluster"), col("pick_rank"))
+  }
+
+  /** Within-cluster SemDeDup pair scan over a fit's assignment —
+    * shared by llm_semdedup (refit) and llm_semdedup_served. The
+    * assignment-side frame is localCheckpointed before the self-join
+    * so neither provider pays its source twice (the refit would
+    * otherwise run the whole Lloyd fit once PER JOIN SIDE, and the
+    * served read-back would re-decode parquet per side — the same
+    * double-decode the ppjoin serve split fixed in round 10).
+    */
+  private def semdedupEntry(s: SparkSession, dir: String,
+      assign: DataFrame): DataFrame = {
+    val a = assign.select(col("vec_id"), col("cluster"))
+      .join(Tables.embeddings(s, dir), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("embedding"))
+      .localCheckpoint()
+    a.as("l").join(a.as("r"),
+        col("l.cluster") === col("r.cluster") &&
+        col("l.vec_id") < col("r.vec_id"))
+      .withColumn("cosine", cosine(col("l.embedding"), col("r.embedding")))
+      .filter(col("cosine") > 0.35)
+      .select(col("l.vec_id").as("d1"), col("r.vec_id").as("d2"),
+        col("l.cluster").as("cluster"), col("cosine"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   private def cosineSql(a: String, b: String): String =
     s"(${dotUnrolledSql(a, b, DIM)}) / " +
       s"(sqrt(${dotUnrolledSql(a, a, DIM)}) * sqrt(${dotUnrolledSql(b, b, DIM)}))"
@@ -1310,19 +1394,16 @@ object SimilarityOps {
         .orderBy($"qid", $"rn")
     }),
 
-    "llm_embed_kmeans" -> ((s, dir) => {
-      import s.implicits._
-      // mean cosine via the same tie-free fixed-point sum as the
-      // centroid update (floor at 2^30 — cosines are in [-1,1], so the
-      // scaled sum stays double-exact to ~8M rows per cluster)
-      graft.api.GraftPipelines
-        .kmeans(Tables.embeddings(s, dir), KM_K, KM_ITERS, DIM)
-        .groupBy($"cluster")
-        .agg(count(lit(1)).as("n"),
-          (sum(floor($"ccos" * lit(COS_SCALE)).cast("decimal(28,0)"))
-            .cast("double") / count(lit(1)) / lit(COS_SCALE)).as("mean_cos"))
-        .orderBy($"cluster")
-    }),
+    // mean cosine via the same tie-free fixed-point sum as the
+    // centroid update (floor at 2^30 — cosines are in [-1,1], so the
+    // scaled sum stays double-exact to ~8M rows per cluster)
+    "llm_embed_kmeans" -> ((s, dir) =>
+      kmeansMeanCosEntry(kmeansFitDirect(s, dir)._2)),
+
+    // read-back of the persisted fit ≡ the refit (buildOnce write-once
+    // discipline; see kmeansFitServed)
+    "llm_embed_kmeans_served" -> ((s, dir) =>
+      kmeansMeanCosEntry(kmeansFitServed(s, dir)._2)),
 
     // Cluster-balanced quota sampling: pick ≤ QUOTA vectors per fitted
     // k-means cluster in deterministic salted-hash order — the
@@ -1332,19 +1413,12 @@ object SimilarityOps {
     // llm_pack_salted, so the pick is unbiased, reproducible, and
     // hash-checkable). Window runs per cluster over its members only;
     // the fit is the already-oracled kmeans unroll.
-    "llm_cluster_quota" -> ((s, dir) => {
-      import s.implicits._
-      val af = graft.api.GraftPipelines
-        .kmeans(Tables.embeddings(s, dir), KM_K, KM_ITERS, DIM)
-      val h = graft.functions.VectorExpressions.md5Half60Prefixed(
-        "cq|", $"vec_id".cast("string"), upperHalf = false)
-      val w = Window.partitionBy($"cluster").orderBy(h.asc, $"vec_id")
-      af.withColumn("pick_rank", row_number().over(w))
-        .filter($"pick_rank" <= QUOTA)
-        .select($"vec_id", $"cluster".cast("int").as("cluster"),
-          $"pick_rank".cast("int").as("pick_rank"))
-        .orderBy($"cluster", $"pick_rank")
-    }),
+    "llm_cluster_quota" -> ((s, dir) =>
+      clusterQuotaEntry(kmeansFitDirect(s, dir)._2)),
+
+    // quota pick over the persisted assignment — no fit pass at all
+    "llm_cluster_quota_served" -> ((s, dir) =>
+      clusterQuotaEntry(kmeansFitServed(s, dir)._2)),
 
     // Clustering-quality gate: per-point simplified silhouette
     // s = (cos1 − cos2) / (1 − cos2) from the same fitted centroids as
@@ -1356,6 +1430,16 @@ object SimilarityOps {
       import s.implicits._
       graft.api.GraftPipelines
         .clusterSilhouette(Tables.embeddings(s, dir), KM_K, KM_ITERS, DIM)
+        .orderBy($"vec_id")
+    }),
+
+    // silhouette from the persisted centroids (k rows read back; the
+    // linear scoring pass is the only corpus work left)
+    "llm_cluster_silhouette_served" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.GraftPipelines
+        .clusterSilhouetteFrom(Tables.embeddings(s, dir),
+          kmeansFitServed(s, dir)._1)
         .orderBy($"vec_id")
     }),
 
@@ -1376,63 +1460,26 @@ object SimilarityOps {
     // discipline as llm_curate_full. All joins are cluster-bounded or
     // k-row broadcasts; the pair join meets Σ (passing cluster)²
     // candidates only.
-    "llm_semdedup_gated" -> ((s, dir) => {
-      import s.implicits._
-      val emb = Tables.embeddings(s, dir)
-      val sil = graft.api.GraftPipelines
-        .clusterSilhouette(emb, KM_K, KM_ITERS, DIM)
-        .select($"vec_id", $"cluster",
-          floor($"sil" * lit(COS_SCALE)).cast("long").as("sils"))
-        .localCheckpoint()
-      val tot = sil.agg(sum($"sils").as("tsum"),
-        count(lit(1)).as("tcnt"))
-      val gate = sil.groupBy($"cluster")
-        .agg(sum($"sils").as("ssum"), count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(tot))
-        .select($"cluster", expr("ssum div cnt").as("mean_sil_scaled"),
-          ($"ssum".cast("decimal(38,0)") * $"tcnt".cast("decimal(38,0)") >=
-            $"tsum".cast("decimal(38,0)") * $"cnt".cast("decimal(38,0)"))
-            .cast("int").as("gate_pass"))
-        .localCheckpoint() // k rows
-      val passing = sil.select($"vec_id", $"cluster")
-        .join(broadcast(gate.filter($"gate_pass" === 1).select($"cluster")),
-          "cluster")
-        .join(emb.select($"vec_id", $"embedding"), "vec_id")
-      val dups = passing.as("l").join(passing.as("r"),
-          col("l.cluster") === col("r.cluster") &&
-          col("l.vec_id") < col("r.vec_id"))
-        .withColumn("cosine", cosine(col("l.embedding"), col("r.embedding")))
-        .filter($"cosine" > 0.35)
-        .select(col("r.vec_id").as("vec_id")).distinct()
-      sil.select($"vec_id", $"cluster")
-        .join(broadcast(gate), "cluster")
-        .join(dups.withColumn("dup", lit(1)), Seq("vec_id"), "left")
-        .select($"vec_id", $"cluster", $"mean_sil_scaled", $"gate_pass",
-          when($"dup".isNotNull, lit(0)).otherwise(lit(1))
-            .cast("int").as("keep"))
-        .orderBy($"vec_id")
-    }),
+    "llm_semdedup_gated" -> ((s, dir) =>
+      semdedupGatedEntry(s, dir, kmeansFitDirect(s, dir)._1)),
+
+    // gate + drop from the persisted centroids — the fit read back,
+    // the linear silhouette pass and the cluster-bounded pair scan
+    // are the only corpus work left
+    "llm_semdedup_gated_served" -> ((s, dir) =>
+      semdedupGatedEntry(s, dir, kmeansFitServed(s, dir)._1)),
 
     // SemDeDup-style semantic dedup: near-dup pairs found WITHIN k-means
     // clusters only. The cluster id is the coarse partitioner — the
     // self-join meets Σ cluster² candidates instead of O(n²), which is
     // the published answer (Abbas et al., 2023, public arXiv) to
     // embedding dedup at corpus scale; the exact cosine is the residual.
-    "llm_semdedup" -> ((s, dir) => {
-      import s.implicits._
-      val emb = Tables.embeddings(s, dir)
-      val a = graft.api.GraftPipelines.kmeans(emb, KM_K, KM_ITERS, DIM)
-        .join(emb, "vec_id")
-        .select($"vec_id", $"cluster", $"embedding")
-      a.as("l").join(a.as("r"),
-          col("l.cluster") === col("r.cluster") &&
-          col("l.vec_id") < col("r.vec_id"))
-        .withColumn("cosine", cosine(col("l.embedding"), col("r.embedding")))
-        .filter($"cosine" > 0.35)
-        .select(col("l.vec_id").as("d1"), col("r.vec_id").as("d2"),
-          col("l.cluster").as("cluster"), $"cosine")
-        .orderBy($"d1", $"d2")
-    }),
+    "llm_semdedup" -> ((s, dir) =>
+      semdedupEntry(s, dir, kmeansFitDirect(s, dir)._2)),
+
+    // within-cluster pair scan over the persisted assignment
+    "llm_semdedup_served" -> ((s, dir) =>
+      semdedupEntry(s, dir, kmeansFitServed(s, dir)._2)),
 
     // The PRODUCTION SemDeDup twin: identical within-cluster pair
     // logic, but the cluster count scales with the corpus
@@ -1474,6 +1521,48 @@ object SimilarityOps {
         .orderBy($"d1", $"d2")
     })
   )
+
+  /** Silhouette-gated SemDeDup over an already-fitted centroid table —
+    * shared by llm_semdedup_gated (refit) and llm_semdedup_gated_served
+    * (read-back); see the entry comment for the gate/drop semantics.
+    */
+  private def semdedupGatedEntry(s: SparkSession, dir: String,
+      cent: DataFrame): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val sil = graft.api.GraftPipelines
+      .clusterSilhouetteFrom(emb, cent)
+      .select($"vec_id", $"cluster",
+        floor($"sil" * lit(COS_SCALE)).cast("long").as("sils"))
+      .localCheckpoint()
+    val tot = sil.agg(sum($"sils").as("tsum"),
+      count(lit(1)).as("tcnt"))
+    val gate = sil.groupBy($"cluster")
+      .agg(sum($"sils").as("ssum"), count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .select($"cluster", expr("ssum div cnt").as("mean_sil_scaled"),
+        ($"ssum".cast("decimal(38,0)") * $"tcnt".cast("decimal(38,0)") >=
+          $"tsum".cast("decimal(38,0)") * $"cnt".cast("decimal(38,0)"))
+          .cast("int").as("gate_pass"))
+      .localCheckpoint() // k rows
+    val passing = sil.select($"vec_id", $"cluster")
+      .join(broadcast(gate.filter($"gate_pass" === 1).select($"cluster")),
+        "cluster")
+      .join(emb.select($"vec_id", $"embedding"), "vec_id")
+    val dups = passing.as("l").join(passing.as("r"),
+        col("l.cluster") === col("r.cluster") &&
+        col("l.vec_id") < col("r.vec_id"))
+      .withColumn("cosine", cosine(col("l.embedding"), col("r.embedding")))
+      .filter($"cosine" > 0.35)
+      .select(col("r.vec_id").as("vec_id")).distinct()
+    sil.select($"vec_id", $"cluster")
+      .join(broadcast(gate), "cluster")
+      .join(dups.withColumn("dup", lit(1)), Seq("vec_id"), "left")
+      .select($"vec_id", $"cluster", $"mean_sil_scaled", $"gate_pass",
+        when($"dup".isNotNull, lit(0)).otherwise(lit(1))
+          .cast("int").as("keep"))
+      .orderBy($"vec_id")
+  }
 
   /** Shared by llm_embed_ivf and llm_embed_ivf_served: the serve path
     * reads a persisted index, but the rows must be identical.
@@ -2064,107 +2153,32 @@ object SimilarityOps {
     "llm_embed_pq" -> pqOracleSql,
     "llm_embed_pq_served" -> pqOracleSql,
 
-    "llm_embed_kmeans" ->
-      s"""WITH $kmeansOracleCtes
-         |SELECT cluster, count(*) AS n,
-         | CAST(sum(CAST(floor(ccos * $COS_SCALE_SQL) AS DECIMAL(28,0))) AS DOUBLE)
-         |   / count(*) / $COS_SCALE_SQL AS mean_cos
-         |FROM af GROUP BY cluster ORDER BY cluster""".stripMargin,
+    "llm_embed_kmeans" -> kmeansAggOracleSql,
+    "llm_embed_kmeans_served" -> kmeansAggOracleSql,
 
     // same fitted assignment CTE `af`, then a per-cluster salted-hash
     // row_number capped at the quota — the md5 salt is the verbatim
     // llm_pack_salted mirror
-    "llm_cluster_quota" ->
-      s"""WITH $kmeansOracleCtes,
-         |r AS (
-         |  SELECT vec_id, cluster,
-         |   row_number() OVER (PARTITION BY cluster
-         |     ORDER BY CAST(md5_number_lower('cq|' ||
-         |       CAST(vec_id AS VARCHAR)) % 1152921504606846976 AS BIGINT),
-         |       vec_id) AS pick_rank
-         |  FROM af)
-         |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
-         | CAST(pick_rank AS INTEGER) AS pick_rank
-         |FROM r WHERE pick_rank <= $QUOTA
-         |ORDER BY cluster, pick_rank""".stripMargin,
+    "llm_cluster_quota" -> clusterQuotaOracleSql,
+    "llm_cluster_quota_served" -> clusterQuotaOracleSql,
 
     // same unrolled fit as llm_embed_kmeans (CTEs reused verbatim), then
     // rank-2 cosines to the FINAL centroids u$KM_ITERS; s is one
     // division of two engine-identical doubles
-    "llm_cluster_silhouette" ->
-      s"""WITH $kmeansOracleCtes,
-         |sc AS (
-         |  SELECT vec_id, cluster, ccos,
-         |   row_number() OVER (PARTITION BY vec_id
-         |     ORDER BY ccos DESC, cluster) AS crn
-         |  FROM (SELECT v.vec_id, c.cluster, ${centCosSql("v", "c")} AS ccos
-         |        FROM embeddings v CROSS JOIN u$KM_ITERS c))
-         |SELECT a.vec_id, CAST(a.cluster AS INTEGER) AS cluster,
-         | a.ccos AS cos1, b.ccos AS cos2,
-         | (a.ccos - b.ccos) / (1.0 - b.ccos) AS sil
-         |FROM sc a JOIN sc b ON a.vec_id = b.vec_id
-         | AND a.crn = 1 AND b.crn = 2
-         |ORDER BY a.vec_id""".stripMargin,
+    "llm_cluster_silhouette" -> silhouetteOracleSql,
+    "llm_cluster_silhouette_served" -> silhouetteOracleSql,
 
     // same silhouette CTEs, then the gate (exact integer fixed-point
     // mean, DECIMAL cross-multiplied relative comparison) and the
     // within-passing-cluster smaller-id-partner drop rule
-    "llm_semdedup_gated" ->
-      s"""WITH $kmeansOracleCtes,
-         |sc AS (
-         |  SELECT vec_id, cluster, ccos,
-         |   row_number() OVER (PARTITION BY vec_id
-         |     ORDER BY ccos DESC, cluster) AS crn
-         |  FROM (SELECT v.vec_id, c.cluster, ${centCosSql("v", "c")} AS ccos
-         |        FROM embeddings v CROSS JOIN u$KM_ITERS c)),
-         |silv AS MATERIALIZED (
-         |  SELECT a.vec_id, a.cluster,
-         |   CAST(floor(((a.ccos - b.ccos) / (1.0 - b.ccos))
-         |     * $COS_SCALE_SQL) AS BIGINT) AS sils
-         |  FROM sc a JOIN sc b ON a.vec_id = b.vec_id
-         |   AND a.crn = 1 AND b.crn = 2),
-         |tot AS (SELECT CAST(sum(sils) AS BIGINT) AS tsum,
-         |        count(*) AS tcnt FROM silv),
-         |gate AS MATERIALIZED (
-         |  SELECT cluster,
-         |   CAST(CAST(sum(sils) AS BIGINT) // count(*) AS BIGINT)
-         |     AS mean_sil_scaled,
-         |   CAST(CASE WHEN
-         |     CAST(CAST(sum(sils) AS BIGINT) AS DECIMAL(38,0)) * tcnt >=
-         |     CAST(tsum AS DECIMAL(38,0)) * count(*)
-         |    THEN 1 ELSE 0 END AS INTEGER) AS gate_pass
-         |  FROM silv CROSS JOIN tot GROUP BY cluster, tsum, tcnt),
-         |pass AS MATERIALIZED (
-         |  SELECT v.vec_id, v.cluster, e.embedding
-         |  FROM silv v JOIN gate g ON v.cluster = g.cluster
-         |  JOIN embeddings e ON e.vec_id = v.vec_id
-         |  WHERE g.gate_pass = 1),
-         |dups AS (
-         |  SELECT DISTINCT r.vec_id FROM pass l JOIN pass r
-         |   ON l.cluster = r.cluster AND l.vec_id < r.vec_id
-         |  WHERE ${cosineSql("l.embedding", "r.embedding")} > 0.35)
-         |SELECT s.vec_id, CAST(s.cluster AS INTEGER) AS cluster,
-         | g.mean_sil_scaled, g.gate_pass,
-         | CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
-         |   AS keep
-         |FROM silv s JOIN gate g ON s.cluster = g.cluster
-         |LEFT JOIN dups d ON d.vec_id = s.vec_id
-         |ORDER BY s.vec_id""".stripMargin,
+    "llm_semdedup_gated" -> semdedupGatedOracleSql,
+    "llm_semdedup_gated_served" -> semdedupGatedOracleSql,
 
     // SemDeDup over the oracled k-means assignment: within-cluster
     // pairs above the cosine threshold — the pair list hash-checks the
     // per-vector cluster labels, not just aggregate sizes
-    "llm_semdedup" ->
-      s"""WITH $kmeansOracleCtes,
-         |asg AS (
-         |  SELECT a.vec_id, a.cluster, e.embedding
-         |  FROM af a JOIN embeddings e ON a.vec_id = e.vec_id)
-         |SELECT d1, d2, cluster, cosine FROM (
-         |  SELECT l.vec_id AS d1, r.vec_id AS d2, l.cluster AS cluster,
-         |   ${cosineSql("l.embedding", "r.embedding")} AS cosine
-         |  FROM asg l JOIN asg r
-         |    ON l.cluster = r.cluster AND l.vec_id < r.vec_id)
-         |WHERE cosine > 0.35 ORDER BY d1, d2""".stripMargin,
+    "llm_semdedup" -> semdedupOracleSql,
+    "llm_semdedup_served" -> semdedupOracleSql,
 
     // scaled-k twin: the ONLY difference is the init predicate — k is
     // a scalar subquery of the corpus count, ceil'd exactly like the
@@ -2183,4 +2197,98 @@ object SimilarityOps {
          |    ON l.cluster = r.cluster AND l.vec_id < r.vec_id)
          |WHERE cosine > 0.35 ORDER BY d1, d2""".stripMargin
   )
+
+  /** k-means-family oracle SQL, shared verbatim by each refit entry
+    * and its `_served` read-back twin (the serve split is a storage
+    * refactor — same output, same oracle).
+    */
+  private def kmeansAggOracleSql: String =
+    s"""WITH $kmeansOracleCtes
+       |SELECT cluster, count(*) AS n,
+       | CAST(sum(CAST(floor(ccos * $COS_SCALE_SQL) AS DECIMAL(28,0))) AS DOUBLE)
+       |   / count(*) / $COS_SCALE_SQL AS mean_cos
+       |FROM af GROUP BY cluster ORDER BY cluster""".stripMargin
+
+  private def clusterQuotaOracleSql: String =
+    s"""WITH $kmeansOracleCtes,
+       |r AS (
+       |  SELECT vec_id, cluster,
+       |   row_number() OVER (PARTITION BY cluster
+       |     ORDER BY CAST(md5_number_lower('cq|' ||
+       |       CAST(vec_id AS VARCHAR)) % 1152921504606846976 AS BIGINT),
+       |       vec_id) AS pick_rank
+       |  FROM af)
+       |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+       | CAST(pick_rank AS INTEGER) AS pick_rank
+       |FROM r WHERE pick_rank <= $QUOTA
+       |ORDER BY cluster, pick_rank""".stripMargin
+
+  private def silhouetteOracleSql: String =
+    s"""WITH $kmeansOracleCtes,
+       |sc AS (
+       |  SELECT vec_id, cluster, ccos,
+       |   row_number() OVER (PARTITION BY vec_id
+       |     ORDER BY ccos DESC, cluster) AS crn
+       |  FROM (SELECT v.vec_id, c.cluster, ${centCosSql("v", "c")} AS ccos
+       |        FROM embeddings v CROSS JOIN u$KM_ITERS c))
+       |SELECT a.vec_id, CAST(a.cluster AS INTEGER) AS cluster,
+       | a.ccos AS cos1, b.ccos AS cos2,
+       | (a.ccos - b.ccos) / (1.0 - b.ccos) AS sil
+       |FROM sc a JOIN sc b ON a.vec_id = b.vec_id
+       | AND a.crn = 1 AND b.crn = 2
+       |ORDER BY a.vec_id""".stripMargin
+
+  private def semdedupGatedOracleSql: String =
+    s"""WITH $kmeansOracleCtes,
+       |sc AS (
+       |  SELECT vec_id, cluster, ccos,
+       |   row_number() OVER (PARTITION BY vec_id
+       |     ORDER BY ccos DESC, cluster) AS crn
+       |  FROM (SELECT v.vec_id, c.cluster, ${centCosSql("v", "c")} AS ccos
+       |        FROM embeddings v CROSS JOIN u$KM_ITERS c)),
+       |silv AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cluster,
+       |   CAST(floor(((a.ccos - b.ccos) / (1.0 - b.ccos))
+       |     * $COS_SCALE_SQL) AS BIGINT) AS sils
+       |  FROM sc a JOIN sc b ON a.vec_id = b.vec_id
+       |   AND a.crn = 1 AND b.crn = 2),
+       |tot AS (SELECT CAST(sum(sils) AS BIGINT) AS tsum,
+       |        count(*) AS tcnt FROM silv),
+       |gate AS MATERIALIZED (
+       |  SELECT cluster,
+       |   CAST(CAST(sum(sils) AS BIGINT) // count(*) AS BIGINT)
+       |     AS mean_sil_scaled,
+       |   CAST(CASE WHEN
+       |     CAST(CAST(sum(sils) AS BIGINT) AS DECIMAL(38,0)) * tcnt >=
+       |     CAST(tsum AS DECIMAL(38,0)) * count(*)
+       |    THEN 1 ELSE 0 END AS INTEGER) AS gate_pass
+       |  FROM silv CROSS JOIN tot GROUP BY cluster, tsum, tcnt),
+       |pass AS MATERIALIZED (
+       |  SELECT v.vec_id, v.cluster, e.embedding
+       |  FROM silv v JOIN gate g ON v.cluster = g.cluster
+       |  JOIN embeddings e ON e.vec_id = v.vec_id
+       |  WHERE g.gate_pass = 1),
+       |dups AS (
+       |  SELECT DISTINCT r.vec_id FROM pass l JOIN pass r
+       |   ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+       |  WHERE ${cosineSql("l.embedding", "r.embedding")} > 0.35)
+       |SELECT s.vec_id, CAST(s.cluster AS INTEGER) AS cluster,
+       | g.mean_sil_scaled, g.gate_pass,
+       | CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
+       |   AS keep
+       |FROM silv s JOIN gate g ON s.cluster = g.cluster
+       |LEFT JOIN dups d ON d.vec_id = s.vec_id
+       |ORDER BY s.vec_id""".stripMargin
+
+  private def semdedupOracleSql: String =
+    s"""WITH $kmeansOracleCtes,
+       |asg AS (
+       |  SELECT a.vec_id, a.cluster, e.embedding
+       |  FROM af a JOIN embeddings e ON a.vec_id = e.vec_id)
+       |SELECT d1, d2, cluster, cosine FROM (
+       |  SELECT l.vec_id AS d1, r.vec_id AS d2, l.cluster AS cluster,
+       |   ${cosineSql("l.embedding", "r.embedding")} AS cosine
+       |  FROM asg l JOIN asg r
+       |    ON l.cluster = r.cluster AND l.vec_id < r.vec_id)
+       |WHERE cosine > 0.35 ORDER BY d1, d2""".stripMargin
 }

@@ -840,6 +840,20 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(q("llm_mutual_knn_served").collect().toSeq == direct)
   }
 
+  test("k-means fit serve split: every served consumer equals its refit " +
+      "twin, deterministically across calls") {
+    for (name <- Seq("llm_embed_kmeans", "llm_cluster_quota",
+        "llm_cluster_silhouette", "llm_semdedup", "llm_semdedup_gated")) {
+      val direct = q(name).collect().toSeq
+      val served = q(name + "_served").collect().toSeq
+      assert(served == direct,
+        s"$name: the serve split is a storage refactor — output must " +
+          "be identical")
+      // second call reads the already-published fit fixture (buildOnce)
+      assert(q(name + "_served").collect().toSeq == direct, name)
+    }
+  }
+
   test("llm_graph_khop: hop counts are exact BFS distances <= 2 over " +
       "the mutual graph, with complete 1-hop frontiers") {
     import org.apache.spark.sql.functions.col
