@@ -578,6 +578,27 @@ object GraftPipelines {
     * lets [[kmeansScaled]] derive k from the data without changing a
     * single arithmetic step.
     */
+  /** argmax-cosine assignment of each vector to its closest centroid
+    * (ties to the LOWER cluster id, the exact rule the Lloyd fit's
+    * assignment step uses — this IS that step, factored out so a
+    * frozen fit can classify NEW vectors without refitting: the serve
+    * half of clustering at scale, one k-row broadcast and one map-side
+    * cosine pass over the input, no shuffle of anything corpus-sized).
+    * Output: (id, vec, cluster, ccos). The argmax is ONE hash
+    * aggregate (max_by over the lexicographic (ccos, -cluster) key),
+    * not a window — partials combine map-side.
+    */
+  def assignToCentroids(emb: DataFrame, cent: DataFrame,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    emb.select(col(id), col(vec))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", cosine(col(vec), col("c")))
+      .groupBy(col(id))
+      .agg(max_by(struct(col(vec).as("v"), col("cluster"), col("ccos")),
+        struct(col("ccos"), (-col("cluster")).as("nc"))).as("best"))
+      .select(col(id), col("best.v").as(vec),
+        col("best.cluster").as("cluster"), col("best.ccos").as("ccos"))
+
   private def lloydFrom(emb: DataFrame, init: DataFrame, iters: Int,
       dim: Int, id: String, vec: String): (DataFrame, DataFrame) = {
     // argmax as ONE hash aggregate (max_by over the lexicographic
@@ -587,14 +608,7 @@ object GraftPipelines {
     // the k×n joined rows per partition, the aggregate combines them
     // map-side. Same result, strictly better plan at scale.
     def assign(cent: DataFrame): DataFrame =
-      emb.select(col(id), col(vec))
-        .crossJoin(broadcast(cent))
-        .withColumn("ccos", cosine(col(vec), col("c")))
-        .groupBy(col(id))
-        .agg(max_by(struct(col(vec).as("v"), col("cluster"), col("ccos")),
-          struct(col("ccos"), (-col("cluster")).as("nc"))).as("best"))
-        .select(col(id), col("best.v").as(vec),
-          col("best.cluster").as("cluster"), col("best.ccos").as("ccos"))
+      assignToCentroids(emb, cent, id, vec)
     def update(assigned: DataFrame): DataFrame = {
       val scale = 268435456.0 // 2^28: exact multiply, see scaladoc
       val sums = (1 to dim).map(d =>

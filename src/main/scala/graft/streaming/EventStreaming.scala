@@ -656,6 +656,66 @@ object EventStreaming {
     * shuffle as the batch form (partition-prunable to touched keys);
     * the version listing is a metadata-only FS call.
     */
+  /** Streaming classification of incoming embedding vectors against a
+    * FROZEN k-means fit — the streaming consumer of the batch serve
+    * split's persisted centroids (`SimilarityOps.kmeansFitServed`):
+    * per micro-batch, one k-row broadcast and one map-side
+    * argmax-cosine pass over the delta
+    * ([[graft.api.GraftPipelines.assignToCentroids]], the fit's OWN
+    * assignment step, so stream and batch agree bit-for-bit), written
+    * to `statePath/assign/b=<batchId>`. No shuffle of history, no
+    * refit — per-trigger work is O(delta); the per-batch overwrite
+    * directory makes a foreachBatch replay idempotent (at-least-once
+    * delivery rewrites the same dir instead of double-appending).
+    * Readers consume `statePath/assign` (the `b` partition column
+    * records the trigger). The centroid table's fingerprint (cluster
+    * ids + exact float bits) is pinned at first trigger: restarting
+    * the loop against DIFFERENT centroids refuses loudly — the
+    * knnMaintenanceLoop scheme-marker discipline — instead of
+    * silently mixing two clusterings in one assignment log. Vector
+    * ids are assumed unique across the stream (same contract as
+    * knnMaintenanceLoop); the sink sees each trigger's assignment.
+    */
+  def clusterAssignLoop(vectors: DataFrame, centroids: DataFrame,
+      statePath: String, checkpointDir: Option[String] = None)
+      (sink: (Dataset[Row], Long) => Unit = (_, _) => ()): StreamingQuery = {
+    // fingerprint once at loop start — the frozen fit is loop-scoped
+    // by contract, and collecting k rows is trivial
+    val fp = {
+      val rows = centroids.select(col("cluster").cast("int"), col("c"))
+        .collect()
+        .map(r => s"${r.getInt(0)}:" + r.getSeq[Float](1)
+          .map(java.lang.Float.floatToRawIntBits).mkString(","))
+        .sorted.mkString("|")
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(rows.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val cent = centroids.localCheckpoint() // k rows; never recompute
+    deliver(vectors, checkpointDir) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val sPath = s"$statePath/scheme"
+      val fs = new org.apache.hadoop.fs.Path(statePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(sPath))) {
+        val pinned = spark.read.parquet(sPath).head().getAs[String]("fp")
+        require(pinned == fp,
+          s"clusterAssignLoop state at $statePath was built against a " +
+            s"different centroid table (pinned $pinned, got $fp) — " +
+            "mixing two clusterings in one assignment log would be a " +
+            "silent wrong answer; rebuild the state or pass the " +
+            "original fit")
+      } else {
+        Seq(fp).toDF("fp").write.parquet(sPath)
+      }
+      val asg = graft.api.GraftPipelines
+        .assignToCentroids(batch.toDF, cent)
+        .select(col("vec_id"), col("cluster"), col("ccos"))
+      asg.write.mode("overwrite").parquet(s"$statePath/assign/b=$batchId")
+      sink(spark.read.parquet(s"$statePath/assign/b=$batchId"), batchId)
+    }
+  }
+
   def snapshotUpsertLoop(updates: DataFrame, snapshotPath: String,
       key: String, seq: String, checkpointDir: Option[String] = None)
       (sink: (Dataset[Row], Long) => Unit = (_, _) => ()): StreamingQuery =

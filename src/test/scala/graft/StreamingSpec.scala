@@ -844,4 +844,56 @@ class StreamingSpec extends SparkSpec {
         emb.length)
     } finally query.stop()
   }
+
+  test("clusterAssignLoop: 3-trigger streaming assignment equals the " +
+      "batch fit's assignment of the union bit-for-bit, and a restart " +
+      "against different centroids refuses loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    val embTable = Tables.embeddings(spark, sf)
+    val (cent, batchAssign) =
+      graft.api.GraftPipelines.kmeansFit(embTable, 8, 2, 64)
+    val emb = embTable.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cluster_assign").toString + "/state"
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val vecs = mem.toDF().toDF("vec_id", "embedding")
+    val perBatch = (emb.length + 2) / 3
+    val query = EventStreaming.clusterAssignLoop(vecs, cent, stateDir)()
+    try {
+      emb.grouped(perBatch).foreach { b =>
+        mem.addData(b.toSeq: _*); query.processAllAvailable()
+      }
+    } finally query.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("cluster"),
+        r.getAs[Double]("ccos"))
+    val streamed = spark.read.parquet(s"$stateDir/assign")
+      .select(col("vec_id"), col("cluster"), col("ccos"))
+      .collect().map(key).sortBy(_._1).toSeq
+    val twin = batchAssign.collect().map(key).sortBy(_._1).toSeq
+    assert(streamed == twin,
+      "streaming assignment must equal the batch fit's own assignment")
+    // the b= partition column records one dir per trigger
+    val bDirs = new java.io.File(s"$stateDir/assign")
+      .listFiles().map(_.getName).filter(_.startsWith("b=")).sorted.toSeq
+    assert(bDirs == Seq("b=0", "b=1", "b=2"))
+    // restart against a DIFFERENT fit: the centroid fingerprint marker
+    // must refuse instead of mixing two clusterings in one log
+    val cent2 = graft.api.GraftPipelines.kmeansFit(embTable, 4, 1, 64)._1
+    val mem2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = EventStreaming.clusterAssignLoop(
+      mem2.toDF().toDF("vec_id", "embedding"), cent2, stateDir)()
+    try {
+      mem2.addData(emb.head)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("centroid") ||
+        Option(e.getCause).exists(_.getMessage.contains("centroid")))
+    } finally q2.stop()
+    // and the refused restart must not have written anything
+    assert(spark.read.parquet(s"$stateDir/assign")
+      .collect().map(key).sortBy(_._1).toSeq == twin)
+  }
 }
