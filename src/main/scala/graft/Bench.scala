@@ -100,7 +100,8 @@ object Bench {
     "llm_doc_features",
     "llm_quality_classify", "llm_embed_kmeans", "llm_embed_kmeans_served",
     "llm_semdedup", "llm_semdedup_served",
-    "llm_semdedup_scaled", "llm_semdedup_gated", "llm_semdedup_gated_served",
+    "llm_semdedup_scaled", "llm_semdedup_scaled_served",
+    "llm_semdedup_gated", "llm_semdedup_gated_served",
     "llm_simhash", "llm_simhash_pairs", "llm_simhash_pairs_wide",
     "llm_embed_topk",
     "llm_embed_lsh_knn", "llm_embed_lsh_knn2", "llm_embed_pq",
@@ -144,7 +145,8 @@ object Bench {
     "llm_knn_incremental_served", "llm_dup_clusters_served",
     "llm_containment_served", "llm_embed_kmeans_served",
     "llm_cluster_quota_served", "llm_cluster_silhouette_served",
-    "llm_semdedup_served", "llm_semdedup_gated_served")
+    "llm_semdedup_served", "llm_semdedup_gated_served",
+    "llm_semdedup_scaled_served")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -183,7 +185,7 @@ object Bench {
         "llm_containment_served", "llm_embed_kmeans_served",
         "llm_cluster_quota_served", "llm_cluster_silhouette_served",
         "llm_semdedup_served", "llm_semdedup_gated_served",
-        "rel_join_bucketed")
+        "llm_semdedup_scaled_served", "rel_join_bucketed")
       .filter(selected.contains).foreach { n =>
         SparkEntry.queries(n)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()

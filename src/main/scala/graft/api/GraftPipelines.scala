@@ -562,22 +562,26 @@ object GraftPipelines {
     */
   def kmeansScaled(emb: DataFrame, targetClusterSize: Long, iters: Int,
       dim: Int = 64, id: String = "vec_id", vec: String = "embedding")
-      : DataFrame = {
+      : DataFrame =
+    kmeansScaledFit(emb, targetClusterSize, iters, dim, id, vec)._2
+
+  /** [[kmeansScaled]] exposing BOTH the fitted centroid table and the
+    * final assignment — the [[kmeansFit]] analog for the corpus-scaled
+    * k, so the scaled fit can be persisted and served like the fixed-k
+    * one. Same arithmetic, same determinism contract.
+    */
+  def kmeansScaledFit(emb: DataFrame, targetClusterSize: Long, iters: Int,
+      dim: Int = 64, id: String = "vec_id", vec: String = "embedding")
+      : (DataFrame, DataFrame) = {
     require(targetClusterSize > 0, "targetClusterSize must be positive")
     val kf = emb.agg(count(lit(1)).as("n_vec"))
       .select(expr(s"(n_vec + ${targetClusterSize - 1}) div $targetClusterSize")
         .as("kk"))
     val init = emb.crossJoin(broadcast(kf)).filter(col(id) < col("kk"))
       .select(col(id).cast("int").as("cluster"), col(vec).as("c"))
-    lloydFrom(emb, init, iters, dim, id, vec)._2
+    lloydFrom(emb, init, iters, dim, id, vec)
   }
 
-  /** Shared Lloyd core: `iters` assign→update rounds from `init`
-    * (cluster, c: array<float>), then a final assignment. The round
-    * bodies never reference k — only the init does — which is what
-    * lets [[kmeansScaled]] derive k from the data without changing a
-    * single arithmetic step.
-    */
   /** argmax-cosine assignment of each vector to its closest centroid
     * (ties to the LOWER cluster id, the exact rule the Lloyd fit's
     * assignment step uses — this IS that step, factored out so a
@@ -599,6 +603,12 @@ object GraftPipelines {
       .select(col(id), col("best.v").as(vec),
         col("best.cluster").as("cluster"), col("best.ccos").as("ccos"))
 
+  /** Shared Lloyd core: `iters` assign→update rounds from `init`
+    * (cluster, c: array<float>), then a final assignment. The round
+    * bodies never reference k — only the init does — which is what
+    * lets [[kmeansScaled]] derive k from the data without changing a
+    * single arithmetic step.
+    */
   private def lloydFrom(emb: DataFrame, init: DataFrame, iters: Int,
       dim: Int, id: String, vec: String): (DataFrame, DataFrame) = {
     // argmax as ONE hash aggregate (max_by over the lexicographic

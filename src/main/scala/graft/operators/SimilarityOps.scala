@@ -226,6 +226,24 @@ object SimilarityOps {
       s.read.parquet(s"$idx/assign.parquet"))
   }
 
+  /** [[kmeansFitServed]] for the corpus-scaled k
+    * ([[graft.api.GraftPipelines.kmeansScaledFit]], k = ceil(n/target))
+    * — the corpus-mtime half of the fixture key covers n, so the
+    * derived k can never go stale against its corpus.
+    */
+  private def kmeansScaledFitServed(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val idx = buildIndexOnce(dir, "kmeans_scaled",
+      s"target=$SEM_TARGET,iters=$KM_ITERS,dim=$DIM") { tmp =>
+      val (cent, assign) = graft.api.GraftPipelines.kmeansScaledFit(
+        Tables.embeddings(s, dir), SEM_TARGET, KM_ITERS, DIM)
+      cent.write.parquet(s"$tmp/centroids.parquet")
+      assign.write.parquet(s"$tmp/assign.parquet")
+    }
+    (s.read.parquet(s"$idx/centroids.parquet"),
+      s.read.parquet(s"$idx/assign.parquet"))
+  }
+
   /** Refit twin of [[kmeansFitServed]] — shared so refit and served
     * entries run the same consumer code over the two fit providers.
     */
@@ -1490,22 +1508,16 @@ object SimilarityOps {
     // at sf0.01 k=8 (same as the fixed entry), at sf0.1 k=32, at sf1
     // k=313 — the pair count per row stays flat (DevSemScale measured
     // 1.41× wall at 10× data vs 95× pairs for fixed k).
-    "llm_semdedup_scaled" -> ((s, dir) => {
-      import s.implicits._
-      val emb = Tables.embeddings(s, dir)
-      val a = graft.api.GraftPipelines
-        .kmeansScaled(emb, SEM_TARGET, KM_ITERS, DIM)
-        .join(emb, "vec_id")
-        .select($"vec_id", $"cluster", $"embedding")
-      a.as("l").join(a.as("r"),
-          col("l.cluster") === col("r.cluster") &&
-          col("l.vec_id") < col("r.vec_id"))
-        .withColumn("cosine", cosine(col("l.embedding"), col("r.embedding")))
-        .filter($"cosine" > 0.35)
-        .select(col("l.vec_id").as("d1"), col("r.vec_id").as("d2"),
-          col("l.cluster").as("cluster"), $"cosine")
-        .orderBy($"d1", $"d2")
-    }),
+    "llm_semdedup_scaled" -> ((s, dir) =>
+      semdedupEntry(s, dir, graft.api.GraftPipelines
+        .kmeansScaledFit(Tables.embeddings(s, dir),
+          SEM_TARGET, KM_ITERS, DIM)._2)),
+
+    // the scaled fit persisted and read back — the production pairing:
+    // corpus-scaled k keeps the pair scan linear, the serve split
+    // removes the per-query refit
+    "llm_semdedup_scaled_served" -> ((s, dir) =>
+      semdedupEntry(s, dir, kmeansScaledFitServed(s, dir)._2)),
 
     // Embedding-cosine near-duplicate pairs among the first 200 vectors
     // (bounded brute-force baseline for the LSH variant above).
@@ -2183,20 +2195,23 @@ object SimilarityOps {
     // scaled-k twin: the ONLY difference is the init predicate — k is
     // a scalar subquery of the corpus count, ceil'd exactly like the
     // engine's `(n + target-1) div target` (both truncate positives)
-    "llm_semdedup_scaled" ->
-      s"""WITH ${kmeansOracleCtes(
-             s"vec_id < (SELECT (count(*) + ${SEM_TARGET - 1}) // $SEM_TARGET" +
-               " FROM embeddings)")},
-         |asg AS (
-         |  SELECT a.vec_id, a.cluster, e.embedding
-         |  FROM af a JOIN embeddings e ON a.vec_id = e.vec_id)
-         |SELECT d1, d2, cluster, cosine FROM (
-         |  SELECT l.vec_id AS d1, r.vec_id AS d2, l.cluster AS cluster,
-         |   ${cosineSql("l.embedding", "r.embedding")} AS cosine
-         |  FROM asg l JOIN asg r
-         |    ON l.cluster = r.cluster AND l.vec_id < r.vec_id)
-         |WHERE cosine > 0.35 ORDER BY d1, d2""".stripMargin
+    "llm_semdedup_scaled" -> semdedupScaledOracleSql,
+    "llm_semdedup_scaled_served" -> semdedupScaledOracleSql
   )
+
+  private def semdedupScaledOracleSql: String =
+    s"""WITH ${kmeansOracleCtes(
+           s"vec_id < (SELECT (count(*) + ${SEM_TARGET - 1}) // $SEM_TARGET" +
+             " FROM embeddings)")},
+       |asg AS (
+       |  SELECT a.vec_id, a.cluster, e.embedding
+       |  FROM af a JOIN embeddings e ON a.vec_id = e.vec_id)
+       |SELECT d1, d2, cluster, cosine FROM (
+       |  SELECT l.vec_id AS d1, r.vec_id AS d2, l.cluster AS cluster,
+       |   ${cosineSql("l.embedding", "r.embedding")} AS cosine
+       |  FROM asg l JOIN asg r
+       |    ON l.cluster = r.cluster AND l.vec_id < r.vec_id)
+       |WHERE cosine > 0.35 ORDER BY d1, d2""".stripMargin
 
   /** k-means-family oracle SQL, shared verbatim by each refit entry
     * and its `_served` read-back twin (the serve split is a storage

@@ -843,7 +843,8 @@ class SimilarityOpsSpec extends SparkSpec {
   test("k-means fit serve split: every served consumer equals its refit " +
       "twin, deterministically across calls") {
     for (name <- Seq("llm_embed_kmeans", "llm_cluster_quota",
-        "llm_cluster_silhouette", "llm_semdedup", "llm_semdedup_gated")) {
+        "llm_cluster_silhouette", "llm_semdedup", "llm_semdedup_gated",
+        "llm_semdedup_scaled")) {
       val direct = q(name).collect().toSeq
       val served = q(name + "_served").collect().toSeq
       assert(served == direct,
