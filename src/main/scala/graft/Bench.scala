@@ -106,6 +106,7 @@ object Bench {
     "llm_embed_topk",
     "llm_embed_lsh_knn", "llm_embed_lsh_knn2", "llm_embed_pq",
     "llm_embed_pq_served", "llm_embed_ivf_served", "llm_embed_ivfpq",
+    "llm_embed_ivfpq_served",
     "llm_ann_recall", "llm_retrieval_eval", "llm_knn_graph",
     "llm_knn_graph_wide",
     "llm_knn_incremental", "llm_knn_incremental_served",
@@ -146,7 +147,7 @@ object Bench {
     "llm_containment_served", "llm_embed_kmeans_served",
     "llm_cluster_quota_served", "llm_cluster_silhouette_served",
     "llm_semdedup_served", "llm_semdedup_gated_served",
-    "llm_semdedup_scaled_served")
+    "llm_semdedup_scaled_served", "llm_embed_ivfpq_served")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -185,7 +186,8 @@ object Bench {
         "llm_containment_served", "llm_embed_kmeans_served",
         "llm_cluster_quota_served", "llm_cluster_silhouette_served",
         "llm_semdedup_served", "llm_semdedup_gated_served",
-        "llm_semdedup_scaled_served", "rel_join_bucketed")
+        "llm_semdedup_scaled_served", "llm_embed_ivfpq_served",
+        "rel_join_bucketed")
       .filter(selected.contains).foreach { n =>
         SparkEntry.queries(n)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()

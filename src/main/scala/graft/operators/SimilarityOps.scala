@@ -226,6 +226,40 @@ object SimilarityOps {
       s.read.parquet(s"$idx/assign.parquet"))
   }
 
+  /** Write-once IVF index fixture (coarse centroids + hive-partitioned
+    * inverted-list assignment): shared by llm_embed_ivf_served and the
+    * composed llm_embed_ivfpq_served.
+    */
+  private def ivfIndexServed(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val ix = buildIndexOnce(dir, "ivf", s"nc=$NC") { tmp =>
+      val (cent, assign) = graft.api.GraftPipelines
+        .ivfIndex(Tables.embeddings(s, dir), NC)
+      graft.sources.GraftIO.writeParquet(cent, s"$tmp/centroids")
+      graft.sources.GraftIO.writeParquet(assign, s"$tmp/assignments",
+        partitionCols = Seq("centroid"))
+    }
+    // partition column comes back wide (int) — restore the stored type
+    (s.read.parquet(s"$ix/centroids"),
+      s.read.parquet(s"$ix/assignments")
+        .select(col("vec_id"), col("centroid").cast("long").as("centroid")))
+  }
+
+  /** Write-once PQ index fixture (codebooks + m-code table): shared by
+    * llm_embed_pq_served and the composed llm_embed_ivfpq_served.
+    */
+  private def pqIndexServed(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val ix = buildIndexOnce(dir, "pq",
+        s"m=$PQ_M,k=$PQ_K,it=$PQ_ITERS,d=$DIM") { tmp =>
+      val (books, codes) = graft.api.GraftPipelines
+        .pqIndex(Tables.embeddings(s, dir), PQ_M, PQ_K, PQ_ITERS, DIM)
+      graft.sources.GraftIO.writeParquet(books, s"$tmp/codebooks")
+      graft.sources.GraftIO.writeParquet(codes, s"$tmp/codes")
+    }
+    (s.read.parquet(s"$ix/codebooks"), s.read.parquet(s"$ix/codes"))
+  }
+
   /** [[kmeansFitServed]] for the corpus-scaled k
     * ([[graft.api.GraftPipelines.kmeansScaledFit]], k = ceil(n/target))
     * — the corpus-mtime half of the fixture key covers n, so the
@@ -1327,16 +1361,7 @@ object SimilarityOps {
     "llm_embed_ivf_served" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      val ix = buildIndexOnce(dir, "ivf", s"nc=$NC") { tmp =>
-        val (cent, assign) = graft.api.GraftPipelines.ivfIndex(emb, NC)
-        graft.sources.GraftIO.writeParquet(cent, s"$tmp/centroids")
-        graft.sources.GraftIO.writeParquet(assign, s"$tmp/assignments",
-          partitionCols = Seq("centroid"))
-      }
-      val cent = s.read.parquet(s"$ix/centroids")
-      // partition column comes back wide (int) — restore the stored type
-      val assign = s.read.parquet(s"$ix/assignments")
-        .select($"vec_id", $"centroid".cast("long").as("centroid"))
+      val (cent, assign) = ivfIndexServed(s, dir)
       val queries = emb.filter($"vec_id" < NQ)
         .select($"vec_id".as("qid"), $"embedding".as("qv"))
       graft.api.GraftPipelines
@@ -1351,16 +1376,26 @@ object SimilarityOps {
     "llm_embed_pq_served" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      val ix = buildIndexOnce(dir, "pq",
-          s"m=$PQ_M,k=$PQ_K,it=$PQ_ITERS,d=$DIM") { tmp =>
-        val (books, codes) = graft.api.GraftPipelines
-          .pqIndex(emb, PQ_M, PQ_K, PQ_ITERS, DIM)
-        graft.sources.GraftIO.writeParquet(books, s"$tmp/codebooks")
-        graft.sources.GraftIO.writeParquet(codes, s"$tmp/codes")
-      }
-      graft.api.GraftPipelines.pqTopKServe(
-        s.read.parquet(s"$ix/codebooks"), s.read.parquet(s"$ix/codes"),
+      val (books, codes) = pqIndexServed(s, dir)
+      graft.api.GraftPipelines.pqTopKServe(books, codes,
         emb.filter($"vec_id" < NQ_PQ), PQ_M, PQ_TOPK, DIM)
+        .orderBy($"qid", $"rn")
+    }),
+
+    // IVF-PQ served end-to-end from BOTH persisted artifacts — the
+    // production composition the refit twin (llm_embed_ivfpq) promises:
+    // coarse probe over the stored IVF index, ADC over the stored PQ
+    // codes, exact re-rank of the shortlist. Per-query work is the
+    // probed posting lists + m-code ADC only; neither fit ever reruns.
+    "llm_embed_ivfpq_served" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val (cent, assign) = ivfIndexServed(s, dir)
+      val (books, codes) = pqIndexServed(s, dir)
+      val queries = emb.filter($"vec_id" < NQ_PQ)
+      graft.api.GraftPipelines
+        .ivfPqTopK(cent, assign, books, codes, emb, queries,
+          NPROBE, shortlist = 9, k = 3, m = PQ_M)
         .orderBy($"qid", $"rn")
     }),
 
@@ -1819,6 +1854,7 @@ object SimilarityOps {
     "llm_probe_auc" -> probeAucOracleSql,
     "llm_source_centroid_sim" -> centroidSimOracleSql,
     "llm_embed_ivfpq" -> ivfPqOracleSql,
+    "llm_embed_ivfpq_served" -> ivfPqOracleSql,
 
     "llm_embed_topk" ->
       s"""SELECT qid, CAST(rn AS INTEGER) AS rn, vec_id, cosine FROM (

@@ -686,10 +686,15 @@ object TextOps {
     // health check, Gopher-style): per source and n ∈ {1,2,3}, total
     // vs distinct gram counts and their exact ratio — collapsing
     // distinct/total signals template-generated or looped text before
-    // it trains. Exact integers + one truncating division; the
-    // per-group exact DISTINCT is the same deliberate Expand the
-    // rel_profile family documents (sketch twin: HLL) — everything
-    // rides (source, n, gram)-keyed shuffles with map-side partials.
+    // it trains. Exact integers + one truncating division. The
+    // distinct is TWO-STAGE by hand (gram counts, then a per-group
+    // rollup of the count table) instead of count+countDistinct in one
+    // agg: the combined form Expands every exploded gram row ×2 before
+    // the exchange, while the staged form shuffles each map-side-
+    // deduped gram once and the second exchange is distinct-gram-sized
+    // — on repetitive corpora (the thing this panel detects) that is
+    // the difference between shuffling the corpus and shuffling the
+    // vocabulary.
     "llm_ngram_diversity" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
@@ -701,9 +706,10 @@ object TextOps {
           .select($"source", lit(n).as("n"), explode(
             expr(s"transform(sequence(0, size(w)-$n), i -> $gram)")).as("g"))
       }.reduce(_ unionByName _)
-      grams.groupBy($"source", $"n")
-        .agg(count(lit(1)).as("total"),
-          countDistinct($"g").as("n_distinct"))
+      grams.groupBy($"source", $"n", $"g")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy($"source", $"n")
+        .agg(sum($"cnt").as("total"), count(lit(1)).as("n_distinct"))
         .withColumn("ratio_x1000", expr("(1000 * n_distinct) div total"))
         .orderBy($"source", $"n")
     }),

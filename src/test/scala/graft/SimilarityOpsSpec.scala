@@ -190,6 +190,7 @@ class SimilarityOpsSpec extends SparkSpec {
     def rows(name: String) = q(name).collect().map(_.toSeq).toSeq
     assert(rows("llm_embed_ivf_served") == rows("llm_embed_ivf"))
     assert(rows("llm_embed_pq_served") == rows("llm_embed_pq"))
+    assert(rows("llm_embed_ivfpq_served") == rows("llm_embed_ivfpq"))
   }
 
   test("incremental encode against the stored index reproduces the built codes") {
