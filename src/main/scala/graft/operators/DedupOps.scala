@@ -1038,11 +1038,10 @@ object DedupOps {
     "llm_dup_matrix" -> ((s, dir) => {
       import s.implicits._
       val src = Tables.documents(s, dir).select($"doc_id", $"source")
-      // rides the SAME persisted ppjoin index llm_ppjoin_served reads —
-      // before this, the matrix refit the whole prefix index per query
-      val (toks, pref) = ppjoinIndexServed(s, dir)
-      graft.api.GraftPipelines
-        .ppjoinPairsFromIndex(toks, pref, num = 1, den = 2)
+      // rides the write-once exact pair SET (ppjoinTruthServed) — the
+      // rollup is O(pairs); rebuilding even the probe per query was
+      // the heaviest non-ppjoin constant at sf1 (11.9 s measured)
+      ppjoinTruthServed(s, dir)
         .join(src.as("sa"), $"sa.doc_id" === $"a_id")
         .join(src.as("sb"), $"sb.doc_id" === $"b_id")
         .select(least($"sa.source", $"sb.source").as("src_lo"),
