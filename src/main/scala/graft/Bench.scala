@@ -187,7 +187,7 @@ object Bench {
         "llm_cluster_quota_served", "llm_cluster_silhouette_served",
         "llm_semdedup_served", "llm_semdedup_gated_served",
         "llm_semdedup_scaled_served", "llm_embed_ivfpq_served",
-        "rel_join_bucketed")
+        "llm_dup_matrix", "rel_join_bucketed")
       .filter(selected.contains).foreach { n =>
         SparkEntry.queries(n)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()

@@ -214,13 +214,31 @@ object SimilarityOps {
     * refactor, not a semantic one.
     */
   private def kmeansFitServed(s: SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
-    val idx = buildIndexOnce(dir, "kmeans",
-      s"k=$KM_K,iters=$KM_ITERS,dim=$DIM") { tmp =>
-      val (cent, assign) = graft.api.GraftPipelines.kmeansFit(
-        Tables.embeddings(s, dir), KM_K, KM_ITERS, DIM)
-      cent.write.parquet(s"$tmp/centroids.parquet")
-      assign.write.parquet(s"$tmp/assign.parquet")
+      dir: String): (DataFrame, DataFrame) =
+    kmeansFixture(s, dir, "kmeans", s"k=$KM_K,iters=$KM_ITERS,dim=$DIM")(
+      graft.api.GraftPipelines.kmeansFit(
+        Tables.embeddings(s, dir), KM_K, KM_ITERS, DIM)._1)
+
+  /** Persist-oriented k-means fixture build shared by the fixed-k and
+    * corpus-scaled fits: write the CENTROIDS, re-read them, and derive
+    * the final assignment from the read-back
+    * ([[graft.api.GraftPipelines.assignToCentroids]] — the exact step
+    * the fit itself ends with, and floats round-trip parquet exactly).
+    * Writing the fit's own (cent, assign) pair would lazily re-run the
+    * whole Lloyd chain once PER WRITE — the one-time build paid the
+    * heaviest job in the family twice (review finding); this runs it
+    * once and pins nothing corpus-scaled (the ppjoinIndexServed
+    * discipline).
+    */
+  private def kmeansFixture(s: SparkSession, dir: String, kind: String,
+      params: String)(fitCentroids: => DataFrame): (DataFrame, DataFrame) = {
+    val idx = buildIndexOnce(dir, kind, params) { tmp =>
+      fitCentroids.write.parquet(s"$tmp/centroids.parquet")
+      graft.api.GraftPipelines
+        .assignToCentroids(Tables.embeddings(s, dir),
+          s.read.parquet(s"$tmp/centroids.parquet"))
+        .select(col("vec_id"), col("cluster"), col("ccos"))
+        .write.parquet(s"$tmp/assign.parquet")
     }
     (s.read.parquet(s"$idx/centroids.parquet"),
       s.read.parquet(s"$idx/assign.parquet"))
@@ -266,17 +284,11 @@ object SimilarityOps {
     * derived k can never go stale against its corpus.
     */
   private def kmeansScaledFitServed(s: SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
-    val idx = buildIndexOnce(dir, "kmeans_scaled",
-      s"target=$SEM_TARGET,iters=$KM_ITERS,dim=$DIM") { tmp =>
-      val (cent, assign) = graft.api.GraftPipelines.kmeansScaledFit(
-        Tables.embeddings(s, dir), SEM_TARGET, KM_ITERS, DIM)
-      cent.write.parquet(s"$tmp/centroids.parquet")
-      assign.write.parquet(s"$tmp/assign.parquet")
-    }
-    (s.read.parquet(s"$idx/centroids.parquet"),
-      s.read.parquet(s"$idx/assign.parquet"))
-  }
+      dir: String): (DataFrame, DataFrame) =
+    kmeansFixture(s, dir, "kmeans_scaled",
+      s"target=$SEM_TARGET,iters=$KM_ITERS,dim=$DIM")(
+      graft.api.GraftPipelines.kmeansScaledFit(
+        Tables.embeddings(s, dir), SEM_TARGET, KM_ITERS, DIM)._1)
 
   /** Refit twin of [[kmeansFitServed]] — shared so refit and served
     * entries run the same consumer code over the two fit providers.

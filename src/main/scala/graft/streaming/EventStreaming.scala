@@ -679,35 +679,49 @@ object EventStreaming {
   def clusterAssignLoop(vectors: DataFrame, centroids: DataFrame,
       statePath: String, checkpointDir: Option[String] = None)
       (sink: (Dataset[Row], Long) => Unit = (_, _) => ()): StreamingQuery = {
-    // fingerprint once at loop start — the frozen fit is loop-scoped
-    // by contract, and collecting k rows is trivial
+    // materialize the fit ONCE (k rows), then fingerprint the
+    // checkpointed frame — fingerprinting the lazy plan would run the
+    // whole Lloyd fit a second time, and would pin bits from a
+    // different materialization than the one the assignments use
+    val cent = centroids.localCheckpoint()
     val fp = {
-      val rows = centroids.select(col("cluster").cast("int"), col("c"))
+      val rows = cent.select(col("cluster").cast("int"), col("c"))
         .collect()
         .map(r => s"${r.getInt(0)}:" + r.getSeq[Float](1)
           .map(java.lang.Float.floatToRawIntBits).mkString(","))
         .sorted.mkString("|")
+      require(rows.nonEmpty,
+        "clusterAssignLoop needs a non-empty centroid table — an empty " +
+          "fit would pin an empty-string fingerprint and log zero-row " +
+          "assignments forever (check the centroids path/fit)")
       java.security.MessageDigest.getInstance("SHA-256")
         .digest(rows.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
-    val cent = centroids.localCheckpoint() // k rows; never recompute
     deliver(vectors, checkpointDir) { (batch, batchId) =>
       val spark = batch.sparkSession
       import spark.implicits._
-      val sPath = s"$statePath/scheme"
+      val sPath = new org.apache.hadoop.fs.Path(s"$statePath/scheme")
       val fs = new org.apache.hadoop.fs.Path(statePath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(new org.apache.hadoop.fs.Path(sPath))) {
-        val pinned = spark.read.parquet(sPath).head().getAs[String]("fp")
-        require(pinned == fp,
-          s"clusterAssignLoop state at $statePath was built against a " +
-            s"different centroid table (pinned $pinned, got $fp) — " +
-            "mixing two clusterings in one assignment log would be a " +
-            "silent wrong answer; rebuild the state or pass the " +
-            "original fit")
-      } else {
-        Seq(fp).toDF("fp").write.parquet(sPath)
+      if (!fs.exists(sPath)) {
+        // atomic publication (the GraftIO.buildOnce discipline in
+        // Hadoop-FS terms): build in a pid-private temp dir, publish
+        // with one rename — a crash mid-write leaves only a tmp dir
+        // (next start rebuilds), never a torn scheme/ that wedges
+        // every restart with a schema-inference error
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$statePath/scheme.tmp-${ProcessHandle.current().pid()}")
+        Seq(fp).toDF("fp").write.mode("overwrite").parquet(tmp.toString)
+        if (!fs.rename(tmp, sPath)) fs.delete(tmp, true) // lost the race
       }
+      val pinned = spark.read.parquet(sPath.toString)
+        .head().getAs[String]("fp")
+      require(pinned == fp,
+        s"clusterAssignLoop state at $statePath was built against a " +
+          s"different centroid table (pinned $pinned, got $fp) — " +
+          "mixing two clusterings in one assignment log would be a " +
+          "silent wrong answer; rebuild the state or pass the " +
+          "original fit")
       val asg = graft.api.GraftPipelines
         .assignToCentroids(batch.toDF, cent)
         .select(col("vec_id"), col("cluster"), col("ccos"))
