@@ -99,6 +99,7 @@ object Bench {
     "llm_pii_redact", "llm_k_anonymity", "llm_substring_dedup",
     "llm_doc_features",
     "llm_quality_classify", "llm_embed_kmeans", "llm_embed_kmeans_served",
+    "llm_cluster_assign",
     "llm_semdedup", "llm_semdedup_served",
     "llm_semdedup_scaled", "llm_semdedup_scaled_served",
     "llm_semdedup_gated", "llm_semdedup_gated_served",
@@ -147,7 +148,8 @@ object Bench {
     "llm_containment_served", "llm_embed_kmeans_served",
     "llm_cluster_quota_served", "llm_cluster_silhouette_served",
     "llm_semdedup_served", "llm_semdedup_gated_served",
-    "llm_semdedup_scaled_served", "llm_embed_ivfpq_served")
+    "llm_semdedup_scaled_served", "llm_embed_ivfpq_served",
+    "llm_cluster_assign")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -187,7 +189,7 @@ object Bench {
         "llm_cluster_quota_served", "llm_cluster_silhouette_served",
         "llm_semdedup_served", "llm_semdedup_gated_served",
         "llm_semdedup_scaled_served", "llm_embed_ivfpq_served",
-        "llm_dup_matrix", "rel_join_bucketed")
+        "llm_cluster_assign", "llm_dup_matrix", "rel_join_bucketed")
       .filter(selected.contains).foreach { n =>
         SparkEntry.queries(n)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()

@@ -1470,6 +1470,17 @@ object SimilarityOps {
     "llm_embed_kmeans_served" -> ((s, dir) =>
       kmeansMeanCosEntry(kmeansFitServed(s, dir)._2)),
 
+    // The persisted classification surface itself: the fit's final
+    // per-vector assignment read from the write-once fixture — the
+    // same rows the streaming clusterAssignLoop appends per trigger,
+    // so the stream's exact output schema/values carry a direct
+    // DuckDB hash (the loop's stream≡batch spec anchors to this).
+    "llm_cluster_assign" -> ((s, dir) =>
+      kmeansFitServed(s, dir)._2
+        .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
+          col("ccos"))
+        .orderBy(col("vec_id"))),
+
     // Cluster-balanced quota sampling: pick ≤ QUOTA vectors per fitted
     // k-means cluster in deterministic salted-hash order — the
     // diversity-first selection that caps dominant semantic clusters
@@ -2215,6 +2226,13 @@ object SimilarityOps {
 
     "llm_embed_kmeans" -> kmeansAggOracleSql,
     "llm_embed_kmeans_served" -> kmeansAggOracleSql,
+
+    // the fitted assignment CTE `af` verbatim — per-row hash of the
+    // persisted fit the serve splits and the streaming assign loop read
+    "llm_cluster_assign" ->
+      s"""WITH $kmeansOracleCtes
+         |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, ccos
+         |FROM af ORDER BY vec_id""".stripMargin,
 
     // same fitted assignment CTE `af`, then a per-cluster salted-hash
     // row_number capped at the quota — the md5 salt is the verbatim
