@@ -667,6 +667,10 @@ object EventStreaming {
     * refit — per-trigger work is O(delta); the per-batch overwrite
     * directory makes a foreachBatch replay idempotent (at-least-once
     * delivery rewrites the same dir instead of double-appending).
+    * Replay-by-overwrite requires monotonic batch ids, so resuming an
+    * existing log requires the original `checkpointDir`; an
+    * un-checkpointed query refuses to start over a non-empty log
+    * (its batch 0 would clobber the prior run's).
     * Readers consume `statePath/assign` (the `b` partition column
     * records the trigger). The centroid table's fingerprint (cluster
     * ids + exact float bits) is pinned at first trigger: restarting
@@ -722,6 +726,20 @@ object EventStreaming {
           "mixing two clusterings in one assignment log would be a " +
           "silent wrong answer; rebuild the state or pass the " +
           "original fit")
+      // Overwriting b=<batchId> is only replay-safe when batch ids are
+      // monotonic across restarts — i.e. the query resumes from a
+      // checkpoint. An UN-checkpointed query always restarts at batch
+      // 0, so its b=0 write would silently clobber a prior run's first
+      // batch in the same state dir — refuse loudly instead (caught by
+      // the torn-scheme spec: 100 of 200 assignments vanished).
+      if (checkpointDir.isEmpty && batchId == 0 &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$statePath/assign")))
+        throw new IllegalStateException(
+          s"clusterAssignLoop: $statePath/assign already holds " +
+            "assignments but this query starts at batch 0 without a " +
+            "checkpoint — its b=0 write would silently overwrite the " +
+            "prior run's first batch; resume with the original " +
+            "checkpointDir or use a fresh statePath")
       val asg = graft.api.GraftPipelines
         .assignToCentroids(batch.toDF, cent)
         .select(col("vec_id"), col("cluster"), col("ccos"))

@@ -896,4 +896,49 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$stateDir/assign")
       .collect().map(key).sortBy(_._1).toSeq == twin)
   }
+
+  test("clusterAssignLoop scheme marker: a torn tmp dir from a crashed " +
+      "publisher never wedges a restart, and an un-checkpointed restart " +
+      "over a non-empty log refuses instead of clobbering b=0") {
+    implicit val sqlCtx = spark.sqlContext
+    val embTable = Tables.embeddings(spark, sf)
+    val (cent, _) = graft.api.GraftPipelines.kmeansFit(embTable, 8, 2, 64)
+    val emb = embTable.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_assign_torn").toString + "/state"
+    // simulate a publisher that died mid-write: a half-written tmp dir
+    // exists, the scheme itself was never published
+    val torn = new java.io.File(s"$stateDir/scheme.tmp-99999")
+    torn.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(torn, "part-00000.parquet").toPath, "garbage")
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q1 = EventStreaming.clusterAssignLoop(
+      mem.toDF().toDF("vec_id", "embedding"), cent, stateDir)()
+    try {
+      mem.addData(emb.take(100).toSeq: _*)
+      q1.processAllAvailable() // must publish past the torn tmp
+    } finally q1.stop()
+    assert(new java.io.File(s"$stateDir/scheme").exists(),
+      "the loop must publish its marker even with a stale tmp dir present")
+    // restart with the SAME fit but NO checkpoint: batch ids restart at
+    // 0, so the b=0 overwrite would silently clobber the first run's
+    // batch — the loop must refuse loudly instead (this spec originally
+    // asserted 200 rows and found 100: the overwrite was real)
+    val mem2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = EventStreaming.clusterAssignLoop(
+      mem2.toDF().toDF("vec_id", "embedding"), cent, stateDir)()
+    try {
+      mem2.addData(emb.slice(100, 200).toSeq: _*)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("checkpoint") ||
+        Option(e.getCause).exists(_.getMessage.contains("checkpoint")))
+    } finally q2.stop()
+    // and the first run's log is intact
+    val n = spark.read.parquet(s"$stateDir/assign").count()
+    assert(n == 100L, s"the refused run must not have clobbered b=0, got $n")
+  }
 }
