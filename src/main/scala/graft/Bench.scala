@@ -103,7 +103,9 @@ object Bench {
     "llm_semdedup", "llm_semdedup_served",
     "llm_semdedup_scaled", "llm_semdedup_scaled_served",
     "llm_semdedup_gated", "llm_semdedup_gated_served",
+    "llm_semdedup_gated_scaled", "llm_semdedup_gated_scaled_served",
     "llm_simhash", "llm_simhash_pairs", "llm_simhash_pairs_wide",
+    "llm_simhash_pairs_served",
     "llm_embed_topk",
     "llm_embed_lsh_knn", "llm_embed_lsh_knn2", "llm_embed_pq",
     "llm_embed_pq_served", "llm_embed_ivf_served", "llm_embed_ivfpq",
@@ -148,8 +150,13 @@ object Bench {
     "llm_containment_served", "llm_embed_kmeans_served",
     "llm_cluster_quota_served", "llm_cluster_silhouette_served",
     "llm_semdedup_served", "llm_semdedup_gated_served",
-    "llm_semdedup_scaled_served", "llm_embed_ivfpq_served",
-    "llm_cluster_assign")
+    "llm_semdedup_scaled_served", "llm_semdedup_gated_scaled_served",
+    "llm_simhash_pairs_served", "llm_embed_ivfpq_served",
+    "llm_cluster_assign",
+    // scaled-k gated refit: the production fix for the fixed-k gated
+    // entry's Σ cluster² sf1 hazard — recorded at sf1 to make the
+    // "constant cluster size keeps the gate linear" claim measured
+    "llm_semdedup_gated_scaled")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -188,7 +195,8 @@ object Bench {
         "llm_containment_served", "llm_embed_kmeans_served",
         "llm_cluster_quota_served", "llm_cluster_silhouette_served",
         "llm_semdedup_served", "llm_semdedup_gated_served",
-        "llm_semdedup_scaled_served", "llm_embed_ivfpq_served",
+        "llm_semdedup_scaled_served", "llm_semdedup_gated_scaled_served",
+        "llm_simhash_pairs_served", "llm_embed_ivfpq_served",
         "llm_cluster_assign", "llm_dup_matrix", "rel_join_bucketed")
       .filter(selected.contains).foreach { n =>
         SparkEntry.queries(n)(spark, sfDir)

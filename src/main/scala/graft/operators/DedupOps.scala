@@ -165,6 +165,89 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
+  /** Write-once SimHash signature fixture (one (doc_id, source,
+    * simhash) row per doc): the signature agg was the last near-dup
+    * family member still derived per query — the pair entries used to
+    * pin it with `persist()` for the JVM's life, the warm-cache hazard
+    * the round-10/11 reviews flagged twice. The ppjoinIndexServed
+    * discipline instead: built offline once per corpus (mtime-keyed),
+    * read back as a doc-count-sized parquet by the `_served` twin.
+    */
+  private def simhashIndexServed(s: SparkSession, dir: String): DataFrame = {
+    val idx = buildIndexOnce(dir, "simhash", s"bits=$SIM_BITS") { tmp =>
+      simhash(s, dir).write.parquet(s"$tmp/sig.parquet")
+    }
+    s.read.parquet(s"$idx/sig.parquet")
+  }
+
+  /** 4×8-bit blocked + 1-bit multi-probe simhash pair scan (scheme
+    * rationale at the llm_simhash_pairs entry). `sh` must be a
+    * MATERIALIZED (doc_id, source, simhash) frame — both join sides
+    * consume it, so a lazy plan would run the signature agg twice.
+    */
+  private def simhashPairsEntry(s: SparkSession, sh: DataFrame): DataFrame = {
+    import s.implicits._
+    def block(i: Int): Column =
+      shiftright($"simhash", 8 * i).bitwiseAND(lit(255L))
+    // Exact side: one row per (doc, block). Probe side: 9 rows per
+    // (doc, block) — the block value and its 8 one-bit flips.
+    val exact = sh.select($"doc_id", $"source", $"simhash",
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("bi"), block(i).as("bv"))): _*)).as("b"))
+    val probes = sh.select($"doc_id", $"source", $"simhash",
+      explode(array((for {
+        i <- 0 until 4
+        j <- -1 until 8
+      } yield struct(lit(i).as("bi"),
+        (if (j < 0) block(i)
+         else block(i).bitwiseXOR(lit(1L << j))).as("bv"))): _*)).as("b"))
+    exact.as("l").join(probes.as("r"),
+        col("l.source") === col("r.source") &&
+        col("l.b") === col("r.b") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash")))
+          .cast("int").as("hamming"))
+      .filter($"hamming" <= 6)
+      .distinct()
+      .orderBy($"d1", $"d2")
+  }
+
+  /** 2×16-bit blocked + ≤3-bit multi-probe simhash pair scan (scheme
+    * rationale at the llm_simhash_pairs_wide entry); same
+    * materialized-`sh` contract as [[simhashPairsEntry]].
+    */
+  private def simhashPairsWideEntry(s: SparkSession,
+      sh: DataFrame): DataFrame = {
+    import s.implicits._
+    def block(i: Int): Column =
+      shiftright($"simhash", 16 * i).bitwiseAND(lit(65535L))
+    val masks = (Seq(0L) ++
+      (0 until 16).map(a => 1L << a) ++
+      (for { a <- 0 until 16; b <- a + 1 until 16 }
+        yield (1L << a) | (1L << b)) ++
+      (for { a <- 0 until 16; b <- a + 1 until 16; c <- b + 1 until 16 }
+        yield (1L << a) | (1L << b) | (1L << c))).toDF("mask")
+    val blocked = sh.select($"doc_id", $"source", $"simhash",
+      explode(array((0 until 2).map(i =>
+        struct(lit(i).as("bi"), block(i).as("bv"))): _*)).as("b"))
+    val probes = blocked
+      .crossJoin(broadcast(masks))
+      .select($"doc_id", $"source", $"simhash",
+        struct($"b.bi".as("bi"),
+          $"b.bv".bitwiseXOR($"mask").as("bv")).as("b"))
+    blocked.as("l").join(probes.as("r"),
+        col("l.source") === col("r.source") &&
+        col("l.b") === col("r.b") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash")))
+          .cast("int").as("hamming"))
+      .filter($"hamming" <= 6)
+      .distinct()
+      .orderBy($"d1", $"d2")
+  }
+
   /** MinHash signature: per doc, min(md5(seed || shingle)) per seed. */
   private def minhash(s: SparkSession, dir: String): DataFrame =
     graft.api.GraftPipelines.minhashSignature(shingles(s, dir), SEEDS.size)
@@ -647,37 +730,12 @@ object DedupOps {
     // — O(Σ bucket²/256) — instead of O(docs-per-source²); hamming ≤ 6
     // stays as the residual filter, so results are provably identical to
     // the all-pairs form. The signature table is small (one row/doc) but
-    // expensive to derive — persist it so the probe explode and the
-    // hamming lookup don't run the 32-bit agg repeatedly.
-    "llm_simhash_pairs" -> ((s, dir) => {
-      import s.implicits._
-      val sh = simhash(s, dir).persist()
-      sh.count()
-      def block(i: Int): Column =
-        shiftright($"simhash", 8 * i).bitwiseAND(lit(255L))
-      // Exact side: one row per (doc, block). Probe side: 9 rows per
-      // (doc, block) — the block value and its 8 one-bit flips.
-      val exact = sh.select($"doc_id", $"source", $"simhash",
-        explode(array((0 until 4).map(i =>
-          struct(lit(i).as("bi"), block(i).as("bv"))): _*)).as("b"))
-      val probes = sh.select($"doc_id", $"source", $"simhash",
-        explode(array((for {
-          i <- 0 until 4
-          j <- -1 until 8
-        } yield struct(lit(i).as("bi"),
-          (if (j < 0) block(i)
-           else block(i).bitwiseXOR(lit(1L << j))).as("bv"))): _*)).as("b"))
-      exact.as("l").join(probes.as("r"),
-          col("l.source") === col("r.source") &&
-          col("l.b") === col("r.b") &&
-          col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
-          bit_count(col("l.simhash").bitwiseXOR(col("r.simhash")))
-            .cast("int").as("hamming"))
-        .filter($"hamming" <= 6)
-        .distinct()
-        .orderBy($"d1", $"d2")
-    }),
+    // expensive to derive — localCheckpoint materializes it ONCE for the
+    // two join sides without pinning a CacheManager entry for the JVM's
+    // life (blocks are GC-reclaimed with the frame; a persist() here
+    // let later bench passes time against warm cache).
+    "llm_simhash_pairs" -> ((s, dir) =>
+      simhashPairsEntry(s, simhash(s, dir).localCheckpoint())),
 
     // The WIDENED-BLOCK production twin of llm_simhash_pairs: 2 blocks
     // of 16 bits instead of 4×8, with ≤3-bit multi-probe (pigeonhole:
@@ -692,37 +750,19 @@ object DedupOps {
     // schemes are LOSSLESS for the hamming ≤ 6 residual, so this entry
     // shares llm_simhash_pairs' all-pairs DuckDB oracle verbatim and
     // must produce the identical pair list.
-    "llm_simhash_pairs_wide" -> ((s, dir) => {
-      import s.implicits._
-      val sh = simhash(s, dir).persist()
-      sh.count()
-      def block(i: Int): Column =
-        shiftright($"simhash", 16 * i).bitwiseAND(lit(65535L))
-      val masks = (Seq(0L) ++
-        (0 until 16).map(a => 1L << a) ++
-        (for { a <- 0 until 16; b <- a + 1 until 16 }
-          yield (1L << a) | (1L << b)) ++
-        (for { a <- 0 until 16; b <- a + 1 until 16; c <- b + 1 until 16 }
-          yield (1L << a) | (1L << b) | (1L << c))).toDF("mask")
-      val blocked = sh.select($"doc_id", $"source", $"simhash",
-        explode(array((0 until 2).map(i =>
-          struct(lit(i).as("bi"), block(i).as("bv"))): _*)).as("b"))
-      val probes = blocked
-        .crossJoin(broadcast(masks))
-        .select($"doc_id", $"source", $"simhash",
-          struct($"b.bi".as("bi"),
-            $"b.bv".bitwiseXOR($"mask").as("bv")).as("b"))
-      blocked.as("l").join(probes.as("r"),
-          col("l.source") === col("r.source") &&
-          col("l.b") === col("r.b") &&
-          col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
-          bit_count(col("l.simhash").bitwiseXOR(col("r.simhash")))
-            .cast("int").as("hamming"))
-        .filter($"hamming" <= 6)
-        .distinct()
-        .orderBy($"d1", $"d2")
-    }),
+    "llm_simhash_pairs_wide" -> ((s, dir) =>
+      simhashPairsWideEntry(s, simhash(s, dir).localCheckpoint())),
+
+    // Build/serve split of the simhash family — the last near-dup
+    // member whose signature table was still derived per query. The
+    // one-time fixture ([[simhashIndexServed]]) persists the signature
+    // agg; the timed per-run cost is the production (wide-block)
+    // candidate join + hamming residual over the doc-count-sized
+    // read-back — no text scan, no digest agg. Output and oracle
+    // identical to both refit twins (all three are lossless candidate
+    // generators for the same hamming ≤ 6 residual).
+    "llm_simhash_pairs_served" -> ((s, dir) =>
+      simhashPairsWideEntry(s, simhashIndexServed(s, dir).localCheckpoint())),
 
     // End-to-end near-dup pipeline: LSH candidates → Jaccard verify.
     "llm_neardup_verified" -> ((s, dir) => {
@@ -1284,8 +1324,17 @@ object DedupOps {
          |WHERE bit_count(xor(l.simhash, r.simhash)) <= 6
          |ORDER BY d1, d2""".stripMargin,
 
-    // same all-pairs mirror: both block schemes are lossless candidate
-    // generators for the identical hamming <= 6 residual
+    // same all-pairs mirror: every block scheme (and the served
+    // signature read-back) is a lossless candidate generator for the
+    // identical hamming <= 6 residual
+    "llm_simhash_pairs_served" ->
+      s"""WITH $simhashSql
+         |SELECT l.doc_id AS d1, r.doc_id AS d2,
+         | CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+         |FROM sh l JOIN sh r ON l.source = r.source AND l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.simhash, r.simhash)) <= 6
+         |ORDER BY d1, d2""".stripMargin,
+
     "llm_simhash_pairs_wide" ->
       s"""WITH $simhashSql
          |SELECT l.doc_id AS d1, r.doc_id AS d2,

@@ -1545,6 +1545,26 @@ object SimilarityOps {
     "llm_semdedup_gated_served" -> ((s, dir) =>
       semdedupGatedEntry(s, dir, kmeansFitServed(s, dir)._1)),
 
+    // The PRODUCTION gated combination: the silhouette gate + drop rule
+    // over the CORPUS-SCALED fit (k = ceil(n/SEM_TARGET)). The fixed-k
+    // gated entry is the known Σ cluster² hazard at scale (its sf1
+    // within-cluster pair scan grows quadratically in cluster size);
+    // with corpus-scaled k the cluster size — and with it both the
+    // silhouette pass's per-cluster work and the passing-cluster pair
+    // scan — stays constant as data grows, the same argument that made
+    // llm_semdedup_scaled the production SemDeDup twin.
+    "llm_semdedup_gated_scaled" -> ((s, dir) =>
+      semdedupGatedEntry(s, dir, graft.api.GraftPipelines
+        .kmeansScaledFit(Tables.embeddings(s, dir),
+          SEM_TARGET, KM_ITERS, DIM)._1)),
+
+    // the scaled fit persisted and read back (kmeansScaledFitServed —
+    // the same fixture llm_semdedup_scaled_served serves from): the
+    // per-query cost is the linear silhouette pass + the
+    // cluster-bounded pair scan, nothing refits
+    "llm_semdedup_gated_scaled_served" -> ((s, dir) =>
+      semdedupGatedEntry(s, dir, kmeansScaledFitServed(s, dir)._1)),
+
     // SemDeDup-style semantic dedup: near-dup pairs found WITHIN k-means
     // clusters only. The cluster id is the coarse partitioner — the
     // self-join meets Σ cluster² candidates instead of O(n²), which is
@@ -2252,6 +2272,12 @@ object SimilarityOps {
     "llm_semdedup_gated" -> semdedupGatedOracleSql,
     "llm_semdedup_gated_served" -> semdedupGatedOracleSql,
 
+    // scaled-k gated twins: the gated oracle body verbatim, with the
+    // corpus-scaled init predicate swapped in (the llm_semdedup_scaled
+    // discipline — k as a scalar subquery of the corpus count)
+    "llm_semdedup_gated_scaled" -> semdedupGatedScaledOracleSql,
+    "llm_semdedup_gated_scaled_served" -> semdedupGatedScaledOracleSql,
+
     // SemDeDup over the oracled k-means assignment: within-cluster
     // pairs above the cosine threshold — the pair list hash-checks the
     // per-vector cluster labels, not just aggregate sizes
@@ -2265,10 +2291,17 @@ object SimilarityOps {
     "llm_semdedup_scaled_served" -> semdedupScaledOracleSql
   )
 
+  /** Corpus-scaled k-means init predicate: k as a scalar subquery of
+    * the corpus count, ceil'd exactly like the engine's
+    * `(n + target-1) div target` (both truncate positives). Shared by
+    * every scaled-fit oracle.
+    */
+  private def scaledInitSql: String =
+    s"vec_id < (SELECT (count(*) + ${SEM_TARGET - 1}) // $SEM_TARGET" +
+      " FROM embeddings)"
+
   private def semdedupScaledOracleSql: String =
-    s"""WITH ${kmeansOracleCtes(
-           s"vec_id < (SELECT (count(*) + ${SEM_TARGET - 1}) // $SEM_TARGET" +
-             " FROM embeddings)")},
+    s"""WITH ${kmeansOracleCtes(scaledInitSql)},
        |asg AS (
        |  SELECT a.vec_id, a.cluster, e.embedding
        |  FROM af a JOIN embeddings e ON a.vec_id = e.vec_id)
@@ -2320,7 +2353,16 @@ object SimilarityOps {
        |ORDER BY a.vec_id""".stripMargin
 
   private def semdedupGatedOracleSql: String =
-    s"""WITH $kmeansOracleCtes,
+    semdedupGatedOracleSqlFrom(kmeansOracleCtes)
+
+  private def semdedupGatedScaledOracleSql: String =
+    semdedupGatedOracleSqlFrom(kmeansOracleCtes(scaledInitSql))
+
+  /** Gated-SemDeDup oracle body, shared by the fixed-k and scaled-k
+    * twins — only the k-means unroll's init predicate differs.
+    */
+  private def semdedupGatedOracleSqlFrom(ctes: String): String =
+    s"""WITH $ctes,
        |sc AS (
        |  SELECT vec_id, cluster, ccos,
        |   row_number() OVER (PARTITION BY vec_id
