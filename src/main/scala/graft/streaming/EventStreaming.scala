@@ -668,9 +668,11 @@ object EventStreaming {
     * directory makes a foreachBatch replay idempotent (at-least-once
     * delivery rewrites the same dir instead of double-appending).
     * Replay-by-overwrite requires monotonic batch ids, so resuming an
-    * existing log requires the original `checkpointDir`; an
-    * un-checkpointed query refuses to start over a non-empty log
-    * (its batch 0 would clobber the prior run's).
+    * existing log requires the original `checkpointDir`; the scheme
+    * marker pins the owning run's identity, and ANY other query —
+    * un-checkpointed or started with a fresh checkpoint — refuses at
+    * batch 0 over a non-empty log (its b=0 would clobber the prior
+    * run's first batch while stranding its later ones).
     * Readers consume `statePath/assign` (the `b` partition column
     * records the trigger). The centroid table's fingerprint (cluster
     * ids + exact float bits) is pinned at first trigger: restarting
@@ -683,11 +685,19 @@ object EventStreaming {
   def clusterAssignLoop(vectors: DataFrame, centroids: DataFrame,
       statePath: String, checkpointDir: Option[String] = None)
       (sink: (Dataset[Row], Long) => Unit = (_, _) => ()): StreamingQuery = {
-    // materialize the fit ONCE (k rows), then fingerprint the
-    // checkpointed frame — fingerprinting the lazy plan would run the
-    // whole Lloyd fit a second time, and would pin bits from a
-    // different materialization than the one the assignments use
-    val cent = centroids.localCheckpoint()
+    // Materialize the fit ONCE on the DRIVER (k rows) and rebuild the
+    // frame from the collected rows: a localCheckpoint here would park
+    // the k-row blocks non-reliably on executors, and over a streaming
+    // query's indefinite life any executor loss drops them — every
+    // later micro-batch then dies with missing-block errors instead of
+    // recomputing. A LocalRelation built from the driver-held rows
+    // broadcasts fresh each trigger and survives anything short of
+    // driver loss; fingerprint and assignments both derive from the
+    // SAME single materialization (collecting the lazy plan twice
+    // could pin bits from two different Lloyd runs).
+    val centRows = centroids.collect()
+    val cent = centroids.sparkSession.createDataFrame(
+      java.util.Arrays.asList(centRows: _*), centroids.schema)
     val fp = {
       val rows = cent.select(col("cluster").cast("int"), col("c"))
         .collect()
@@ -701,6 +711,16 @@ object EventStreaming {
       java.security.MessageDigest.getInstance("SHA-256")
         .digest(rows.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
+    // Run identity, pinned in the scheme marker alongside the
+    // fingerprint: only the run that OWNS an assignment log (same
+    // checkpointDir, so batch ids resume monotonically) may keep
+    // appending to it. Any OTHER query — un-checkpointed, or started
+    // with a fresh checkpoint over the same statePath — restarts at
+    // batch 0, and its b=0 overwrite would clobber the prior run's
+    // first batch while stranding its later ones: a mixed log the
+    // centroid fingerprint cannot catch when the fit is unchanged.
+    val runId = checkpointDir.getOrElse(
+      s"uncheckpointed-${java.util.UUID.randomUUID()}")
     deliver(vectors, checkpointDir) { (batch, batchId) =>
       val spark = batch.sparkSession
       import spark.implicits._
@@ -715,11 +735,21 @@ object EventStreaming {
         // every restart with a schema-inference error
         val tmp = new org.apache.hadoop.fs.Path(
           s"$statePath/scheme.tmp-${ProcessHandle.current().pid()}")
-        Seq(fp).toDF("fp").write.mode("overwrite").parquet(tmp.toString)
+        Seq((fp, runId)).toDF("fp", "run")
+          .write.mode("overwrite").parquet(tmp.toString)
         if (!fs.rename(tmp, sPath)) fs.delete(tmp, true) // lost the race
+        // rename(src, dst) with an EXISTING directory dst moves src
+        // INTO dst and returns true (Hadoop FS semantics, HDFS and
+        // RawLocalFileSystem alike), so losing the publish race can
+        // also land our tmp dir nested under the winner's scheme/ —
+        // where its parquet files would read back as extra scheme
+        // rows and make the .head() below nondeterministic. Detect
+        // and remove the nested copy; the winner's marker stands.
+        val nested = new org.apache.hadoop.fs.Path(sPath, tmp.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
       }
-      val pinned = spark.read.parquet(sPath.toString)
-        .head().getAs[String]("fp")
+      val scheme = spark.read.parquet(sPath.toString).head()
+      val pinned = scheme.getAs[String]("fp")
       require(pinned == fp,
         s"clusterAssignLoop state at $statePath was built against a " +
           s"different centroid table (pinned $pinned, got $fp) — " +
@@ -727,19 +757,29 @@ object EventStreaming {
           "silent wrong answer; rebuild the state or pass the " +
           "original fit")
       // Overwriting b=<batchId> is only replay-safe when batch ids are
-      // monotonic across restarts — i.e. the query resumes from a
-      // checkpoint. An UN-checkpointed query always restarts at batch
-      // 0, so its b=0 write would silently clobber a prior run's first
-      // batch in the same state dir — refuse loudly instead (caught by
-      // the torn-scheme spec: 100 of 200 assignments vanished).
-      if (checkpointDir.isEmpty && batchId == 0 &&
+      // monotonic across restarts — i.e. when THIS query owns the log:
+      // it resumes from the checkpoint the marker pinned. Any other
+      // query restarts at batch 0, so its b=0 write would silently
+      // clobber the prior run's first batch in the same state dir
+      // (caught by the torn-scheme spec: 100 of 200 assignments
+      // vanished) — whether it is un-checkpointed OR checkpointed
+      // somewhere fresh; refuse loudly either way. A marker predating
+      // the run column reads as unknown ownership and also refuses —
+      // loud, never silent.
+      val pinnedRun =
+        if (scheme.schema.fieldNames.contains("run"))
+          scheme.getAs[String]("run")
+        else null
+      if (batchId == 0 && pinnedRun != runId &&
           fs.exists(new org.apache.hadoop.fs.Path(s"$statePath/assign")))
         throw new IllegalStateException(
           s"clusterAssignLoop: $statePath/assign already holds " +
-            "assignments but this query starts at batch 0 without a " +
-            "checkpoint — its b=0 write would silently overwrite the " +
-            "prior run's first batch; resume with the original " +
-            "checkpointDir or use a fresh statePath")
+            "assignments owned by a different run " +
+            s"(pinned ${Option(pinnedRun).getOrElse("<legacy marker>")}, " +
+            s"got $runId) but this query starts at batch 0 — its b=0 " +
+            "write would silently overwrite the prior run's first " +
+            "batch; resume with the original checkpoint" +
+            "Dir or use a fresh statePath")
       val asg = graft.api.GraftPipelines
         .assignToCentroids(batch.toDF, cent)
         .select(col("vec_id"), col("cluster"), col("ccos"))

@@ -941,4 +941,55 @@ class StreamingSpec extends SparkSpec {
     val n = spark.read.parquet(s"$stateDir/assign").count()
     assert(n == 100L, s"the refused run must not have clobbered b=0, got $n")
   }
+
+  test("clusterAssignLoop run identity: resuming with the ORIGINAL " +
+      "checkpoint appends, but a FRESH-checkpoint restart over the same " +
+      "log refuses at batch 0 instead of clobbering") {
+    import java.nio.file.{Files, Path}
+    val embTable = Tables.embeddings(spark, sf)
+    val (cent, _) = graft.api.GraftPipelines.kmeansFit(embTable, 8, 2, 64)
+    val emb = embTable.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val stateDir = Files
+      .createTempDirectory("graft_assign_runid").toString + "/state"
+    val watched = Files.createTempDirectory("graft_assign_runid_in")
+    def appear(name: String, rows: Seq[(Long, Seq[Float])]): Unit = {
+      val tmp = Files.createTempDirectory("graft_assign_runid_tmp")
+      rows.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, watched.resolve(name))
+    }
+    val schema = emb.take(1).toSeq.toDF("vec_id", "embedding").schema
+    val chk1 = Files.createTempDirectory("graft_assign_runid_chk1").toString
+    def start(chk: String) = EventStreaming.clusterAssignLoop(
+      EventStreaming.fileSource(spark, watched.toString, schema),
+      cent, stateDir, Some(chk))()
+    appear("f0.parquet", emb.take(100).toSeq)
+    val q1 = start(chk1)
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(s"$stateDir/assign").count() == 100L)
+    // same checkpoint = same run identity: the resume OWNS the log and
+    // appends b=1 — the ownership guard must not over-refuse
+    appear("f1.parquet", emb.slice(100, 200).toSeq)
+    val q1b = start(chk1)
+    try { q1b.processAllAvailable() } finally q1b.stop()
+    assert(spark.read.parquet(s"$stateDir/assign").count() == 200L,
+      "the original-checkpoint resume must have appended b=1")
+    // a FRESH checkpoint restarts batch ids at 0 even though the fit is
+    // unchanged — the fingerprint can't catch it; the run identity must
+    val chk2 = Files.createTempDirectory("graft_assign_runid_chk2").toString
+    val q2 = start(chk2)
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("different run") ||
+        Option(e.getCause).exists(_.getMessage.contains("different run")))
+    } finally q2.stop()
+    val n = spark.read.parquet(s"$stateDir/assign").count()
+    assert(n == 200L, s"the refused fresh-checkpoint run must not have " +
+      s"clobbered the log, got $n")
+  }
 }
