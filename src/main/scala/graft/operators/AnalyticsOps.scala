@@ -381,7 +381,7 @@ object AnalyticsOps {
       val ev = EventOps.events(s, dir)
         .select($"user_id", $"event_type", $"value", $"ts_ms")
       val bounds = ev.agg(min($"ts_ms").as("mn"), max($"ts_ms").as("mx"))
-      val u = ev.crossJoin(bounds)
+      val u = ev.crossJoin(broadcast(bounds))
         .withColumn("mid", expr("(mn + mx) div 2"))
         .groupBy($"user_id")
         .agg(
@@ -400,7 +400,7 @@ object AnalyticsOps {
         .agg(count(lit(1)).as("n"),
           sum($"x").cast("double").as("sxc"),
           sum($"y").cast("double").as("syc"))
-        .crossJoin(g)
+        .crossJoin(broadcast(g))
         .withColumn("theta", (($"gn" * $"sxy") - ($"sx" * $"sy")) /
           (($"gn" * $"sxx") - ($"sx" * $"sx")))
         .select($"cohort", $"n",

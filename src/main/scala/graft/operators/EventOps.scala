@@ -180,7 +180,7 @@ object EventOps {
       import s.implicits._
       val ev = events(s, dir)
       val dict = ev.select($"event_type").distinct()
-        .crossJoin(Tables.nation(s, dir))
+        .crossJoin(broadcast(Tables.nation(s, dir)))
         .select($"event_type", $"n_nationkey".cast("int").as("code"),
           concat(upper(substring($"event_type", 1, 1)), lit(":"), $"n_name")
             .as("name"))
