@@ -161,9 +161,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Full-surface sweep (SPARK_GRAFT_BENCH_QUERIES=all): EVERY
+    // SparkEntry entry, headline order first then the rest sorted, so
+    // "bench covers the surface" is a recorded artifact instead of an
+    // eyeballed claim. The one exclusion stays llm_heavy_hitters (its
+    // builder runs the Misra-Gries premise check driver-side — see the
+    // headline scaladoc); the sweep is written only to an explicit
+    // SPARK_GRAFT_BENCH_OUT target, never over the headline artifact.
+    val sweepAll = sys.env.get("SPARK_GRAFT_BENCH_QUERIES").contains("all")
     // dev-only subsetting for perf iteration; the driver never sets this
-    val selected = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
-      .map(_.split(",").toSeq).getOrElse(headline)
+    val selected =
+      if (sweepAll)
+        headline ++ SparkEntry.queries.keys.toSeq.sorted
+          .filterNot(headline.contains).filterNot(_ == "llm_heavy_hitters")
+      else sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+        .map(_.split(",").toSeq).getOrElse(headline)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -291,24 +303,48 @@ object Bench {
         }
       }
       spark.catalog.clearCache()
-      val rows = sf1Subset.map { n =>
-        val fn = SparkEntry.queries(n)
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sf1Dir).write.mode("overwrite").format("noop").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $n failed (sf1): ${e.getMessage}")
-            false
-          }
-        val t = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] sf1 $n%s ${t}%.3f s")
-        spark.catalog.clearCache()
-        "\"" + n + "\":" + (if (ok) t else 0.0)
+      // Min-of-2, full-subset passes (round 12): the sf1 block was
+      // single-pass, so one roving host burst could bake an
+      // unadjudicable outlier into the official record — round 11's
+      // llm_containment_join read 121.8 s against ~10 s replicated,
+      // and the artifact alone could not tell burst from regression.
+      // Same estimator as the sf0.1 headline: two whole-subset passes
+      // separated by minutes, per-query minimum (noise is strictly
+      // additive, so the min is the better estimate of the true cost).
+      def sf1Pass(tag: String): Seq[(String, Option[Double])] =
+        sf1Subset.map { n =>
+          val fn = SparkEntry.queries(n)
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sf1Dir).write.mode("overwrite").format("noop").save(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $n failed ($tag): ${e.getMessage}")
+              false
+            }
+          val t = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] $tag $n%s ${t}%.3f s")
+          spark.catalog.clearCache()
+          n -> (if (ok) Some(t) else None)
+        }
+      val sf1Passes = Seq(sf1Pass("sf1-pass1"), sf1Pass("sf1-pass2"))
+      val rows = sf1Subset.zipWithIndex.map { case (n, i) =>
+        val ts = sf1Passes.flatMap(p => p(i)._2)
+        "\"" + n + "\":" + (if (ts.isEmpty) 0.0 else ts.min)
       }.mkString("{", ",", "}")
-      s""","sf1_dir":"$sf1Dir","sf1_subset":$rows"""
+      s""","sf1_dir":"$sf1Dir","sf1_passes":${sf1Passes.size},"sf1_subset":$rows"""
     }.getOrElse("")
+    // Code version of this run (git HEAD), recorded in the artifact
+    // and compared by the overwrite guard below: the control-health
+    // comparison is only meaningful BETWEEN SAME-CODE recordings, so a
+    // run on changed code auto-supersedes the stale artifact instead
+    // of needing a manual SPARK_GRAFT_BENCH_FORCE=1 (round 11 hit
+    // exactly that after the ppjoin rework — BASELINE.md "Round 11
+    // FINAL").
+    val codeVersion: String =
+      try scala.sys.process.Process(Seq("git", "rev-parse", "HEAD")).!!.trim
+      catch { case _: Throwable => "unknown" }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"passes":$passes$health$sf1Block}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","code_version":"$codeVersion","queries":$qs,"sf":"$sfDir","failed":$failed,"passes":$passes$health$sf1Block}"""
     // also durably on disk: round 3's official artifact lost the total
     // line to sbt log-tail truncation; the file is immune to that.
     // FULL headline runs only — a dev-subset run must never overwrite
@@ -331,8 +367,23 @@ object Bench {
       if (force) return false
       val p = java.nio.file.Paths.get(path)
       if (!java.nio.file.Files.exists(p)) return false
+      val priorText = java.nio.file.Files.readString(p)
+      // Same-code check first: a healthier-control recording of OLD
+      // code is still stale — its per-query figures measure plans that
+      // no longer exist. An artifact with no/different code_version
+      // is superseded outright; the control comparison below only
+      // arbitrates between two recordings of the SAME code.
+      val priorVersion = """"code_version":"([0-9a-f]+)"""".r
+        .findFirstMatchIn(priorText).map(_.group(1))
+      if (!priorVersion.contains(codeVersion)) {
+        System.err.println(
+          s"[bench] $path was recorded on different code " +
+            s"(${priorVersion.getOrElse("<unversioned>")} vs " +
+            s"$codeVersion) - superseding it")
+        return false
+      }
       val prior = """"control_sec":([0-9.]+)""".r
-        .findFirstMatchIn(java.nio.file.Files.readString(p))
+        .findFirstMatchIn(priorText)
         .map(_.group(1).toDouble)
       (prior, controlSec) match {
         case (Some(old), Some(now)) if old < now =>
@@ -347,9 +398,9 @@ object Bench {
     if (failed > 0)
       System.err.println(
         s"[bench] $failed quer${if (failed == 1) "y" else "ies"} failed - bench_result.json left untouched")
-    else if (outOverride.isDefined && selected == headline &&
+    else if (outOverride.isDefined && (selected == headline || sweepAll) &&
              keepExisting(outOverride.get)) ()
-    else if (outOverride.isDefined && selected == headline)
+    else if (outOverride.isDefined && (selected == headline || sweepAll))
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outOverride.get), line + "\n")
       catch { case e: Throwable =>
