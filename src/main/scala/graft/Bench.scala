@@ -74,7 +74,7 @@ object Bench {
     "rel_snapshot_diff", "rel_reconcile", "rel_compact",
     "llm_bpe_vocab", "llm_bpe_apply",
     "llm_dedup_exact", "llm_dedup_normalized", "llm_dedup_prefix",
-    "llm_dedup_incremental", "llm_effective_tokens",
+    "llm_dedup_incremental", "llm_dedup_retract", "llm_effective_tokens",
     "llm_minhash_pairs", "llm_neardup_verified", "llm_neardup_served",
     "llm_ppjoin", "llm_ppjoin_served", "llm_containment_join",
     "llm_containment_served",
@@ -152,7 +152,7 @@ object Bench {
     "llm_semdedup_served", "llm_semdedup_gated_served",
     "llm_semdedup_scaled_served", "llm_semdedup_gated_scaled_served",
     "llm_simhash_pairs_served", "llm_embed_ivfpq_served",
-    "llm_cluster_assign",
+    "llm_cluster_assign", "llm_dedup_retract",
     // scaled-k gated refit: the production fix for the fixed-k gated
     // entry's Σ cluster² sf1 hazard — recorded at sf1 to make the
     // "constant cluster size keeps the gate linear" claim measured
@@ -209,7 +209,8 @@ object Bench {
         "llm_semdedup_served", "llm_semdedup_gated_served",
         "llm_semdedup_scaled_served", "llm_semdedup_gated_scaled_served",
         "llm_simhash_pairs_served", "llm_embed_ivfpq_served",
-        "llm_cluster_assign", "llm_dup_matrix", "rel_join_bucketed")
+        "llm_cluster_assign", "llm_dup_matrix", "llm_dedup_retract",
+        "rel_join_bucketed")
       .filter(selected.contains).foreach { n =>
         SparkEntry.queries(n)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()

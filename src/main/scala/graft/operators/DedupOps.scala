@@ -65,7 +65,16 @@ object DedupOps {
     * pair-count-sized label table. Output (and thus every consumer's
     * oracle) is identical — a storage refactor, hash-checked.
     */
-  private def dupClustersServed(s: SparkSession, dir: String): DataFrame = {
+  private def dupClustersServed(s: SparkSession, dir: String): DataFrame =
+    dupChainServed(s, dir)._2
+
+  /** The full persisted dedup chain (verified pair list, cluster label
+    * map) from the same write-once fixture [[dupClustersServed]] reads
+    * — both tables are pair-count-sized, and the retraction path
+    * ([[retractClusters]]) needs the pairs alongside the labels.
+    */
+  private def dupChainServed(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val idx = buildIndexOnce(dir, "dupchain", "n=3,seeds=8,bands=4,theta=0.7") {
       tmp =>
         val pairs = graft.api.GraftPipelines
@@ -75,7 +84,58 @@ object DedupOps {
         graft.api.GraftPipelines.dupClusters(pairs)
           .write.parquet(s"$tmp/clusters.parquet")
     }
-    s.read.parquet(s"$idx/clusters.parquet")
+    (s.read.parquet(s"$idx/pairs.parquet"),
+      s.read.parquet(s"$idx/clusters.parquet"))
+  }
+
+  /** Retraction-aware maintenance of the near-dup cluster map — the
+    * deletion half of the dedup chain's serve split (right-to-be-
+    * forgotten over the DUPLICATE INDEX, the complement of
+    * `rel_incremental_delete`'s aggregate retraction): given the
+    * persisted verified pairs and label map and a delete list, produce
+    * the label map a full recompute over the remaining corpus would.
+    *
+    * The incremental algebra, never touching corpus text:
+    *  - pair retraction is monotone: deleting docs only REMOVES pairs
+    *    (two anti-joins over the pair-count-sized table — O(pairs));
+    *  - components that contain no deleted doc are untouched: their
+    *    members, edges, and component-min label are all intact, so the
+    *    persisted labels pass straight through (the O(everything-else)
+    *    saving — at 100 TB the delete batch touches a vanishing
+    *    fraction of clusters);
+    *  - components that DO contain a deleted doc can SPLIT (a deleted
+    *    bridge doc disconnects its neighbors), so connected components
+    *    re-run over just the retracted edges of those components —
+    *    work bounded by the affected clusters' pair count, not the
+    *    corpus. Docs left edge-less drop out, matching the recompute
+    *    contract (only docs appearing in a surviving verified pair are
+    *    clustered).
+    */
+  private[graft] def retractClusters(s: SparkSession, pairs: DataFrame,
+      labels0: DataFrame, del: DataFrame): DataFrame = {
+    // labels feed three consumers (affected semi-join, untouched
+    // anti-join, edge relabel join) — materialize once, pair-count-sized
+    val labels = labels0.localCheckpoint()
+    val d = del.select(col("del_id"))
+    // the delete list is data-scaled (a provenance takedown can name
+    // millions of docs) — no broadcast hint on any join against it;
+    // AQE may still broadcast when the runtime size is actually small
+    val kept = pairs.select(col("d1"), col("d2"))
+      .join(d, col("d1") === col("del_id"), "left_anti")
+      .join(d, col("d2") === col("del_id"), "left_anti")
+    val affected = labels
+      .join(d, col("doc_id") === col("del_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val untouched = labels.join(affected, Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+    // both endpoints of a surviving pair shared one old component, so
+    // labeling d1 alone routes the edge to the right partition of work
+    val affectedEdges = kept
+      .join(labels.select(col("doc_id").as("d1"), col("cluster_id")),
+        Seq("d1"))
+      .join(affected, Seq("cluster_id"), "left_semi")
+      .select(col("d1"), col("d2"))
+    untouched.union(graft.api.GraftPipelines.dupClusters(affectedEdges))
   }
 
   /** Write-once PPJoin index (token + prefix tables), shared by
@@ -321,13 +381,18 @@ object DedupOps {
     * shared by the llm_dup_clusters and llm_golden_record oracles.
     * Requires a WITH RECURSIVE prelude containing sh/mh/bands.
     */
-  private val clusterChainSql =
-    """cands AS (
+  private val clusterChainSql = clusterChainSqlFrom("documents")
+
+  /** [[clusterChainSql]] over an arbitrary docs table (e.g. the
+    * post-deletion `live` view the retraction oracle recomputes from).
+    */
+  private def clusterChainSqlFrom(table: String) =
+    s"""cands AS (
       |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
       |  FROM bands l JOIN bands r ON l.b = r.b AND l.doc_id < r.doc_id),
       |sets AS (
       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset
-      |  FROM documents),
+      |  FROM $table),
       |vpairs AS (
       |  SELECT d1, d2 FROM cands
       |  JOIN sets s1 ON d1 = s1.doc_id
@@ -369,6 +434,23 @@ object DedupOps {
   private lazy val dupClustersOracleSql: String =
     s"""WITH RECURSIVE $shinglesSql, $minhashSql, $bandsSql,
        |$clusterChainSql
+       |SELECT doc_id, cluster_id, csize,
+       | CAST(doc_id = cluster_id AS INTEGER) AS is_keeper
+       |FROM clusters
+       |JOIN (SELECT cluster_id, count(*) AS csize FROM clusters GROUP BY 1)
+       |  USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** llm_dedup_retract's recompute oracle: the full dup-clusters chain
+    * over the corpus MINUS the delete batch — the maintained path must
+    * equal what a from-scratch rebuild on the remaining docs produces,
+    * including component splits where a deleted doc was the bridge.
+    */
+  private lazy val dedupRetractOracleSql: String =
+    s"""WITH RECURSIVE live AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+       |${shinglesSqlFrom("live")}, $minhashSql, $bandsSql,
+       |${clusterChainSqlFrom("live")}
        |SELECT doc_id, cluster_id, csize,
        | CAST(doc_id = cluster_id AS INTEGER) AS is_keeper
        |FROM clusters
@@ -816,6 +898,23 @@ object DedupOps {
     // pair-count-sized table, no shingle→minhash→band→verify refit.
     "llm_dup_clusters_served" -> ((s, dir) =>
       dupClustersEntry(s, dupClustersServed(s, dir))),
+
+    // Retraction maintenance of the dup-cluster map: delete every doc
+    // with doc_id % 10 == 7 (a provenance-takedown stand-in) and emit
+    // the label map a full rebuild over the remaining corpus would —
+    // computed INCREMENTALLY from the persisted chain ([[retractClusters]]:
+    // O(pairs) edge retraction, untouched components pass through,
+    // CC re-runs only inside deletion-affected components). The oracle
+    // recomputes the whole chain over the filtered corpus, so the
+    // hash check proves the incremental algebra — including component
+    // SPLITS where a deleted doc was the only bridge.
+    "llm_dedup_retract" -> ((s, dir) => {
+      import s.implicits._
+      val (pairs, labels) = dupChainServed(s, dir)
+      val del = Tables.documents(s, dir)
+        .filter($"doc_id" % 10 === 7).select($"doc_id".as("del_id"))
+      dupClustersEntry(s, retractClusters(s, pairs, labels, del))
+    }),
 
     // Leakage-safe train/val/test split: the assignment unit is the
     // VERIFIED near-dup cluster, not the document. Per-doc hashing
@@ -1379,6 +1478,7 @@ object DedupOps {
     // read-back of the persisted label map ≡ the refit (buildOnce
     // writes exactly dupClusters' rows) — shared oracle
     "llm_dup_clusters_served" -> dupClustersOracleSql,
+    "llm_dedup_retract" -> dedupRetractOracleSql,
 
     "llm_golden_record" ->
       s"""WITH RECURSIVE $shinglesSql, $minhashSql, $bandsSql,

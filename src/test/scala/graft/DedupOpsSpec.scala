@@ -566,4 +566,36 @@ class DedupOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"expected a broadcast tag join in the final plan:\n${plan.take(1200)}")
   }
+
+  test("retractClusters: deleting a bridge doc splits its component, " +
+      "untouched components keep their persisted labels, and the " +
+      "maintained map equals a full recompute") {
+    // path 1-2-3-4-5 (3 is the only bridge between {1,2} and {4,5})
+    // plus a separate pair {10,11} no deletion touches
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("d1", "d2")
+    val labels = graft.api.GraftPipelines.dupClusters(pairs)
+    val del = Seq(3L).toDF("del_id")
+    val out = graft.operators.DedupOps.retractClusters(spark, pairs, labels, del)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the deleted bridge is gone; its component split at the min of
+    // each surviving half; the untouched pair kept its old label
+    assert(out == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L,
+      10L -> 10L, 11L -> 10L))
+    // maintained ≡ recompute: CC from scratch over the retracted pairs
+    val recomputed = graft.api.GraftPipelines.dupClusters(
+        pairs.filter($"d1" =!= 3L && $"d2" =!= 3L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == recomputed)
+  }
+
+  test("retractClusters: deleting a leaf doc neither splits nor " +
+      "relabels the rest of its component") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val labels = graft.api.GraftPipelines.dupClusters(pairs)
+    val del = Seq(3L).toDF("del_id")
+    val out = graft.operators.DedupOps.retractClusters(spark, pairs, labels, del)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
 }
