@@ -112,7 +112,17 @@ object DedupOps {
     *    clustered).
     */
   private[graft] def retractClusters(s: SparkSession, pairs: DataFrame,
-      labels0: DataFrame, del: DataFrame): DataFrame = {
+      labels0: DataFrame, del: DataFrame): DataFrame =
+    retractChain(s, pairs, labels0, del)._2
+
+  /** [[retractClusters]] plus the surviving pair list — the full
+    * post-deletion chain state, what a maintenance loop persists so
+    * the NEXT delete batch retracts from the already-retracted chain
+    * (the streaming consumer is
+    * [[graft.streaming.EventStreaming.takedownLoop]]).
+    */
+  private[graft] def retractChain(s: SparkSession, pairs: DataFrame,
+      labels0: DataFrame, del: DataFrame): (DataFrame, DataFrame) = {
     // labels feed three consumers (affected semi-join, untouched
     // anti-join, edge relabel join) — materialize once, pair-count-sized
     val labels = labels0.localCheckpoint()
@@ -135,7 +145,8 @@ object DedupOps {
         Seq("d1"))
       .join(affected, Seq("cluster_id"), "left_semi")
       .select(col("d1"), col("d2"))
-    untouched.union(graft.api.GraftPipelines.dupClusters(affectedEdges))
+    (kept,
+      untouched.union(graft.api.GraftPipelines.dupClusters(affectedEdges)))
   }
 
   /** Write-once PPJoin index (token + prefix tables), shared by

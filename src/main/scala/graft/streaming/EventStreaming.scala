@@ -788,6 +788,138 @@ object EventStreaming {
     }
   }
 
+  /** Streaming takedown maintenance of the near-dup cluster chain —
+    * the streaming consumer of the batch retraction algebra
+    * ([[graft.operators.DedupOps]]'s `retractChain`, oracle-checked as
+    * `llm_dedup_retract`): delete batches (doc ids to forget) arrive
+    * as a stream, and the persisted chain (surviving verified pairs +
+    * cluster label map) is re-published per trigger without ever
+    * re-shingling corpus text. Per-trigger work is O(pairs) for the
+    * retraction anti-joins plus connected components over ONLY
+    * deletion-affected clusters — a takedown naming millions of docs
+    * still touches a vanishing fraction of a 100 TB corpus's clusters,
+    * and untouched components' labels pass straight through.
+    *
+    * State under `statePath`:
+    *
+    *  - `scheme/` — (seed fingerprint, run identity) marker, the
+    *    [[clusterAssignLoop]] discipline: the seed chain is
+    *    fingerprinted by an order-independent aggregate (count + xor
+    *    of per-row hashes — the chain tables are pair-count-sized, too
+    *    big to collect like the k-row centroid table), so restarting
+    *    against a DIFFERENT seed refuses loudly; and any query that
+    *    does not own the state (fresh or absent checkpoint) refuses at
+    *    batch 0 over already-maintained state instead of silently
+    *    rewinding it to the seed.
+    *  - `chain/g=<id>/{pairs,labels}` — one generation per trigger
+    *    (id = batchId; the caller's seed publishes as `g=-1` at
+    *    bootstrap). A batch reads the newest published generation with
+    *    id <= batchId, applies its deletes, publishes its own
+    *    generation crash-safely (pid-private tmp dir + one rename),
+    *    and deletes older generations only AFTER the sink returns.
+    *    Retraction is IDEMPOTENT — deleting already-absent docs
+    *    retracts no pairs and touches no clusters — so an
+    *    at-least-once replay that lands on its own published
+    *    generation rewrites identical content, and if a crash wiped
+    *    every generation, bootstrap re-seeds from the caller's frames
+    *    and the replayed batch recomputes deterministically.
+    *
+    * The sink sees the label rows the batch INVALIDATED (docs dropped
+    * from the map or moved to a split component's new label); readers
+    * consume the newest `chain/g=` generation directly.
+    */
+  def takedownLoop(deletes: DataFrame, seedPairs: DataFrame,
+      seedLabels: DataFrame, statePath: String,
+      checkpointDir: Option[String] = None)
+      (sink: (Dataset[Row], Long) => Unit = (_, _) => ()): StreamingQuery = {
+    val runId = checkpointDir.getOrElse(
+      s"uncheckpointed-${java.util.UUID.randomUUID()}")
+    def tableFp(df: DataFrame): String = {
+      val cols = df.columns.toSeq
+      val r = df.select(xxhash64(cols.map(col): _*).as("h"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x")).head()
+      s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+    }
+    val fp = tableFp(seedPairs.select(col("d1"), col("d2"))) + "|" +
+      tableFp(seedLabels.select(col("doc_id"), col("cluster_id")))
+    deliver(deletes, checkpointDir) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val fs = new org.apache.hadoop.fs.Path(statePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sPath = new org.apache.hadoop.fs.Path(s"$statePath/scheme")
+      if (!fs.exists(sPath)) {
+        // atomic publication; see clusterAssignLoop for the race notes
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$statePath/scheme.tmp-${ProcessHandle.current().pid()}")
+        Seq((fp, runId)).toDF("fp", "run")
+          .write.mode("overwrite").parquet(tmp.toString)
+        if (!fs.rename(tmp, sPath)) fs.delete(tmp, true)
+        val nested = new org.apache.hadoop.fs.Path(sPath, tmp.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
+      }
+      val scheme = spark.read.parquet(sPath.toString).head()
+      require(scheme.getAs[String]("fp") == fp,
+        s"takedownLoop state at $statePath was seeded from a different " +
+          s"chain (pinned ${scheme.getAs[String]("fp")}, got $fp) — " +
+          "applying takedowns across two different dedup chains would " +
+          "be a silent wrong answer; rebuild the state or pass the " +
+          "original seed")
+      val chainPath = new org.apache.hadoop.fs.Path(s"$statePath/chain")
+      def gens(): Seq[Long] =
+        if (!fs.exists(chainPath)) Seq.empty
+        else fs.listStatus(chainPath).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("g=")).map(_.stripPrefix("g=").toLong)
+      if (batchId == 0 && scheme.getAs[String]("run") != runId &&
+          gens().exists(_ >= 0))
+        throw new IllegalStateException(
+          s"takedownLoop: $statePath/chain already holds maintained " +
+            s"generations owned by a different run (pinned " +
+            s"${scheme.getAs[String]("run")}, got $runId) but this " +
+            "query starts at batch 0 — rewinding the chain to an " +
+            "older generation would resurrect taken-down docs; resume " +
+            "with the original checkpointDir or use a fresh statePath")
+      def publish(id: Long, pairs: DataFrame, labels: DataFrame): Unit = {
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$statePath/chain/tmpg-${ProcessHandle.current().pid()}-$id")
+        pairs.write.mode("overwrite").parquet(s"$tmp/pairs")
+        labels.write.mode("overwrite").parquet(s"$tmp/labels")
+        val dst = new org.apache.hadoop.fs.Path(s"$statePath/chain/g=$id")
+        // a replayed batch rewrites its own generation: the recompute
+        // is deterministic from the prior generation + the same batch
+        if (fs.exists(dst)) fs.delete(dst, true)
+        if (!fs.rename(tmp, dst)) fs.delete(tmp, true)
+      }
+      if (gens().isEmpty)
+        publish(-1L, seedPairs.select(col("d1"), col("d2")),
+          seedLabels.select(col("doc_id"), col("cluster_id")))
+      val del = batch.toDF
+        .select(col(batch.columns.head).cast("long").as("del_id"))
+        .distinct()
+      if (!del.isEmpty) {
+        val prior = gens().filter(_ <= batchId).max
+        val pPairs = spark.read.parquet(s"$statePath/chain/g=$prior/pairs")
+        val pLabels =
+          spark.read.parquet(s"$statePath/chain/g=$prior/labels")
+        val (kept, next) = graft.operators.DedupOps
+          .retractChain(spark, pPairs, pLabels, del)
+        publish(batchId, kept, next)
+        // invalidated = prior labels no longer current; computed while
+        // the prior generation's files still exist, against the
+        // PUBLISHED read-back (stable files, not the lazy plan)
+        val published =
+          spark.read.parquet(s"$statePath/chain/g=$batchId/labels")
+        sink(pLabels.join(published, Seq("doc_id", "cluster_id"),
+          "left_anti"), batchId)
+        gens().filter(_ < batchId).foreach { g =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$statePath/chain/g=$g"), true)
+        }
+      } else sink(Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"),
+        batchId)
+    }
+  }
+
   def snapshotUpsertLoop(updates: DataFrame, snapshotPath: String,
       key: String, seq: String, checkpointDir: Option[String] = None)
       (sink: (Dataset[Row], Long) => Unit = (_, _) => ()): StreamingQuery =

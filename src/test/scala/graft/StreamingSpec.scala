@@ -942,6 +942,72 @@ class StreamingSpec extends SparkSpec {
     assert(n == 100L, s"the refused run must not have clobbered b=0, got $n")
   }
 
+  test("takedownLoop: two streamed delete batches maintain the chain " +
+      "to exactly the from-scratch recompute on the remaining pairs, " +
+      "old generations fold away, and the sink sees the invalidated " +
+      "labels") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // two components: a path 1-2-3-4-5 (3 bridges {1,2} and {4,5})
+    // and a pair {10,11}; batch 1 deletes the bridge, batch 2 deletes
+    // a doc of the second component
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("d1", "d2")
+    val labels = graft.api.GraftPipelines.dupClusters(pairs)
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_takedown").toString + "/state"
+    val mem = MemoryStream[Long]
+    val invalidated = scala.collection.mutable.Map[Long, Set[(Long, Long)]]()
+    val query = EventStreaming.takedownLoop(
+      mem.toDF().toDF("del_id"), pairs, labels, stateDir) { (df, b) =>
+      invalidated(b) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    try {
+      mem.addData(3L); query.processAllAvailable()
+      mem.addData(10L); query.processAllAvailable()
+    } finally query.stop()
+    // only the newest generation survives
+    val gDirs = new java.io.File(s"$stateDir/chain")
+      .listFiles().map(_.getName).filter(_.startsWith("g=")).toSeq
+    assert(gDirs == Seq("g=1"))
+    val end = spark.read.parquet(s"$stateDir/chain/g=1/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // bridge delete split {1..5} into {1,2} and {4,5}; deleting 10
+    // left 11 edge-less, dropping the second component entirely
+    assert(end == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L))
+    // and the maintained map equals CC from scratch on surviving pairs
+    val recomputed = graft.api.GraftPipelines.dupClusters(
+        pairs.filter(!$"d1".isin(3L, 10L) && !$"d2".isin(3L, 10L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(end == recomputed)
+    // sink deltas: batch 0 invalidated the old component-1 labels of
+    // 3,4,5 (3 dropped, 4 and 5 relabeled); batch 1 invalidated 10,11
+    assert(invalidated(0) == Set((3L, 1L), (4L, 1L), (5L, 1L)))
+    assert(invalidated(1) == Set((10L, 10L), (11L, 10L)))
+    // surviving pairs in state match the retraction
+    val endPairs = spark.read.parquet(s"$stateDir/chain/g=1/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(endPairs == Set((1L, 2L), (4L, 5L)))
+    // a FRESH query (new implicit run identity) over the maintained
+    // state must refuse at batch 0 — rewinding to the seed would
+    // resurrect the taken-down docs
+    val mem2 = MemoryStream[Long]
+    val q2 = EventStreaming.takedownLoop(
+      mem2.toDF().toDF("del_id"), pairs, labels, stateDir)()
+    try {
+      mem2.addData(5L)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("different run") ||
+        Option(e.getCause).exists(_.getMessage.contains("different run")))
+    } finally q2.stop()
+    // the refused restart must not have touched the chain
+    assert(spark.read.parquet(s"$stateDir/chain/g=1/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap == end)
+  }
+
   test("clusterAssignLoop run identity: resuming with the ORIGINAL " +
       "checkpoint appends, but a FRESH-checkpoint restart over the same " +
       "log refuses at batch 0 instead of clobbering") {
