@@ -80,7 +80,8 @@ object Bench {
     "llm_containment_served",
     "llm_dup_matrix",
     "llm_minhash_recall", "llm_lsh_tuning",
-    "llm_dup_clusters", "llm_dup_clusters_served", "llm_golden_record",
+    "llm_dup_clusters", "llm_dup_clusters_served",
+    "llm_dup_clusters_incremental", "llm_golden_record",
     "llm_curate", "llm_decontaminate",
     "llm_bloom_decontaminate",
     "llm_embed_ivf",
@@ -210,7 +211,7 @@ object Bench {
         "llm_semdedup_scaled_served", "llm_semdedup_gated_scaled_served",
         "llm_simhash_pairs_served", "llm_embed_ivfpq_served",
         "llm_cluster_assign", "llm_dup_matrix", "llm_dedup_retract",
-        "rel_join_bucketed")
+        "llm_dup_clusters_incremental", "rel_join_bucketed")
       .filter(selected.contains).foreach { n =>
         SparkEntry.queries(n)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()

@@ -149,6 +149,76 @@ object DedupOps {
       untouched.union(graft.api.GraftPipelines.dupClusters(affectedEdges)))
   }
 
+  /** The ADDITION half of incremental chain maintenance — the dual of
+    * [[retractChain]]: given the persisted base chain (pairs + labels)
+    * and the VERIFIED new pairs an ingest batch introduced (every new
+    * pair has at least one batch endpoint — corpus↔corpus pairs
+    * cannot appear, they were already in the base), produce the label
+    * map a full rebuild over base ∪ batch would.
+    *
+    * The incremental algebra, the mirror image of retraction:
+    *  - pair addition is monotone: ingesting docs only ADDS pairs, so
+    *    the new pair set is base ∪ new — no base pair is re-verified;
+    *  - base components touched by NO new pair are untouched: new
+    *    pairs are the only added edges, so such a component is
+    *    IDENTICAL in the full graph — members, edges, and
+    *    component-min label all intact; the persisted labels pass
+    *    straight through;
+    *  - components that a new pair DOES touch can MERGE (one batch doc
+    *    bridging two base clusters collapses them into one), so
+    *    connected components re-run over those components' base edges
+    *    PLUS all new pairs — work bounded by the touched clusters'
+    *    pair count plus the batch's pairs, not the corpus.
+    */
+  private[graft] def extendChain(s: SparkSession, basePairs0: DataFrame,
+      baseLabels0: DataFrame, newPairs0: DataFrame): DataFrame = {
+    val basePairs = basePairs0.select(col("d1"), col("d2"))
+      .localCheckpoint() // consumed twice: affected-edge cut + pass-through complement
+    val baseLabels = baseLabels0.localCheckpoint()
+    val newPairs = newPairs0.select(col("d1"), col("d2")).localCheckpoint()
+    // components any new pair touches: either endpoint's OLD label
+    // (batch-only endpoints have no base label and contribute nothing
+    // here — their pairs still relabel below)
+    val touchedDocs = newPairs.select(col("d1").as("doc_id"))
+      .union(newPairs.select(col("d2").as("doc_id"))).distinct()
+    val affected = baseLabels
+      .join(touchedDocs, Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val untouched = baseLabels.join(affected, Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+    val affectedBaseEdges = basePairs
+      .join(baseLabels.select(col("doc_id").as("d1"), col("cluster_id")),
+        Seq("d1"))
+      .join(affected, Seq("cluster_id"), "left_semi")
+      .select(col("d1"), col("d2"))
+    untouched.union(graft.api.GraftPipelines
+      .dupClusters(affectedBaseEdges.union(newPairs)))
+  }
+
+  /** Write-once BASE chain (pairs + labels over the existing corpus,
+    * doc_id < 250 — the llm_dedup_incremental ingest split): what a
+    * recurring pipeline would have persisted BEFORE the batch arrived.
+    * Pairs derive by filtering the full dupchain fixture (band hashes
+    * and pairwise verification are per-doc/per-pair, so the full
+    * chain's both-endpoints-base pairs ARE the base-only chain's
+    * pairs); labels must be recomputed (the full fixture's components
+    * may span the split).
+    */
+  private def dupChainBaseServed(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val idx = buildIndexOnce(dir, "dupchain_base",
+      "n=3,seeds=8,bands=4,theta=0.7,split=250") { tmp =>
+      val base = dupChainServed(s, dir)._1
+        .filter(col("d1") < 250 && col("d2") < 250)
+        .select(col("d1"), col("d2")).localCheckpoint()
+      base.write.parquet(s"$tmp/pairs.parquet")
+      graft.api.GraftPipelines.dupClusters(base)
+        .write.parquet(s"$tmp/clusters.parquet")
+    }
+    (s.read.parquet(s"$idx/pairs.parquet"),
+      s.read.parquet(s"$idx/clusters.parquet"))
+  }
+
   /** Write-once PPJoin index (token + prefix tables), shared by
     * llm_ppjoin_served and llm_dup_matrix. Persist-oriented build:
     * write the token table, RE-READ it to derive the prefix index — no
@@ -927,6 +997,35 @@ object DedupOps {
       dupClustersEntry(s, retractClusters(s, pairs, labels, del))
     }),
 
+    // Ingest maintenance of the dup-cluster map — the ADDITION dual of
+    // llm_dedup_retract, and the cluster-level completion of
+    // llm_dedup_incremental's per-doc flags: the persisted BASE chain
+    // (docs < 250) extends with the batch's verified new pairs (every
+    // one has a batch endpoint — candidates come from the persisted
+    // band index, d2 >= 250 cuts corpus↔corpus pairs for free since
+    // d1 < d2), components MERGE where a batch doc bridges two base
+    // clusters ([[extendChain]]: CC re-runs only over touched
+    // components' edges plus the new pairs; untouched labels pass
+    // through). Output = the full-corpus cluster map, so the oracle is
+    // llm_dup_clusters' full-rebuild SQL VERBATIM — the hash proves
+    // the merge algebra end-to-end.
+    "llm_dup_clusters_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val (basePairs, baseLabels) = dupChainBaseServed(s, dir)
+      val bands = {
+        val idx = buildIndexOnce(dir, "band", "n=3,seeds=8,bands=4") { tmp =>
+          graft.api.GraftPipelines.bandIndex(Tables.documents(s, dir))
+            .write.parquet(s"$tmp/bands.parquet")
+        }
+        s.read.parquet(s"$idx/bands.parquet")
+      }
+      val newPairs = graft.api.GraftPipelines.nearDuplicatesFromCandidates(
+        Tables.documents(s, dir),
+        graft.api.GraftPipelines.bandCandidates(bands)
+          .filter($"d2" >= 250), 0.7)
+      dupClustersEntry(s, extendChain(s, basePairs, baseLabels, newPairs))
+    }),
+
     // Leakage-safe train/val/test split: the assignment unit is the
     // VERIFIED near-dup cluster, not the document. Per-doc hashing
     // (llm_split) routinely lands two near-identical docs on opposite
@@ -1490,6 +1589,7 @@ object DedupOps {
     // writes exactly dupClusters' rows) — shared oracle
     "llm_dup_clusters_served" -> dupClustersOracleSql,
     "llm_dedup_retract" -> dedupRetractOracleSql,
+    "llm_dup_clusters_incremental" -> dupClustersOracleSql,
 
     "llm_golden_record" ->
       s"""WITH RECURSIVE $shinglesSql, $minhashSql, $bandsSql,

@@ -589,6 +589,26 @@ class DedupOpsSpec extends SparkSpec {
     assert(out == recomputed)
   }
 
+  test("extendChain: a batch doc bridging two base components merges " +
+      "them, batch-only pairs form new components, untouched " +
+      "components keep their labels, and the result equals a " +
+      "from-scratch recompute") {
+    val basePairs = Seq((1L, 2L), (4L, 5L), (10L, 11L)).toDF("d1", "d2")
+    val baseLabels = graft.api.GraftPipelines.dupClusters(basePairs)
+    // 9 bridges {1,2} and {4,5}; 20-21 is a batch-only pair; {10,11}
+    // is untouched
+    val newPairs = Seq((2L, 9L), (4L, 9L), (20L, 21L)).toDF("d1", "d2")
+    val out = graft.operators.DedupOps
+      .extendChain(spark, basePairs, baseLabels, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 5L -> 1L, 9L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    val recomputed = graft.api.GraftPipelines
+      .dupClusters(basePairs.union(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == recomputed)
+  }
+
   test("retractClusters: deleting a leaf doc neither splits nor " +
       "relabels the rest of its component") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
