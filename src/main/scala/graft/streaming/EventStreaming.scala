@@ -828,6 +828,154 @@ object EventStreaming {
     * from the map or moved to a split component's new label); readers
     * consume the newest `chain/g=` generation directly.
     */
+  /** Streaming ingest maintenance of the near-dup cluster map — the
+    * ADDITION twin of [[takedownLoop]], and the cluster-level upgrade
+    * of [[ingestDedupLoop]]'s per-doc flags: document batches arrive
+    * as a stream and the full chain (band index, doc store, verified
+    * pairs, cluster labels) is maintained per trigger with the batch
+    * extension algebra ([[graft.operators.DedupOps]]'s `extendChain`,
+    * oracle-checked as `llm_dup_clusters_incremental`): components
+    * MERGE where a new doc bridges two existing clusters, connected
+    * components re-run only over touched components' edges plus the
+    * batch's verified pairs, and untouched labels pass through.
+    *
+    * State under `statePath` (all bootstrapped EMPTY — production
+    * seeds by streaming the initial corpus through, which is the same
+    * code path):
+    *
+    *  - `scheme/` — run-identity marker ([[takedownLoop]] discipline):
+    *    a non-owning query refuses at batch 0 over maintained state.
+    *  - `bands/ing=<id>/`, `docs/ing=<id>/` — the batch's band rows and
+    *    (id, text) rows as idempotent per-batch overwrite dirs (the
+    *    [[knnMaintenanceLoop]] layout: a replay rewrites its own dir,
+    *    never double-appends). Reads additionally dedup defensively
+    *    (distinct band rows, one text row per doc), so the stores stay
+    *    correct even across torn replays.
+    *  - `chain/g=<id>/{pairs,labels}` — crash-safe generations exactly
+    *    as in [[takedownLoop]]; extension is IDEMPOTENT (re-adding
+    *    present pairs adds nothing and CC is deterministic), so a
+    *    replay landing on its own published generation rewrites
+    *    identical content.
+    *
+    * Per trigger: only the BATCH is shingled/hashed; candidates come
+    * from the batch bands joined against the accumulated band store
+    * (every candidate has a batch endpoint by construction — old↔old
+    * pairs are already in the chain); verification reads only
+    * candidate docs' texts from the store. The sink sees the label
+    * rows the batch ADDED or CHANGED (new docs entering the map and
+    * old docs whose component merged under a smaller label).
+    */
+  def extendLoop(docs: DataFrame, statePath: String,
+      checkpointDir: Option[String] = None, minJaccard: Double = 0.7,
+      shingleN: Int = 3, seeds: Int = 8, bands: Int = 4)
+      (sink: (Dataset[Row], Long) => Unit = (_, _) => ()): StreamingQuery = {
+    val runId = checkpointDir.getOrElse(
+      s"uncheckpointed-${java.util.UUID.randomUUID()}")
+    deliver(docs, checkpointDir) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val fs = new org.apache.hadoop.fs.Path(statePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sPath = new org.apache.hadoop.fs.Path(s"$statePath/scheme")
+      if (!fs.exists(sPath)) {
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$statePath/scheme.tmp-${ProcessHandle.current().pid()}")
+        Seq((s"j=$minJaccard,n=$shingleN,seeds=$seeds,bands=$bands", runId))
+          .toDF("fp", "run").write.mode("overwrite").parquet(tmp.toString)
+        if (!fs.rename(tmp, sPath)) fs.delete(tmp, true)
+        val nested = new org.apache.hadoop.fs.Path(sPath, tmp.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
+      }
+      val scheme = spark.read.parquet(sPath.toString).head()
+      val params = s"j=$minJaccard,n=$shingleN,seeds=$seeds,bands=$bands"
+      require(scheme.getAs[String]("fp") == params,
+        s"extendLoop state at $statePath was built under different " +
+          s"parameters (pinned ${scheme.getAs[String]("fp")}, got " +
+          s"$params) — bands/pairs from two hash schemes must never mix; " +
+          "rebuild the state or restore the original parameters")
+      val chainPath = new org.apache.hadoop.fs.Path(s"$statePath/chain")
+      def gens(): Seq[Long] =
+        if (!fs.exists(chainPath)) Seq.empty
+        else fs.listStatus(chainPath).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("g=")).map(_.stripPrefix("g=").toLong)
+      if (batchId == 0 && scheme.getAs[String]("run") != runId &&
+          gens().exists(_ >= 0))
+        throw new IllegalStateException(
+          s"extendLoop: $statePath/chain already holds maintained " +
+            s"generations owned by a different run (pinned " +
+            s"${scheme.getAs[String]("run")}, got $runId) but this query " +
+            "starts at batch 0 — rewinding the chain would drop ingested " +
+            "docs from the map; resume with the original checkpointDir " +
+            "or use a fresh statePath")
+      def publish(id: Long, pairs: DataFrame, labels: DataFrame): Unit = {
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$statePath/chain/tmpg-${ProcessHandle.current().pid()}-$id")
+        pairs.write.mode("overwrite").parquet(s"$tmp/pairs")
+        labels.write.mode("overwrite").parquet(s"$tmp/labels")
+        val dst = new org.apache.hadoop.fs.Path(s"$statePath/chain/g=$id")
+        if (fs.exists(dst)) fs.delete(dst, true)
+        if (!fs.rename(tmp, dst)) fs.delete(tmp, true)
+      }
+      if (gens().isEmpty)
+        publish(-1L, Seq.empty[(Long, Long)].toDF("d1", "d2"),
+          Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"))
+      val b = batch.toDF.select(col("doc_id").cast("long").as("doc_id"),
+        col("text").cast("string").as("text"))
+      if (!b.isEmpty) {
+        // idempotent per-batch stores: bands of THIS batch, text of
+        // THIS batch — a replay overwrites its own b= dir
+        val batchBands = graft.api.GraftPipelines
+          .bandIndex(b, shingleN, seeds, bands)
+        batchBands.write.mode("overwrite")
+          .parquet(s"$statePath/bands/ing=$batchId")
+        b.write.mode("overwrite").parquet(s"$statePath/docs/ing=$batchId")
+        // accumulated stores (this batch's dirs included), deduped
+        // defensively so torn replays can never double-count a word set
+        val allBands = spark.read.parquet(s"$statePath/bands")
+          .select(col("doc_id"), col("b")).distinct()
+        val allDocs = spark.read.parquet(s"$statePath/docs")
+          .select(col("doc_id"), col("text"))
+          .dropDuplicates("doc_id")
+        // candidates with >= 1 batch endpoint: batch bands against the
+        // full store, normalized to d1 < d2 (an old doc's id may be on
+        // either side of a new one's)
+        val bb = batchBands.select(col("doc_id").as("bid"), col("b"))
+        val cands = bb.hint("shuffle_hash")
+          .join(allBands.hint("shuffle_hash"), "b")
+          .filter(col("bid") =!= col("doc_id"))
+          .select(least(col("bid"), col("doc_id")).as("d1"),
+            greatest(col("bid"), col("doc_id")).as("d2"))
+          .distinct()
+        val newPairs = graft.api.GraftPipelines
+          .nearDuplicatesFromCandidates(allDocs, cands, minJaccard)
+          .select(col("d1"), col("d2"))
+        val prior = gens().filter(_ <= batchId).max
+        val pPairs =
+          spark.read.parquet(s"$statePath/chain/g=$prior/pairs")
+        val pLabels =
+          spark.read.parquet(s"$statePath/chain/g=$prior/labels")
+        // materialize once: consumed by extendChain AND the pair union
+        val np = newPairs.localCheckpoint()
+        val next = graft.operators.DedupOps
+          .extendChain(spark, pPairs, pLabels, np)
+        publish(batchId,
+          pPairs.select(col("d1"), col("d2")).union(np).distinct(), next)
+        val published =
+          spark.read.parquet(s"$statePath/chain/g=$batchId/labels")
+        // delta = rows current now that were not current before (new
+        // docs entering the map + merge relabels); prior files still
+        // exist — older generations fold only after the sink returns
+        sink(published.join(pLabels, Seq("doc_id", "cluster_id"),
+          "left_anti"), batchId)
+        gens().filter(_ < batchId).foreach { g =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$statePath/chain/g=$g"), true)
+        }
+      } else sink(Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"),
+        batchId)
+    }
+  }
+
   def takedownLoop(deletes: DataFrame, seedPairs: DataFrame,
       seedLabels: DataFrame, statePath: String,
       checkpointDir: Option[String] = None)

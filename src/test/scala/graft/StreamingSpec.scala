@@ -942,6 +942,72 @@ class StreamingSpec extends SparkSpec {
     assert(n == 100L, s"the refused run must not have clobbered b=0, got $n")
   }
 
+  test("extendLoop: streamed doc batches maintain the cluster map to " +
+      "exactly the batch pipeline's output, a later doc merges two " +
+      "earlier clusters, and the sink sees the added/changed labels") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tB = "alpha beta gamma delta epsilon zeta eta theta paris london rome"
+    val tAB = "alpha beta gamma delta epsilon zeta eta theta iota paris"
+    val tC = "completely different words appear in this sentence about engines"
+    // batch 0: clusters {1,2} (tA twice), {4,5} (tB twice), {10,11}
+    // (tC twice); tA~tB word-set jaccard = 8/13 < 0.7 so the two stay
+    // separate. batch 1: doc 9 = tAB near-dups BOTH (0.82 / 0.75) and
+    // merges them; {10,11} is untouched.
+    val b0 = Seq((1L, tA), (2L, tA), (4L, tB), (5L, tB),
+      (10L, tC), (11L, tC))
+    val b1 = Seq((9L, tAB))
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_extend").toString + "/state"
+    val mem = MemoryStream[(Long, String)]
+    val deltas = scala.collection.mutable.Map[Long, Set[(Long, Long)]]()
+    val query = EventStreaming.extendLoop(
+      mem.toDF().toDF("doc_id", "text"), stateDir) { (df, b) =>
+      deltas(b) = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    try {
+      mem.addData(b0: _*); query.processAllAvailable()
+      mem.addData(b1: _*); query.processAllAvailable()
+    } finally query.stop()
+    val gDirs = new java.io.File(s"$stateDir/chain")
+      .listFiles().map(_.getName).filter(_.startsWith("g=")).toSeq
+    assert(gDirs == Seq("g=1"))
+    val end = spark.read.parquet(s"$stateDir/chain/g=1/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // stream ≡ batch: the full pipeline over the union of all batches
+    val allDocs = (b0 ++ b1)
+      .map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val twin = graft.api.GraftPipelines.dupClusters(
+        graft.api.GraftPipelines.nearDuplicates(allDocs, 0.7))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(end == twin, s"stream $end must equal batch twin $twin")
+    // and the merge actually happened: 1,2,4,5,9 share one label,
+    // 10,11 keep their own
+    assert(Set(1L, 2L, 4L, 5L, 9L).map(end) == Set(1L))
+    assert(Set(10L, 11L).map(end) == Set(10L))
+    // sink deltas: batch 0 added both small clusters and {10,11};
+    // batch 1 added 9 and relabeled 4,5 onto the merged component
+    assert(deltas(0) == Set((1L, 1L), (2L, 1L), (4L, 4L), (5L, 4L),
+      (10L, 10L), (11L, 10L)))
+    assert(deltas(1) == Set((9L, 1L), (4L, 1L), (5L, 1L)))
+    // a fresh (non-owning) query over the maintained state refuses
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = EventStreaming.extendLoop(
+      mem2.toDF().toDF("doc_id", "text"), stateDir)()
+    try {
+      mem2.addData((20L, tC))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("different run") ||
+        Option(e.getCause).exists(_.getMessage.contains("different run")))
+    } finally q2.stop()
+    assert(spark.read.parquet(s"$stateDir/chain/g=1/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap == end)
+  }
+
   test("takedownLoop: two streamed delete batches maintain the chain " +
       "to exactly the from-scratch recompute on the remaining pairs, " +
       "old generations fold away, and the sink sees the invalidated " +
