@@ -845,12 +845,15 @@ object EventStreaming {
     *
     *  - `scheme/` — run-identity marker ([[takedownLoop]] discipline):
     *    a non-owning query refuses at batch 0 over maintained state.
-    *  - `bands/ing=<id>/`, `docs/ing=<id>/` — the batch's band rows and
-    *    (id, text) rows as idempotent per-batch overwrite dirs (the
-    *    [[knnMaintenanceLoop]] layout: a replay rewrites its own dir,
-    *    never double-appends). Reads additionally dedup defensively
-    *    (distinct band rows, one text row per doc), so the stores stay
-    *    correct even across torn replays.
+    *  - `bands/`, `docs/` — the batch's band rows and (id, text) rows
+    *    as flat DUP-TOLERANT append logs folded by
+    *    [[compactDupTolerantLog]] once the file count passes
+    *    `compactThreshold` (the [[ingestDedupLoop]] band-log
+    *    discipline — without folding, listing cost and file count grow
+    *    one-file-per-batch over an unbounded stream). Dup-tolerance is
+    *    by construction: every read dedups (distinct band rows, one
+    *    text row per doc), so a replayed batch's double-append and a
+    *    mid-compaction read are both harmless.
     *  - `chain/g=<id>/{pairs,labels}` — crash-safe generations exactly
     *    as in [[takedownLoop]]; extension is IDEMPOTENT (re-adding
     *    present pairs adds nothing and CC is deterministic), so a
@@ -867,7 +870,8 @@ object EventStreaming {
     */
   def extendLoop(docs: DataFrame, statePath: String,
       checkpointDir: Option[String] = None, minJaccard: Double = 0.7,
-      shingleN: Int = 3, seeds: Int = 8, bands: Int = 4)
+      shingleN: Int = 3, seeds: Int = 8, bands: Int = 4,
+      compactThreshold: Int = 64)
       (sink: (Dataset[Row], Long) => Unit = (_, _) => ()): StreamingQuery = {
     val runId = checkpointDir.getOrElse(
       s"uncheckpointed-${java.util.UUID.randomUUID()}")
@@ -926,9 +930,10 @@ object EventStreaming {
         // THIS batch — a replay overwrites its own b= dir
         val batchBands = graft.api.GraftPipelines
           .bandIndex(b, shingleN, seeds, bands)
-        batchBands.write.mode("overwrite")
-          .parquet(s"$statePath/bands/ing=$batchId")
-        b.write.mode("overwrite").parquet(s"$statePath/docs/ing=$batchId")
+        batchBands.write.mode("append").parquet(s"$statePath/bands")
+        b.write.mode("append").parquet(s"$statePath/docs")
+        compactDupTolerantLog(spark, s"$statePath/bands", compactThreshold)
+        compactDupTolerantLog(spark, s"$statePath/docs", compactThreshold)
         // accumulated stores (this batch's dirs included), deduped
         // defensively so torn replays can never double-count a word set
         val allBands = spark.read.parquet(s"$statePath/bands")

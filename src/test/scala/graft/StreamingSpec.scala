@@ -963,7 +963,8 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[(Long, String)]
     val deltas = scala.collection.mutable.Map[Long, Set[(Long, Long)]]()
     val query = EventStreaming.extendLoop(
-      mem.toDF().toDF("doc_id", "text"), stateDir) { (df, b) =>
+      mem.toDF().toDF("doc_id", "text"), stateDir,
+      compactThreshold = 2) { (df, b) =>
       deltas(b) = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     }
     try {
@@ -973,6 +974,12 @@ class StreamingSpec extends SparkSpec {
     val gDirs = new java.io.File(s"$stateDir/chain")
       .listFiles().map(_.getName).filter(_.startsWith("g=")).toSeq
     assert(gDirs == Seq("g=1"))
+    // the dup-tolerant stores folded once past compactThreshold: the
+    // band log holds at most threshold + one compacted segment's files
+    val bandFiles = new java.io.File(s"$stateDir/bands")
+      .listFiles().map(_.getName).count(_.startsWith("part-"))
+    assert(bandFiles <= 6,
+      s"band log should have folded, found $bandFiles part files")
     val end = spark.read.parquet(s"$stateDir/chain/g=1/labels")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     // stream ≡ batch: the full pipeline over the union of all batches
