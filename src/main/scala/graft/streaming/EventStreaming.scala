@@ -239,14 +239,44 @@ object EventStreaming {
     * re-scanned. A foreachBatch replay after a sink failure can append a
     * batch's bands twice — harmless for flag semantics, because the
     * candidate count dedups (batch, corpus) doc pairs before counting.
+    *
+    * Scheme discipline ([[StateScheme]]): a hidden `_scheme` marker
+    * inside the index pins `(shingleN, seeds, bands)` — appending band
+    * hashes from a DIFFERENT hash scheme to the same log would make
+    * new↔old candidate pairs silently never collide (missed
+    * duplicates, the silent-wrong-answer class), so a mismatched
+    * restart refuses loudly. The log itself is batch-id-agnostic
+    * (dup-tolerant append; flags derive from accumulated content, not
+    * trigger numbering), so a DIFFERENT query continuing ingest over
+    * the same index is semantically sound — but it must say so:
+    * `adoptExisting = true` is the deliberate continuation path, and
+    * the default refuses a foreign batch-0 start so an accidental
+    * re-stream of an already-ingested corpus (every doc flagged dup,
+    * zero new index growth) cannot happen silently.
     */
   def ingestDedupLoop(docs: DataFrame, indexPath: String,
       checkpointDir: Option[String] = None, shingleN: Int = 3,
       seeds: Int = 8, bands: Int = 4, id: String = "doc_id",
-      text: String = "text", compactThreshold: Int = 64)
-      (sink: (Dataset[Row], Long) => Unit): StreamingQuery =
+      text: String = "text", compactThreshold: Int = 64,
+      adoptExisting: Boolean = false)
+      (sink: (Dataset[Row], Long) => Unit): StreamingQuery = {
+    val runId = StateScheme.runIdentity(checkpointDir)
     deliver(docs, checkpointDir) { (batch, batchId) =>
       val spark = batch.sparkSession
+      val fs = StateScheme.fsFor(spark, indexPath)
+      val pinnedRun = StateScheme.ensure(spark, fs, s"$indexPath/_scheme",
+        s"n=$shingleN,seeds=$seeds,bands=$bands", runId, "ingestDedupLoop",
+        "band hashes from two hash schemes must never share one index " +
+          "(new↔old candidates would silently never collide)")
+      if (!adoptExisting)
+        StateScheme.refuseForeign("ingestDedupLoop", batchId, pinnedRun,
+          runId, {
+            val p = new org.apache.hadoop.fs.Path(indexPath)
+            fs.exists(p) && fs.listStatus(p).toSeq
+              .exists(_.getPath.getName.startsWith("part-"))
+          }, s"the band index at $indexPath",
+          "pass adoptExisting = true to deliberately continue ingest " +
+            "into this index")
       val index =
         try spark.read.parquet(indexPath)
         catch {
@@ -268,6 +298,7 @@ object EventStreaming {
         .write.mode("append").parquet(indexPath)
       compactDupTolerantLog(spark, indexPath, compactThreshold)
     }
+  }
 
   /** Streaming decontamination gate: flag every arriving doc's n-gram
     * overlap with a persisted eval gram set at INGEST time — dropping
@@ -330,16 +361,46 @@ object EventStreaming {
     * however a retried batch whose digests already landed emits no
     * survivors on the retry — the sink must treat emissions as
     * at-least-once per batch id, not per doc.
+    *
+    * Scheme discipline ([[StateScheme]]): the marker pins EVERY
+    * parameter that shapes the state logs — the gates decide which
+    * docs enter `digests/`/`docs/`, the hash scheme shapes `bands/` —
+    * so a mismatched restart refuses instead of mixing two curation
+    * policies in one corpus state. The logs are batch-id-agnostic
+    * appends, so `adoptExisting = true` is the deliberate
+    * continue-with-a-new-query path ([[ingestDedupLoop]] contract).
     */
   def curationIngest(docs: DataFrame, evalGramsPath: String,
       statePath: String, checkpointDir: Option[String] = None,
       stopwords: Seq[String] = graft.api.GraftPipelines.DefaultStopwords,
       nGram: Int = 5, minScore: Double = 0.45, minWords: Int = 5,
       minJaccard: Double = 0.7, shingleN: Int = 3, seeds: Int = 8,
-      bands: Int = 4, id: String = "doc_id", text: String = "text")
-      (sink: (Dataset[Row], Long) => Unit): StreamingQuery =
+      bands: Int = 4, id: String = "doc_id", text: String = "text",
+      adoptExisting: Boolean = false)
+      (sink: (Dataset[Row], Long) => Unit): StreamingQuery = {
+    val runId = StateScheme.runIdentity(checkpointDir)
+    val paramFp = {
+      val sw = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(stopwords.mkString(" ").getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString
+      s"ng=$nGram,score=$minScore,words=$minWords,j=$minJaccard," +
+        s"n=$shingleN,seeds=$seeds,bands=$bands,sw=$sw"
+    }
     deliver(docs, checkpointDir) { (batch0, batchId) =>
       val spark = batch0.sparkSession
+      val schemeFs = StateScheme.fsFor(spark, statePath)
+      val pinnedRun = StateScheme.ensure(spark, schemeFs,
+        s"$statePath/scheme", paramFp, runId, "curationIngest",
+        "state logs written under two curation policies or hash " +
+          "schemes must never mix (missed duplicates and inconsistent " +
+          "gates are silent wrong answers)")
+      if (!adoptExisting)
+        StateScheme.refuseForeign("curationIngest", batchId, pinnedRun,
+          runId, Seq("digests", "docs", "bands").exists { sub =>
+            schemeFs.exists(new org.apache.hadoop.fs.Path(s"$statePath/$sub"))
+          }, s"the curation state at $statePath",
+          "pass adoptExisting = true to deliberately continue ingest " +
+            "into this state")
       val P = graft.api.GraftPipelines
       def readLog(sub: String, bootstrap: => DataFrame): DataFrame =
         try spark.read.parquet(s"$statePath/$sub")
@@ -407,6 +468,7 @@ object EventStreaming {
         .write.mode("append").parquet(s"$statePath/docs")
       batchBands.write.mode("append").parquet(s"$statePath/bands")
     }
+  }
 
   /** Streaming inverted-index maintenance: per micro-batch, append the
     * batch docs' (id, term) posting rows to an append-only parquet log —
@@ -418,20 +480,45 @@ object EventStreaming {
     * dedup cancels it). Per-trigger work is O(batch terms) — the corpus
     * is never re-tokenized, and the log grows with corpus content, not
     * with read traffic.
+    *
+    * Scheme discipline ([[StateScheme]], the [[ingestDedupLoop]]
+    * shape): the hidden `_scheme` marker pins the tokenization scheme
+    * (postings from two tokenizers in one log would make term lookups
+    * silently partial), and a foreign batch-0 start over an existing
+    * log refuses unless `adoptExisting = true` names the continuation
+    * deliberately — the append log itself is batch-id-agnostic.
     */
   def indexIngestLoop(docs: DataFrame, postingsPath: String,
       checkpointDir: Option[String] = None, id: String = "doc_id",
-      text: String = "text", compactThreshold: Int = 64)
-      (sink: (Dataset[Row], Long) => Unit): StreamingQuery =
+      text: String = "text", compactThreshold: Int = 64,
+      adoptExisting: Boolean = false)
+      (sink: (Dataset[Row], Long) => Unit): StreamingQuery = {
+    val runId = StateScheme.runIdentity(checkpointDir)
     deliver(docs, checkpointDir) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      val fs = StateScheme.fsFor(spark, postingsPath)
+      val pinnedRun = StateScheme.ensure(spark, fs,
+        s"$postingsPath/_scheme", "tok=ws-unigram", runId,
+        "indexIngestLoop",
+        "postings from two tokenization schemes must never share one " +
+          "log (term lookups would be silently partial)")
+      if (!adoptExisting)
+        StateScheme.refuseForeign("indexIngestLoop", batchId, pinnedRun,
+          runId, {
+            val p = new org.apache.hadoop.fs.Path(postingsPath)
+            fs.exists(p) && fs.listStatus(p).toSeq
+              .exists(_.getPath.getName.startsWith("part-"))
+          }, s"the postings log at $postingsPath",
+          "pass adoptExisting = true to deliberately continue ingest " +
+            "into this log")
       val postings = graft.api.GraftPipelines
         .postingsOf(batch.toDF, id, text)
         .localCheckpoint()
       postings.write.mode("append").parquet(postingsPath)
       sink(postings, batchId)
-      compactDupTolerantLog(batch.sparkSession, postingsPath,
-        compactThreshold)
+      compactDupTolerantLog(spark, postingsPath, compactThreshold)
     }
+  }
 
   /** Fold a flat append-only parquet log into a few files once its
     * data-file count exceeds `threshold`: read the CURRENT part files,
@@ -482,11 +569,17 @@ object EventStreaming {
     * I/O proportional to the DELTA, not the corpus. State under
     * `statePath`:
     *
-    *  - `scheme/` — a 1-row (k, lsh_bits) marker written at bootstrap;
-    *    every later batch `require`s it matches, because edges built
-    *    under one bucketing are meaningless under another — restarting
-    *    with a widened `lshBits` against existing state must fail
-    *    loudly and force a rebuild, never silently corrupt the graph.
+    *  - `scheme/` — the (params, run-identity) marker
+    *    ([[StateScheme]], crash-safe tmp→rename publication): every
+    *    batch `require`s (k, lshBits) match, because edges built under
+    *    one bucketing are meaningless under another — restarting with
+    *    a widened `lshBits` against existing state must fail loudly
+    *    and force a rebuild, never silently corrupt the graph. And a
+    *    query that does NOT own the state (fresh or absent checkpoint
+    *    — batch ids restart at 0) refuses over existing vectors: its
+    *    b=0 overwrite would silently replace the owner's first batch
+    *    while stale b=N dirs persist — a mixed-run graph no parameter
+    *    check can catch.
     *  - `vectors/b=<batchId>/bucket=<v>/` — each batch's vectors,
     *    bucket-partitioned; append-only corpus expressed as idempotent
     *    per-batch directory overwrites (a replayed batch rewrites only
@@ -529,16 +622,15 @@ object EventStreaming {
   def knnMaintenanceLoop(vectors: DataFrame, statePath: String,
       k: Int = 3, lshBits: Int = 8,
       checkpointDir: Option[String] = None, compactEvery: Int = 8)
-      (sink: (Dataset[Row], Long) => Unit = (_, _) => ()): StreamingQuery =
+      (sink: (Dataset[Row], Long) => Unit = (_, _) => ()): StreamingQuery = {
+    val runId = StateScheme.runIdentity(checkpointDir)
     deliver(vectors, checkpointDir) { (batch, batchId) =>
       require(compactEvery >= 2,
         s"compactEvery must be >= 2, got $compactEvery")
       val spark = batch.sparkSession
       val vPath = s"$statePath/vectors"
       val ePath = s"$statePath/edges"
-      val sPath = s"$statePath/scheme"
-      val fs = new org.apache.hadoop.fs.Path(statePath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fs = StateScheme.fsFor(spark, statePath)
       def subdirs(path: String, prefix: String): Seq[(Long, String)] = {
         val hPath = new org.apache.hadoop.fs.Path(path)
         if (fs.exists(hPath))
@@ -547,19 +639,15 @@ object EventStreaming {
             .map(n => n.stripPrefix(prefix).toLong -> s"$path/$n")
         else Seq.empty
       }
-      if (fs.exists(new org.apache.hadoop.fs.Path(sPath))) {
-        val sch = spark.read.parquet(sPath).head()
-        require(sch.getAs[Int]("k") == k &&
-          sch.getAs[Int]("lsh_bits") == lshBits,
-          s"knnMaintenanceLoop state at $statePath was built with " +
-            s"(k=${sch.getAs[Int]("k")}, lshBits=${sch.getAs[Int]("lsh_bits")}); " +
-            s"restarting with (k=$k, lshBits=$lshBits) would corrupt " +
-            "the graph — rebuild the state instead")
-      } else {
-        import spark.implicits._
-        Seq((k, lshBits)).toDF("k", "lsh_bits")
-          .write.mode("overwrite").parquet(sPath)
-      }
+      val pinnedRun = StateScheme.ensure(spark, fs, s"$statePath/scheme",
+        s"k=$k,lshBits=$lshBits", runId, "knnMaintenanceLoop",
+        "edges built under one (k, lshBits) bucketing are meaningless " +
+          "under another — continuing would corrupt the graph")
+      StateScheme.refuseForeign("knnMaintenanceLoop", batchId, pinnedRun,
+        runId, subdirs(vPath, "b=").nonEmpty || subdirs(vPath, "c=").nonEmpty,
+        s"the vector/edge state at $statePath",
+        "its b=0 overwrite would silently replace the owner's first " +
+          "batch while stale b=N dirs persist — a mixed-run graph")
       val delta = batch.toDF.withColumn("bucket",
           graft.api.GraftPipelines.signLshBucket(col("embedding"), lshBits, 0))
         .localCheckpoint()
@@ -631,31 +719,8 @@ object EventStreaming {
       }
       sink(recomputed.drop("bucket"), batchId)
     }
+  }
 
-  /** Streaming MERGE/upsert maintenance: keep a keyed snapshot current
-    * against an update stream — the streaming twin of the batch
-    * `rel_merge_upsert` ([[graft.operators.MaintenanceOps]]). Per
-    * micro-batch:
-    *
-    *  1. reduce the batch to its latest update per key (`seq` orders
-    *     versions within a key; it must be non-null and unique per key
-    *     within a batch, the usual event-version contract — ENFORCED:
-    *     a violating batch fails the query rather than silently picking
-    *     an arbitrary winner);
-    *  2. read the PREVIOUS snapshot version — the greatest `v=` dir
-    *     strictly below this batchId, never one this attempt may have
-    *     half-written, so a foreachBatch replay re-reads intact input
-    *     and overwrites only its own output: exactly-once by
-    *     idempotent rewrite;
-    *  3. full-outer merge on the key, entire-row latest-wins;
-    *  4. write snapshot `v=batchId` — copy-on-write versioning, the
-    *     model production table formats use (old versions remain for
-    *     time travel until vacuumed).
-    *
-    * At 100 TB the per-trigger merge is the same keyed full-outer
-    * shuffle as the batch form (partition-prunable to touched keys);
-    * the version listing is a metadata-only FS call.
-    */
   /** Streaming classification of incoming embedding vectors against a
     * FROZEN k-means fit — the streaming consumer of the batch serve
     * split's persisted centroids (`SimilarityOps.kmeansFitServed`):
@@ -711,75 +776,31 @@ object EventStreaming {
       java.security.MessageDigest.getInstance("SHA-256")
         .digest(rows.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
-    // Run identity, pinned in the scheme marker alongside the
-    // fingerprint: only the run that OWNS an assignment log (same
-    // checkpointDir, so batch ids resume monotonically) may keep
-    // appending to it. Any OTHER query — un-checkpointed, or started
-    // with a fresh checkpoint over the same statePath — restarts at
-    // batch 0, and its b=0 overwrite would clobber the prior run's
-    // first batch while stranding its later ones: a mixed log the
-    // centroid fingerprint cannot catch when the fit is unchanged.
-    val runId = checkpointDir.getOrElse(
-      s"uncheckpointed-${java.util.UUID.randomUUID()}")
+    // Run identity + marker via the shared [[StateScheme]] discipline:
+    // only the run that OWNS an assignment log (same checkpointDir, so
+    // batch ids resume monotonically) may keep appending to it. Any
+    // OTHER query — un-checkpointed, or started with a fresh
+    // checkpoint over the same statePath — restarts at batch 0, and
+    // its b=0 overwrite would clobber the prior run's first batch
+    // while stranding its later ones: a mixed log the centroid
+    // fingerprint cannot catch when the fit is unchanged (caught by
+    // the torn-scheme spec before the guard existed: 100 of 200
+    // assignments vanished).
+    val runId = StateScheme.runIdentity(checkpointDir)
     deliver(vectors, checkpointDir) { (batch, batchId) =>
       val spark = batch.sparkSession
-      import spark.implicits._
-      val sPath = new org.apache.hadoop.fs.Path(s"$statePath/scheme")
-      val fs = new org.apache.hadoop.fs.Path(statePath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(sPath)) {
-        // atomic publication (the GraftIO.buildOnce discipline in
-        // Hadoop-FS terms): build in a pid-private temp dir, publish
-        // with one rename — a crash mid-write leaves only a tmp dir
-        // (next start rebuilds), never a torn scheme/ that wedges
-        // every restart with a schema-inference error
-        val tmp = new org.apache.hadoop.fs.Path(
-          s"$statePath/scheme.tmp-${ProcessHandle.current().pid()}")
-        Seq((fp, runId)).toDF("fp", "run")
-          .write.mode("overwrite").parquet(tmp.toString)
-        if (!fs.rename(tmp, sPath)) fs.delete(tmp, true) // lost the race
-        // rename(src, dst) with an EXISTING directory dst moves src
-        // INTO dst and returns true (Hadoop FS semantics, HDFS and
-        // RawLocalFileSystem alike), so losing the publish race can
-        // also land our tmp dir nested under the winner's scheme/ —
-        // where its parquet files would read back as extra scheme
-        // rows and make the .head() below nondeterministic. Detect
-        // and remove the nested copy; the winner's marker stands.
-        val nested = new org.apache.hadoop.fs.Path(sPath, tmp.getName)
-        if (fs.exists(nested)) fs.delete(nested, true)
-      }
-      val scheme = spark.read.parquet(sPath.toString).head()
-      val pinned = scheme.getAs[String]("fp")
-      require(pinned == fp,
-        s"clusterAssignLoop state at $statePath was built against a " +
-          s"different centroid table (pinned $pinned, got $fp) — " +
-          "mixing two clusterings in one assignment log would be a " +
-          "silent wrong answer; rebuild the state or pass the " +
-          "original fit")
-      // Overwriting b=<batchId> is only replay-safe when batch ids are
-      // monotonic across restarts — i.e. when THIS query owns the log:
-      // it resumes from the checkpoint the marker pinned. Any other
-      // query restarts at batch 0, so its b=0 write would silently
-      // clobber the prior run's first batch in the same state dir
-      // (caught by the torn-scheme spec: 100 of 200 assignments
-      // vanished) — whether it is un-checkpointed OR checkpointed
-      // somewhere fresh; refuse loudly either way. A marker predating
-      // the run column reads as unknown ownership and also refuses —
-      // loud, never silent.
-      val pinnedRun =
-        if (scheme.schema.fieldNames.contains("run"))
-          scheme.getAs[String]("run")
-        else null
-      if (batchId == 0 && pinnedRun != runId &&
-          fs.exists(new org.apache.hadoop.fs.Path(s"$statePath/assign")))
-        throw new IllegalStateException(
-          s"clusterAssignLoop: $statePath/assign already holds " +
-            "assignments owned by a different run " +
-            s"(pinned ${Option(pinnedRun).getOrElse("<legacy marker>")}, " +
-            s"got $runId) but this query starts at batch 0 — its b=0 " +
-            "write would silently overwrite the prior run's first " +
-            "batch; resume with the original checkpoint" +
-            "Dir or use a fresh statePath")
+      val fs = StateScheme.fsFor(spark, statePath)
+      val pinnedRun = StateScheme.ensure(spark, fs, s"$statePath/scheme",
+        fp, runId, "clusterAssignLoop",
+        "the fingerprint pins the centroid table (cluster ids + exact " +
+          "float bits) — mixing two clusterings in one assignment log " +
+          "would be a silent wrong answer")
+      StateScheme.refuseForeign("clusterAssignLoop", batchId, pinnedRun,
+        runId,
+        fs.exists(new org.apache.hadoop.fs.Path(s"$statePath/assign")),
+        s"the assignment log at $statePath/assign",
+        "its b=0 write would silently overwrite the prior run's first " +
+          "batch while stranding its later ones")
       val asg = graft.api.GraftPipelines
         .assignToCentroids(batch.toDF, cent)
         .select(col("vec_id"), col("cluster"), col("ccos"))
@@ -788,46 +809,6 @@ object EventStreaming {
     }
   }
 
-  /** Streaming takedown maintenance of the near-dup cluster chain —
-    * the streaming consumer of the batch retraction algebra
-    * ([[graft.operators.DedupOps]]'s `retractChain`, oracle-checked as
-    * `llm_dedup_retract`): delete batches (doc ids to forget) arrive
-    * as a stream, and the persisted chain (surviving verified pairs +
-    * cluster label map) is re-published per trigger without ever
-    * re-shingling corpus text. Per-trigger work is O(pairs) for the
-    * retraction anti-joins plus connected components over ONLY
-    * deletion-affected clusters — a takedown naming millions of docs
-    * still touches a vanishing fraction of a 100 TB corpus's clusters,
-    * and untouched components' labels pass straight through.
-    *
-    * State under `statePath`:
-    *
-    *  - `scheme/` — (seed fingerprint, run identity) marker, the
-    *    [[clusterAssignLoop]] discipline: the seed chain is
-    *    fingerprinted by an order-independent aggregate (count + xor
-    *    of per-row hashes — the chain tables are pair-count-sized, too
-    *    big to collect like the k-row centroid table), so restarting
-    *    against a DIFFERENT seed refuses loudly; and any query that
-    *    does not own the state (fresh or absent checkpoint) refuses at
-    *    batch 0 over already-maintained state instead of silently
-    *    rewinding it to the seed.
-    *  - `chain/g=<id>/{pairs,labels}` — one generation per trigger
-    *    (id = batchId; the caller's seed publishes as `g=-1` at
-    *    bootstrap). A batch reads the newest published generation with
-    *    id <= batchId, applies its deletes, publishes its own
-    *    generation crash-safely (pid-private tmp dir + one rename),
-    *    and deletes older generations only AFTER the sink returns.
-    *    Retraction is IDEMPOTENT — deleting already-absent docs
-    *    retracts no pairs and touches no clusters — so an
-    *    at-least-once replay that lands on its own published
-    *    generation rewrites identical content, and if a crash wiped
-    *    every generation, bootstrap re-seeds from the caller's frames
-    *    and the replayed batch recomputes deterministically.
-    *
-    * The sink sees the label rows the batch INVALIDATED (docs dropped
-    * from the map or moved to a split component's new label); readers
-    * consume the newest `chain/g=` generation directly.
-    */
   /** Streaming ingest maintenance of the near-dup cluster map — the
     * ADDITION twin of [[takedownLoop]], and the cluster-level upgrade
     * of [[ingestDedupLoop]]'s per-doc flags: document batches arrive
@@ -873,68 +854,68 @@ object EventStreaming {
       shingleN: Int = 3, seeds: Int = 8, bands: Int = 4,
       compactThreshold: Int = 64)
       (sink: (Dataset[Row], Long) => Unit = (_, _) => ()): StreamingQuery = {
-    val runId = checkpointDir.getOrElse(
-      s"uncheckpointed-${java.util.UUID.randomUUID()}")
+    val runId = StateScheme.runIdentity(checkpointDir)
     deliver(docs, checkpointDir) { (batch, batchId) =>
       val spark = batch.sparkSession
       import spark.implicits._
-      val fs = new org.apache.hadoop.fs.Path(statePath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val sPath = new org.apache.hadoop.fs.Path(s"$statePath/scheme")
-      if (!fs.exists(sPath)) {
-        val tmp = new org.apache.hadoop.fs.Path(
-          s"$statePath/scheme.tmp-${ProcessHandle.current().pid()}")
-        Seq((s"j=$minJaccard,n=$shingleN,seeds=$seeds,bands=$bands", runId))
-          .toDF("fp", "run").write.mode("overwrite").parquet(tmp.toString)
-        if (!fs.rename(tmp, sPath)) fs.delete(tmp, true)
-        val nested = new org.apache.hadoop.fs.Path(sPath, tmp.getName)
-        if (fs.exists(nested)) fs.delete(nested, true)
-      }
-      val scheme = spark.read.parquet(sPath.toString).head()
-      val params = s"j=$minJaccard,n=$shingleN,seeds=$seeds,bands=$bands"
-      require(scheme.getAs[String]("fp") == params,
-        s"extendLoop state at $statePath was built under different " +
-          s"parameters (pinned ${scheme.getAs[String]("fp")}, got " +
-          s"$params) — bands/pairs from two hash schemes must never mix; " +
-          "rebuild the state or restore the original parameters")
-      val chainPath = new org.apache.hadoop.fs.Path(s"$statePath/chain")
+      val fs = StateScheme.fsFor(spark, statePath)
+      val chainRoot = s"$statePath/chain"
+      val pinnedRun = StateScheme.ensure(spark, fs, s"$statePath/scheme",
+        s"j=$minJaccard,n=$shingleN,seeds=$seeds,bands=$bands", runId,
+        "extendLoop",
+        "bands/pairs from two hash schemes must never mix")
+      val chainPath = new org.apache.hadoop.fs.Path(chainRoot)
       def gens(): Seq[Long] =
         if (!fs.exists(chainPath)) Seq.empty
         else fs.listStatus(chainPath).toSeq.map(_.getPath.getName)
           .filter(_.startsWith("g=")).map(_.stripPrefix("g=").toLong)
-      if (batchId == 0 && scheme.getAs[String]("run") != runId &&
-          gens().exists(_ >= 0))
-        throw new IllegalStateException(
-          s"extendLoop: $statePath/chain already holds maintained " +
-            s"generations owned by a different run (pinned " +
-            s"${scheme.getAs[String]("run")}, got $runId) but this query " +
-            "starts at batch 0 — rewinding the chain would drop ingested " +
-            "docs from the map; resume with the original checkpointDir " +
-            "or use a fresh statePath")
-      def publish(id: Long, pairs: DataFrame, labels: DataFrame): Unit = {
-        val tmp = new org.apache.hadoop.fs.Path(
-          s"$statePath/chain/tmpg-${ProcessHandle.current().pid()}-$id")
-        pairs.write.mode("overwrite").parquet(s"$tmp/pairs")
-        labels.write.mode("overwrite").parquet(s"$tmp/labels")
-        val dst = new org.apache.hadoop.fs.Path(s"$statePath/chain/g=$id")
-        if (fs.exists(dst)) fs.delete(dst, true)
-        if (!fs.rename(tmp, dst)) fs.delete(tmp, true)
-      }
+      StateScheme.refuseForeign("extendLoop", batchId, pinnedRun, runId,
+        gens().exists(_ >= 0), s"the maintained chain at $chainRoot",
+        "rewinding the chain would drop ingested docs from the map")
       if (gens().isEmpty)
-        publish(-1L, Seq.empty[(Long, Long)].toDF("d1", "d2"),
-          Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"))
+        publishGeneration(fs, chainRoot, -1L, Seq(
+          "pairs" -> Seq.empty[(Long, Long)].toDF("d1", "d2"),
+          "labels" -> Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")))
+      val allGens = gens()
+      val priorBelow = allGens.filter(_ < batchId).maxOption
+      if (allGens.contains(batchId)) {
+        // REPLAY landing on this batch's own published generation (the
+        // first attempt crashed after publish): the published content
+        // is final — the recompute is deterministic and
+        // [[publishGeneration]] never deletes a live generation, so
+        // recovery is a pure read. Re-deliver the delta from stable
+        // files when the pre-publish generation still exists (the fold
+        // below had not run), else the sink already saw it — empty
+        // redelivery, the at-least-once contract.
+        priorBelow match {
+          case Some(p) =>
+            val published =
+              spark.read.parquet(s"$chainRoot/g=$batchId/labels")
+            val pLabels = spark.read.parquet(s"$chainRoot/g=$p/labels")
+            sink(published.join(pLabels, Seq("doc_id", "cluster_id"),
+              "left_anti"), batchId)
+            allGens.filter(_ < batchId).foreach { g =>
+              fs.delete(new org.apache.hadoop.fs.Path(
+                s"$chainRoot/g=$g"), true)
+            }
+          case None =>
+            sink(Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"),
+              batchId)
+        }
+      } else {
       val b = batch.toDF.select(col("doc_id").cast("long").as("doc_id"),
         col("text").cast("string").as("text"))
       if (!b.isEmpty) {
-        // idempotent per-batch stores: bands of THIS batch, text of
-        // THIS batch — a replay overwrites its own b= dir
+        // dup-tolerant flat append logs: bands of THIS batch, text of
+        // THIS batch — a replayed batch re-appends, and every read
+        // below dedups, so the double rows are harmless
         val batchBands = graft.api.GraftPipelines
           .bandIndex(b, shingleN, seeds, bands)
         batchBands.write.mode("append").parquet(s"$statePath/bands")
         b.write.mode("append").parquet(s"$statePath/docs")
         compactDupTolerantLog(spark, s"$statePath/bands", compactThreshold)
         compactDupTolerantLog(spark, s"$statePath/docs", compactThreshold)
-        // accumulated stores (this batch's dirs included), deduped
+        // accumulated stores (this batch's rows included), deduped
         // defensively so torn replays can never double-count a word set
         val allBands = spark.read.parquet(s"$statePath/bands")
           .select(col("doc_id"), col("b")).distinct()
@@ -954,39 +935,85 @@ object EventStreaming {
         val newPairs = graft.api.GraftPipelines
           .nearDuplicatesFromCandidates(allDocs, cands, minJaccard)
           .select(col("d1"), col("d2"))
-        val prior = gens().filter(_ <= batchId).max
+        val prior = priorBelow.get // bootstrap guaranteed g=-1
         val pPairs =
-          spark.read.parquet(s"$statePath/chain/g=$prior/pairs")
+          spark.read.parquet(s"$chainRoot/g=$prior/pairs")
         val pLabels =
-          spark.read.parquet(s"$statePath/chain/g=$prior/labels")
+          spark.read.parquet(s"$chainRoot/g=$prior/labels")
         // materialize once: consumed by extendChain AND the pair union
         val np = newPairs.localCheckpoint()
         val next = graft.operators.DedupOps
           .extendChain(spark, pPairs, pLabels, np)
-        publish(batchId,
-          pPairs.select(col("d1"), col("d2")).union(np).distinct(), next)
+        publishGeneration(fs, chainRoot, batchId, Seq(
+          "pairs" -> pPairs.select(col("d1"), col("d2")).union(np)
+            .distinct(),
+          "labels" -> next))
         val published =
-          spark.read.parquet(s"$statePath/chain/g=$batchId/labels")
+          spark.read.parquet(s"$chainRoot/g=$batchId/labels")
         // delta = rows current now that were not current before (new
-        // docs entering the map + merge relabels); prior files still
-        // exist — older generations fold only after the sink returns
+        // docs entering the map + merge relabels); the g=prior files
+        // this joins still exist — publish never deletes, and older
+        // generations fold only after the sink returns
         sink(published.join(pLabels, Seq("doc_id", "cluster_id"),
           "left_anti"), batchId)
         gens().filter(_ < batchId).foreach { g =>
           fs.delete(new org.apache.hadoop.fs.Path(
-            s"$statePath/chain/g=$g"), true)
+            s"$chainRoot/g=$g"), true)
         }
       } else sink(Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"),
         batchId)
+      }
     }
   }
 
+  /** Streaming takedown maintenance of the near-dup cluster chain —
+    * the streaming consumer of the batch retraction algebra
+    * ([[graft.operators.DedupOps]]'s `retractChain`, oracle-checked as
+    * `llm_dedup_retract`): delete batches (doc ids to forget) arrive
+    * as a stream, and the persisted chain (surviving verified pairs +
+    * cluster label map) is re-published per trigger without ever
+    * re-shingling corpus text. Per-trigger work is O(pairs) for the
+    * retraction anti-joins plus connected components over ONLY
+    * deletion-affected clusters — a takedown naming millions of docs
+    * still touches a vanishing fraction of a 100 TB corpus's clusters,
+    * and untouched components' labels pass straight through.
+    *
+    * State under `statePath`:
+    *
+    *  - `scheme/` — (seed fingerprint, run identity) marker, the
+    *    shared [[StateScheme]] discipline: the seed chain is
+    *    fingerprinted by an order-independent aggregate (count + xor
+    *    of per-row hashes — the chain tables are pair-count-sized, too
+    *    big to collect like the k-row centroid table), so restarting
+    *    against a DIFFERENT seed refuses loudly; and any query that
+    *    does not own the state (fresh or absent checkpoint) refuses at
+    *    batch 0 over already-maintained state instead of silently
+    *    rewinding it to the seed.
+    *  - `chain/g=<id>/{pairs,labels}` — one generation per trigger
+    *    (id = batchId; the caller's seed publishes as `g=-1` at
+    *    bootstrap). A batch reads the newest published generation
+    *    BELOW its id, applies its deletes, publishes its own
+    *    generation crash-safely ([[publishGeneration]]: pid-private
+    *    tmp dir + one rename, never deleting a live generation), and
+    *    folds older generations only AFTER the sink returns. A replay
+    *    landing on its OWN published generation therefore skips the
+    *    recompute — the published content is final (retraction is
+    *    deterministic and idempotent) — and re-delivers the
+    *    invalidated-label delta from stable files while the
+    *    pre-publish generation still exists, or an empty frame once
+    *    the fold already committed (at-least-once delivery). No code
+    *    path ever deletes the newest generation, so taken-down docs
+    *    can never resurrect through a crash window.
+    *
+    * The sink sees the label rows the batch INVALIDATED (docs dropped
+    * from the map or moved to a split component's new label); readers
+    * consume the newest `chain/g=` generation directly.
+    */
   def takedownLoop(deletes: DataFrame, seedPairs: DataFrame,
       seedLabels: DataFrame, statePath: String,
       checkpointDir: Option[String] = None)
       (sink: (Dataset[Row], Long) => Unit = (_, _) => ()): StreamingQuery = {
-    val runId = checkpointDir.getOrElse(
-      s"uncheckpointed-${java.util.UUID.randomUUID()}")
+    val runId = StateScheme.runIdentity(checkpointDir)
     def tableFp(df: DataFrame): String = {
       val cols = df.columns.toSeq
       val r = df.select(xxhash64(cols.map(col): _*).as("h"))
@@ -998,86 +1025,129 @@ object EventStreaming {
     deliver(deletes, checkpointDir) { (batch, batchId) =>
       val spark = batch.sparkSession
       import spark.implicits._
-      val fs = new org.apache.hadoop.fs.Path(statePath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val sPath = new org.apache.hadoop.fs.Path(s"$statePath/scheme")
-      if (!fs.exists(sPath)) {
-        // atomic publication; see clusterAssignLoop for the race notes
-        val tmp = new org.apache.hadoop.fs.Path(
-          s"$statePath/scheme.tmp-${ProcessHandle.current().pid()}")
-        Seq((fp, runId)).toDF("fp", "run")
-          .write.mode("overwrite").parquet(tmp.toString)
-        if (!fs.rename(tmp, sPath)) fs.delete(tmp, true)
-        val nested = new org.apache.hadoop.fs.Path(sPath, tmp.getName)
-        if (fs.exists(nested)) fs.delete(nested, true)
-      }
-      val scheme = spark.read.parquet(sPath.toString).head()
-      require(scheme.getAs[String]("fp") == fp,
-        s"takedownLoop state at $statePath was seeded from a different " +
-          s"chain (pinned ${scheme.getAs[String]("fp")}, got $fp) — " +
-          "applying takedowns across two different dedup chains would " +
-          "be a silent wrong answer; rebuild the state or pass the " +
-          "original seed")
-      val chainPath = new org.apache.hadoop.fs.Path(s"$statePath/chain")
+      val fs = StateScheme.fsFor(spark, statePath)
+      val chainRoot = s"$statePath/chain"
+      val pinnedRun = StateScheme.ensure(spark, fs, s"$statePath/scheme",
+        fp, runId, "takedownLoop",
+        "the fingerprint pins the seed chain — applying takedowns " +
+          "across two different dedup chains would be a silent wrong " +
+          "answer")
+      val chainPath = new org.apache.hadoop.fs.Path(chainRoot)
       def gens(): Seq[Long] =
         if (!fs.exists(chainPath)) Seq.empty
         else fs.listStatus(chainPath).toSeq.map(_.getPath.getName)
           .filter(_.startsWith("g=")).map(_.stripPrefix("g=").toLong)
-      if (batchId == 0 && scheme.getAs[String]("run") != runId &&
-          gens().exists(_ >= 0))
-        throw new IllegalStateException(
-          s"takedownLoop: $statePath/chain already holds maintained " +
-            s"generations owned by a different run (pinned " +
-            s"${scheme.getAs[String]("run")}, got $runId) but this " +
-            "query starts at batch 0 — rewinding the chain to an " +
-            "older generation would resurrect taken-down docs; resume " +
-            "with the original checkpointDir or use a fresh statePath")
-      def publish(id: Long, pairs: DataFrame, labels: DataFrame): Unit = {
-        val tmp = new org.apache.hadoop.fs.Path(
-          s"$statePath/chain/tmpg-${ProcessHandle.current().pid()}-$id")
-        pairs.write.mode("overwrite").parquet(s"$tmp/pairs")
-        labels.write.mode("overwrite").parquet(s"$tmp/labels")
-        val dst = new org.apache.hadoop.fs.Path(s"$statePath/chain/g=$id")
-        // a replayed batch rewrites its own generation: the recompute
-        // is deterministic from the prior generation + the same batch
-        if (fs.exists(dst)) fs.delete(dst, true)
-        if (!fs.rename(tmp, dst)) fs.delete(tmp, true)
-      }
+      StateScheme.refuseForeign("takedownLoop", batchId, pinnedRun, runId,
+        gens().exists(_ >= 0), s"the maintained chain at $chainRoot",
+        "rewinding the chain to an older generation would resurrect " +
+          "taken-down docs")
       if (gens().isEmpty)
-        publish(-1L, seedPairs.select(col("d1"), col("d2")),
-          seedLabels.select(col("doc_id"), col("cluster_id")))
+        publishGeneration(fs, chainRoot, -1L, Seq(
+          "pairs" -> seedPairs.select(col("d1"), col("d2")),
+          "labels" -> seedLabels.select(col("doc_id"), col("cluster_id"))))
+      val allGens = gens()
+      val priorBelow = allGens.filter(_ < batchId).maxOption
       val del = batch.toDF
         .select(col(batch.columns.head).cast("long").as("del_id"))
         .distinct()
-      if (!del.isEmpty) {
-        val prior = gens().filter(_ <= batchId).max
-        val pPairs = spark.read.parquet(s"$statePath/chain/g=$prior/pairs")
+      if (allGens.contains(batchId)) {
+        // REPLAY landing on this batch's own published generation: the
+        // published content is final (see the scaladoc) — re-deliver
+        // the invalidated delta from stable files when the pre-publish
+        // generation survives, else the sink already saw it.
+        priorBelow match {
+          case Some(p) =>
+            val published =
+              spark.read.parquet(s"$chainRoot/g=$batchId/labels")
+            val pLabels = spark.read.parquet(s"$chainRoot/g=$p/labels")
+            sink(pLabels.join(published, Seq("doc_id", "cluster_id"),
+              "left_anti"), batchId)
+            allGens.filter(_ < batchId).foreach { g =>
+              fs.delete(new org.apache.hadoop.fs.Path(
+                s"$chainRoot/g=$g"), true)
+            }
+          case None =>
+            sink(Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"),
+              batchId)
+        }
+      } else if (!del.isEmpty) {
+        val prior = priorBelow.get // bootstrap guaranteed g=-1
+        val pPairs = spark.read.parquet(s"$chainRoot/g=$prior/pairs")
         val pLabels =
-          spark.read.parquet(s"$statePath/chain/g=$prior/labels")
+          spark.read.parquet(s"$chainRoot/g=$prior/labels")
         val (kept, next) = graft.operators.DedupOps
           .retractChain(spark, pPairs, pLabels, del)
-        publish(batchId, kept, next)
+        publishGeneration(fs, chainRoot, batchId,
+          Seq("pairs" -> kept, "labels" -> next))
         // invalidated = prior labels no longer current; computed while
-        // the prior generation's files still exist, against the
-        // PUBLISHED read-back (stable files, not the lazy plan)
+        // the prior generation's files still exist (publish never
+        // deletes), against the PUBLISHED read-back (stable files,
+        // not the lazy plan)
         val published =
-          spark.read.parquet(s"$statePath/chain/g=$batchId/labels")
+          spark.read.parquet(s"$chainRoot/g=$batchId/labels")
         sink(pLabels.join(published, Seq("doc_id", "cluster_id"),
           "left_anti"), batchId)
         gens().filter(_ < batchId).foreach { g =>
           fs.delete(new org.apache.hadoop.fs.Path(
-            s"$statePath/chain/g=$g"), true)
+            s"$chainRoot/g=$g"), true)
         }
       } else sink(Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"),
         batchId)
     }
   }
 
+  /** Streaming MERGE/upsert maintenance: keep a keyed snapshot current
+    * against an update stream — the streaming twin of the batch
+    * `rel_merge_upsert` ([[graft.operators.MaintenanceOps]]). Per
+    * micro-batch:
+    *
+    *  1. reduce the batch to its latest update per key (`seq` orders
+    *     versions within a key; it must be non-null and unique per key
+    *     within a batch, the usual event-version contract — ENFORCED:
+    *     a violating batch fails the query rather than silently picking
+    *     an arbitrary winner);
+    *  2. read the PREVIOUS snapshot version — the greatest `v=` dir
+    *     strictly below this batchId, never one this attempt may have
+    *     half-written, so a foreachBatch replay re-reads intact input
+    *     and overwrites only its own output: exactly-once by
+    *     idempotent rewrite;
+    *  3. full-outer merge on the key, entire-row latest-wins;
+    *  4. write snapshot `v=batchId` — copy-on-write versioning, the
+    *     model production table formats use (old versions remain for
+    *     time travel until vacuumed).
+    *
+    * At 100 TB the per-trigger merge is the same keyed full-outer
+    * shuffle as the batch form (partition-prunable to touched keys);
+    * the version listing is a metadata-only FS call.
+    */
   def snapshotUpsertLoop(updates: DataFrame, snapshotPath: String,
       key: String, seq: String, checkpointDir: Option[String] = None)
-      (sink: (Dataset[Row], Long) => Unit = (_, _) => ()): StreamingQuery =
+      (sink: (Dataset[Row], Long) => Unit = (_, _) => ()): StreamingQuery = {
+    val runId = StateScheme.runIdentity(checkpointDir)
     deliver(updates, checkpointDir) { (batch, batchId) =>
       val spark = batch.sparkSession
+      // Scheme discipline ([[StateScheme]], hidden `_scheme` so plain
+      // readers of v= dirs and partition discovery never see it): the
+      // (key, seq) columns pin the merge semantics, and ownership
+      // gates batch 0 — a foreign run restarts its version numbering
+      // at v=0, so its first merge would read NO prior version
+      // (prev = greatest v < 0) and silently re-bootstrap the snapshot
+      // from empty: total state loss, the loudest possible case for
+      // the refusal.
+      val schemeFs = StateScheme.fsFor(spark, snapshotPath)
+      val pinnedRun = StateScheme.ensure(spark, schemeFs,
+        s"$snapshotPath/_scheme", s"key=$key,seq=$seq", runId,
+        "snapshotUpsertLoop",
+        "merging under different (key, seq) columns would corrupt " +
+          "latest-wins semantics")
+      StateScheme.refuseForeign("snapshotUpsertLoop", batchId, pinnedRun,
+        runId, {
+          val p = new org.apache.hadoop.fs.Path(snapshotPath)
+          schemeFs.exists(p) && schemeFs.listStatus(p).toSeq
+            .exists(_.getPath.getName.startsWith("v="))
+        }, s"the snapshot at $snapshotPath",
+        "its v=0 merge would read no prior version and silently " +
+          "re-bootstrap the snapshot from empty")
       val cols = batch.toDF.columns.toSeq
       // Latest-wins is only well-defined when every update carries a
       // non-null seq and (key, seq) is unique within the batch. A null
@@ -1123,6 +1193,157 @@ object EventStreaming {
       merged.write.mode("overwrite").parquet(s"$snapshotPath/v=$batchId")
       sink(spark.read.parquet(s"$snapshotPath/v=$batchId"), batchId)
     }
+  }
+
+  /** The ONE scheme-marker discipline every stateful maintenance loop
+    * shares (knn graph, cluster-assign, ingest dedup, inverted index,
+    * curation, chain extend/takedown, snapshot upsert). A marker is a
+    * 1-row parquet table `(fp, run)` published next to the loop's
+    * state:
+    *
+    *  - `fp` — the parameter fingerprint the state was built under
+    *    (hash seeds, band counts, centroid bits, key/seq columns …).
+    *    State written under one scheme is meaningless — or silently
+    *    WRONG — when read under another, so a mismatched restart must
+    *    fail loudly, never mix.
+    *  - `run` — the identity of the query that owns the state: its
+    *    `checkpointDir` when given (stable across restarts — the
+    *    resume IS the same run), else a per-invocation UUID. A query
+    *    that does not own existing state restarts its batch ids at 0,
+    *    and what batch 0 does to maintained state is loop-specific but
+    *    always bad: per-batch-id overwrites clobber the owner's first
+    *    batch, generation chains rewind to the seed, snapshots
+    *    re-bootstrap from empty. [[refuseForeign]] makes each of those
+    *    a loud refusal at batch 0.
+    *
+    * Publication is atomic (the GraftIO.buildOnce discipline in
+    * Hadoop-FS terms): build in a pid-private temp dir, publish with
+    * one rename — a crash mid-write leaves only a swept tmp dir, never
+    * a torn marker that wedges every restart with a schema-inference
+    * error. Losing a concurrent publish race is benign (the winner's
+    * marker stands), with one Hadoop-FS wrinkle: rename(src, dst) onto
+    * an EXISTING directory dst moves src INTO dst and returns true
+    * (HDFS and RawLocalFileSystem alike), so the loser's tmp can land
+    * nested under the winner's marker — where its parquet files would
+    * read back as extra marker rows and make the `.head()` below
+    * nondeterministic. The nested copy is detected and removed.
+    */
+  private[streaming] object StateScheme {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+
+    def fsFor(spark: SparkSession, path: String): FileSystem =
+      new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    /** Run identity of the invoking query: the checkpointDir when
+      * given (restarts resume it — same run), else a fresh UUID (an
+      * un-checkpointed query can never prove ownership across
+      * restarts, so each invocation is its own run).
+      */
+    def runIdentity(checkpointDir: Option[String]): String =
+      checkpointDir.getOrElse(
+        s"uncheckpointed-${java.util.UUID.randomUUID()}")
+
+    /** Publish-if-absent, then verify: ensures the marker at
+      * `markerPath` exists (atomic tmp→rename publication, stale
+      * `<marker>.tmp-*` dirs from crashed publishers swept first),
+      * requires its parameter fingerprint equals `fp`, and returns the
+      * pinned run identity — null when the marker predates the run
+      * column (legacy: unknown ownership, which [[refuseForeign]]
+      * treats as foreign — loud, never silent). A legacy
+      * knnMaintenanceLoop marker (bare `k`/`lsh_bits` columns) is
+      * read back as the equivalent `k=…,lshBits=…` fingerprint.
+      */
+    def ensure(spark: SparkSession, fs: FileSystem, markerPath: String,
+        fp: String, runId: String, loop: String,
+        mismatchConsequence: String): String = {
+      import spark.implicits._
+      val sPath = new Path(markerPath)
+      if (!fs.exists(sPath)) {
+        val parent = sPath.getParent
+        if (fs.exists(parent))
+          fs.listStatus(parent).toSeq.map(_.getPath)
+            .filter(_.getName.startsWith(s"${sPath.getName}.tmp-"))
+            .foreach(fs.delete(_, true))
+        val tmp = new Path(
+          s"$markerPath.tmp-${ProcessHandle.current().pid()}")
+        Seq((fp, runId)).toDF("fp", "run")
+          .write.mode("overwrite").parquet(tmp.toString)
+        if (!fs.rename(tmp, sPath)) fs.delete(tmp, true) // lost the race
+        val nested = new Path(sPath, tmp.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
+      }
+      val scheme = spark.read.parquet(sPath.toString).head()
+      val names = scheme.schema.fieldNames
+      val pinnedFp =
+        if (names.contains("fp")) scheme.getAs[String]("fp")
+        else if (names.contains("k") && names.contains("lsh_bits"))
+          s"k=${scheme.getAs[Int]("k")},lshBits=${scheme.getAs[Int]("lsh_bits")}"
+        else sys.error(s"$loop: unrecognizable scheme marker at $markerPath")
+      require(pinnedFp == fp,
+        s"$loop state at $markerPath was built under a different scheme " +
+          s"(pinned $pinnedFp, got $fp) — $mismatchConsequence; rebuild " +
+          "the state or restore the original parameters")
+      if (names.contains("run")) scheme.getAs[String]("run") else null
+    }
+
+    /** The batch-0 ownership gate: a query whose run identity differs
+      * from the marker's pin, starting at batch 0 over EXISTING state
+      * (`stateExists` — evaluated lazily, an FS listing), refuses
+      * loudly with the loop-specific consequence instead of silently
+      * corrupting the owner's state. Only batch 0 gates: the owning
+      * run's replays and resumes carry the pinned identity, and later
+      * batch ids only exist under the owning checkpoint.
+      */
+    def refuseForeign(loop: String, batchId: Long, pinnedRun: String,
+        runId: String, stateExists: => Boolean, what: String,
+        consequence: String): Unit =
+      if (batchId == 0 && pinnedRun != runId && stateExists)
+        throw new IllegalStateException(
+          s"$loop: $what is owned by a different run " +
+            s"(pinned ${Option(pinnedRun).getOrElse("<legacy marker>")}, " +
+            s"got $runId) but this query starts at batch 0 — " +
+            s"$consequence; resume with the original checkpointDir or " +
+            "use a fresh statePath")
+  }
+
+  /** Crash-safe generation publish for the chain loops (extend /
+    * takedown): write every part under a pid-private `tmpg-` dir, then
+    * ONE rename to `g=<id>`. Never deletes an existing destination —
+    * the recompute that produced `parts` is deterministic from the
+    * prior generation plus the same batch, so a replay landing on its
+    * own published generation finds identical content already there
+    * and SKIPS (the delete-then-rename it replaces could crash between
+    * the two and wipe the only generation: extendLoop would lose every
+    * old↔old pair accumulated so far, takedownLoop would re-seed and
+    * resurrect taken-down docs — a right-to-be-forgotten violation).
+    * A failed rename throws (unlike the scheme marker there is no
+    * benign concurrent-publisher case — the ownership gate admits one
+    * writer), and stale `tmpg-` dirs from crashed attempts are swept
+    * before writing.
+    */
+  private def publishGeneration(fs: org.apache.hadoop.fs.FileSystem,
+      chainRoot: String, id: Long,
+      parts: Seq[(String, DataFrame)]): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(s"$chainRoot/g=$id")
+    if (fs.exists(dst)) return // replay: identical content already live
+    val rootPath = new org.apache.hadoop.fs.Path(chainRoot)
+    if (fs.exists(rootPath))
+      fs.listStatus(rootPath).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("tmpg-"))
+        .foreach(fs.delete(_, true))
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$chainRoot/tmpg-${ProcessHandle.current().pid()}-$id")
+    parts.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$tmp/$name")
+    }
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"publishGeneration: rename $tmp -> $dst failed — refusing to " +
+          "continue against an unpublished generation (a silent skip " +
+          "here surfaces later as a confusing missing-path read)")
+    }
+  }
 
   /** Incremental delivery via foreachBatch — the caller's sink sees each
     * micro-batch as (batchDF, batchId), the non-blocking poll loop of the

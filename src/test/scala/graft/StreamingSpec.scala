@@ -1131,4 +1131,374 @@ class StreamingSpec extends SparkSpec {
     assert(n == 200L, s"the refused fresh-checkpoint run must not have " +
       s"clobbered the log, got $n")
   }
+
+  private def expectStreamFailure(q: org.apache.spark.sql.streaming.StreamingQuery,
+      needle: String): Unit =
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains(needle) ||
+        Option(e.getCause).exists(_.getMessage.contains(needle)),
+        s"expected failure mentioning '$needle', got: ${e.getMessage} / " +
+          s"${Option(e.getCause).map(_.getMessage)}")
+    } finally q.stop()
+
+  test("knnMaintenanceLoop run identity: a torn scheme tmp never wedges " +
+      "the owner, and a fresh (non-owning) query over existing vector " +
+      "state refuses at batch 0 instead of clobbering b=0") {
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_knn_runid").toString + "/knn"
+    // a publisher that died mid-write left a half-written scheme tmp
+    val torn = new java.io.File(s"$stateDir/scheme.tmp-99999")
+    torn.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(torn, "part-00000.parquet").toPath, "garbage")
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q1 = EventStreaming.knnMaintenanceLoop(
+      mem.toDF().toDF("vec_id", "embedding"), stateDir)()
+    try {
+      mem.addData(emb.take(100).toSeq: _*)
+      q1.processAllAvailable() // must publish past the torn tmp
+    } finally q1.stop()
+    assert(new java.io.File(s"$stateDir/scheme").exists(),
+      "the loop must publish its marker even with a stale tmp dir present")
+    val edges = spark.read.parquet(s"$stateDir/edges")
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.nonEmpty)
+    // an un-checkpointed restart with IDENTICAL params restarts batch
+    // ids at 0: its b=0 vector overwrite would silently replace the
+    // owner's first batch while stale b=N dirs persist — the parameter
+    // check cannot catch it, the run identity must
+    val mem2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = EventStreaming.knnMaintenanceLoop(
+      mem2.toDF().toDF("vec_id", "embedding"), stateDir)()
+    mem2.addData(emb.slice(100, 150).toSeq: _*)
+    expectStreamFailure(q2, "different run")
+    // the refused run must not have touched vectors or edges
+    assert(spark.read.parquet(s"$stateDir/edges")
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == edges)
+    assert(new java.io.File(s"$stateDir/vectors").listFiles()
+      .map(_.getName).filter(_.startsWith("b=")).toSeq == Seq("b=0"))
+  }
+
+  test("ingestDedupLoop scheme: a mismatched-params restart refuses, a " +
+      "foreign batch-0 start over the index refuses by default, and " +
+      "adoptExisting deliberately continues against the accumulated index") {
+    implicit val sqlCtx = spark.sqlContext
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_band_scheme").toString + "/idx"
+    val mem1 = MemoryStream[(Long, String)]
+    val q1 = EventStreaming.ingestDedupLoop(
+      mem1.toDF().toDF("doc_id", "text"), idxDir) { (_, _) => () }
+    try {
+      mem1.addData((1L, "aa bb cc dd ee"), (2L, "ww xx yy zz qq"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val idxIds = spark.read.parquet(idxDir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(idxIds == Set(1L, 2L))
+    // band hashes from a different (seeds, bands) scheme must never mix
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = EventStreaming.ingestDedupLoop(
+      mem2.toDF().toDF("doc_id", "text"), idxDir, bands = 8) { (_, _) => () }
+    mem2.addData((3L, "aa bb cc dd ee"))
+    expectStreamFailure(q2, "different scheme")
+    // same params but a foreign run: refuse unless adoption is explicit
+    val mem3 = MemoryStream[(Long, String)]
+    val q3 = EventStreaming.ingestDedupLoop(
+      mem3.toDF().toDF("doc_id", "text"), idxDir) { (_, _) => () }
+    mem3.addData((3L, "aa bb cc dd ee"))
+    expectStreamFailure(q3, "different run")
+    assert(spark.read.parquet(idxDir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L), "refused runs must not have grown the index")
+    // adoptExisting: the deliberate continuation — doc 3 dups doc 1's
+    // content ACROSS the run boundary, doc 4 is new and enters the index
+    val mem4 = MemoryStream[(Long, String)]
+    val flags = scala.collection.mutable.Map[Long, Int]()
+    val q4 = EventStreaming.ingestDedupLoop(
+        mem4.toDF().toDF("doc_id", "text"), idxDir,
+        adoptExisting = true) { (batch, _) =>
+      batch.collect().foreach { r =>
+        flags.synchronized {
+          flags(r.getAs[Long]("batch_id")) = r.getAs[Int]("is_new") }
+      }
+    }
+    try {
+      mem4.addData((3L, "aa bb cc dd ee"), (4L, "gg hh ii jj kk"))
+      q4.processAllAvailable()
+    } finally q4.stop()
+    assert(flags.synchronized(flags.toMap) == Map(3L -> 0, 4L -> 1),
+      "the adopting run must flag against the first run's index")
+    assert(spark.read.parquet(idxDir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 4L))
+  }
+
+  test("indexIngestLoop scheme: a foreign batch-0 start over the " +
+      "postings log refuses, and adoptExisting continues — the serving " +
+      "view then spans both runs' docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val logDir = java.nio.file.Files
+      .createTempDirectory("graft_postings_scheme").toString + "/log"
+    val mem1 = MemoryStream[(Long, String)]
+    val q1 = EventStreaming.indexIngestLoop(
+      mem1.toDF().toDF("doc_id", "text"), logDir) { (_, _) => () }
+    try {
+      mem1.addData((1L, "a b c"), (2L, "b c d"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = EventStreaming.indexIngestLoop(
+      mem2.toDF().toDF("doc_id", "text"), logDir) { (_, _) => () }
+    mem2.addData((3L, "c d e"))
+    expectStreamFailure(q2, "different run")
+    val mem3 = MemoryStream[(Long, String)]
+    val q3 = EventStreaming.indexIngestLoop(
+        mem3.toDF().toDF("doc_id", "text"), logDir,
+        adoptExisting = true) { (_, _) => () }
+    try {
+      mem3.addData((3L, "c d e"))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    val expect = api.GraftPipelines.invertedIndex(
+        Seq((1L, "a b c"), (2L, "b c d"), (3L, "c d e"))
+          .toDF("doc_id", "text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val serving = api.GraftPipelines
+      .invertedIndexFromPostings(spark.read.parquet(logDir)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(serving == expect)
+  }
+
+  test("curationIngest scheme: a curation-policy change refuses, and a " +
+      "foreign batch-0 restart over the state logs refuses — the logs " +
+      "stay intact either way") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_curation_scheme").toString
+    val evalDir = s"$base/evalgrams"
+    val stateDir = s"$base/state"
+    api.GraftPipelines.corpusGramIndex(
+        Seq((100L, "secret eval answer token sequence")).toDF("doc_id", "text"))
+      .select("g").write.parquet(evalDir)
+    val tA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val mem1 = MemoryStream[(Long, String)]
+    val q1 = EventStreaming.curationIngest(
+      mem1.toDF().toDF("doc_id", "text"), evalDir, stateDir) { (_, _) => () }
+    try {
+      mem1.addData((1L, tA))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val digests = spark.read.parquet(s"$stateDir/digests").count()
+    assert(digests == 1L)
+    // a different quality threshold shapes which docs enter the state
+    // logs — two policies must never share one corpus state
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = EventStreaming.curationIngest(
+      mem2.toDF().toDF("doc_id", "text"), evalDir, stateDir,
+      minScore = 0.9) { (_, _) => () }
+    mem2.addData((2L, tA))
+    expectStreamFailure(q2, "different scheme")
+    // same policy, foreign run, no adoption: refuse
+    val mem3 = MemoryStream[(Long, String)]
+    val q3 = EventStreaming.curationIngest(
+      mem3.toDF().toDF("doc_id", "text"), evalDir, stateDir) { (_, _) => () }
+    mem3.addData((2L, tA))
+    expectStreamFailure(q3, "different run")
+    assert(spark.read.parquet(s"$stateDir/digests").count() == digests,
+      "refused runs must not have grown the digest log")
+  }
+
+  test("snapshotUpsertLoop run identity: a fresh-checkpoint restart over " +
+      "an existing snapshot refuses at batch 0 instead of re-bootstrapping " +
+      "the snapshot from empty") {
+    import java.nio.file.{Files, Path}
+    val watched = Files.createTempDirectory("graft_snap_runid_in")
+    val snapDir = Files.createTempDirectory("graft_snap_runid")
+      .toString + "/snap"
+    def appear(name: String, rows: Seq[(Long, Long, Double, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_snap_runid_tmp")
+      rows.toDF("custkey", "ver", "acctbal", "segment")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, watched.resolve(name))
+    }
+    val schema = Seq((0L, 0L, 0.0, "x"))
+      .toDF("custkey", "ver", "acctbal", "segment").schema
+    def start(chk: String) = EventStreaming.snapshotUpsertLoop(
+      EventStreaming.fileSource(spark, watched.toString, schema),
+      snapDir, "custkey", "ver", Some(chk))()
+    appear("f0.parquet", Seq((1L, 1L, 10.0, "A"), (2L, 1L, 20.0, "B")))
+    val chk1 = Files.createTempDirectory("graft_snap_runid_chk1").toString
+    val q1 = start(chk1)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(s"$snapDir/v=0").count() == 2)
+    // a fresh checkpoint restarts version numbering at v=0: its merge
+    // would read NO prior version and re-bootstrap from empty — refuse
+    appear("f1.parquet", Seq((3L, 1L, 30.0, "C")))
+    val chk2 = Files.createTempDirectory("graft_snap_runid_chk2").toString
+    expectStreamFailure(start(chk2), "different run")
+    // snapshot intact: still exactly v=0 with the owner's merge
+    val vDirs = new java.io.File(snapDir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).toSeq
+    assert(vDirs == Seq("v=0"))
+    assert(spark.read.parquet(s"$snapDir/v=0").count() == 2)
+    // the owning checkpoint still resumes and applies the pending batch
+    val q3 = start(chk1)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(spark.read.parquet(s"$snapDir/v=1").count() == 3)
+  }
+
+  test("takedownLoop replay: a sink crash AFTER publish replays the " +
+      "batch onto its own published generation — the restart recovers " +
+      "cleanly (no crash loop), redelivers the true invalidated delta " +
+      "from stable files, and the chain never rewinds (the " +
+      "delete-then-rename republish it replaces could wipe the only " +
+      "generation and resurrect taken-down docs)") {
+    import java.nio.file.{Files, Path}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("d1", "d2")
+    val labels = api.GraftPipelines.dupClusters(pairs)
+    val watched = Files.createTempDirectory("graft_takedown_replay_in")
+    val chk = Files.createTempDirectory("graft_takedown_replay_chk").toString
+    val stateDir = Files.createTempDirectory("graft_takedown_replay")
+      .toString + "/state"
+    def appear(name: String, ids: Seq[Long]): Unit = {
+      val tmp = Files.createTempDirectory("graft_takedown_replay_tmp")
+      ids.toDF("del_id").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, watched.resolve(name))
+    }
+    val schema = Seq(0L).toDF("del_id").schema
+    @volatile var crashBatch1 = false
+    val sunk = scala.collection.mutable.ArrayBuffer[(Long, Set[(Long, Long)])]()
+    def start() = EventStreaming.takedownLoop(
+        EventStreaming.fileSource(spark, watched.toString, schema),
+        pairs, labels, stateDir, Some(chk)) { (df, b) =>
+      if (b == 1 && crashBatch1) {
+        crashBatch1 = false
+        sys.error("injected sink crash after publish")
+      }
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      sunk.synchronized { sunk += b -> rows }
+    }
+    appear("f0.parquet", Seq(3L))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(s"$stateDir/chain/g=0/labels").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L, 10L -> 10L, 11L -> 10L))
+    assert(sunk.synchronized(sunk.toList) ==
+      List(0L -> Set((3L, 1L), (4L, 1L), (5L, 1L))))
+    // batch 1 (delete 10): the generation publishes, then the sink dies
+    // BEFORE delivering — the ADVICE crash window (publish committed,
+    // sink/checkpoint did not)
+    appear("f1.parquet", Seq(10L))
+    crashBatch1 = true
+    val q2 = start()
+    try {
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+    } finally q2.stop()
+    // both generations live: publish never deletes, the fold never ran
+    val gDirs = new java.io.File(s"$stateDir/chain")
+      .listFiles().map(_.getName).filter(_.startsWith("g=")).sorted.toSeq
+    assert(gDirs == Seq("g=0", "g=1"),
+      s"crash between publish and sink must leave both generations: $gDirs")
+    // restart: the replay lands on its own published g=1, recovers the
+    // TRUE invalidated delta from the stable g=0/g=1 files, and folds
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(sunk.synchronized(sunk.toList).tail ==
+      List(1L -> Set((10L, 10L), (11L, 10L))),
+      s"the replay must redeliver the invalidated delta: ${sunk.toList}")
+    assert(spark.read.parquet(s"$stateDir/chain/g=1/labels").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L),
+      "the recovered chain equals the committed retraction")
+    assert(new java.io.File(s"$stateDir/chain")
+      .listFiles().map(_.getName).filter(_.startsWith("g=")).toSeq ==
+      Seq("g=1"), "the recovered run folds the pre-publish generation")
+  }
+
+  test("extendLoop replay: a sink crash after publish replays the ingest " +
+      "batch onto its own published generation — clean recovery, true " +
+      "delta redelivered, and the resumed run keeps extending") {
+    import java.nio.file.{Files, Path}
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tC = "completely different words appear in this sentence about engines"
+    val watched = Files.createTempDirectory("graft_extend_replay_in")
+    val chk = Files.createTempDirectory("graft_extend_replay_chk").toString
+    val stateDir = Files.createTempDirectory("graft_extend_replay")
+      .toString + "/state"
+    def appear(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_extend_replay_tmp")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, watched.resolve(name))
+    }
+    val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+    @volatile var crashBatch1 = false
+    val sunk = scala.collection.mutable.ArrayBuffer[(Long, Set[(Long, Long)])]()
+    def start() = EventStreaming.extendLoop(
+        EventStreaming.fileSource(spark, watched.toString, schema),
+        stateDir, Some(chk)) { (df, b) =>
+      if (b == 1 && crashBatch1) {
+        crashBatch1 = false
+        sys.error("injected sink crash after publish")
+      }
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      sunk.synchronized { sunk += b -> rows }
+    }
+    appear("f0.parquet", Seq((1L, tA), (2L, tA), (10L, tC)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // doc 10 is pair-less in batch 0, so it is not yet in the map
+    assert(spark.read.parquet(s"$stateDir/chain/g=0/labels").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      Map(1L -> 1L, 2L -> 1L))
+    // batch 1 (doc 11 dups tC): publish lands, sink dies before delivery
+    appear("f1.parquet", Seq((11L, tC)))
+    crashBatch1 = true
+    val q2 = start()
+    try {
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+    } finally q2.stop()
+    assert(new java.io.File(s"$stateDir/chain")
+      .listFiles().map(_.getName).filter(_.startsWith("g=")).sorted.toSeq ==
+      Seq("g=0", "g=1"))
+    // restart: replay onto own generation, delta from stable files
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(sunk.synchronized(sunk.toList) == List(
+      0L -> Set((1L, 1L), (2L, 1L)),
+      1L -> Set((10L, 10L), (11L, 10L))),
+      s"the replay must redeliver batch 1's true delta: ${sunk.toList}")
+    val end = spark.read.parquet(s"$stateDir/chain/g=1/labels").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(end == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+    // and the recovered run keeps extending normally
+    appear("f2.parquet", Seq((12L, tA)))
+    val q4 = start()
+    try q4.processAllAvailable() finally q4.stop()
+    assert(spark.read.parquet(s"$stateDir/chain/g=2/labels").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 1L))
+  }
 }
