@@ -30,14 +30,12 @@ object Bench {
 
   /** Headline queries: one per operator family, heaviest shapes first.
     *
-    * Deliberate exclusion: `llm_heavy_hitters` runs its Misra-Gries
-    * premise check (a bounded top-20 collect + two corpus counts) INSIDE
-    * the query builder — a correctness guard by design, but it makes the
-    * builder itself run driver-side actions, so a noop-sink timing of the
-    * returned frame would charge the premise check to the query and
-    * under-time the actual aggregation. Its per-stage cost is recorded in
-    * BASELINE.md instead; the bench keeps only entries whose builder is
-    * action-free.
+    * No exclusions: every SparkEntry entry is timeable. (Rounds 9-12
+    * excluded `llm_heavy_hitters` because its Misra-Gries premise
+    * check ran two extra driver-side corpus counts inside the builder;
+    * round 13 fused the N tally into pass 1, so the timed figure IS
+    * the two-pass algorithm plus its bounded top-K read — the same
+    * contract as every other entry with an in-builder bounded read.)
     */
   val headline: Seq[String] = Seq(
     "ev_flagship", "ev_catalog", "ev_sessionize", "ev_tumbling_1h",
@@ -165,16 +163,15 @@ object Bench {
     // Full-surface sweep (SPARK_GRAFT_BENCH_QUERIES=all): EVERY
     // SparkEntry entry, headline order first then the rest sorted, so
     // "bench covers the surface" is a recorded artifact instead of an
-    // eyeballed claim. The one exclusion stays llm_heavy_hitters (its
-    // builder runs the Misra-Gries premise check driver-side — see the
-    // headline scaladoc); the sweep is written only to an explicit
-    // SPARK_GRAFT_BENCH_OUT target, never over the headline artifact.
+    // eyeballed claim — no exclusions (see the headline scaladoc); the
+    // sweep is written only to an explicit SPARK_GRAFT_BENCH_OUT
+    // target, never over the headline artifact.
     val sweepAll = sys.env.get("SPARK_GRAFT_BENCH_QUERIES").contains("all")
     // dev-only subsetting for perf iteration; the driver never sets this
     val selected =
       if (sweepAll)
         headline ++ SparkEntry.queries.keys.toSeq.sorted
-          .filterNot(headline.contains).filterNot(_ == "llm_heavy_hitters")
+          .filterNot(headline.contains)
       else sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
         .map(_.split(",").toSeq).getOrElse(headline)
     val spark = SparkSession.builder()

@@ -33,9 +33,15 @@ object DevScale {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_SCALE_TABLES=documents,embeddings writes only those
+    // tables — the sf10 near-dup growth probe needs just the two, and
+    // a 100x lineitem would dominate the build for nothing
+    val only = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).toSet)
     def rep(table: String, offsets: Map[String, Long],
         custom: (DataFrame, Int) => DataFrame = (d, _) => d,
         files: Int = 8): Unit = {
+      if (!only.forall(_.contains(table))) return
       val base = spark.read.parquet(s"$src/$table.parquet")
       val cols = base.columns
       val parts = (0 until reps).map { i =>

@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreaming
+
+/** Measurement probe (not part of the driver contract): per-trigger
+  * steady-state cost of the four heavy streaming maintenance loops —
+  * extendLoop, takedownLoop, knnMaintenanceLoop, ingestDedupLoop — at
+  * an sf1-scale store with batches at 1:100 and 1:1000 of store size.
+  * At 100 TB the steady-state trigger time and the compaction
+  * amortization ARE the operator: a loop whose trigger cost tracked
+  * STORE size instead of batch size would re-run the batch rebuild
+  * per trigger and be pointless. The recorded figures (one JSON line,
+  * default bench_streaming.json) are the evidence the per-trigger
+  * work is batch-proportional; the rebuild figure for the same store
+  * is recorded alongside as the reference each trigger must beat.
+  *
+  * Methodology: each loop bootstraps its store by streaming ~90% of
+  * the corpus through its own code path (trigger 0, reported as
+  * seed_sec), then runs `reps` timed triggers at each ratio. Timing is
+  * wall time around addData + processAllAvailable — it includes the
+  * micro-batch machinery on purpose (that is the production trigger
+  * cost), so the numbers are conservative.
+  */
+object DevStreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/sf1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT",
+      "bench_streaming.json")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_REPS", "4").toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "target/spark-local")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def tmp(name: String): String = java.nio.file.Files
+      .createTempDirectory(s"graft_sbench_$name").toString + "/state"
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val results = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    // ---- corpus slices ---------------------------------------------
+    val docsAll = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id".cast("long").as("doc_id"), $"text")
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nDocs = docsAll.length
+    val embAll = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+      .orderBy($"vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val nEmb = embAll.length
+    println(s"[sbench] corpus: $nDocs docs, $nEmb vectors from $sfDir")
+
+    // slices: [0, seed) bootstraps; then reps batches of n/100, then
+    // reps batches of n/1000, drawn past the seed so every trigger
+    // ingests genuinely new content
+    def slices[T](all: Array[T]): (Seq[T], Seq[Seq[T]], Seq[Seq[T]]) = {
+      val n = all.length
+      val b100 = n / 100
+      val b1000 = math.max(1, n / 1000)
+      val seedEnd = n - reps * b100 - reps * b1000
+      val seed = all.slice(0, seedEnd).toSeq
+      val big = (0 until reps).map(i =>
+        all.slice(seedEnd + i * b100, seedEnd + (i + 1) * b100).toSeq)
+      val small = (0 until reps).map(i =>
+        all.slice(seedEnd + reps * b100 + i * b1000,
+          seedEnd + reps * b100 + (i + 1) * b1000).toSeq)
+      (seed, big, small)
+    }
+    def fmt(ts: Seq[Double]): String =
+      "[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+
+    // ---- rebuild reference: the full batch chain over all docs -----
+    val (chain, rebuildSec) = timed {
+      val pairs = graft.api.GraftPipelines.nearDuplicates(
+        spark.read.parquet(s"$sfDir/documents.parquet"), 0.7)
+        .select($"d1", $"d2").localCheckpoint()
+      val labels = graft.api.GraftPipelines.dupClusters(pairs)
+        .localCheckpoint()
+      labels.count()
+      (pairs, labels)
+    }
+    val (seedPairs, seedLabels) = chain
+    println(f"[sbench] chain rebuild over $nDocs docs: $rebuildSec%.3f s")
+    results += "chain_rebuild_sec" -> f"$rebuildSec%.3f"
+
+    // ---- extendLoop -------------------------------------------------
+    {
+      val (seed, big, small) = slices(docsAll)
+      val mem = MemoryStream[(Long, String)]
+      val q = EventStreaming.extendLoop(
+        mem.toDF().toDF("doc_id", "text"), tmp("extend"))()
+      def trig(b: Seq[(Long, String)]): Double =
+        timed { mem.addData(b: _*); q.processAllAvailable() }._2
+      try {
+        val seedSec = trig(seed)
+        val t100 = big.map(trig)
+        val t1000 = small.map(trig)
+        println(f"[sbench] extendLoop seed=$seedSec%.3f " +
+          s"b100=${fmt(t100)} b1000=${fmt(t1000)}")
+        results += "extend_seed_sec" -> f"$seedSec%.3f"
+        results += "extend_b100_sec" -> fmt(t100)
+        results += "extend_b1000_sec" -> fmt(t1000)
+      } finally q.stop()
+    }
+
+    // ---- takedownLoop -----------------------------------------------
+    {
+      // delete slices: disjoint id stripes at ~1% and ~0.1% of corpus
+      val ids = docsAll.map(_._1)
+      val (_, big, small) = slices(ids)
+      val mem = MemoryStream[Long]
+      val q = EventStreaming.takedownLoop(
+        mem.toDF().toDF("del_id"), seedPairs, seedLabels, tmp("takedown"))()
+      def trig(b: Seq[Long]): Double =
+        timed { mem.addData(b: _*); q.processAllAvailable() }._2
+      try {
+        val t100 = big.map(trig)
+        val t1000 = small.map(trig)
+        println(s"[sbench] takedownLoop b100=${fmt(t100)} " +
+          s"b1000=${fmt(t1000)}")
+        results += "takedown_b100_sec" -> fmt(t100)
+        results += "takedown_b1000_sec" -> fmt(t1000)
+      } finally q.stop()
+    }
+
+    // ---- knnMaintenanceLoop ----------------------------------------
+    {
+      val (seed, big, small) = slices(embAll)
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val q = EventStreaming.knnMaintenanceLoop(
+        mem.toDF().toDF("vec_id", "embedding"), tmp("knn"))()
+      def trig(b: Seq[(Long, Seq[Float])]): Double =
+        timed { mem.addData(b: _*); q.processAllAvailable() }._2
+      try {
+        val seedSec = trig(seed)
+        val t100 = big.map(trig)
+        val t1000 = small.map(trig)
+        println(f"[sbench] knnMaintenanceLoop seed=$seedSec%.3f " +
+          s"b100=${fmt(t100)} b1000=${fmt(t1000)}")
+        results += "knn_seed_sec" -> f"$seedSec%.3f"
+        results += "knn_b100_sec" -> fmt(t100)
+        results += "knn_b1000_sec" -> fmt(t1000)
+      } finally q.stop()
+    }
+
+    // ---- ingestDedupLoop -------------------------------------------
+    {
+      val (seed, big, small) = slices(docsAll)
+      val mem = MemoryStream[(Long, String)]
+      val q = EventStreaming.ingestDedupLoop(
+        mem.toDF().toDF("doc_id", "text"),
+        tmp("ingest") + "/idx") { (_, _) => () }
+      def trig(b: Seq[(Long, String)]): Double =
+        timed { mem.addData(b: _*); q.processAllAvailable() }._2
+      try {
+        val seedSec = trig(seed)
+        val t100 = big.map(trig)
+        val t1000 = small.map(trig)
+        println(f"[sbench] ingestDedupLoop seed=$seedSec%.3f " +
+          s"b100=${fmt(t100)} b1000=${fmt(t1000)}")
+        results += "ingest_seed_sec" -> f"$seedSec%.3f"
+        results += "ingest_b100_sec" -> fmt(t100)
+        results += "ingest_b1000_sec" -> fmt(t1000)
+      } finally q.stop()
+    }
+
+    val json = "{" + (Seq(
+      "\"sf\":\"" + sfDir + "\"",
+      s""""n_docs":$nDocs""", s""""n_vectors":$nEmb""",
+      s""""reps":$reps""") ++
+      results.map { case (k, v) => s""""$k":$v""" }).mkString(",") + "}"
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    spark.stop()
+  }
+}

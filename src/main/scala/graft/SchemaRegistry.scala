@@ -116,15 +116,32 @@ object SchemaRegistry {
     * collected catalog-sized samples via the same evaluator that backs
     * `schema_of_json` — no per-type driver jobs (10k event types would
     * otherwise mean 10k tiny jobs).
+    *
+    * BOUNDED collect: the per-type sample table is catalog-sized, which
+    * is small for any real trace (the reference's catalog is likewise
+    * in-memory and unbounded, src/main.cpp:152) but unbounded in
+    * general — a corpus whose "type" column is secretly high-cardinality
+    * (a miskeyed join, an id leaking into event_type) would otherwise
+    * OOM the driver. The plan fetches at most `maxTypes + 1` rows
+    * (CollectLimit — the executors stop producing past it, so the guard
+    * costs nothing) and refuses loudly when the catalog exceeds the
+    * bound; raise `maxTypes` deliberately for a genuinely wider
+    * catalog, or pre-aggregate a two-level registry.
     */
-  def build(events: DataFrame): SchemaRegistry = {
+  def build(events: DataFrame, maxTypes: Int = 65536): SchemaRegistry = {
     import org.apache.spark.sql.catalyst.expressions.json.SchemaOfJsonEvaluator
     import org.apache.spark.unsafe.types.UTF8String
     val samples = events
       .groupBy(col("event_type"))
       .agg(min_by(col("props"), struct(col("ts_ns"), col("event_id")))
         .as("sample"))
+      .limit(maxTypes + 1)
       .collect()
+    require(samples.length <= maxTypes,
+      s"SchemaRegistry.build: more than $maxTypes distinct event types — " +
+        "the per-type sample catalog would not fit a driver; check the " +
+        "event_type column for a high-cardinality leak, or raise " +
+        "maxTypes / build a two-level registry deliberately")
     val infer = SchemaOfJsonEvaluator(Map.empty[String, String])
     val inferred = samples.map { r =>
       val ddl = infer.evaluate(UTF8String.fromString(r.getString(1))).toString

@@ -1318,6 +1318,114 @@ object GraftPipelines {
       .orderBy(col("score").desc, col(id)).limit(topK)
   }
 
+  /** Layered SQL snippets computing ln(x) for x >= 1 as a fixed DAG of
+    * IEEE-double +,-,*,/ — the operations every engine rounds
+    * correctly, so Spark and DuckDB (and any IEEE-754 engine) produce
+    * BIT-IDENTICAL results from the same expression text, unlike
+    * libm's `log` which differs in the last ulp across
+    * implementations. This is what lets a hash-comparing oracle check
+    * a logarithm (the llm_embed_pca exact-arithmetic discipline).
+    *
+    * Method: range-reduce x = m * 2^e with e = len(bin(floor(x))) - 1
+    * (so m in [1, 2) — floor/bin/length are exact integer/string ops)
+    * and 2^e an exact integer shift; then the atanh series
+    * ln(m) = 2 * (z + z^3/3 + ... + z^13/13) with z = (m-1)/(m+1) in
+    * [0, 1/3], truncation error <= 2*(1/3)^15/15 ~ 9.3e-9; finally
+    * ln(x) = ln(m) + e * ln2 with ln2 a shared double literal. Every
+    * step is deterministic: powers are explicit left-associated
+    * multiply chains, sums are written in one fixed order.
+    *
+    * Returns an ORDERED list of (columnName, expression) layers —
+    * names suffixed `_$suffix`, the last one `idf_$suffix` — each
+    * referencing only earlier layers. Apply them as successive
+    * computed columns (Spark `withColumn(expr(...))`, DuckDB layered
+    * CTEs): powers are built stepwise (z2, z3 = z2*z, z5 = z3*z2, …)
+    * so every expression stays small — both engines then keep the
+    * whole computation in compiled/vectorized form instead of choking
+    * on a 13-deep inlined multiply chain (Spark's projection collapse
+    * re-inlines long chains past the 64KB codegen method limit;
+    * measured, it disabled whole-stage codegen for the idf stage).
+    * `pow2Fmt` is the single engine-specific spelling of the integer
+    * shift: Spark `"shiftleft(CAST(1 AS BIGINT), %s)"`,
+    * DuckDB `"(1::BIGINT << %s)"`.
+    */
+  def lnLayers(x: String, suffix: String,
+      pow2Fmt: String): Seq[(String, String)] = {
+    def n(p: String) = s"${p}_$suffix"
+    Seq(
+      n("e") -> s"(length(bin(CAST(floor($x) AS BIGINT))) - 1)",
+      n("m") -> s"($x / CAST(${pow2Fmt.format(n("e"))} AS DOUBLE))",
+      n("z") -> s"((${n("m")} - 1.0) / (${n("m")} + 1.0))",
+      n("z2") -> s"(${n("z")} * ${n("z")})",
+      n("z3") -> s"(${n("z2")} * ${n("z")})",
+      n("z5") -> s"(${n("z3")} * ${n("z2")})",
+      n("z7") -> s"(${n("z5")} * ${n("z2")})",
+      n("z9") -> s"(${n("z7")} * ${n("z2")})",
+      n("z11") -> s"(${n("z9")} * ${n("z2")})",
+      n("z13") -> s"(${n("z11")} * ${n("z2")})",
+      n("idf") -> (s"(2.0 * (${n("z")} + ${n("z3")} / 3.0 + " +
+        s"${n("z5")} / 5.0 + ${n("z7")} / 7.0 + ${n("z9")} / 9.0 + " +
+        s"${n("z11")} / 11.0 + ${n("z13")} / 13.0) + " +
+        s"CAST(${n("e")} AS DOUBLE) * 0.6931471805599453)"))
+  }
+
+  /** Textbook-parity BM25: the [[bm25RationalIdf]] plan with the
+    * Lucene/standard log idf, `idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+    * = ln((N + 1)/(df + 0.5))` — rare-term idf grows LOGARITHMICALLY,
+    * so multi-term rankings match standard BM25 (the rational twin's
+    * documented bias amplifies rare terms linearly). Still
+    * hash-checkable: the log is [[lnLayerSql]]'s fixed IEEE-double DAG
+    * (argument always > 1 since df <= N, so the x >= 1 precondition
+    * holds by construction), computed on the 1-row (stats × df) frame
+    * — per-QUERY constant work, broadcast to the per-doc scoring pass
+    * exactly like the rational idf. Same scale shape: explode →
+    * filter-to-terms → groupBy, 1-row scalar aggregates, map-side
+    * score + TakeOrderedAndProject. Codegen note: the 1-ROW idf build
+    * stage fuses ~11 layers x |terms| projections and exceeds janino's
+    * 64KB method limit, so THAT stage falls back to interpreted eval —
+    * once per query over one row, irrelevant; the per-doc scoring
+    * stage (the hot path) stays inside whole-stage codegen.
+    */
+  def bm25LogIdf(docs: DataFrame, terms: Seq[String], topK: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16, "bounded query-term set")
+    val lens = docs.select(col(id),
+      size(split(col(text), " ")).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("len_sum"))
+      .select(col("n_docs"),
+        (col("len_sum").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    val tf = docs.select(col(id), explode(split(col(text), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dfRow = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .groupBy().pivot("term", terms).agg(first(col("df")))
+      .select(terms.map(t => coalesce(col(s"`$t`"), lit(0L)).as(s"df_$t")): _*)
+    val tfRow = tf.groupBy(col(id)).pivot("term", terms).agg(first(col("tf")))
+      .select(col(id) +: terms.map(t =>
+        coalesce(col(s"`$t`"), lit(0L)).as(s"tf_$t")): _*)
+    // per-term log idf on the 1-row frame, layered exactly as the
+    // oracle's CTE chain (same expression text, Spark pow2 spelling)
+    val idfRow = terms.foldLeft(stats.crossJoin(dfRow)) { (acc, t) =>
+      lnLayers(
+        s"((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df_$t AS DOUBLE) + 0.5))",
+        t, "shiftleft(CAST(1 AS BIGINT), %s)")
+        .foldLeft(acc) { case (a, (name, e)) => a.withColumn(name, expr(e)) }
+    }
+    val scored = lens.join(tfRow, Seq(id), "left")
+      .na.fill(0L, terms.map(t => s"tf_$t"))
+      .crossJoin(broadcast(idfRow))
+    val contribs = terms.map { t =>
+      val tfD = col(s"tf_$t").cast("double")
+      col(s"idf_$t") * ((tfD * lit(k1 + 1)) /
+        (tfD + lit(k1) * (lit(1 - b) + lit(b) * (col("dl").cast("double") / col("avgdl")))))
+    }
+    scored.select(col(id), col("dl"),
+        contribs.reduceLeft(_ + _).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col(id)).limit(topK)
+  }
+
   /** Sliding-window document chunking: fixed `size`-word chunks every
     * `stride` words — the retrieval/embedding preprocessing step (RAG
     * chunking, long-doc embedding, context-window packing all consume

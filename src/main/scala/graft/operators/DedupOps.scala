@@ -195,21 +195,64 @@ object DedupOps {
       .dupClusters(affectedBaseEdges.union(newPairs)))
   }
 
+  /** BOTH halves of incremental chain maintenance in one step — the
+    * composition a real recurring pipeline runs per cycle (docs arrive
+    * AND takedowns land in the same window): apply the delete set with
+    * [[retractChain]] (O(pairs) anti-joins, CC only inside
+    * deletion-affected components), then extend the retracted chain
+    * with the ingest batch's verified new pairs via [[extendChain]]
+    * (CC only over add-touched components). Produces the (pairs,
+    * labels) a full rebuild over (base \ deletes) ∪ batch would.
+    *
+    * The composition is exact because the two algebras commute through
+    * the intermediate state: retraction's output IS a valid persisted
+    * chain (its oracle proves that), and extension only requires its
+    * base to be a valid chain over the live corpus. `newPairs` must be
+    * verified against the POST-delete corpus — no pair may touch a
+    * deleted doc (the caller cuts candidates against the delete set;
+    * at the stream layer the tombstone anti-join does it).
+    */
+  private[graft] def upsertChain(s: SparkSession, basePairs: DataFrame,
+      baseLabels: DataFrame, del: DataFrame,
+      newPairs: DataFrame): (DataFrame, DataFrame) = {
+    val (keptPairs, midLabels) = retractChain(s, basePairs, baseLabels, del)
+    val kept = keptPairs.localCheckpoint() // feeds extend AND the union
+    val np = newPairs.select(col("d1"), col("d2")).localCheckpoint()
+    (kept.union(np).distinct(),
+      extendChain(s, kept, midLabels, np))
+  }
+
+  /** Corpus-proportional base/batch ingest split: base = the first 95%
+    * of the doc-id range, batch = the last 5%, at EVERY scale factor.
+    * A fixed split id (the 250 this replaces) makes the sf0.1+ "batch"
+    * most of the corpus, so the maintained path's benched figure
+    * approximates a rebuild instead of demonstrating the incremental
+    * win; proportional, the batch stays batch-sized as the corpus
+    * grows — the shape a recurring ingest actually has. Integer
+    * arithmetic so every engine lands on the same threshold.
+    */
+  private[graft] def ingestSplitId(s: SparkSession, dir: String): Long = {
+    val maxId = Tables.documents(s, dir)
+      .agg(max(col("doc_id"))).head().getLong(0)
+    math.max(1L, (maxId + 1L) * 95L / 100L)
+  }
+
   /** Write-once BASE chain (pairs + labels over the existing corpus,
-    * doc_id < 250 — the llm_dedup_incremental ingest split): what a
-    * recurring pipeline would have persisted BEFORE the batch arrived.
-    * Pairs derive by filtering the full dupchain fixture (band hashes
-    * and pairwise verification are per-doc/per-pair, so the full
-    * chain's both-endpoints-base pairs ARE the base-only chain's
-    * pairs); labels must be recomputed (the full fixture's components
-    * may span the split).
+    * doc_id below the [[ingestSplitId]] threshold): what a recurring
+    * pipeline would have persisted BEFORE the batch arrived. Pairs
+    * derive by filtering the full dupchain fixture (band hashes and
+    * pairwise verification are per-doc/per-pair, so the full chain's
+    * both-endpoints-base pairs ARE the base-only chain's pairs);
+    * labels must be recomputed (the full fixture's components may
+    * span the split).
     */
   private def dupChainBaseServed(s: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
+    val split = ingestSplitId(s, dir)
     val idx = buildIndexOnce(dir, "dupchain_base",
-      "n=3,seeds=8,bands=4,theta=0.7,split=250") { tmp =>
+      s"n=3,seeds=8,bands=4,theta=0.7,split=$split") { tmp =>
       val base = dupChainServed(s, dir)._1
-        .filter(col("d1") < 250 && col("d2") < 250)
+        .filter(col("d1") < split && col("d2") < split)
         .select(col("d1"), col("d2")).localCheckpoint()
       base.write.parquet(s"$tmp/pairs.parquet")
       graft.api.GraftPipelines.dupClusters(base)
@@ -530,6 +573,30 @@ object DedupOps {
   private lazy val dedupRetractOracleSql: String =
     s"""WITH RECURSIVE live AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+       |${shinglesSqlFrom("live")}, $minhashSql, $bandsSql,
+       |${clusterChainSqlFrom("live")}
+       |SELECT doc_id, cluster_id, csize,
+       | CAST(doc_id = cluster_id AS INTEGER) AS is_keeper
+       |FROM clusters
+       |JOIN (SELECT cluster_id, count(*) AS csize FROM clusters GROUP BY 1)
+       |  USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** llm_dedup_upsert's recompute oracle: the full dup-clusters chain
+    * over (base \ deletes) ∪ batch — base = doc ids below the
+    * corpus-proportional 95% split, deletes = base ids with
+    * doc_id % 10 == 7, batch = the last 5%. The maintained
+    * retract-then-extend path must equal this from-scratch rebuild,
+    * splits and merges included. DuckDB integer division is `//`
+    * (its `/` is float), mirroring [[ingestSplitId]]'s exact long
+    * arithmetic.
+    */
+  private lazy val dedupUpsertOracleSql: String =
+    s"""WITH RECURSIVE live AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id >= (SELECT ((max(doc_id) + 1) * 95) // 100
+       |                   FROM documents)
+       |     OR doc_id % 10 <> 7),
        |${shinglesSqlFrom("live")}, $minhashSql, $bandsSql,
        |${clusterChainSqlFrom("live")}
        |SELECT doc_id, cluster_id, csize,
@@ -1000,17 +1067,19 @@ object DedupOps {
     // Ingest maintenance of the dup-cluster map — the ADDITION dual of
     // llm_dedup_retract, and the cluster-level completion of
     // llm_dedup_incremental's per-doc flags: the persisted BASE chain
-    // (docs < 250) extends with the batch's verified new pairs (every
-    // one has a batch endpoint — candidates come from the persisted
-    // band index, d2 >= 250 cuts corpus↔corpus pairs for free since
-    // d1 < d2), components MERGE where a batch doc bridges two base
-    // clusters ([[extendChain]]: CC re-runs only over touched
-    // components' edges plus the new pairs; untouched labels pass
-    // through). Output = the full-corpus cluster map, so the oracle is
-    // llm_dup_clusters' full-rebuild SQL VERBATIM — the hash proves
-    // the merge algebra end-to-end.
+    // (the first 95% of doc ids at every sf — [[ingestSplitId]], so
+    // the batch stays batch-sized as the corpus grows) extends with
+    // the batch's verified new pairs (every one has a batch endpoint —
+    // candidates come from the persisted band index, d2 >= split cuts
+    // corpus↔corpus pairs for free since d1 < d2), components MERGE
+    // where a batch doc bridges two base clusters ([[extendChain]]:
+    // CC re-runs only over touched components' edges plus the new
+    // pairs; untouched labels pass through). Output = the full-corpus
+    // cluster map, so the oracle is llm_dup_clusters' full-rebuild SQL
+    // VERBATIM — the hash proves the merge algebra end-to-end.
     "llm_dup_clusters_incremental" -> ((s, dir) => {
       import s.implicits._
+      val split = ingestSplitId(s, dir)
       val (basePairs, baseLabels) = dupChainBaseServed(s, dir)
       val bands = {
         val idx = buildIndexOnce(dir, "band", "n=3,seeds=8,bands=4") { tmp =>
@@ -1022,8 +1091,42 @@ object DedupOps {
       val newPairs = graft.api.GraftPipelines.nearDuplicatesFromCandidates(
         Tables.documents(s, dir),
         graft.api.GraftPipelines.bandCandidates(bands)
-          .filter($"d2" >= 250), 0.7)
+          .filter($"d2" >= split), 0.7)
       dupClustersEntry(s, extendChain(s, basePairs, baseLabels, newPairs))
+    }),
+
+    // Combined UPSERT maintenance — one cycle of the real recurring
+    // pipeline: a takedown (base docs with doc_id % 10 == 7) AND an
+    // ingest batch (the last 5% of doc ids) land in the same window,
+    // and the persisted chain is maintained by retract-then-extend
+    // ([[upsertChain]]) without re-shingling the corpus. Candidates
+    // for the batch's pairs are cut against the delete set (a pair
+    // touching a deleted doc must not verify). Output = the cluster
+    // map a full rebuild over (base \ deletes) ∪ batch produces — the
+    // oracle recomputes exactly that corpus from scratch, so the hash
+    // proves the composed algebra including splits AND merges in one
+    // step.
+    "llm_dedup_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val split = ingestSplitId(s, dir)
+      val (basePairs, baseLabels) = dupChainBaseServed(s, dir)
+      val del = Tables.documents(s, dir)
+        .filter($"doc_id" < split && $"doc_id" % 10 === 7)
+        .select($"doc_id".as("del_id"))
+      val bands = {
+        val idx = buildIndexOnce(dir, "band", "n=3,seeds=8,bands=4") { tmp =>
+          graft.api.GraftPipelines.bandIndex(Tables.documents(s, dir))
+            .write.parquet(s"$tmp/bands.parquet")
+        }
+        s.read.parquet(s"$idx/bands.parquet")
+      }
+      val newPairs = graft.api.GraftPipelines.nearDuplicatesFromCandidates(
+        Tables.documents(s, dir),
+        graft.api.GraftPipelines.bandCandidates(bands)
+          .filter($"d2" >= split)
+          .filter(!($"d1" < split && $"d1" % 10 === 7)), 0.7)
+      dupClustersEntry(s,
+        upsertChain(s, basePairs, baseLabels, del, newPairs)._2)
     }),
 
     // Leakage-safe train/val/test split: the assignment unit is the
@@ -1590,6 +1693,7 @@ object DedupOps {
     "llm_dup_clusters_served" -> dupClustersOracleSql,
     "llm_dedup_retract" -> dedupRetractOracleSql,
     "llm_dup_clusters_incremental" -> dupClustersOracleSql,
+    "llm_dedup_upsert" -> dedupUpsertOracleSql,
 
     "llm_golden_record" ->
       s"""WITH RECURSIVE $shinglesSql, $minhashSql, $bandsSql,

@@ -492,6 +492,15 @@ object TextOps {
       graft.api.GraftPipelines.bm25RationalIdf(Tables.documents(s, dir), BM25_TERMS)
     }),
 
+    // Textbook-parity BM25 twin: log idf via the fixed IEEE-double
+    // ln DAG (GraftPipelines.lnLayerSql — hash-checkable, unlike libm
+    // log), so MULTI-term rankings match standard BM25 where the
+    // rational twin's linear idf over-weights rare terms.
+    "llm_bm25_log" -> ((s, dir) => {
+      import s.implicits._
+      graft.api.GraftPipelines.bm25LogIdf(Tables.documents(s, dir), BM25_TERMS)
+    }),
+
     // Temperature-flattened source mixing (α=0.5): per-source keep
     // rate sqrt(n_min/n_s) at ppm resolution + realized kept counts —
     // the standard rebalance that stops the biggest source from
@@ -1035,15 +1044,21 @@ object TextOps {
     // fully enumerated) is CHECKED, not assumed: a corpus that
     // violates it fails loudly instead of silently dropping a true
     // heavy hitter — the knnMaintenanceLoop scheme-refusal discipline.
-    // (Production fuses the N tally into pass 1 via an accumulator;
-    // here it is one extra column-pruned scan for clarity.)
+    // The N tally is FUSED into pass 1 ([[mgCandidatesCounted]]: each
+    // partition emits one tally row alongside its summary — exact, and
+    // retry-safe unlike an accumulator), so the premise check adds no
+    // extra corpus scan and the entry is honestly benchable: the timed
+    // figure IS the two-pass algorithm.
     "llm_heavy_hitters" -> ((s, dir) => {
       import s.implicits._
       val words = Tables.documents(s, dir)
         .select(explode(split($"text", " ")).as("w"))
         .filter($"w" =!= "").as[String]
-      val cands = words.mapPartitions(mgCandidates(MgCap))
-        .toDF("w").distinct()
+      val pass1 = words.mapPartitions(mgCandidatesCounted(MgCap))
+        .toDF("w", "np").localCheckpoint()
+      val cands = pass1.filter($"np" === 0L).select($"w").distinct()
+      val total = pass1.filter($"np" > 0L)
+        .agg(coalesce(sum($"np"), lit(0L))).head().getLong(0)
       val counts = words.toDF().join(broadcast(cands), Seq("w"))
         .groupBy($"w").agg(count(lit(1)).as("n"))
         .localCheckpoint()
@@ -1051,14 +1066,14 @@ object TextOps {
       val rows = top.collect()
       if (rows.length == HhK) {
         val kth = rows.last.getAs[Long]("n")
-        val total = words.count()
         require(kth * MgCap > total,
           s"llm_heavy_hitters: MG premise violated (rank-$HhK count $kth" +
             s" <= N/cap = $total/$MgCap) - raise MgCap; a silent result" +
             " could miss a true heavy hitter")
       } else {
         // sub-K vocabulary: exactness requires the candidate set to BE
-        // the vocabulary
+        // the vocabulary (degenerate corpora only — the extra distinct
+        // never runs at corpus scale)
         require(counts.count() == words.distinct().count(),
           "llm_heavy_hitters: candidate set lost words of a sub-K vocabulary")
       }
@@ -1087,6 +1102,22 @@ object TextOps {
       }
     }
     m.keysIterator
+  }
+
+  /** [[mgCandidates]] fused with the partition item tally: candidate
+    * rows carry np = 0, and one trailing (null, n_p) row records the
+    * partition's item count — so the global N the premise check needs
+    * rides the same pass-1 scan instead of a second corpus count.
+    * In-plan rows, not an accumulator: a task retry recomputes its
+    * partition's rows instead of double-adding to a shared counter,
+    * so N is exact under any retry schedule.
+    */
+  def mgCandidatesCounted(cap: Int)(
+      it: Iterator[String]): Iterator[(String, Long)] = {
+    var n = 0L
+    val counted = it.map { w => n += 1L; w }
+    val cands = mgCandidates(cap)(counted).map(w => (w, 0L)).toArray
+    cands.iterator ++ Iterator((null: String, n))
   }
 
   private val MgCap = 256
@@ -1405,6 +1436,59 @@ object TextOps {
          |   ($contribs) AS score
          |  FROM lens l LEFT JOIN tfrow t ON l.doc_id = t.doc_id
          |  CROSS JOIN stats CROSS JOIN dfrow)
+         |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    },
+
+    "llm_bm25_log" -> {
+      val terms = BM25_TERMS
+      val (k1, b) = (1.2, 0.75)
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      def pivotMax(v: String) = terms.map(t =>
+        s"coalesce(max(CASE WHEN term = '$t' THEN $v END), 0) AS ${v}_$t")
+        .mkString(", ")
+      // the same lnLayers as the Spark side, DuckDB shift spelling —
+      // one CTE per layer index over the 1-row (stats x df) frame
+      val layers = terms.map { t =>
+        graft.api.GraftPipelines.lnLayers(
+          s"((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df_$t AS DOUBLE) + 0.5))",
+          t, "(1::BIGINT << %s)")
+      }
+      val lnCtes = layers.head.indices.map { k =>
+        val cols = layers.map { l => s"${l(k)._2} AS ${l(k)._1}" }
+          .mkString(", ")
+        val from = if (k == 0) "base" else s"lnl${k - 1}"
+        s"lnl$k AS (SELECT *, $cols FROM $from)"
+      }.mkString(",\n")
+      val lastLn = s"lnl${layers.head.size - 1}"
+      val contribs = terms.map { t =>
+        s"""(idf_$t *
+           |  ((CAST(coalesce(tf_$t, 0) AS DOUBLE) * ${k1 + 1}) /
+           |   (CAST(coalesce(tf_$t, 0) AS DOUBLE) +
+           |    $k1 * (${1 - b} + $b * (CAST(dl AS DOUBLE) / avgdl)))))""".stripMargin
+      }.mkString(" +\n")
+      s"""WITH lens AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |  FROM documents),
+         |stats AS (
+         |  SELECT count(*) AS n_docs,
+         |   CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM lens),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |    FROM documents)
+         |  WHERE term IN ($inList) GROUP BY doc_id, term),
+         |dfrow AS (SELECT ${pivotMax("df")} FROM
+         |  (SELECT term, count(*) AS df FROM tf GROUP BY term)),
+         |base AS (SELECT * FROM stats CROSS JOIN dfrow),
+         |$lnCtes,
+         |idfrow AS (SELECT * FROM $lastLn),
+         |tfrow AS (SELECT doc_id, ${pivotMax("tf")} FROM tf GROUP BY doc_id)
+         |SELECT doc_id, dl, score FROM (
+         |  SELECT l.doc_id, l.dl,
+         |   ($contribs) AS score
+         |  FROM lens l LEFT JOIN tfrow t ON l.doc_id = t.doc_id
+         |  CROSS JOIN idfrow)
          |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
     },
 

@@ -966,6 +966,168 @@ object EventStreaming {
     }
   }
 
+  /** UNIFIED streaming chain maintenance — adds and takedowns in ONE
+    * stream, the shape a real recurring pipeline has (docs arrive and
+    * right-to-be-forgotten requests land in the same window). Each
+    * micro-batch carries rows `(op, doc_id, text)` with op = 'add'
+    * (text = document) or 'del' (text ignored); the batch applies its
+    * deletes FIRST, then its adds, via the composed batch algebra
+    * ([[graft.operators.DedupOps]]'s `upsertChain` = retractChain ∘
+    * extendChain, oracle-checked as `llm_dedup_upsert`).
+    *
+    * State under `statePath` — the [[extendLoop]] layout plus a
+    * tombstone log:
+    *
+    *  - `scheme/`, `chain/g=<id>/{pairs,labels}` — exactly as
+    *    [[extendLoop]]/[[takedownLoop]] (shared [[StateScheme]] marker
+    *    and [[publishGeneration]] crash-safety).
+    *  - `bands/`, `docs/` — dup-tolerant append logs of ADDED docs,
+    *    folded by [[compactDupTolerantLog]].
+    *  - `dels/` — the tombstone log: deleted doc ids, appended per
+    *    batch, folded like the other logs. Every band/doc READ
+    *    anti-joins it, so a deleted doc can never generate another
+    *    candidate pair; the rows physically persist until an offline
+    *    vacuum rewrites the logs (the tombstone model every
+    *    log-structured store uses — deletion is a read-side filter
+    *    plus eventual compaction, never an in-place scrub).
+    *
+    * Contracts: doc ids are never reused after deletion (tombstones
+    * are permanent), and one batch must not both add and delete the
+    * same id (deletes apply first, so the add would win — refuse
+    * upstream rather than depend on that ordering). The sink sees the
+    * label-map DELTA as `(doc_id, cluster_id, op)` rows — op 'add'
+    * for rows entering the map (new docs, merge relabels, split
+    * relabels) and 'del' for rows leaving it; readers consume the
+    * newest `chain/g=` generation directly.
+    */
+  def upsertLoop(ops: DataFrame, statePath: String,
+      checkpointDir: Option[String] = None, minJaccard: Double = 0.7,
+      shingleN: Int = 3, seeds: Int = 8, bands: Int = 4,
+      compactThreshold: Int = 64)
+      (sink: (Dataset[Row], Long) => Unit = (_, _) => ()): StreamingQuery = {
+    val runId = StateScheme.runIdentity(checkpointDir)
+    deliver(ops, checkpointDir) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val fs = StateScheme.fsFor(spark, statePath)
+      val chainRoot = s"$statePath/chain"
+      val pinnedRun = StateScheme.ensure(spark, fs, s"$statePath/scheme",
+        s"j=$minJaccard,n=$shingleN,seeds=$seeds,bands=$bands", runId,
+        "upsertLoop",
+        "bands/pairs from two hash schemes must never mix")
+      val chainPath = new org.apache.hadoop.fs.Path(chainRoot)
+      def gens(): Seq[Long] =
+        if (!fs.exists(chainPath)) Seq.empty
+        else fs.listStatus(chainPath).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("g=")).map(_.stripPrefix("g=").toLong)
+      StateScheme.refuseForeign("upsertLoop", batchId, pinnedRun, runId,
+        gens().exists(_ >= 0), s"the maintained chain at $chainRoot",
+        "rewinding the chain would drop ingested docs and resurrect " +
+          "taken-down ones")
+      if (gens().isEmpty)
+        publishGeneration(fs, chainRoot, -1L, Seq(
+          "pairs" -> Seq.empty[(Long, Long)].toDF("d1", "d2"),
+          "labels" -> Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")))
+      def emptyDelta() = Seq.empty[(Long, Long, String)]
+        .toDF("doc_id", "cluster_id", "op")
+      def labelDelta(published: DataFrame, prior: DataFrame): DataFrame =
+        published.join(prior, Seq("doc_id", "cluster_id"), "left_anti")
+          .select(col("doc_id"), col("cluster_id"), lit("add").as("op"))
+          .unionByName(
+            prior.join(published, Seq("doc_id", "cluster_id"), "left_anti")
+              .select(col("doc_id"), col("cluster_id"),
+                lit("del").as("op")))
+      val allGens = gens()
+      val priorBelow = allGens.filter(_ < batchId).maxOption
+      if (allGens.contains(batchId)) {
+        // REPLAY onto own published generation — the extend/takedown
+        // recovery contract: published content is final, delta from
+        // stable files when the pre-publish generation survives
+        priorBelow match {
+          case Some(p) =>
+            val published =
+              spark.read.parquet(s"$chainRoot/g=$batchId/labels")
+            val pLabels = spark.read.parquet(s"$chainRoot/g=$p/labels")
+            sink(labelDelta(published, pLabels), batchId)
+            allGens.filter(_ < batchId).foreach { g =>
+              fs.delete(new org.apache.hadoop.fs.Path(
+                s"$chainRoot/g=$g"), true)
+            }
+          case None => sink(emptyDelta(), batchId)
+        }
+      } else {
+      val b = batch.toDF.select(
+        lower(col("op")).cast("string").as("op"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("text").cast("string").as("text")).localCheckpoint()
+      val adds = b.filter(col("op") === "add").drop("op")
+      val dels = b.filter(col("op") === "del")
+        .select(col("doc_id").as("del_id")).distinct()
+      if (!b.isEmpty) {
+        // tombstones first: appended before any read, so this batch's
+        // own candidate generation already excludes them
+        if (!dels.isEmpty) {
+          dels.write.mode("append").parquet(s"$statePath/dels")
+          compactDupTolerantLog(spark, s"$statePath/dels", compactThreshold)
+        }
+        val tombs =
+          try spark.read.parquet(s"$statePath/dels")
+            .select(col("del_id")).distinct()
+          catch {
+            case _: org.apache.spark.sql.AnalysisException =>
+              Seq.empty[Long].toDF("del_id")
+          }
+        val newPairs =
+          if (adds.isEmpty)
+            Seq.empty[(Long, Long)].toDF("d1", "d2")
+          else {
+            val batchBands = graft.api.GraftPipelines
+              .bandIndex(adds, shingleN, seeds, bands)
+            batchBands.write.mode("append").parquet(s"$statePath/bands")
+            adds.write.mode("append").parquet(s"$statePath/docs")
+            compactDupTolerantLog(spark, s"$statePath/bands",
+              compactThreshold)
+            compactDupTolerantLog(spark, s"$statePath/docs",
+              compactThreshold)
+            // accumulated stores, tombstone-filtered: a deleted doc
+            // never generates another candidate
+            val allBands = spark.read.parquet(s"$statePath/bands")
+              .select(col("doc_id"), col("b")).distinct()
+              .join(tombs, col("doc_id") === col("del_id"), "left_anti")
+            val allDocs = spark.read.parquet(s"$statePath/docs")
+              .select(col("doc_id"), col("text"))
+              .dropDuplicates("doc_id")
+              .join(tombs, col("doc_id") === col("del_id"), "left_anti")
+            val bb = batchBands.select(col("doc_id").as("bid"), col("b"))
+            val cands = bb.hint("shuffle_hash")
+              .join(allBands.hint("shuffle_hash"), "b")
+              .filter(col("bid") =!= col("doc_id"))
+              .select(least(col("bid"), col("doc_id")).as("d1"),
+                greatest(col("bid"), col("doc_id")).as("d2"))
+              .distinct()
+            graft.api.GraftPipelines
+              .nearDuplicatesFromCandidates(allDocs, cands, minJaccard)
+              .select(col("d1"), col("d2"))
+          }
+        val prior = priorBelow.get // bootstrap guaranteed g=-1
+        val pPairs = spark.read.parquet(s"$chainRoot/g=$prior/pairs")
+        val pLabels = spark.read.parquet(s"$chainRoot/g=$prior/labels")
+        val (nextPairs, nextLabels) = graft.operators.DedupOps
+          .upsertChain(spark, pPairs, pLabels, dels, newPairs)
+        publishGeneration(fs, chainRoot, batchId,
+          Seq("pairs" -> nextPairs, "labels" -> nextLabels))
+        val published =
+          spark.read.parquet(s"$chainRoot/g=$batchId/labels")
+        sink(labelDelta(published, pLabels), batchId)
+        gens().filter(_ < batchId).foreach { g =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$chainRoot/g=$g"), true)
+        }
+      } else sink(emptyDelta(), batchId)
+      }
+    }
+  }
+
   /** Streaming takedown maintenance of the near-dup cluster chain —
     * the streaming consumer of the batch retraction algebra
     * ([[graft.operators.DedupOps]]'s `retractChain`, oracle-checked as

@@ -32,6 +32,59 @@ class RetrievalSamplingSpec extends SparkSpec {
     assert(out(1L) > out(2L)) // one rare 'dup' beats three common 'spark's
   }
 
+  test("bm25LogIdf: multi-term ranking equals textbook (math.log) BM25 " +
+      "on a corpus where the rational twin's linear idf flips the order") {
+    // 50 docs; 15 'common' query terms with df = 40, one 'rare' term
+    // with df = 1. Doc B carries every common term at near-saturating
+    // tf = 8 at roughly average length; doc A carries one 'rare' at
+    // twice average length. Under textbook log idf B outranks A
+    // (15 * ln(51/40.5) * ~1.9 > ln(34) * ~0.7); under the rational
+    // twin the rare term's LINEARLY amplified idf ((50-1+0.5)/1.5 = 33
+    // vs ln(34) = 3.53) flips that — the exact bias the log twin
+    // exists to remove.
+    val cTerms = (1 to 15).map(i => s"common$i")
+    val docA = 1L -> ("rare " +
+      (1 to 239).map(i => s"fill$i").mkString(" "))
+    val docB = 2L -> cTerms.flatMap(t => Seq.fill(8)(t)).mkString(" ")
+    val carriers = (3L to 41L).map(i =>
+      i -> (cTerms.mkString(" ") + s" extra$i"))
+    val fillers = (42L to 50L).map(i =>
+      i -> (1 to 557).map(j => s"junk${i}_$j").mkString(" "))
+    val df = docsDf((Seq(docA, docB) ++ carriers ++ fillers): _*)
+    val terms = "rare" +: cTerms
+    // independent textbook reference computed from raw tf/df/dl
+    val texts = (Seq(docA, docB) ++ carriers ++ fillers).toMap
+    val dls = texts.map { case (id, t) => id -> t.split(" ").length }
+    val n = texts.size.toDouble
+    val avgdl = dls.values.sum.toDouble / n
+    val dfs = terms.map(t =>
+      t -> texts.values.count(_.split(" ").contains(t)).toDouble).toMap
+    def textbook(id: Long): Double = terms.map { t =>
+      val tf = texts(id).split(" ").count(_ == t).toDouble
+      val idf = math.log((n + 1.0) / (dfs(t) + 0.5))
+      idf * ((tf * 2.2) /
+        (tf + 1.2 * (0.25 + 0.75 * (dls(id).toDouble / avgdl))))
+    }.sum
+    val expected = texts.keys.toSeq.map(id => id -> textbook(id))
+      .filter(_._2 > 0).sortBy { case (id, sc) => (-sc, id) }.take(10)
+    val got = api.GraftPipelines.bm25LogIdf(df, terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toSeq
+    assert(got.map(_._1) == expected.map(_._1),
+      s"log-idf ranking must match textbook BM25: got ${got.map(_._1)}, " +
+        s"want ${expected.map(_._1)}")
+    got.zip(expected).foreach { case ((_, g), (_, w)) =>
+      assert(math.abs(g - w) <= 1e-8 * math.max(1.0, math.abs(w)),
+        s"score $g must approximate textbook $w within the series bound")
+    }
+    // the behavioral difference is real: textbook ranks the saturated
+    // common doc first, the rational twin puts the rare-term doc first
+    assert(got.head._1 == 2L)
+    val rational = api.GraftPipelines.bm25RationalIdf(df, terms)
+      .collect().map(_.getLong(0))
+    assert(rational.head == 1L,
+      "fixture degenerate: the rational twin should flip this ranking")
+  }
+
   test("invertedIndex: exact postings, minDf drops the hapax tail") {
     val df = docsDf(5L -> "b a", 2L -> "a c", 9L -> "a b")
     val idx = api.GraftPipelines.invertedIndex(df, minDf = 2).collect()

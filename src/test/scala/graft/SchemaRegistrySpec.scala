@@ -15,6 +15,23 @@ class SchemaRegistrySpec extends SparkSpec {
     tempSfDir("events" -> events)
   }
 
+  test("catalog bound: a type-cardinality blowout refuses loudly instead " +
+      "of collecting an unbounded sample table to the driver") {
+    // event_type with a leaked id: every row its own "type"
+    val blown = (1L to 50L).map(i =>
+        (i, i * 1000000000L, 1L, s"type_$i", 1.0, """{"x": 1}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tempSfDir("events" -> blown)
+    val ev = operators.EventOps.events(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      SchemaRegistry.build(ev, maxTypes = 10)
+    }
+    assert(e.getMessage.contains("distinct event types"))
+    // at the bound (or raised deliberately) the same corpus builds fine
+    assert(SchemaRegistry.build(ev, maxTypes = 50)("type_7")
+      .fieldNames.sameElements(Array("x")))
+  }
+
   test("schema frozen at first sight: later keys don't widen the type") {
     val reg = SchemaRegistry.build(
       operators.EventOps.events(spark, ragged()))

@@ -1358,6 +1358,79 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$snapDir/v=1").count() == 3)
   }
 
+  test("upsertLoop: mixed add/delete batches maintain the chain to " +
+      "exactly the batch rebuild over the live corpus — a bridge delete " +
+      "SPLITS and an add MERGES in the same trigger, a new doc similar " +
+      "to a tombstoned one pairs with nothing, and the sink sees the " +
+      "signed label delta") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tB = "alpha beta gamma delta epsilon zeta eta theta paris london rome"
+    val tAB = "alpha beta gamma delta epsilon zeta eta theta iota paris"
+    val tC = "completely different words appear in this sentence about engines"
+    // batch 0 (adds only): path 1-2-3 (1~2 and 2~3 verify, 1~3 does
+    // not — 2 is the bridge) plus pair {10,11}
+    val b0 = Seq(("add", 1L, tA), ("add", 2L, tAB), ("add", 3L, tB),
+      ("add", 10L, tC), ("add", 11L, tC))
+    // batch 1: DELETE the bridge (splitting 1 and 3 into pair-less
+    // singletons) while ADDING 4 = tA (re-pairs with 1 — and is 0.82
+    // similar to the tombstoned 2, which must NOT generate a pair) and
+    // 12 = tC (merges into {10,11})
+    val b1 = Seq(("del", 2L, null: String), ("add", 4L, tA),
+      ("add", 12L, tC))
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_upsert").toString + "/state"
+    val mem = MemoryStream[(String, Long, String)]
+    val deltas =
+      scala.collection.mutable.Map[Long, Set[(Long, Long, String)]]()
+    val query = EventStreaming.upsertLoop(
+      mem.toDF().toDF("op", "doc_id", "text"), stateDir,
+      compactThreshold = 2) { (df, b) =>
+      deltas(b) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    }
+    try {
+      mem.addData(b0: _*); query.processAllAvailable()
+      mem.addData(b1: _*); query.processAllAvailable()
+    } finally query.stop()
+    val end = spark.read.parquet(s"$stateDir/chain/g=1/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // stream ≡ batch: full rebuild over the LIVE corpus (adds minus
+    // deletes)
+    val live = Seq((1L, tA), (3L, tB), (4L, tA), (10L, tC), (11L, tC),
+      (12L, tC))
+      .map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val twin = graft.api.GraftPipelines.dupClusters(
+        graft.api.GraftPipelines.nearDuplicates(live, 0.7))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(end == twin, s"stream $end must equal batch twin $twin")
+    // the split really happened (3 left the map), the merge really
+    // happened (12 joined 10's cluster), and 4 re-paired with 1 only
+    assert(end == Map(1L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L,
+      12L -> 10L))
+    // signed deltas: batch 0 all adds; batch 1 = two removals (the
+    // deleted bridge and the stranded 3) + two additions
+    assert(deltas(0L) == Set((1L, 1L, "add"), (2L, 1L, "add"),
+      (3L, 1L, "add"), (10L, 10L, "add"), (11L, 10L, "add")))
+    assert(deltas(1L) == Set((4L, 1L, "add"), (12L, 10L, "add"),
+      (2L, 1L, "del"), (3L, 1L, "del")))
+    // surviving pairs: no pair touches the tombstoned doc 2
+    val endPairs = spark.read.parquet(s"$stateDir/chain/g=1/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!endPairs.exists(p => p._1 == 2L || p._2 == 2L),
+      s"tombstoned doc must not hold pairs: $endPairs")
+    // a fresh (non-owning) query over the maintained state refuses
+    val mem2 = MemoryStream[(String, Long, String)]
+    val q2 = EventStreaming.upsertLoop(
+      mem2.toDF().toDF("op", "doc_id", "text"), stateDir)()
+    mem2.addData(("add", 20L, tC))
+    expectStreamFailure(q2, "different run")
+    assert(spark.read.parquet(s"$stateDir/chain/g=1/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap == end)
+  }
+
   test("takedownLoop replay: a sink crash AFTER publish replays the " +
       "batch onto its own published generation — the restart recovers " +
       "cleanly (no crash loop), redelivers the true invalidated delta " +
