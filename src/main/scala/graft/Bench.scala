@@ -152,6 +152,10 @@ object Bench {
     "llm_semdedup_scaled_served", "llm_semdedup_gated_scaled_served",
     "llm_simhash_pairs_served", "llm_embed_ivfpq_served",
     "llm_cluster_assign", "llm_dedup_retract",
+    // chain maintenance vs rebuild at sf1: the corpus-proportional
+    // split (round 13) makes these the measured incremental-win
+    // evidence against llm_dup_clusters' rebuild figure above
+    "llm_dup_clusters_incremental", "llm_dedup_upsert",
     // scaled-k gated refit: the production fix for the fixed-k gated
     // entry's Σ cluster² sf1 hazard — recorded at sf1 to make the
     // "constant cluster size keeps the gate linear" claim measured
@@ -188,9 +192,14 @@ object Bench {
       .config("spark.local.dir", "target/spark-local")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // absorb one-time JVM/codegen/session cost so timings measure queries
+    // absorb one-time JVM/codegen/session cost so timings measure
+    // queries; warm with a query from the SELECTED set, not a fixed
+    // one — a subset probe (e.g. the sf10 documents-only corpus) may
+    // not even have the fixed query's tables
     spark.range(1000000).selectExpr("sum(id)").collect()
-    SparkEntry.queries("ev_catalog")(spark, sfDir)
+    SparkEntry.queries(
+        if (selected.contains("ev_catalog")) "ev_catalog" else selected.head)(
+        spark, sfDir)
       .write.mode("overwrite").format("noop").save()
     // fixture warm-up: entries that serve a write-once artifact (the
     // day-partitioned layout, the persisted ANN indexes) build it here,

@@ -57,19 +57,47 @@ object DevScale {
 
     val stop = graft.api.GraftPipelines.DefaultStopwords
       .map(w => s"'$w'").mkString(", ")
+    // Past 10 replicas the char rotation alone aliases: a word of
+    // length L has only L rotations, so replicas at distance L share
+    // every length-L word and short-word-heavy docs become artificial
+    // cross-replica near-dups. For i >= 10 a per-replica Caesar cipher
+    // (shift i % 25 + 1 over a-z — length-, TTR-, and
+    // quality-metric-preserving exactly like the rotation) is layered
+    // on top: a full-word collision then needs the distance to be a
+    // multiple of BOTH 26 and L, pushing doc-level aliasing past the
+    // 0.7 Jaccard gate for any mixed-length text. i <= 9 is untouched,
+    // so the sf1 (10-replica) recipe is bit-identical to prior rounds.
+    def caesar(i: Int): String = {
+      val az = "abcdefghijklmnopqrstuvwxyz"
+      if (i < 10) az
+      else { val k = i % 25 + 1; az.substring(k) + az.substring(0, k) }
+    }
     rep("documents", Map("doc_id" -> 5000L), (d, i) =>
       if (i == 0) d
       else d.withColumn("text", expr(
         s"""array_join(transform(split(text, ' '), w ->
            |  CASE WHEN length(w) <= 1 OR w IN ($stop) THEN w
-           |       ELSE concat(substring(w, $i % length(w) + 1, length(w)),
-           |                   substring(w, 1, $i % length(w))) END), ' ')"""
-          .stripMargin)))
+           |       ELSE translate(
+           |              concat(substring(w, $i % length(w) + 1, length(w)),
+           |                     substring(w, 1, $i % length(w))),
+           |              'abcdefghijklmnopqrstuvwxyz', '${caesar(i)}') END),
+           |' ')""".stripMargin)))
+    // Same aliasing past 64 replicas for the 64-dim circular shift:
+    // for i >= 64, a per-replica diagonal sign flip (an orthogonal
+    // transform — within-replica norms and cosines exact) decorrelates
+    // the repeated shifts; i <= 63 is untouched.
     rep("embeddings", Map("vec_id" -> 2000L), (d, i) =>
       if (i == 0) d
-      else d.withColumn("embedding", expr(
-        s"concat(slice(embedding, $i + 1, size(embedding) - $i), " +
-          s"slice(embedding, 1, $i))")))
+      else {
+        val s = i % 64
+        val shifted = d.withColumn("embedding", expr(
+          s"concat(slice(embedding, $s + 1, size(embedding) - $s), " +
+            s"slice(embedding, 1, $s))"))
+        if (i < 64) shifted
+        else shifted.withColumn("embedding", expr(
+          "transform(embedding, (x, j) -> " +
+            "CASE WHEN j < 32 THEN -x ELSE x END)"))
+      })
     // one-week stride: windows/sessions gain buckets, not width
     // (ts is layout-dependent — ns-INT64 or TIMESTAMP(µs) — so it shifts
     // via a custom fn instead of the numeric offsets map)

@@ -31,6 +31,16 @@ object DevStreamBench {
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT",
       "bench_streaming.json")
     val reps = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_REPS", "4").toInt
+    // subset (comma-sep: extend,takedown,knn,ingest) and the knn bucket
+    // width — lshBits must scale with store size (llm_lsh_occupancy is
+    // the widen signal): at 8 bits a 1:100 batch touches nearly every
+    // bucket and the "touched-bucket" recompute degenerates to a full
+    // rebuild per trigger
+    val loops = sys.env.get("SPARK_GRAFT_STREAMBENCH_LOOPS")
+      .map(_.split(",").map(_.trim).toSet)
+    def want(n: String) = loops.forall(_.contains(n))
+    val knnBits = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_KNN_BITS",
+      "8").toInt
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -84,7 +94,8 @@ object DevStreamBench {
       "[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
 
     // ---- rebuild reference: the full batch chain over all docs -----
-    val (chain, rebuildSec) = timed {
+    val needChain = want("extend") || want("takedown")
+    val (chain, rebuildSec) = if (!needChain) ((null, null), 0.0) else timed {
       val pairs = graft.api.GraftPipelines.nearDuplicates(
         spark.read.parquet(s"$sfDir/documents.parquet"), 0.7)
         .select($"d1", $"d2").localCheckpoint()
@@ -94,11 +105,13 @@ object DevStreamBench {
       (pairs, labels)
     }
     val (seedPairs, seedLabels) = chain
-    println(f"[sbench] chain rebuild over $nDocs docs: $rebuildSec%.3f s")
-    results += "chain_rebuild_sec" -> f"$rebuildSec%.3f"
+    if (needChain) {
+      println(f"[sbench] chain rebuild over $nDocs docs: $rebuildSec%.3f s")
+      results += "chain_rebuild_sec" -> f"$rebuildSec%.3f"
+    }
 
     // ---- extendLoop -------------------------------------------------
-    {
+    if (want("extend")) {
       val (seed, big, small) = slices(docsAll)
       val mem = MemoryStream[(Long, String)]
       val q = EventStreaming.extendLoop(
@@ -118,7 +131,7 @@ object DevStreamBench {
     }
 
     // ---- takedownLoop -----------------------------------------------
-    {
+    if (want("takedown")) {
       // delete slices: disjoint id stripes at ~1% and ~0.1% of corpus
       val ids = docsAll.map(_._1)
       val (_, big, small) = slices(ids)
@@ -138,11 +151,12 @@ object DevStreamBench {
     }
 
     // ---- knnMaintenanceLoop ----------------------------------------
-    {
+    if (want("knn")) {
       val (seed, big, small) = slices(embAll)
       val mem = MemoryStream[(Long, Seq[Float])]
       val q = EventStreaming.knnMaintenanceLoop(
-        mem.toDF().toDF("vec_id", "embedding"), tmp("knn"))()
+        mem.toDF().toDF("vec_id", "embedding"), tmp("knn"),
+        lshBits = knnBits)()
       def trig(b: Seq[(Long, Seq[Float])]): Double =
         timed { mem.addData(b: _*); q.processAllAvailable() }._2
       try {
@@ -151,6 +165,7 @@ object DevStreamBench {
         val t1000 = small.map(trig)
         println(f"[sbench] knnMaintenanceLoop seed=$seedSec%.3f " +
           s"b100=${fmt(t100)} b1000=${fmt(t1000)}")
+        results += "knn_bits" -> knnBits.toString
         results += "knn_seed_sec" -> f"$seedSec%.3f"
         results += "knn_b100_sec" -> fmt(t100)
         results += "knn_b1000_sec" -> fmt(t1000)
@@ -158,7 +173,7 @@ object DevStreamBench {
     }
 
     // ---- ingestDedupLoop -------------------------------------------
-    {
+    if (want("ingest")) {
       val (seed, big, small) = slices(docsAll)
       val mem = MemoryStream[(Long, String)]
       val q = EventStreaming.ingestDedupLoop(

@@ -1405,13 +1405,20 @@ object GraftPipelines {
       .select(col(id) +: terms.map(t =>
         coalesce(col(s"`$t`"), lit(0L)).as(s"tf_$t")): _*)
     // per-term log idf on the 1-row frame, layered exactly as the
-    // oracle's CTE chain (same expression text, Spark pow2 spelling)
-    val idfRow = terms.foldLeft(stats.crossJoin(dfRow)) { (acc, t) =>
+    // oracle's CTE chain (same expression text, Spark pow2 spelling).
+    // repartition(1) on one row is free and is a deliberate exchange
+    // BARRIER: without it whole-stage codegen fuses the 1-row BNLJ
+    // with all |terms| x 11 ln layers into one doConsume that blows
+    // janino's 64KB method limit (measured — the stage fell back to
+    // interpreted eval and each bench pass paid the failed compile)
+    val idfRow = terms.foldLeft(stats.crossJoin(dfRow).repartition(1)) { (acc, t) =>
       lnLayers(
         s"((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df_$t AS DOUBLE) + 0.5))",
         t, "shiftleft(CAST(1 AS BIGINT), %s)")
         .foldLeft(acc) { case (a, (name, e)) => a.withColumn(name, expr(e)) }
-    }
+    }.localCheckpoint() // 1 row — cuts the lineage so the per-doc
+    // scoring stage consumes plain idf columns instead of the
+    // optimizer re-inlining all the ln layers into its join condition
     val scored = lens.join(tfRow, Seq(id), "left")
       .na.fill(0L, terms.map(t => s"tf_$t"))
       .crossJoin(broadcast(idfRow))
