@@ -1374,7 +1374,7 @@ object GraftPipelines {
     * = ln((N + 1)/(df + 0.5))` — rare-term idf grows LOGARITHMICALLY,
     * so multi-term rankings match standard BM25 (the rational twin's
     * documented bias amplifies rare terms linearly). Still
-    * hash-checkable: the log is [[lnLayerSql]]'s fixed IEEE-double DAG
+    * hash-checkable: the log is [[lnLayers]]' fixed IEEE-double DAG
     * (argument always > 1 since df <= N, so the x >= 1 precondition
     * holds by construction), computed on the 1-row (stats × df) frame
     * — per-QUERY constant work, broadcast to the per-doc scoring pass

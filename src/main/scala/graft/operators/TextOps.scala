@@ -493,7 +493,7 @@ object TextOps {
     }),
 
     // Textbook-parity BM25 twin: log idf via the fixed IEEE-double
-    // ln DAG (GraftPipelines.lnLayerSql — hash-checkable, unlike libm
+    // ln DAG (GraftPipelines.lnLayers — hash-checkable, unlike libm
     // log), so MULTI-term rankings match standard BM25 where the
     // rational twin's linear idf over-weights rare terms.
     "llm_bm25_log" -> ((s, dir) => {

@@ -1060,6 +1060,15 @@ object EventStreaming {
         lower(col("op")).cast("string").as("op"),
         col("doc_id").cast("long").as("doc_id"),
         col("text").cast("string").as("text")).localCheckpoint()
+      // an unrecognized op must fail the batch, not silently drop the
+      // row — a typo'd 'delete' swallowed here would be a takedown
+      // that never happened
+      val badOps = b.filter(!col("op").isin("add", "del")).limit(5)
+        .collect()
+      require(badOps.isEmpty,
+        s"upsertLoop batch $batchId: unrecognized op value(s) " +
+          s"${badOps.map(_.getString(0)).distinct.mkString(", ")} — " +
+          "only 'add' and 'del' are defined")
       val adds = b.filter(col("op") === "add").drop("op")
       val dels = b.filter(col("op") === "del")
         .select(col("doc_id").as("del_id")).distinct()

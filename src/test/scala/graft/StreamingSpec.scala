@@ -1429,6 +1429,16 @@ class StreamingSpec extends SparkSpec {
     expectStreamFailure(q2, "different run")
     assert(spark.read.parquet(s"$stateDir/chain/g=1/labels")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap == end)
+    // a typo'd op fails the batch loudly instead of silently dropping
+    // the row (a swallowed 'delete' would be a takedown that never
+    // happened)
+    val mem3 = MemoryStream[(String, Long, String)]
+    val q3 = EventStreaming.upsertLoop(
+      mem3.toDF().toDF("op", "doc_id", "text"),
+      java.nio.file.Files.createTempDirectory("graft_upsert_badop")
+        .toString + "/state")()
+    mem3.addData(("delete", 10L, null: String))
+    expectStreamFailure(q3, "unrecognized op")
   }
 
   test("takedownLoop replay: a sink crash AFTER publish replays the " +
