@@ -1090,8 +1090,8 @@ object DedupOps {
       }
       val newPairs = graft.api.GraftPipelines.nearDuplicatesFromCandidates(
         Tables.documents(s, dir),
-        graft.api.GraftPipelines.bandCandidates(bands)
-          .filter($"d2" >= split), 0.7)
+        graft.api.GraftPipelines.bandCandidatesFromBatch(bands, split),
+        0.7)
       dupClustersEntry(s, extendChain(s, basePairs, baseLabels, newPairs))
     }),
 
@@ -1122,8 +1122,7 @@ object DedupOps {
       }
       val newPairs = graft.api.GraftPipelines.nearDuplicatesFromCandidates(
         Tables.documents(s, dir),
-        graft.api.GraftPipelines.bandCandidates(bands)
-          .filter($"d2" >= split)
+        graft.api.GraftPipelines.bandCandidatesFromBatch(bands, split)
           .filter(!($"d1" < split && $"d1" % 10 === 7)), 0.7)
       dupClustersEntry(s,
         upsertChain(s, basePairs, baseLabels, del, newPairs)._2)
