@@ -588,13 +588,15 @@ object DedupOps {
     * doc_id % 10 == 7, batch = the last 5%. The maintained
     * retract-then-extend path must equal this from-scratch rebuild,
     * splits and merges included. DuckDB integer division is `//`
-    * (its `/` is float), mirroring [[ingestSplitId]]'s exact long
-    * arithmetic.
+    * (its `/` is float), and the `greatest(1, …)` floor mirrors
+    * [[ingestSplitId]]'s `math.max(1L, …)` exactly — on a degenerate
+    * corpus where maxId*95/100 rounds to 0 both engines must land on
+    * the same threshold or the hash check fails spuriously.
     */
   private lazy val dedupUpsertOracleSql: String =
     s"""WITH RECURSIVE live AS (
        |  SELECT doc_id, text FROM documents
-       |  WHERE doc_id >= (SELECT ((max(doc_id) + 1) * 95) // 100
+       |  WHERE doc_id >= (SELECT greatest(1, ((max(doc_id) + 1) * 95) // 100)
        |                   FROM documents)
        |     OR doc_id % 10 <> 7),
        |${shinglesSqlFrom("live")}, $minhashSql, $bandsSql,

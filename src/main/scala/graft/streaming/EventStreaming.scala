@@ -264,17 +264,19 @@ object EventStreaming {
     deliver(docs, checkpointDir) { (batch, batchId) =>
       val spark = batch.sparkSession
       val fs = StateScheme.fsFor(spark, indexPath)
+      def indexExists: Boolean = {
+        val p = new org.apache.hadoop.fs.Path(indexPath)
+        fs.exists(p) && fs.listStatus(p).toSeq
+          .exists(_.getPath.getName.startsWith("part-"))
+      }
       val pinnedRun = StateScheme.ensure(spark, fs, s"$indexPath/_scheme",
         s"n=$shingleN,seeds=$seeds,bands=$bands", runId, "ingestDedupLoop",
         "band hashes from two hash schemes must never share one index " +
-          "(new↔old candidates would silently never collide)")
+          "(new↔old candidates would silently never collide)",
+        indexExists, adoptExisting)
       if (!adoptExisting)
         StateScheme.refuseForeign("ingestDedupLoop", batchId, pinnedRun,
-          runId, {
-            val p = new org.apache.hadoop.fs.Path(indexPath)
-            fs.exists(p) && fs.listStatus(p).toSeq
-              .exists(_.getPath.getName.startsWith("part-"))
-          }, s"the band index at $indexPath",
+          runId, indexExists, s"the band index at $indexPath",
           "pass adoptExisting = true to deliberately continue ingest " +
             "into this index")
       val index =
@@ -389,16 +391,17 @@ object EventStreaming {
     deliver(docs, checkpointDir) { (batch0, batchId) =>
       val spark = batch0.sparkSession
       val schemeFs = StateScheme.fsFor(spark, statePath)
+      def logsExist: Boolean = Seq("digests", "docs", "bands").exists { sub =>
+        schemeFs.exists(new org.apache.hadoop.fs.Path(s"$statePath/$sub"))
+      }
       val pinnedRun = StateScheme.ensure(spark, schemeFs,
         s"$statePath/scheme", paramFp, runId, "curationIngest",
         "state logs written under two curation policies or hash " +
           "schemes must never mix (missed duplicates and inconsistent " +
-          "gates are silent wrong answers)")
+          "gates are silent wrong answers)", logsExist, adoptExisting)
       if (!adoptExisting)
         StateScheme.refuseForeign("curationIngest", batchId, pinnedRun,
-          runId, Seq("digests", "docs", "bands").exists { sub =>
-            schemeFs.exists(new org.apache.hadoop.fs.Path(s"$statePath/$sub"))
-          }, s"the curation state at $statePath",
+          runId, logsExist, s"the curation state at $statePath",
           "pass adoptExisting = true to deliberately continue ingest " +
             "into this state")
       val P = graft.api.GraftPipelines
@@ -497,18 +500,20 @@ object EventStreaming {
     deliver(docs, checkpointDir) { (batch, batchId) =>
       val spark = batch.sparkSession
       val fs = StateScheme.fsFor(spark, postingsPath)
+      def logExists: Boolean = {
+        val p = new org.apache.hadoop.fs.Path(postingsPath)
+        fs.exists(p) && fs.listStatus(p).toSeq
+          .exists(_.getPath.getName.startsWith("part-"))
+      }
       val pinnedRun = StateScheme.ensure(spark, fs,
         s"$postingsPath/_scheme", "tok=ws-unigram", runId,
         "indexIngestLoop",
         "postings from two tokenization schemes must never share one " +
-          "log (term lookups would be silently partial)")
+          "log (term lookups would be silently partial)",
+        logExists, adoptExisting)
       if (!adoptExisting)
         StateScheme.refuseForeign("indexIngestLoop", batchId, pinnedRun,
-          runId, {
-            val p = new org.apache.hadoop.fs.Path(postingsPath)
-            fs.exists(p) && fs.listStatus(p).toSeq
-              .exists(_.getPath.getName.startsWith("part-"))
-          }, s"the postings log at $postingsPath",
+          runId, logExists, s"the postings log at $postingsPath",
           "pass adoptExisting = true to deliberately continue ingest " +
             "into this log")
       val postings = graft.api.GraftPipelines
@@ -642,7 +647,8 @@ object EventStreaming {
       val pinnedRun = StateScheme.ensure(spark, fs, s"$statePath/scheme",
         s"k=$k,lshBits=$lshBits", runId, "knnMaintenanceLoop",
         "edges built under one (k, lshBits) bucketing are meaningless " +
-          "under another — continuing would corrupt the graph")
+          "under another — continuing would corrupt the graph",
+        subdirs(vPath, "b=").nonEmpty || subdirs(vPath, "c=").nonEmpty)
       StateScheme.refuseForeign("knnMaintenanceLoop", batchId, pinnedRun,
         runId, subdirs(vPath, "b=").nonEmpty || subdirs(vPath, "c=").nonEmpty,
         s"the vector/edge state at $statePath",
@@ -794,7 +800,8 @@ object EventStreaming {
         fp, runId, "clusterAssignLoop",
         "the fingerprint pins the centroid table (cluster ids + exact " +
           "float bits) — mixing two clusterings in one assignment log " +
-          "would be a silent wrong answer")
+          "would be a silent wrong answer",
+        fs.exists(new org.apache.hadoop.fs.Path(s"$statePath/assign")))
       StateScheme.refuseForeign("clusterAssignLoop", batchId, pinnedRun,
         runId,
         fs.exists(new org.apache.hadoop.fs.Path(s"$statePath/assign")),
@@ -860,15 +867,18 @@ object EventStreaming {
       import spark.implicits._
       val fs = StateScheme.fsFor(spark, statePath)
       val chainRoot = s"$statePath/chain"
-      val pinnedRun = StateScheme.ensure(spark, fs, s"$statePath/scheme",
-        s"j=$minJaccard,n=$shingleN,seeds=$seeds,bands=$bands", runId,
-        "extendLoop",
-        "bands/pairs from two hash schemes must never mix")
       val chainPath = new org.apache.hadoop.fs.Path(chainRoot)
       def gens(): Seq[Long] =
         if (!fs.exists(chainPath)) Seq.empty
         else fs.listStatus(chainPath).toSeq.map(_.getPath.getName)
           .filter(_.startsWith("g=")).map(_.stripPrefix("g=").toLong)
+      def stateExists: Boolean = gens().nonEmpty ||
+        Seq("bands", "docs").exists(sub =>
+          fs.exists(new org.apache.hadoop.fs.Path(s"$statePath/$sub")))
+      val pinnedRun = StateScheme.ensure(spark, fs, s"$statePath/scheme",
+        s"j=$minJaccard,n=$shingleN,seeds=$seeds,bands=$bands", runId,
+        "extendLoop",
+        "bands/pairs from two hash schemes must never mix", stateExists)
       StateScheme.refuseForeign("extendLoop", batchId, pinnedRun, runId,
         gens().exists(_ >= 0), s"the maintained chain at $chainRoot",
         "rewinding the chain would drop ingested docs from the map")
@@ -993,8 +1003,12 @@ object EventStreaming {
     *
     * Contracts: doc ids are never reused after deletion (tombstones
     * are permanent), and one batch must not both add and delete the
-    * same id (deletes apply first, so the add would win — refuse
-    * upstream rather than depend on that ordering). The sink sees the
+    * same id — ENFORCED, the batch fails loudly. (No apply order
+    * rescues that case: tombstones land before candidate generation,
+    * so the delete would win on the corpus side while the batch-band
+    * probe side could still pair the doc — an inconsistent chain,
+    * which is why the loop refuses instead of picking a winner.)
+    * The sink sees the
     * label-map DELTA as `(doc_id, cluster_id, op)` rows — op 'add'
     * for rows entering the map (new docs, merge relabels, split
     * relabels) and 'del' for rows leaving it; readers consume the
@@ -1011,15 +1025,18 @@ object EventStreaming {
       import spark.implicits._
       val fs = StateScheme.fsFor(spark, statePath)
       val chainRoot = s"$statePath/chain"
-      val pinnedRun = StateScheme.ensure(spark, fs, s"$statePath/scheme",
-        s"j=$minJaccard,n=$shingleN,seeds=$seeds,bands=$bands", runId,
-        "upsertLoop",
-        "bands/pairs from two hash schemes must never mix")
       val chainPath = new org.apache.hadoop.fs.Path(chainRoot)
       def gens(): Seq[Long] =
         if (!fs.exists(chainPath)) Seq.empty
         else fs.listStatus(chainPath).toSeq.map(_.getPath.getName)
           .filter(_.startsWith("g=")).map(_.stripPrefix("g=").toLong)
+      def stateExists: Boolean = gens().nonEmpty ||
+        Seq("bands", "docs", "dels").exists(sub =>
+          fs.exists(new org.apache.hadoop.fs.Path(s"$statePath/$sub")))
+      val pinnedRun = StateScheme.ensure(spark, fs, s"$statePath/scheme",
+        s"j=$minJaccard,n=$shingleN,seeds=$seeds,bands=$bands", runId,
+        "upsertLoop",
+        "bands/pairs from two hash schemes must never mix", stateExists)
       StateScheme.refuseForeign("upsertLoop", batchId, pinnedRun, runId,
         gens().exists(_ >= 0), s"the maintained chain at $chainRoot",
         "rewinding the chain would drop ingested docs and resurrect " +
@@ -1062,16 +1079,35 @@ object EventStreaming {
         col("text").cast("string").as("text")).localCheckpoint()
       // an unrecognized op must fail the batch, not silently drop the
       // row — a typo'd 'delete' swallowed here would be a takedown
-      // that never happened
-      val badOps = b.filter(!col("op").isin("add", "del")).limit(5)
+      // that never happened. The explicit isNull arm matters: under
+      // three-valued logic `!isin` is NULL for a null op, so without
+      // it a null-op row would pass neither this check nor the
+      // adds/dels filters below — the exact silent drop this guard
+      // exists to prevent
+      val badOps = b.filter(col("op").isNull ||
+          !col("op").isin("add", "del")).limit(5)
         .collect()
       require(badOps.isEmpty,
         s"upsertLoop batch $batchId: unrecognized op value(s) " +
-          s"${badOps.map(_.getString(0)).distinct.mkString(", ")} — " +
-          "only 'add' and 'del' are defined")
+          s"${badOps.map(r => String.valueOf(r.getString(0))).distinct
+            .mkString(", ")} — only 'add' and 'del' are defined")
       val adds = b.filter(col("op") === "add").drop("op")
       val dels = b.filter(col("op") === "del")
         .select(col("doc_id").as("del_id")).distinct()
+      // same-batch add+del of one id is a contract violation, and it
+      // must fail HERE rather than rely on apply order: tombstones
+      // land before candidate generation (the delete would win on the
+      // corpus side) while the unfiltered batch-band probe side could
+      // still pair the doc — a tombstoned doc stuck in the label map
+      val addDel = adds.select(col("doc_id"))
+        .join(dels, col("doc_id") === col("del_id"), "left_semi")
+        .limit(5).collect()
+      require(addDel.isEmpty,
+        s"upsertLoop batch $batchId: doc id(s) " +
+          s"${addDel.map(_.getLong(0)).mkString(", ")} appear as BOTH " +
+          "add and del in one batch — the contract forbids it (split " +
+          "the ops across batches: del then add re-uses a tombstoned " +
+          "id, which is also forbidden)")
       if (!b.isEmpty) {
         // tombstones first: appended before any read, so this batch's
         // own candidate generation already excludes them
@@ -1198,16 +1234,16 @@ object EventStreaming {
       import spark.implicits._
       val fs = StateScheme.fsFor(spark, statePath)
       val chainRoot = s"$statePath/chain"
-      val pinnedRun = StateScheme.ensure(spark, fs, s"$statePath/scheme",
-        fp, runId, "takedownLoop",
-        "the fingerprint pins the seed chain — applying takedowns " +
-          "across two different dedup chains would be a silent wrong " +
-          "answer")
       val chainPath = new org.apache.hadoop.fs.Path(chainRoot)
       def gens(): Seq[Long] =
         if (!fs.exists(chainPath)) Seq.empty
         else fs.listStatus(chainPath).toSeq.map(_.getPath.getName)
           .filter(_.startsWith("g=")).map(_.stripPrefix("g=").toLong)
+      val pinnedRun = StateScheme.ensure(spark, fs, s"$statePath/scheme",
+        fp, runId, "takedownLoop",
+        "the fingerprint pins the seed chain — applying takedowns " +
+          "across two different dedup chains would be a silent wrong " +
+          "answer", gens().nonEmpty)
       StateScheme.refuseForeign("takedownLoop", batchId, pinnedRun, runId,
         gens().exists(_ >= 0), s"the maintained chain at $chainRoot",
         "rewinding the chain to an older generation would resurrect " +
@@ -1306,17 +1342,18 @@ object EventStreaming {
       // from empty: total state loss, the loudest possible case for
       // the refusal.
       val schemeFs = StateScheme.fsFor(spark, snapshotPath)
+      def versionsExist: Boolean = {
+        val p = new org.apache.hadoop.fs.Path(snapshotPath)
+        schemeFs.exists(p) && schemeFs.listStatus(p).toSeq
+          .exists(_.getPath.getName.startsWith("v="))
+      }
       val pinnedRun = StateScheme.ensure(spark, schemeFs,
         s"$snapshotPath/_scheme", s"key=$key,seq=$seq", runId,
         "snapshotUpsertLoop",
         "merging under different (key, seq) columns would corrupt " +
-          "latest-wins semantics")
+          "latest-wins semantics", versionsExist)
       StateScheme.refuseForeign("snapshotUpsertLoop", batchId, pinnedRun,
-        runId, {
-          val p = new org.apache.hadoop.fs.Path(snapshotPath)
-          schemeFs.exists(p) && schemeFs.listStatus(p).toSeq
-            .exists(_.getPath.getName.startsWith("v="))
-        }, s"the snapshot at $snapshotPath",
+        runId, versionsExist, s"the snapshot at $snapshotPath",
         "its v=0 merge would read no prior version and silently " +
           "re-bootstrap the snapshot from empty")
       val cols = batch.toDF.columns.toSeq
@@ -1423,13 +1460,33 @@ object EventStreaming {
       * treats as foreign — loud, never silent). A legacy
       * knnMaintenanceLoop marker (bare `k`/`lsh_bits` columns) is
       * read back as the equivalent `k=…,lshBits=…` fingerprint.
+      *
+      * A marker is only MINTED over genuinely empty state: when
+      * `stateExists` (the same lazily-evaluated predicate the caller
+      * hands [[refuseForeign]]) reports state files but no marker —
+      * pre-marker-era state, or a state dir whose marker was lost —
+      * minting would pin the CURRENT run as owner and the batch-0
+      * foreign-run refusal could never fire, so ensure refuses
+      * instead unless `adoptExisting` names the continuation
+      * deliberately (the append-log loops thread their caller flag
+      * through; the generation/chain loops never adopt — markerless
+      * chain state forces an explicit rebuild or a fresh statePath).
       */
     def ensure(spark: SparkSession, fs: FileSystem, markerPath: String,
         fp: String, runId: String, loop: String,
-        mismatchConsequence: String): String = {
+        mismatchConsequence: String, stateExists: => Boolean = false,
+        adoptExisting: Boolean = false): String = {
       import spark.implicits._
       val sPath = new Path(markerPath)
       if (!fs.exists(sPath)) {
+        if (stateExists && !adoptExisting)
+          throw new IllegalStateException(
+            s"$loop: state files already exist under " +
+              s"${sPath.getParent} but no scheme marker does — minting " +
+              "one would make this run the owner and silence the " +
+              "foreign-run refusal over state it never built; pass " +
+              "adoptExisting = true (append-log loops) to continue " +
+              "deliberately, or use a fresh statePath")
         val parent = sPath.getParent
         if (fs.exists(parent))
           fs.listStatus(parent).toSeq.map(_.getPath)

@@ -1441,6 +1441,89 @@ class StreamingSpec extends SparkSpec {
     expectStreamFailure(q3, "unrecognized op")
   }
 
+  test("upsertLoop contract refusals: a NULL op fails the batch (three-" +
+      "valued logic must not silently drop the row), and a same-batch " +
+      "add+del of one id refuses instead of picking a winner") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // NULL op: `!isin` evaluates to NULL, so without the explicit
+    // isNull arm the row passes neither the guard nor the adds/dels
+    // filters — the exact swallowed-takedown shape the guard exists for
+    val mem = MemoryStream[(String, Long, String)]
+    val q = EventStreaming.upsertLoop(
+      mem.toDF().toDF("op", "doc_id", "text"),
+      java.nio.file.Files.createTempDirectory("graft_upsert_nullop")
+        .toString + "/state")()
+    mem.addData((null: String, 7L, t))
+    expectStreamFailure(q, "unrecognized op")
+    // add+del of the same id in one batch: no apply order is right
+    // (tombstone-first would leave the corpus side deleted while the
+    // batch-band probe side still pairs the doc), so the loop refuses
+    val mem2 = MemoryStream[(String, Long, String)]
+    val q2 = EventStreaming.upsertLoop(
+      mem2.toDF().toDF("op", "doc_id", "text"),
+      java.nio.file.Files.createTempDirectory("graft_upsert_adddel")
+        .toString + "/state")()
+    mem2.addData(("add", 7L, t), ("del", 7L, null: String))
+    expectStreamFailure(q2, "BOTH add and del")
+  }
+
+  test("StateScheme markerless-state refusal: state files with NO scheme " +
+      "marker (pre-marker era, or a lost marker) refuse at ensure time " +
+      "instead of minting ownership for the current run — and the " +
+      "append-log loops' adoptExisting names the continuation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_markerless").toString + "/state"
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreaming.extendLoop(
+      mem.toDF().toDF("doc_id", "text"), stateDir)()
+    try { mem.addData((1L, t)); q.processAllAvailable() } finally q.stop()
+    // simulate pre-marker-era state: the chain exists, the marker is gone
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/scheme"), true)
+    // before the fix, ensure would mint a marker owned by THIS fresh
+    // run and the batch-0 foreign refusal could never fire — the chain
+    // would be silently adopted (and rewound) by a run that never
+    // built it
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = EventStreaming.extendLoop(
+      mem2.toDF().toDF("doc_id", "text"), stateDir)()
+    mem2.addData((2L, t))
+    expectStreamFailure(q2, "no scheme marker")
+    // the chain was not touched
+    assert(spark.read.parquet(s"$stateDir/chain/g=0/labels").count() >= 0)
+    // append-log loop: markerless part- files refuse without
+    // adoptExisting, proceed with it (the deliberate continuation)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_markerless_idx").toString + "/idx"
+    graft.api.GraftPipelines.bandIndex(
+        Seq((1L, t)).toDF("doc_id", "text"))
+      .write.mode("append").parquet(idxDir)
+    val mem3 = MemoryStream[(Long, String)]
+    val q3 = EventStreaming.ingestDedupLoop(
+      mem3.toDF().toDF("doc_id", "text"), idxDir) { (_, _) => () }
+    mem3.addData((2L, t))
+    expectStreamFailure(q3, "no scheme marker")
+    val mem4 = MemoryStream[(Long, String)]
+    val q4 = EventStreaming.ingestDedupLoop(
+      mem4.toDF().toDF("doc_id", "text"), idxDir,
+      adoptExisting = true) { (_, _) => () }
+    // a NON-duplicate doc (survivors are what the loop indexes)
+    try {
+      mem4.addData((2L, "totally different corpus sentence about ships " +
+        "and harbors and tides"))
+      q4.processAllAvailable()
+    } finally q4.stop()
+    // the adopted index now holds both docs' bands
+    assert(spark.read.parquet(idxDir).select("doc_id").distinct().count()
+      == 2L)
+  }
+
   test("takedownLoop replay: a sink crash AFTER publish replays the " +
       "batch onto its own published generation — the restart recovers " +
       "cleanly (no crash loop), redelivers the true invalidated delta " +
