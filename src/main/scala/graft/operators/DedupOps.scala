@@ -222,6 +222,90 @@ object DedupOps {
       extendChain(s, kept, midLabels, np))
   }
 
+  /** OFFLINE vacuum for the streaming chain loops' tombstone model
+    * ([[graft.streaming.EventStreaming.upsertLoop]] /
+    * `takedownLoop`-fed states): rewrite the `bands/` and `docs/`
+    * append logs with the `dels/` tombstones APPLIED, so a taken-down
+    * document's text (and its band rows, which derive from that text)
+    * physically leave disk — the right-to-be-forgotten completion of
+    * the read-side tombstone filter. The serving view is unchanged by
+    * construction: every reader already anti-joins `dels/`, and the
+    * vacuum removes exactly the rows that filter was hiding. `dels/`
+    * itself is kept (tombstones are permanent by the loop contract —
+    * they carry only ids, no content) and folded to a few files.
+    *
+    * Run with the loop STOPPED (it is an offline operator, like every
+    * log-store compaction); the loops refuse to start over a
+    * half-vacuumed state (a `*.vold` backup present) and name this
+    * method as the recovery.
+    *
+    * Crash-safe swap per log, in the publish-then-swap discipline the
+    * generation publisher uses (never a delete-then-rename window):
+    *
+    *  1. recovery sweep — a stale `<log>.tmpv` is deleted (rewrite
+    *     never started swapping); `<log>.vold` with the live log
+    *     present means the previous vacuum crashed after swap-in, so
+    *     the backup is dropped; `<log>.vold` WITHOUT the live log
+    *     means it crashed between the two renames, so the backup is
+    *     rolled back — content is never lost in any window;
+    *  2. write the tombstone-filtered log to `<log>.tmpv`, preserving
+    *     the `pb=` bucketing (the partition column round-trips through
+    *     the read, so the rewrite lands in the identical layout the
+    *     loops' pruned reads expect);
+    *  3. rename live → `.vold`, rename `.tmpv` → live, delete `.vold`.
+    */
+  def vacuumChainState(s: SparkSession, statePath: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def p(x: String) = new org.apache.hadoop.fs.Path(x)
+    val logs = Seq("bands", "docs")
+    // recovery sweep — make every prior crash window whole first
+    (logs :+ "dels").foreach { log =>
+      val live = s"$statePath/$log"
+      fs.delete(p(s"$live.tmpv"), true)
+      if (fs.exists(p(s"$live.vold"))) {
+        if (fs.exists(p(live))) fs.delete(p(s"$live.vold"), true)
+        else require(fs.rename(p(s"$live.vold"), p(live)),
+          s"vacuumChainState: rollback rename of $live.vold failed")
+      }
+    }
+    val delsPath = s"$statePath/dels"
+    if (!fs.exists(p(delsPath))) return // nothing tombstoned
+    val tombs = s.read.parquet(delsPath)
+      .select(col("del_id")).distinct().localCheckpoint()
+    if (tombs.isEmpty) return
+    logs.foreach { log =>
+      val live = s"$statePath/$log"
+      if (fs.exists(p(live))) {
+        // unhinted anti-join: the vacuum is offline, and the tombstone
+        // set is unbounded over the state's lifetime — AQE broadcasts
+        // it when it is actually small
+        val kept = s.read.parquet(live)
+          .join(tombs, col("doc_id") === col("del_id"), "left_anti")
+        kept.repartition(col("pb"))
+          .write.mode("overwrite").partitionBy("pb")
+          .parquet(s"$live.tmpv")
+        require(fs.rename(p(live), p(s"$live.vold")),
+          s"vacuumChainState: backup rename of $live failed")
+        require(fs.rename(p(s"$live.tmpv"), p(live)),
+          s"vacuumChainState: swap-in rename of $live.tmpv failed — " +
+            s"$live.vold holds the pre-vacuum log; re-run to recover")
+        fs.delete(p(s"$live.vold"), true)
+      }
+    }
+    // fold the tombstone log itself (ids only — content never lives
+    // here) so an unbounded delete stream cannot grow its file count
+    val delsTmp = s"$delsPath.tmpv"
+    fs.delete(p(delsTmp), true)
+    tombs.coalesce(1).write.mode("overwrite").parquet(delsTmp)
+    require(fs.rename(p(delsPath), p(s"$delsPath.vold")),
+      "vacuumChainState: backup rename of dels failed")
+    require(fs.rename(p(delsTmp), p(delsPath)),
+      s"vacuumChainState: swap-in rename of $delsTmp failed — " +
+        s"$delsPath.vold holds the tombstones; re-run to recover")
+    fs.delete(p(s"$delsPath.vold"), true)
+  }
+
   /** Corpus-proportional base/batch ingest split: base = the first 95%
     * of the doc-id range, batch = the last 5%, at EVERY scale factor.
     * A fixed split id (the 250 this replaces) makes the sf0.1+ "batch"

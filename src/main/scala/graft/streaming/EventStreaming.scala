@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.StructType
@@ -568,6 +568,158 @@ object EventStreaming {
     files.foreach(fs.delete(_, false))
   }
 
+  /** A `<log>.vold` backup under the chain state means
+    * [[graft.operators.DedupOps.vacuumChainState]] crashed between its
+    * two swap renames — the live log may be missing or half-swapped,
+    * and a loop trigger that appended to it would rebuild the store
+    * from just that batch, silently forgetting the corpus. Refuse and
+    * name the recovery (re-running the vacuum completes the sweep).
+    */
+  private def refuseMidVacuum(loop: String,
+      fs: org.apache.hadoop.fs.FileSystem, statePath: String): Unit =
+    Seq("bands", "docs", "dels").foreach { log =>
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$statePath/$log.vold")))
+        throw new IllegalStateException(
+          s"$loop: $statePath/$log.vold exists — a vacuum crashed " +
+            "mid-swap; re-run DedupOps.vacuumChainState(statePath) to " +
+            "recover before resuming the loop")
+    }
+
+  /** Hash-bucket partition id for the chain loops' store logs:
+    * `pb = pmod(xxhash64(key), buckets)`, written as a hive partition
+    * column so every per-trigger read can prune to exactly the buckets
+    * the batch touches (`PartitionFilters` on the scan — the directory
+    * analog of the bucketed band index GraftIOSpec pins, usable on a
+    * bare path without a session catalog). Int-typed on purpose:
+    * partition discovery infers int for these values, and the pruning
+    * filter must compare the identical type — a cast wrapped around
+    * the partition attribute would block pruning.
+    */
+  private def storeBucket(key: Column, buckets: Int): Column =
+    pmod(xxhash64(key), lit(buckets)).cast("int")
+
+  /** The bucket ids `df` touches under `storeBucket(key, buckets)` —
+    * a driver-side collect BOUNDED by `buckets` (at most that many
+    * distinct values exist), never by data size.
+    */
+  private[graft] def touchedBuckets(df: DataFrame, key: Column,
+      buckets: Int): Seq[Int] =
+    df.select(storeBucket(key, buckets).as("pb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+
+  /** Append `df` to the hash-bucketed (`pb=`) log at `path`, then fold
+    * any TOUCHED bucket directory whose file count passed
+    * `compactThreshold` ([[compactDupTolerantLog]] per leaf dir).
+    * Untouched buckets never grow, so compaction checks only the
+    * touched ones — per-trigger listing is O(touched buckets), not
+    * O(buckets). The pre-write `repartition(pb)` is batch-proportional
+    * and bounds the file count at one per (task, touched bucket).
+    * Returns the touched bucket ids for the caller's pruned read.
+    */
+  private def appendBucketedLog(df: DataFrame, path: String, key: Column,
+      buckets: Int, compactThreshold: Int): Seq[Int] = {
+    val spark = df.sparkSession
+    df.withColumn("pb", storeBucket(key, buckets))
+      .repartition(col("pb"))
+      .write.mode("append").partitionBy("pb").parquet(path)
+    val touched = touchedBuckets(df, key, buckets)
+    touched.foreach { pb =>
+      compactDupTolerantLog(spark, s"$path/pb=$pb", compactThreshold)
+    }
+    touched
+  }
+
+  /** Bucket-pruned read of a `pb=` log: only the named buckets' files
+    * are scanned — the filter lands in the scan's `PartitionFilters`,
+    * so unnamed buckets are pruned at planning, before any I/O.
+    * (Partition DISCOVERY still lists the directory tree per trigger;
+    * at a genuine 100 TB deployment a table catalog with a partition
+    * manifest replaces discovery — the query shape is unchanged.)
+    */
+  private[graft] def readBucketedLog(spark: SparkSession, path: String,
+      pbs: Seq[Int]): DataFrame = {
+    val all = spark.read.parquet(path)
+    if (pbs.isEmpty) all.filter(lit(false))
+    else all.filter(col("pb").isin(pbs: _*))
+  }
+
+  /** Per-trigger candidate generation for the chain loops
+    * ([[extendLoop]]/[[upsertLoop]]): batch bands PROBE the bucketed
+    * band store and the result is normalized to `d1 < d2` candidate
+    * pairs. The per-trigger cost is O(batch + touched buckets), never
+    * O(store):
+    *
+    *  - the store read is pruned to `bandPbs` (the batch's own band
+    *    buckets — a bucket the batch has no band in cannot hold a
+    *    candidate partner);
+    *  - the store side is NEVER deduplicated before the join — the old
+    *    flat-log `distinct()` was a full-store shuffle every trigger
+    *    (the round-13 scale ceiling); a duplicate band row can only
+    *    produce a duplicate candidate pair, and the pair-level
+    *    `distinct()` below removes those at candidate cost;
+    *  - when the batch is small (a COUNTED decision against
+    *    `broadcastRowCap` — batch-band row count, an O(batch) job on
+    *    an already-checkpointed frame) the probe side broadcasts, so
+    *    the store side streams through the join with NO shuffle at
+    *    all; a seed-scale batch (bootstrap streams the initial corpus
+    *    through this same code path) falls back to a two-sided
+    *    shuffle-hash join, which is the correct rebuild-shaped plan —
+    *    compile-time broadcast of an unbounded side is the driver-OOM
+    *    cliff [[graft.api.GraftPipelines.nearDuplicatesFromCandidates]]
+    *    documents;
+    *  - `tombs` (upsert's tombstone ids, anti-joined so a deleted doc
+    *    never generates another candidate) follows the same counted
+    *    broadcast rule.
+    */
+  private[graft] def chainCandidatePairs(spark: SparkSession,
+      bandsPath: String, batchBands: DataFrame, bandPbs: Seq[Int],
+      tombs: Option[DataFrame] = None,
+      broadcastRowCap: Long = 1L << 20): DataFrame = {
+    val nBatch = batchBands.count()
+    val store0 = readBucketedLog(spark, bandsPath, bandPbs)
+      .select(col("doc_id"), col("b"))
+    val store = tombs.fold(store0) { t =>
+      if (t.count() <= broadcastRowCap)
+        store0.join(broadcast(t), col("doc_id") === col("del_id"),
+          "left_anti")
+      else store0.join(t, col("doc_id") === col("del_id"), "left_anti")
+    }
+    val bb = batchBands.select(col("doc_id").as("bid"), col("b"))
+    val joined =
+      if (nBatch <= broadcastRowCap) store.join(broadcast(bb), "b")
+      else bb.hint("shuffle_hash").join(store.hint("shuffle_hash"), "b")
+    joined.filter(col("bid") =!= col("doc_id"))
+      .select(least(col("bid"), col("doc_id")).as("d1"),
+        greatest(col("bid"), col("doc_id")).as("d2"))
+      .distinct()
+  }
+
+  /** Candidate docs' texts for verification: a bucket-pruned scan of
+    * the doc log semi-joined to the candidate ids BEFORE the
+    * one-text-per-doc dedup, so `dropDuplicates` runs on
+    * candidate-count rows — the round-13 version deduplicated the
+    * ENTIRE doc store per trigger (a full-corpus shuffle per
+    * micro-batch at 100 TB). The semi join broadcasts the candidate
+    * ids under the same counted `broadcastRowCap` rule as
+    * [[chainCandidatePairs]] (a dup-heavy corpus can put a large
+    * fraction of all docs in candidate pairs — unbounded, so the
+    * broadcast is a measured decision, not a compile-time hint).
+    */
+  private[graft] def candidateDocTexts(spark: SparkSession,
+      docsPath: String, cands: DataFrame, storeBuckets: Int,
+      broadcastRowCap: Long = 1L << 20): DataFrame = {
+    val candIds = cands.select(col("d1").as("doc_id"))
+      .union(cands.select(col("d2"))).distinct().localCheckpoint()
+    val n = candIds.count()
+    val pbs = touchedBuckets(candIds, col("doc_id"), storeBuckets)
+    val store = readBucketedLog(spark, docsPath, pbs)
+      .select(col("doc_id"), col("text"))
+    (if (n <= broadcastRowCap)
+      store.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    else store.join(candIds, Seq("doc_id"), "left_semi"))
+      .dropDuplicates("doc_id")
+  }
+
   /** Streaming k-NN graph maintenance — the streaming twin of the batch
     * `llm_knn_incremental` (whose bucket-locality identity is
     * hash-checked against the full-rebuild oracle), with per-trigger
@@ -834,14 +986,19 @@ object EventStreaming {
     *  - `scheme/` — run-identity marker ([[takedownLoop]] discipline):
     *    a non-owning query refuses at batch 0 over maintained state.
     *  - `bands/`, `docs/` — the batch's band rows and (id, text) rows
-    *    as flat DUP-TOLERANT append logs folded by
-    *    [[compactDupTolerantLog]] once the file count passes
-    *    `compactThreshold` (the [[ingestDedupLoop]] band-log
-    *    discipline — without folding, listing cost and file count grow
-    *    one-file-per-batch over an unbounded stream). Dup-tolerance is
-    *    by construction: every read dedups (distinct band rows, one
-    *    text row per doc), so a replayed batch's double-append and a
-    *    mid-compaction read are both harmless.
+    *    as HASH-BUCKETED (`pb=`) dup-tolerant append logs
+    *    ([[appendBucketedLog]]: bands bucketed by the band hash, docs
+    *    by doc id), each bucket folded by [[compactDupTolerantLog]]
+    *    once its file count passes `compactThreshold`. Bucketing is
+    *    what makes the per-trigger read O(batch + touched buckets)
+    *    instead of O(store): candidates scan only the batch's band
+    *    buckets, verification scans only the candidate ids' doc
+    *    buckets, and neither store is ever deduplicated or shuffled
+    *    whole (the round-13 flat-log `distinct()`/`dropDuplicates`
+    *    full-store shuffles are gone — dup tolerance moved to
+    *    candidate-level dedup, see [[chainCandidatePairs]]). A
+    *    replayed batch's double-append and a mid-compaction read
+    *    remain harmless for the same reason.
     *  - `chain/g=<id>/{pairs,labels}` — crash-safe generations exactly
     *    as in [[takedownLoop]]; extension is IDEMPOTENT (re-adding
     *    present pairs adds nothing and CC is deterministic), so a
@@ -859,7 +1016,8 @@ object EventStreaming {
   def extendLoop(docs: DataFrame, statePath: String,
       checkpointDir: Option[String] = None, minJaccard: Double = 0.7,
       shingleN: Int = 3, seeds: Int = 8, bands: Int = 4,
-      compactThreshold: Int = 64)
+      compactThreshold: Int = 64, storeBuckets: Int = 64,
+      broadcastRowCap: Long = 1L << 20)
       (sink: (Dataset[Row], Long) => Unit = (_, _) => ()): StreamingQuery = {
     val runId = StateScheme.runIdentity(checkpointDir)
     deliver(docs, checkpointDir) { (batch, batchId) =>
@@ -875,13 +1033,19 @@ object EventStreaming {
       def stateExists: Boolean = gens().nonEmpty ||
         Seq("bands", "docs").exists(sub =>
           fs.exists(new org.apache.hadoop.fs.Path(s"$statePath/$sub")))
+      // store=pb<N> is part of the fingerprint: the bucket count IS
+      // the physical layout — a pruned read under a different count
+      // would silently miss candidate buckets, and pre-bucketing flat
+      // state must refuse loudly rather than be misread
       val pinnedRun = StateScheme.ensure(spark, fs, s"$statePath/scheme",
-        s"j=$minJaccard,n=$shingleN,seeds=$seeds,bands=$bands", runId,
+        s"j=$minJaccard,n=$shingleN,seeds=$seeds,bands=$bands," +
+          s"store=pb$storeBuckets", runId,
         "extendLoop",
         "bands/pairs from two hash schemes must never mix", stateExists)
       StateScheme.refuseForeign("extendLoop", batchId, pinnedRun, runId,
         gens().exists(_ >= 0), s"the maintained chain at $chainRoot",
         "rewinding the chain would drop ingested docs from the map")
+      refuseMidVacuum("extendLoop", fs, statePath)
       if (gens().isEmpty)
         publishGeneration(fs, chainRoot, -1L, Seq(
           "pairs" -> Seq.empty[(Long, Long)].toDF("d1", "d2"),
@@ -916,34 +1080,26 @@ object EventStreaming {
       val b = batch.toDF.select(col("doc_id").cast("long").as("doc_id"),
         col("text").cast("string").as("text"))
       if (!b.isEmpty) {
-        // dup-tolerant flat append logs: bands of THIS batch, text of
-        // THIS batch — a replayed batch re-appends, and every read
-        // below dedups, so the double rows are harmless
+        // hash-bucketed dup-tolerant append logs: bands of THIS batch
+        // (bucketed by band hash), text of THIS batch (bucketed by doc
+        // id) — a replayed batch re-appends, and candidate-level dedup
+        // below cancels the double rows
         val batchBands = graft.api.GraftPipelines
-          .bandIndex(b, shingleN, seeds, bands)
-        batchBands.write.mode("append").parquet(s"$statePath/bands")
-        b.write.mode("append").parquet(s"$statePath/docs")
-        compactDupTolerantLog(spark, s"$statePath/bands", compactThreshold)
-        compactDupTolerantLog(spark, s"$statePath/docs", compactThreshold)
-        // accumulated stores (this batch's rows included), deduped
-        // defensively so torn replays can never double-count a word set
-        val allBands = spark.read.parquet(s"$statePath/bands")
-          .select(col("doc_id"), col("b")).distinct()
-        val allDocs = spark.read.parquet(s"$statePath/docs")
-          .select(col("doc_id"), col("text"))
-          .dropDuplicates("doc_id")
-        // candidates with >= 1 batch endpoint: batch bands against the
-        // full store, normalized to d1 < d2 (an old doc's id may be on
-        // either side of a new one's)
-        val bb = batchBands.select(col("doc_id").as("bid"), col("b"))
-        val cands = bb.hint("shuffle_hash")
-          .join(allBands.hint("shuffle_hash"), "b")
-          .filter(col("bid") =!= col("doc_id"))
-          .select(least(col("bid"), col("doc_id")).as("d1"),
-            greatest(col("bid"), col("doc_id")).as("d2"))
-          .distinct()
+          .bandIndex(b, shingleN, seeds, bands).localCheckpoint()
+        val bandPbs = appendBucketedLog(batchBands, s"$statePath/bands",
+          col("b"), storeBuckets, compactThreshold)
+        appendBucketedLog(b, s"$statePath/docs", col("doc_id"),
+          storeBuckets, compactThreshold)
+        // candidates with >= 1 batch endpoint (old↔old pairs are
+        // already in the chain), normalized to d1 < d2; per-trigger
+        // cost O(batch + touched buckets) — see [[chainCandidatePairs]]
+        val cands = chainCandidatePairs(spark, s"$statePath/bands",
+          batchBands, bandPbs, broadcastRowCap = broadcastRowCap)
+          .localCheckpoint()
+        val candDocs = candidateDocTexts(spark, s"$statePath/docs",
+          cands, storeBuckets, broadcastRowCap).localCheckpoint()
         val newPairs = graft.api.GraftPipelines
-          .nearDuplicatesFromCandidates(allDocs, cands, minJaccard)
+          .nearDuplicatesFromCandidates(candDocs, cands, minJaccard)
           .select(col("d1"), col("d2"))
         val prior = priorBelow.get // bootstrap guaranteed g=-1
         val pPairs =
@@ -991,15 +1147,19 @@ object EventStreaming {
     *  - `scheme/`, `chain/g=<id>/{pairs,labels}` — exactly as
     *    [[extendLoop]]/[[takedownLoop]] (shared [[StateScheme]] marker
     *    and [[publishGeneration]] crash-safety).
-    *  - `bands/`, `docs/` — dup-tolerant append logs of ADDED docs,
-    *    folded by [[compactDupTolerantLog]].
+    *  - `bands/`, `docs/` — hash-bucketed (`pb=`) dup-tolerant append
+    *    logs of ADDED docs ([[appendBucketedLog]] — the [[extendLoop]]
+    *    bucketing, same O(batch + touched buckets) per-trigger reads).
     *  - `dels/` — the tombstone log: deleted doc ids, appended per
     *    batch, folded like the other logs. Every band/doc READ
     *    anti-joins it, so a deleted doc can never generate another
-    *    candidate pair; the rows physically persist until an offline
-    *    vacuum rewrites the logs (the tombstone model every
-    *    log-structured store uses — deletion is a read-side filter
-    *    plus eventual compaction, never an in-place scrub).
+    *    candidate pair; the rows physically persist until
+    *    [[graft.operators.DedupOps.vacuumChainState]] rewrites the
+    *    logs offline (the tombstone model every log-structured store
+    *    uses — deletion is a read-side filter plus eventual
+    *    compaction, never an in-place scrub; the vacuum is the
+    *    right-to-be-forgotten completion that takes the text off
+    *    disk).
     *
     * Contracts: doc ids are never reused after deletion (tombstones
     * are permanent), and one batch must not both add and delete the
@@ -1017,7 +1177,8 @@ object EventStreaming {
   def upsertLoop(ops: DataFrame, statePath: String,
       checkpointDir: Option[String] = None, minJaccard: Double = 0.7,
       shingleN: Int = 3, seeds: Int = 8, bands: Int = 4,
-      compactThreshold: Int = 64)
+      compactThreshold: Int = 64, storeBuckets: Int = 64,
+      broadcastRowCap: Long = 1L << 20)
       (sink: (Dataset[Row], Long) => Unit = (_, _) => ()): StreamingQuery = {
     val runId = StateScheme.runIdentity(checkpointDir)
     deliver(ops, checkpointDir) { (batch, batchId) =>
@@ -1033,14 +1194,18 @@ object EventStreaming {
       def stateExists: Boolean = gens().nonEmpty ||
         Seq("bands", "docs", "dels").exists(sub =>
           fs.exists(new org.apache.hadoop.fs.Path(s"$statePath/$sub")))
+      // store=pb<N> in the fingerprint: the extendLoop rationale — the
+      // bucket count is the physical layout and must never drift
       val pinnedRun = StateScheme.ensure(spark, fs, s"$statePath/scheme",
-        s"j=$minJaccard,n=$shingleN,seeds=$seeds,bands=$bands", runId,
+        s"j=$minJaccard,n=$shingleN,seeds=$seeds,bands=$bands," +
+          s"store=pb$storeBuckets", runId,
         "upsertLoop",
         "bands/pairs from two hash schemes must never mix", stateExists)
       StateScheme.refuseForeign("upsertLoop", batchId, pinnedRun, runId,
         gens().exists(_ >= 0), s"the maintained chain at $chainRoot",
         "rewinding the chain would drop ingested docs and resurrect " +
           "taken-down ones")
+      refuseMidVacuum("upsertLoop", fs, statePath)
       if (gens().isEmpty)
         publishGeneration(fs, chainRoot, -1L, Seq(
           "pairs" -> Seq.empty[(Long, Long)].toDF("d1", "d2"),
@@ -1115,9 +1280,12 @@ object EventStreaming {
           dels.write.mode("append").parquet(s"$statePath/dels")
           compactDupTolerantLog(spark, s"$statePath/dels", compactThreshold)
         }
+        // the tombstone set: O(dels log), small relative to the corpus
+        // and measured separately (bench_streaming.json records how the
+        // anti-join scales with dels/ size)
         val tombs =
           try spark.read.parquet(s"$statePath/dels")
-            .select(col("del_id")).distinct()
+            .select(col("del_id")).distinct().localCheckpoint()
           catch {
             case _: org.apache.spark.sql.AnalysisException =>
               Seq.empty[Long].toDF("del_id")
@@ -1127,31 +1295,24 @@ object EventStreaming {
             Seq.empty[(Long, Long)].toDF("d1", "d2")
           else {
             val batchBands = graft.api.GraftPipelines
-              .bandIndex(adds, shingleN, seeds, bands)
-            batchBands.write.mode("append").parquet(s"$statePath/bands")
-            adds.write.mode("append").parquet(s"$statePath/docs")
-            compactDupTolerantLog(spark, s"$statePath/bands",
+              .bandIndex(adds, shingleN, seeds, bands).localCheckpoint()
+            val bandPbs = appendBucketedLog(batchBands,
+              s"$statePath/bands", col("b"), storeBuckets,
               compactThreshold)
-            compactDupTolerantLog(spark, s"$statePath/docs",
-              compactThreshold)
-            // accumulated stores, tombstone-filtered: a deleted doc
-            // never generates another candidate
-            val allBands = spark.read.parquet(s"$statePath/bands")
-              .select(col("doc_id"), col("b")).distinct()
-              .join(tombs, col("doc_id") === col("del_id"), "left_anti")
-            val allDocs = spark.read.parquet(s"$statePath/docs")
-              .select(col("doc_id"), col("text"))
-              .dropDuplicates("doc_id")
-              .join(tombs, col("doc_id") === col("del_id"), "left_anti")
-            val bb = batchBands.select(col("doc_id").as("bid"), col("b"))
-            val cands = bb.hint("shuffle_hash")
-              .join(allBands.hint("shuffle_hash"), "b")
-              .filter(col("bid") =!= col("doc_id"))
-              .select(least(col("bid"), col("doc_id")).as("d1"),
-                greatest(col("bid"), col("doc_id")).as("d2"))
-              .distinct()
+            appendBucketedLog(adds, s"$statePath/docs", col("doc_id"),
+              storeBuckets, compactThreshold)
+            // candidates: bucket-pruned probe, tombstone-anti-joined so
+            // a deleted doc never generates another candidate — and
+            // therefore the candidate ids (batch adds on one side,
+            // tombstone-filtered store on the other) are already
+            // tombstone-clean when the doc texts are fetched
+            val cands = chainCandidatePairs(spark, s"$statePath/bands",
+              batchBands, bandPbs, Some(tombs), broadcastRowCap)
+              .localCheckpoint()
+            val candDocs = candidateDocTexts(spark, s"$statePath/docs",
+              cands, storeBuckets, broadcastRowCap).localCheckpoint()
             graft.api.GraftPipelines
-              .nearDuplicatesFromCandidates(allDocs, cands, minJaccard)
+              .nearDuplicatesFromCandidates(candDocs, cands, minJaccard)
               .select(col("d1"), col("d2"))
           }
         val prior = priorBelow.get // bootstrap guaranteed g=-1

@@ -964,7 +964,7 @@ class StreamingSpec extends SparkSpec {
     val deltas = scala.collection.mutable.Map[Long, Set[(Long, Long)]]()
     val query = EventStreaming.extendLoop(
       mem.toDF().toDF("doc_id", "text"), stateDir,
-      compactThreshold = 2) { (df, b) =>
+      compactThreshold = 1) { (df, b) =>
       deltas(b) = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     }
     try {
@@ -974,12 +974,20 @@ class StreamingSpec extends SparkSpec {
     val gDirs = new java.io.File(s"$stateDir/chain")
       .listFiles().map(_.getName).filter(_.startsWith("g=")).toSeq
     assert(gDirs == Seq("g=1"))
-    // the dup-tolerant stores folded once past compactThreshold: the
-    // band log holds at most threshold + one compacted segment's files
-    val bandFiles = new java.io.File(s"$stateDir/bands")
-      .listFiles().map(_.getName).count(_.startsWith("part-"))
-    assert(bandFiles <= 6,
-      s"band log should have folded, found $bandFiles part files")
+    // the band log is hash-bucketed (pb= dirs) and each TOUCHED bucket
+    // folded once past compactThreshold=1: no bucket may accumulate
+    // one-file-per-batch growth (a compaction writes up to
+    // defaultParallelism/8 files, so the per-bucket bound is
+    // threshold + that segment, not 1)
+    val pbDirs = new java.io.File(s"$stateDir/bands")
+      .listFiles().filter(f => f.isDirectory && f.getName.startsWith("pb="))
+    assert(pbDirs.nonEmpty, "band log must be pb= bucketed")
+    val segCap = 1 + math.max(1, spark.sparkContext.defaultParallelism / 8)
+    pbDirs.foreach { d =>
+      val n = d.listFiles().map(_.getName).count(_.startsWith("part-"))
+      assert(n <= segCap,
+        s"bucket ${d.getName} should have folded, found $n part files")
+    }
     val end = spark.read.parquet(s"$stateDir/chain/g=1/labels")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     // stream ≡ batch: the full pipeline over the union of all batches
@@ -1522,6 +1530,154 @@ class StreamingSpec extends SparkSpec {
     // the adopted index now holds both docs' bands
     assert(spark.read.parquet(idxDir).select("doc_id").distinct().count()
       == 2L)
+  }
+
+  test("chain per-trigger reads are O(batch), not O(store): the band " +
+      "scan is bucket-pruned (PartitionFilters on pb), the probe and " +
+      "doc fetch broadcast the batch side so the store never shuffles, " +
+      "and the only hash exchange in each plan is candidate-sized") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // doc 1 uses its own vocabulary; 2..40 share a disjoint one, so
+    // the probe (an exact copy of doc 1) can only band-match doc 1
+    val docs = (1L, "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa") +: (2L to 40L).map(i =>
+      (i, s"ship harbor tide crane dock gull pier rope w$i t${i % 7}"))
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_pruned").toString + "/state"
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreaming.extendLoop(
+      mem.toDF().toDF("doc_id", "text"), stateDir)()
+    try { mem.addData(docs: _*); q.processAllAvailable() } finally q.stop()
+    // a 2-doc probe batch: doc 100 duplicates doc 1 exactly
+    val batch = Seq((100L, docs.head._2)).toDF("doc_id", "text")
+    val batchBands = graft.api.GraftPipelines.bandIndex(batch)
+      .localCheckpoint()
+    val pbs = EventStreaming.touchedBuckets(batchBands, col("b"), 64)
+    assert(pbs.nonEmpty && pbs.size <= 4,
+      s"1 doc x 4 bands touches at most 4 buckets, got ${pbs.size}")
+    val cands = EventStreaming.chainCandidatePairs(
+      spark, s"$stateDir/bands", batchBands, pbs)
+    val cplan = cands.queryExecution.executedPlan.toString()
+    assert("""PartitionFilters: \[[^\]]*pb[^\]]*""".r
+        .findFirstIn(cplan).isDefined,
+      s"band scan must prune to the batch's buckets:\n${cplan.take(1500)}")
+    assert(cplan.contains("BroadcastHashJoin"),
+      s"small batch must broadcast-probe the store:\n${cplan.take(1500)}")
+    // exactly one hash exchange: the candidate-pair distinct — the
+    // round-13 version shuffled the ENTIRE band store here per trigger
+    assert(cplan.sliding("Exchange hashpartitioning".length)
+        .count(_ == "Exchange hashpartitioning") == 1,
+      s"store side must reach the probe join unshuffled:\n${cplan.take(2000)}")
+    val cRows = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cRows.contains((1L, 100L)),
+      s"the exact-dup candidate must surface, got $cRows")
+    val candDocs = EventStreaming.candidateDocTexts(
+      spark, s"$stateDir/docs", cands.localCheckpoint(), 64)
+    val dplan = candDocs.queryExecution.executedPlan.toString()
+    assert("""PartitionFilters: \[[^\]]*pb[^\]]*""".r
+        .findFirstIn(dplan).isDefined,
+      s"doc scan must prune to candidate buckets:\n${dplan.take(1500)}")
+    assert(dplan.contains("BroadcastHashJoin") &&
+        dplan.contains("LeftSemi"),
+      s"candidate ids must broadcast-semi-prune the doc log:\n${dplan.take(1500)}")
+    assert(dplan.sliding("Exchange hashpartitioning".length)
+        .count(_ == "Exchange hashpartitioning") == 1,
+      s"dedup must run on candidate rows, post-prune:\n${dplan.take(2000)}")
+    // the fetch returns only candidate endpoints present in the store
+    val fetched = candDocs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fetched.contains(1L) && !fetched.contains(23L),
+      s"only candidate docs' texts leave the store, got $fetched")
+  }
+
+  test("vacuumChainState: the tombstoned doc's text physically leaves " +
+      "every log under statePath, the serving view is unchanged, the " +
+      "loop keeps running across a vacuum, and a mid-swap crash makes " +
+      "the loop refuse until a vacuum re-run recovers") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.file.{Files, Path}
+    val tSecret = "zanzibar quokka fjord mamba vortex pylon ember " +
+      "cactus nimbus oryx"
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val stateDir = Files.createTempDirectory("graft_vac").toString + "/state"
+    val ckpt = Files.createTempDirectory("graft_vac_ck").toString
+    val watched = Files.createTempDirectory("graft_vac_in")
+    def appear(name: String, rows: Seq[(String, Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("graft_vac_tmp")
+      rows.toDF("op", "doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, watched.resolve(name))
+    }
+    val schema = Seq(("x", 0L, "y")).toDF("op", "doc_id", "text").schema
+    def start() = EventStreaming.upsertLoop(
+      EventStreaming.fileSource(spark, watched.toString, schema),
+      stateDir, Some(ckpt))()
+    // batch 0: two pairs, one of them carrying the to-be-forgotten text
+    appear("f0.parquet", Seq(("add", 1L, tA), ("add", 2L, tA),
+      ("add", 7L, tSecret), ("add", 8L, tSecret)))
+    // batch 1: right-to-be-forgotten lands for the secret pair
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      appear("f1.parquet", Seq(("del", 7L, null: String),
+        ("del", 8L, null: String)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val before = spark.read.parquet(s"$stateDir/chain/g=1/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(before == Map(1L -> 1L, 2L -> 1L))
+    // tombstones hide the docs from every read, but the TEXT is still
+    // physically on disk — the gap the vacuum exists to close
+    assert(spark.read.parquet(s"$stateDir/docs")
+      .filter($"text" === tSecret).count() == 2)
+    graft.operators.DedupOps.vacuumChainState(spark, stateDir)
+    // (a) serving view unchanged
+    assert(spark.read.parquet(s"$stateDir/chain/g=1/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap == before)
+    // (b) the deleted docs are gone from EVERY table under statePath:
+    // text and ids out of the doc log, band rows out of the band log,
+    // and the chain never held them past the delete
+    assert(spark.read.parquet(s"$stateDir/docs")
+      .filter($"doc_id".isin(7L, 8L) || $"text" === tSecret).isEmpty)
+    assert(spark.read.parquet(s"$stateDir/bands")
+      .filter($"doc_id".isin(7L, 8L)).isEmpty)
+    assert(spark.read.parquet(s"$stateDir/chain/g=1/pairs")
+      .filter($"d1".isin(7L, 8L) || $"d2".isin(7L, 8L)).isEmpty)
+    // tombstones persist (ids only — the permanence contract)
+    assert(spark.read.parquet(s"$stateDir/dels")
+      .collect().map(_.getLong(0)).toSet == Set(7L, 8L))
+    // (c) the loop continues across the vacuum on its own checkpoint
+    appear("f2.parquet", Seq(("add", 3L, tA)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$stateDir/chain/g=2/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // (crash) a vacuum that died between its two renames leaves
+    // docs.vold with no live docs log: the loop must refuse (an append
+    // would rebuild the store from one batch) and name the recovery
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$stateDir/docs"),
+      new org.apache.hadoop.fs.Path(s"$stateDir/docs.vold")))
+    appear("f3.parquet", Seq(("add", 4L, tA)))
+    val q3 = start()
+    expectStreamFailure(q3, "vacuum crashed mid-swap")
+    // re-running the vacuum completes the recovery sweep (rolls the
+    // backup in), after which the loop replays the failed batch and
+    // proceeds
+    graft.operators.DedupOps.vacuumChainState(spark, stateDir)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/docs")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/docs.vold")))
+    val q4 = start()
+    try q4.processAllAvailable() finally q4.stop()
+    val end = spark.read.parquet(s"$stateDir/chain/g=3/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(end == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L),
+      s"post-recovery chain must hold the replayed add, got $end")
   }
 
   test("takedownLoop replay: a sink crash AFTER publish replays the " +
