@@ -154,9 +154,12 @@ object DevStreamBench {
     if (want("knn")) {
       val (seed, big, small) = slices(embAll)
       val mem = MemoryStream[(Long, Seq[Float])]
+      // maxBucketFraction = 1.0: this probe EXISTS to measure the
+      // dense-delta degeneration the production default (0.5) refuses,
+      // so the guard is deliberately disarmed here
       val q = EventStreaming.knnMaintenanceLoop(
         mem.toDF().toDF("vec_id", "embedding"), tmp("knn"),
-        lshBits = knnBits)()
+        lshBits = knnBits, maxBucketFraction = 1.0)()
       def trig(b: Seq[(Long, Seq[Float])]): Double =
         timed { mem.addData(b: _*); q.processAllAvailable() }._2
       try {

@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
@@ -1427,24 +1427,42 @@ object GraftPipelines {
     val tfRow = tf.groupBy(col(id)).pivot("term", terms).agg(first(col("tf")))
       .select(col(id) +: terms.map(t =>
         coalesce(col(s"`$t`"), lit(0L)).as(s"tf_$t")): _*)
-    // per-term log idf on the 1-row frame, layered exactly as the
-    // oracle's CTE chain (same expression text, Spark pow2 spelling).
-    // repartition(1) on one row is free and is a deliberate exchange
-    // BARRIER: without it whole-stage codegen fuses the 1-row BNLJ
-    // with all |terms| x 11 ln layers into one doConsume that blows
-    // janino's 64KB method limit (measured — the stage fell back to
-    // interpreted eval and each bench pass paid the failed compile)
-    val idfRow = terms.foldLeft(stats.crossJoin(dfRow).repartition(1)) { (acc, t) =>
+    val scored = lens.join(tfRow, Seq(id), "left")
+      .na.fill(0L, terms.map(t => s"tf_$t"))
+      .crossJoin(broadcast(bm25LogIdfRow(stats, dfRow, terms)))
+    bm25LogTopK(scored, terms, topK, k1, b, id)
+  }
+
+  /** The 1-row per-query idf frame shared by [[bm25LogIdf]] and
+    * [[bm25LogServed]]: per-term log idf layered exactly as the
+    * oracle's CTE chain (same expression text, Spark pow2 spelling).
+    * repartition(1) on one row is free and is a deliberate exchange
+    * BARRIER: without it whole-stage codegen fuses the 1-row BNLJ
+    * with all |terms| x 11 ln layers into one doConsume that blows
+    * janino's 64KB method limit (measured — the stage fell back to
+    * interpreted eval and each bench pass paid the failed compile).
+    * localCheckpoint cuts the lineage so the per-doc scoring stage
+    * consumes plain idf columns instead of the optimizer re-inlining
+    * all the ln layers into its join condition.
+    */
+  private def bm25LogIdfRow(stats: DataFrame, dfRow: DataFrame,
+      terms: Seq[String]): DataFrame =
+    terms.foldLeft(stats.crossJoin(dfRow).repartition(1)) { (acc, t) =>
       lnLayers(
         s"((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df_$t AS DOUBLE) + 0.5))",
         t, "shiftleft(CAST(1 AS BIGINT), %s)")
         .foldLeft(acc) { case (a, (name, e)) => a.withColumn(name, expr(e)) }
-    }.localCheckpoint() // 1 row — cuts the lineage so the per-doc
-    // scoring stage consumes plain idf columns instead of the
-    // optimizer re-inlining all the ln layers into its join condition
-    val scored = lens.join(tfRow, Seq(id), "left")
-      .na.fill(0L, terms.map(t => s"tf_$t"))
-      .crossJoin(broadcast(idfRow))
+    }.localCheckpoint()
+
+  /** The shared scoring tail: one fixed-order contribution sum per doc
+    * (bit-identical across [[bm25LogIdf]] and [[bm25LogServed]] — a
+    * doc's zero-tf terms contribute an exact IEEE 0.0, so pruning
+    * unmatched docs upstream cannot change any surviving score), then
+    * score-desc/id top-k with the >0 filter that makes the matched-doc
+    * set the complete answer.
+    */
+  private def bm25LogTopK(scored: DataFrame, terms: Seq[String],
+      topK: Int, k1: Double, b: Double, id: String): DataFrame = {
     val contribs = terms.map { t =>
       val tfD = col(s"tf_$t").cast("double")
       col(s"idf_$t") * ((tfD * lit(k1 + 1)) /
@@ -1454,6 +1472,69 @@ object GraftPipelines {
         contribs.reduceLeft(_ + _).as("score"))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col(id)).limit(topK)
+  }
+
+  /** Write-once BM25 serving index (the [[bm25LogServed]] input):
+    *
+    *  - `postings.parquet` — (id, term, tf, dl), the full-vocabulary
+    *    postings SORTED BY TERM so parquet row-group min/max stats
+    *    skip everything but the query terms' ranges (the In filter on
+    *    ≤ 10 string literals also pushes into the scan as
+    *    `PushedFilters`); dl rides along per row so serving never
+    *    joins a doc-length table;
+    *  - `stats.parquet` — the 1-row (n_docs, avgdl) corpus statistics,
+    *    avgdl computed with the exact division [[bm25LogIdf]] uses so
+    *    the served score is bit-identical.
+    *
+    * Building explodes the corpus once — the same work ONE
+    * [[bm25LogIdf]] query pays; every query after the first reads
+    * only its own terms' postings.
+    */
+  def bm25IndexOnce(docs: DataFrame, outDir: String, id: String = "doc_id",
+      text: String = "text"): Unit = {
+    val lens = docs.select(col(id),
+      size(split(col(text), " ")).cast("long").as("dl"))
+    lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("len_sum"))
+      .select(col("n_docs"),
+        (col("len_sum").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+      .coalesce(1).write.parquet(s"$outDir/stats.parquet")
+    docs.select(col(id), explode(split(col(text), " ")).as("term"))
+      .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+      .join(lens, Seq(id))
+      .orderBy(col("term"))
+      .write.parquet(s"$outDir/postings.parquet")
+  }
+
+  /** BM25 SERVED from the persisted postings index — the keyword-
+    * retrieval scale path: per-query work is the query terms' postings
+    * plus the 1-row stats, never a corpus scan ([[bm25LogIdf]] and the
+    * rational twin explode and re-filter every document per query —
+    * fine for an oracle, the wrong plan at 100 TB). Identical output
+    * to [[bm25LogIdf]] by construction, so it SHARES that entry's
+    * DuckDB oracle verbatim: df/tf aggregate the same exploded rows
+    * (filtered in the scan instead of after it), avgdl/n_docs are the
+    * build-time values from the same expression, the idf DAG and the
+    * fixed-order contribution sum are the shared helpers, and docs
+    * absent from every query term's postings are exactly the docs the
+    * corpus-scan plan scores as an exact 0.0 and filters out.
+    */
+  def bm25LogServed(spark: SparkSession, indexDir: String,
+      terms: Seq[String], topK: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75, id: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16, "bounded query-term set")
+    val post = spark.read.parquet(s"$indexDir/postings.parquet")
+      .filter(col("term").isin(terms: _*))
+    val stats = spark.read.parquet(s"$indexDir/stats.parquet")
+    val dfRow = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .groupBy().pivot("term", terms).agg(first(col("df")))
+      .select(terms.map(t => coalesce(col(s"`$t`"), lit(0L)).as(s"df_$t")): _*)
+    val docSide = post.groupBy(col(id), col("dl"))
+      .pivot("term", terms).agg(first(col("tf")))
+      .select(col(id) +: col("dl") +: terms.map(t =>
+        coalesce(col(s"`$t`"), lit(0L)).as(s"tf_$t")): _*)
+    val scored = docSide
+      .crossJoin(broadcast(bm25LogIdfRow(stats, dfRow, terms)))
+    bm25LogTopK(scored, terms, topK, k1, b, id)
   }
 
   /** Sliding-window document chunking: fixed `size`-word chunks every

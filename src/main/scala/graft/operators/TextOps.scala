@@ -33,6 +33,65 @@ object TextOps {
     * of docs), so the idf spread is visible in the ranking. */
   private val BM25_TERMS = Seq("spark", "merge", "dup")
 
+  /** The log-idf BM25 oracle, shared VERBATIM by `llm_bm25_log` (the
+    * per-query corpus-scan plan) and `llm_bm25_served` (the same
+    * scores served from the write-once postings index) — one SQL text,
+    * so the storage refactor is hash-proven output-identical. The ln
+    * is [[graft.api.GraftPipelines.lnLayers]]' fixed IEEE-double DAG
+    * in DuckDB shift spelling, one CTE per layer over the 1-row
+    * (stats × df) frame.
+    */
+  private lazy val bm25LogOracleSql: String = {
+    val terms = BM25_TERMS
+    val (k1, b) = (1.2, 0.75)
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    def pivotMax(v: String) = terms.map(t =>
+      s"coalesce(max(CASE WHEN term = '$t' THEN $v END), 0) AS ${v}_$t")
+      .mkString(", ")
+    val layers = terms.map { t =>
+      graft.api.GraftPipelines.lnLayers(
+        s"((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df_$t AS DOUBLE) + 0.5))",
+        t, "(1::BIGINT << %s)")
+    }
+    val lnCtes = layers.head.indices.map { k =>
+      val cols = layers.map { l => s"${l(k)._2} AS ${l(k)._1}" }
+        .mkString(", ")
+      val from = if (k == 0) "base" else s"lnl${k - 1}"
+      s"lnl$k AS (SELECT *, $cols FROM $from)"
+    }.mkString(",\n")
+    val lastLn = s"lnl${layers.head.size - 1}"
+    val contribs = terms.map { t =>
+      s"""(idf_$t *
+         |  ((CAST(coalesce(tf_$t, 0) AS DOUBLE) * ${k1 + 1}) /
+         |   (CAST(coalesce(tf_$t, 0) AS DOUBLE) +
+         |    $k1 * (${1 - b} + $b * (CAST(dl AS DOUBLE) / avgdl)))))""".stripMargin
+    }.mkString(" +\n")
+    s"""WITH lens AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |   CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM lens),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |    FROM documents)
+       |  WHERE term IN ($inList) GROUP BY doc_id, term),
+       |dfrow AS (SELECT ${pivotMax("df")} FROM
+       |  (SELECT term, count(*) AS df FROM tf GROUP BY term)),
+       |base AS (SELECT * FROM stats CROSS JOIN dfrow),
+       |$lnCtes,
+       |idfrow AS (SELECT * FROM $lastLn),
+       |tfrow AS (SELECT doc_id, ${pivotMax("tf")} FROM tf GROUP BY doc_id)
+       |SELECT doc_id, dl, score FROM (
+       |  SELECT l.doc_id, l.dl,
+       |   ($contribs) AS score
+       |  FROM lens l LEFT JOIN tfrow t ON l.doc_id = t.doc_id
+       |  CROSS JOIN idfrow)
+       |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   /** Oracle bodies shared between the standalone signal entries and the
     * composed `llm_doc_features` export (each stays hash-verified on
     * its own; the composition reuses the IDENTICAL SQL as nested CTEs,
@@ -499,6 +558,20 @@ object TextOps {
     "llm_bm25_log" -> ((s, dir) => {
       import s.implicits._
       graft.api.GraftPipelines.bm25LogIdf(Tables.documents(s, dir), BM25_TERMS)
+    }),
+
+    // BM25 SERVED from the write-once postings index — per-query work
+    // is the query terms' postings + the 1-row stats, never a corpus
+    // scan (the scale path for keyword retrieval; llm_bm25_log is the
+    // corpus-scan twin whose oracle this shares verbatim).
+    "llm_bm25_served" -> ((s, dir) => {
+      import s.implicits._
+      val idx = graft.sources.GraftIO.buildOnce(
+        graft.sources.GraftIO.fixtureDir(dir, "documents.parquet",
+          "bm25idx", "tok=ws-unigram"), "tok=ws-unigram") { tmp =>
+        graft.api.GraftPipelines.bm25IndexOnce(Tables.documents(s, dir), tmp)
+      }
+      graft.api.GraftPipelines.bm25LogServed(s, idx, BM25_TERMS)
     }),
 
     // Temperature-flattened source mixing (α=0.5): per-source keep
@@ -1439,58 +1512,11 @@ object TextOps {
          |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
     },
 
-    "llm_bm25_log" -> {
-      val terms = BM25_TERMS
-      val (k1, b) = (1.2, 0.75)
-      val inList = terms.map(t => s"'$t'").mkString(", ")
-      def pivotMax(v: String) = terms.map(t =>
-        s"coalesce(max(CASE WHEN term = '$t' THEN $v END), 0) AS ${v}_$t")
-        .mkString(", ")
-      // the same lnLayers as the Spark side, DuckDB shift spelling —
-      // one CTE per layer index over the 1-row (stats x df) frame
-      val layers = terms.map { t =>
-        graft.api.GraftPipelines.lnLayers(
-          s"((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df_$t AS DOUBLE) + 0.5))",
-          t, "(1::BIGINT << %s)")
-      }
-      val lnCtes = layers.head.indices.map { k =>
-        val cols = layers.map { l => s"${l(k)._2} AS ${l(k)._1}" }
-          .mkString(", ")
-        val from = if (k == 0) "base" else s"lnl${k - 1}"
-        s"lnl$k AS (SELECT *, $cols FROM $from)"
-      }.mkString(",\n")
-      val lastLn = s"lnl${layers.head.size - 1}"
-      val contribs = terms.map { t =>
-        s"""(idf_$t *
-           |  ((CAST(coalesce(tf_$t, 0) AS DOUBLE) * ${k1 + 1}) /
-           |   (CAST(coalesce(tf_$t, 0) AS DOUBLE) +
-           |    $k1 * (${1 - b} + $b * (CAST(dl AS DOUBLE) / avgdl)))))""".stripMargin
-      }.mkString(" +\n")
-      s"""WITH lens AS (
-         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-         |  FROM documents),
-         |stats AS (
-         |  SELECT count(*) AS n_docs,
-         |   CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-         |  FROM lens),
-         |tf AS (
-         |  SELECT doc_id, term, count(*) AS tf FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
-         |    FROM documents)
-         |  WHERE term IN ($inList) GROUP BY doc_id, term),
-         |dfrow AS (SELECT ${pivotMax("df")} FROM
-         |  (SELECT term, count(*) AS df FROM tf GROUP BY term)),
-         |base AS (SELECT * FROM stats CROSS JOIN dfrow),
-         |$lnCtes,
-         |idfrow AS (SELECT * FROM $lastLn),
-         |tfrow AS (SELECT doc_id, ${pivotMax("tf")} FROM tf GROUP BY doc_id)
-         |SELECT doc_id, dl, score FROM (
-         |  SELECT l.doc_id, l.dl,
-         |   ($contribs) AS score
-         |  FROM lens l LEFT JOIN tfrow t ON l.doc_id = t.doc_id
-         |  CROSS JOIN idfrow)
-         |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
-    },
+    "llm_bm25_log" -> bm25LogOracleSql,
+
+    // the served twin is a storage refactor — IDENTICAL output, so the
+    // oracle is shared verbatim (the dupClustersServed discipline)
+    "llm_bm25_served" -> bm25LogOracleSql,
 
     "llm_mix_temperature" ->
       """WITH counts AS (

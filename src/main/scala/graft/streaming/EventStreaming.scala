@@ -774,11 +774,15 @@ object EventStreaming {
     * double-count them (vector ids must be unique across the stream).
     * The sink sees the CHANGED edges (readers consume the full graph
     * from `edges/` directly). BASELINE round-9 measures the recompute
-    * fraction and `llm_lsh_occupancy` is the widen-the-bits signal.
+    * fraction and `llm_lsh_occupancy` is the widen-the-bits signal —
+    * and past `maxBucketFraction` occupancy the loop REFUSES a trigger
+    * over existing state instead of silently degrading to a rebuild
+    * (the measured 8-bit 1:100 pathology in bench_streaming.json).
     */
   def knnMaintenanceLoop(vectors: DataFrame, statePath: String,
       k: Int = 3, lshBits: Int = 8,
-      checkpointDir: Option[String] = None, compactEvery: Int = 8)
+      checkpointDir: Option[String] = None, compactEvery: Int = 8,
+      maxBucketFraction: Double = 0.5)
       (sink: (Dataset[Row], Long) => Unit = (_, _) => ()): StreamingQuery = {
     val runId = StateScheme.runIdentity(checkpointDir)
     deliver(vectors, checkpointDir) { (batch, batchId) =>
@@ -811,6 +815,27 @@ object EventStreaming {
         .localCheckpoint()
       val touchedSet = delta.select(col("bucket")).distinct()
         .collect().map(_.getInt(0)).toSet
+      // the measured lshBits-too-narrow degeneration
+      // (bench_streaming.json: 8-bit 1:100 triggers approximate a full
+      // rebuild because the delta touches nearly every bucket) must
+      // REFUSE, not just be documented: once prior state exists, a
+      // delta occupying more than `maxBucketFraction` of the 2^lshBits
+      // buckets makes the touched-bucket recompute rebuild-scale, so
+      // fail loudly before writing anything and name the remedy.
+      // Bootstrap seeding (no prior state yet) is exempt — the first
+      // fill IS a build, rebuild-scale by definition.
+      val hasPrior = subdirs(vPath, "c=").nonEmpty ||
+        subdirs(vPath, "b=").exists(_._1 < batchId)
+      val occupancy = touchedSet.size.toDouble / (1 << lshBits)
+      if (hasPrior && occupancy > maxBucketFraction)
+        throw new IllegalStateException(
+          f"knnMaintenanceLoop batch $batchId: the delta touches " +
+            f"${touchedSet.size}/${1 << lshBits} LSH buckets " +
+            f"($occupancy%.2f > maxBucketFraction=$maxBucketFraction) — " +
+            "the touched-bucket recompute would approximate a full " +
+            "rebuild per trigger; widen lshBits (llm_lsh_occupancy is " +
+            "the offline signal) or raise maxBucketFraction to " +
+            "deliberately accept rebuild-scale triggers")
       delta.write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$vPath/b=$batchId")
       // newest consolidation at or below this batch (a replayed batch

@@ -1590,6 +1590,43 @@ class StreamingSpec extends SparkSpec {
       s"only candidate docs' texts leave the store, got $fetched")
   }
 
+  test("knnMaintenanceLoop occupancy guard: a dense delta over existing " +
+      "8-bit state refuses (the measured rebuild-per-trigger " +
+      "degeneration) while a 12-bit loop on the SAME data proceeds") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def vec(): Seq[Float] = Seq.fill(16)(rnd.nextFloat() * 2f - 1f)
+    val seed = (0L until 10L).map(i => (i, vec()))
+    // ~400 random vectors touch ~80% of 256 sign-LSH buckets (the
+    // bench_streaming.json 1:100 shape) but <10% of 4096
+    val dense = (100L until 500L).map(i => (i, vec()))
+    val dir8 = java.nio.file.Files
+      .createTempDirectory("graft_occ8").toString + "/knn"
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = EventStreaming.knnMaintenanceLoop(
+      mem.toDF().toDF("vec_id", "embedding"), dir8)()
+    // bootstrap is exempt: the first fill IS a build
+    try { mem.addData(seed: _*); q.processAllAvailable() }
+    catch { case e: Throwable => q.stop(); throw e }
+    mem.addData(dense: _*)
+    expectStreamFailure(q, "maxBucketFraction")
+    // nothing of the refused batch reached the state
+    val b1 = new java.io.File(s"$dir8/vectors/b=1")
+    assert(!b1.exists(), "a refused trigger must write nothing")
+    // widened bits: the same seed + dense data proceeds and maintains
+    val dir12 = java.nio.file.Files
+      .createTempDirectory("graft_occ12").toString + "/knn"
+    val mem2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = EventStreaming.knnMaintenanceLoop(
+      mem2.toDF().toDF("vec_id", "embedding"), dir12, lshBits = 12)()
+    try {
+      mem2.addData(seed: _*); q2.processAllAvailable()
+      mem2.addData(dense: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(s"$dir12/edges").count() > 0)
+  }
+
   test("vacuumChainState: the tombstoned doc's text physically leaves " +
       "every log under statePath, the serving view is unchanged, the " +
       "loop keeps running across a vacuum, and a mid-swap crash makes " +
