@@ -2600,6 +2600,31 @@ object GraftPipelines {
         s"($num * na + $den - 1) div $den"))
       .select(col("a_id"), col("b_id"), col("na"), col("nb"))
 
+  /** The container-side SLICE of a ranked token table for one declared
+    * containment threshold: only the rows whose token appears in at
+    * least one doc's τ-prefix. Pruning the rest is SOUND — the
+    * candidate join matches a contained doc's prefix tokens against
+    * container rows on `s`, so a row whose token occurs in NO prefix
+    * can never collide, never contributes to `p_common`, and never
+    * sets `i_last`/`j_last` (those aggregate colliding rows only);
+    * `na`/`nb` ride per-row in `sz`, untouched by the prune. Because
+    * `pref ⊆ slice` and re-filtering the slice by [[ppjoinPrefix]]'s
+    * prefix condition returns exactly `pref`, the slice drops into
+    * [[containmentPairsFromIndex]] as the `ranked` argument with
+    * bit-identical output. What it buys at scale: the unfiltered
+    * ranked table carries every token OCCURRENCE — dominated by
+    * high-df tokens, which are precisely the tokens the df-ordered
+    * prefix never selects — so the persisted serve table drops the
+    * densest part of the corpus and the serve read-back stops growing
+    * super-linearly with it (the round-13 sf10 probe measured the
+    * all-τ read-back at 12.1× for 10× data).
+    */
+  def containmentContainerSlice(ranked: DataFrame, num: Int, den: Int,
+      id: String = "doc_id"): DataFrame =
+    ranked.join(
+      ranked.filter(prefixCond(num, den)).select(col("s")).distinct(),
+      Seq("s"), "left_semi")
+
   /** Max-min fair (water-filling) allocation of a global budget across
     * strata: caps large strata at the unique integer level c where
     * Σ min(n_s, c) fills the budget; the remainder goes +1 to the

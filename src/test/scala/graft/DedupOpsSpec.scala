@@ -137,6 +137,32 @@ class DedupOpsSpec extends SparkSpec {
     assertServedEqualsDirect("llm_containment_served", "llm_containment_join")
   }
 
+  test("containmentContainerSlice: drops rows whose token is in no " +
+      "τ-prefix (the high-df mass) yet the containment pairs are " +
+      "bit-identical to serving from the unfiltered ranked table") {
+    val P = graft.api.GraftPipelines
+    // a corpus where one 3-gram is shared by EVERY doc (maximal df —
+    // ranked last in each doc, so never inside a τ=4/5 prefix of the
+    // longer docs) plus per-doc rare tails
+    val common = "alpha beta gamma"
+    val texts = (1L to 6L).map { i =>
+      (i, common + (0 until 8).map(k => s" tail${i}x$k w${i}y$k z$i$k")
+        .mkString, "s0")
+    }
+    val dir = tempSfDir("documents" -> docs(texts: _*))
+    val toks = P.ppjoinTokens(Tables.documents(spark, dir)).localCheckpoint()
+    val ranked = P.ppjoinRanked(toks).localCheckpoint()
+    val slice = P.containmentContainerSlice(ranked, 4, 5).localCheckpoint()
+    assert(slice.count() < ranked.count(),
+      "the slice must drop the no-prefix-token rows, else it serves " +
+        "the same super-linear read-back")
+    def pairs(cont: org.apache.spark.sql.DataFrame) =
+      P.containmentPairsFromIndex(toks, cont, 4, 5)
+        .collect().map(_.toString).toSet
+    assert(pairs(slice) == pairs(ranked),
+      "pruning non-prefix-token container rows must not change the join")
+  }
+
   test("llm_jaccard_adjacent: identical adjacent docs have jaccard 1.0") {
     val dir = tempSfDir("documents" ->
       docs((1L, base, "s0"), (2L, base, "s0"), (3L, distinct, "s0")))
