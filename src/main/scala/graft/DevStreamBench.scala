@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 import graft.streaming.EventStreaming
 
 /** Measurement probe (not part of the driver contract): per-trigger
-  * steady-state cost of the four heavy streaming maintenance loops —
-  * extendLoop, takedownLoop, knnMaintenanceLoop, ingestDedupLoop — at
-  * an sf1-scale store with batches at 1:100 and 1:1000 of store size.
+  * steady-state cost of the heavy streaming maintenance loops —
+  * extendLoop, takedownLoop, knnMaintenanceLoop, ingestDedupLoop,
+  * upsertLoop — at an sf1-scale store with batches at 1:100 and
+  * 1:1000 of store size.
   * At 100 TB the steady-state trigger time and the compaction
   * amortization ARE the operator: a loop whose trigger cost tracked
   * STORE size instead of batch size would re-run the batch rebuild
@@ -24,6 +25,14 @@ import graft.streaming.EventStreaming
   * wall time around addData + processAllAvailable — it includes the
   * micro-batch machinery on purpose (that is the production trigger
   * cost), so the numbers are conservative.
+  *
+  * Store-size scaling evidence (the round-13 `weak`): set
+  * `SPARK_GRAFT_STREAMBENCH_B100` / `_B1000` to ABSOLUTE batch sizes
+  * and run the probe against two corpora (e.g. target/sf1 and the
+  * DevScale target/sf10) — same batch, 10x store. With the bucketed
+  * store logs the trigger cost must stay ~flat across the two
+  * artifacts; the pre-round-14 flat logs' full-store
+  * distinct/dropDuplicates made it track store size instead.
   */
 object DevStreamBench {
   def main(args: Array[String]): Unit = {
@@ -76,11 +85,15 @@ object DevStreamBench {
 
     // slices: [0, seed) bootstraps; then reps batches of n/100, then
     // reps batches of n/1000, drawn past the seed so every trigger
-    // ingests genuinely new content
+    // ingests genuinely new content. The _B100/_B1000 overrides pin
+    // ABSOLUTE batch sizes so two corpora (1x and 10x stores) can be
+    // probed with identical batches — the store-size-flatness check.
+    val b100Abs = sys.env.get("SPARK_GRAFT_STREAMBENCH_B100").map(_.toInt)
+    val b1000Abs = sys.env.get("SPARK_GRAFT_STREAMBENCH_B1000").map(_.toInt)
     def slices[T](all: Array[T]): (Seq[T], Seq[Seq[T]], Seq[Seq[T]]) = {
       val n = all.length
-      val b100 = n / 100
-      val b1000 = math.max(1, n / 1000)
+      val b100 = b100Abs.getOrElse(n / 100)
+      val b1000 = b1000Abs.getOrElse(math.max(1, n / 1000))
       val seedEnd = n - reps * b100 - reps * b1000
       val seed = all.slice(0, seedEnd).toSeq
       val big = (0 until reps).map(i =>
@@ -196,10 +209,67 @@ object DevStreamBench {
       } finally q.stop()
     }
 
+    // ---- upsertLoop -------------------------------------------------
+    // Mixed add/del triggers: at each ratio the batch carries fresh
+    // adds plus a 10%-of-adds del stripe drawn from the seeded ids
+    // (ids never reused, never re-deleted — the loop's contract), and
+    // a tombstone-HEAVY mix (dels = 10x adds) probes how the dels/ log
+    // anti-join scales when deletion dominates: the tombstone log is
+    // read by every band/doc fetch, so a right-to-be-forgotten burst
+    // must not make subsequent triggers track tombstone-log size.
+    if (want("upsert")) {
+      val n = nDocs
+      val b100 = b100Abs.getOrElse(n / 100)
+      val b1000 = b1000Abs.getOrElse(math.max(1, n / 1000))
+      val freshNeed = reps * (b100 + 2 * b1000)
+      val seedEnd = n - freshNeed
+      val d100 = math.max(1, b100 / 10)
+      val d1000 = math.max(1, b1000 / 10)
+      val dheavy = 10 * b1000
+      require(reps * (d100 + d1000 + dheavy) < seedEnd,
+        "del stripes must fit inside the seeded ids")
+      val seed = docsAll.slice(0, seedEnd)
+      var freshAt = seedEnd
+      def fresh(k: Int): Seq[(Long, String)] = {
+        val s = docsAll.slice(freshAt, freshAt + k).toSeq
+        freshAt += k; s
+      }
+      var delAt = 0
+      def dels(k: Int): Seq[Long] = {
+        val s = seed.slice(delAt, delAt + k).map(_._1).toSeq
+        delAt += k; s
+      }
+      val mem = MemoryStream[(String, Long, String)]
+      val q = EventStreaming.upsertLoop(
+        mem.toDF().toDF("op", "doc_id", "text"), tmp("upsert"))()
+      def trig(adds: Seq[(Long, String)], delIds: Seq[Long]): Double =
+        timed {
+          mem.addData(adds.map { case (i, t) => ("add", i, t) } ++
+            delIds.map(i => ("del", i, null: String)): _*)
+          q.processAllAvailable()
+        }._2
+      try {
+        val seedSec = trig(seed.toSeq, Seq.empty)
+        val t100 = (0 until reps).map(_ => trig(fresh(b100), dels(d100)))
+        val t1000 = (0 until reps).map(_ => trig(fresh(b1000), dels(d1000)))
+        val theavy = (0 until reps).map(_ => trig(fresh(b1000), dels(dheavy)))
+        println(f"[sbench] upsertLoop seed=$seedSec%.3f " +
+          s"b100=${fmt(t100)} b1000=${fmt(t1000)} heavy=${fmt(theavy)}")
+        results += "upsert_seed_sec" -> f"$seedSec%.3f"
+        results += "upsert_b100_sec" -> fmt(t100)
+        results += "upsert_b1000_sec" -> fmt(t1000)
+        results += "upsert_heavy_adds" -> b1000.toString
+        results += "upsert_heavy_dels" -> dheavy.toString
+        results += "upsert_heavy_sec" -> fmt(theavy)
+      } finally q.stop()
+    }
+
     val json = "{" + (Seq(
       "\"sf\":\"" + sfDir + "\"",
       s""""n_docs":$nDocs""", s""""n_vectors":$nEmb""",
       s""""reps":$reps""") ++
+      b100Abs.map(v => s""""b100_abs":$v""").toSeq ++
+      b1000Abs.map(v => s""""b1000_abs":$v""").toSeq ++
       results.map { case (k, v) => s""""$k":$v""" }).mkString(",") + "}"
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
