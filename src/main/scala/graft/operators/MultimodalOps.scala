@@ -256,6 +256,62 @@ object MultimodalOps {
         .orderBy($"doc_id")
     }),
 
+    // Cross-VIDEO near-dup via shared keyframe fingerprints — the
+    // clip-overlap detector of a video curation pipeline (re-posted
+    // clips, intro/outro reuse, same footage re-encoded): sample every
+    // 2nd fixed-size frame, fingerprint each with a 16-block sign-
+    // quantized energy hash (the StubImageDecoder.phash8 contract
+    // widened to 16 bits over the whole frame), collapse to the
+    // per-video DISTINCT fingerprint set, and pair videos sharing ≥ 2
+    // keyframe fingerprints with the set-overlap ratio. All integer
+    // math (16·blockSum > totalSum ⟺ blockMean > mean) — the SQL
+    // mirror is bit-exact.
+    //
+    // 100 TB: frames never shuffle — fingerprints are extracted
+    // map-side and only (video, 16-bit fp) pairs enter the distinct +
+    // join; the candidate join is keyed on the fingerprint (the
+    // Σ bucket² discipline of every near-dup family — at production
+    // scale the hash widens to a 64-bit DCT pHash so buckets stay
+    // small), and the ≥ 2-shared-keyframes gate is applied on the
+    // pair aggregate, never as a post-hoc all-pairs scan.
+    "mm_video_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val F = 64 // frame bytes (the synthetic payloads are short docs)
+      val frames = Tables.documents(s, dir)
+        .withColumn("n_frames",
+          expr(s"cast(ceil(length(text) / $F.0) as int)"))
+        .select($"doc_id", posexplode(expr(
+          s"transform(sequence(0, n_frames - 1), " +
+            s"i -> substring(text, i*$F + 1, $F))"))
+          .as(Seq("pos", "frame")))
+        .filter($"pos" % 2 === 0 && length($"frame") === F)
+      val fp = frames
+        .withColumn("tot", expr(s"aggregate(transform(sequence(1, $F), " +
+          "i -> ascii(substring(frame, i, 1))), 0, (a, x) -> a + x)"))
+        .withColumn("fp", expr(
+          "aggregate(transform(sequence(0, 15), b -> CASE WHEN 16 * (" +
+            "ascii(substring(frame, 4*b + 1, 1)) + " +
+            "ascii(substring(frame, 4*b + 2, 1)) + " +
+            "ascii(substring(frame, 4*b + 3, 1)) + " +
+            "ascii(substring(frame, 4*b + 4, 1))) > tot " +
+            "THEN shiftleft(1, b) ELSE 0 END), 0, (a, x) -> a + x)"))
+        .select($"doc_id", $"fp").distinct()
+        .localCheckpoint() // consumed 3x: two join sides + set sizes
+      val sizes = fp.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      fp.as("a").join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_common"))
+        .filter($"n_common" >= 2)
+        .join(sizes.select($"doc_id".as("a_id"), $"n".as("n_a")), "a_id")
+        .join(sizes.select($"doc_id".as("b_id"), $"n".as("n_b")), "b_id")
+        .withColumn("overlap_x1000",
+          expr("(1000 * n_common) div least(n_a, n_b)"))
+        .select($"a_id", $"b_id", $"n_common", $"n_a", $"n_b",
+          $"overlap_x1000")
+        .orderBy($"a_id", $"b_id")
+    }),
+
     // Frame sampling: slice payload into 256-byte frames, keep every 4th,
     // aggregate sampled sizes — pos/explode over computed binary slices.
     "mm_frame_sample" -> ((s, dir) => {
@@ -397,6 +453,46 @@ object MultimodalOps {
         | CAST(sum(cut) + 1 AS BIGINT) AS n_scenes
         |FROM cuts GROUP BY doc_id, n_frames
         |ORDER BY doc_id""".stripMargin,
+
+    // same 64-byte frame slicing, stride-2 sample, 16-block integer
+    // hash; power(2, b) sums to the same value shiftleft builds
+    "mm_video_neardup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |   CAST((length(text) + 63) // 64 AS INTEGER) AS n_frames
+        |  FROM documents),
+        |f0 AS (SELECT doc_id, unnest(range(0, n_frames)) AS pos FROM base),
+        |f AS (
+        |  SELECT b.doc_id,
+        |   substr(b.text, CAST(f0.pos*64 + 1 AS INTEGER), 64) AS frame
+        |  FROM f0 JOIN base b ON b.doc_id = f0.doc_id WHERE f0.pos % 2 = 0),
+        |fps AS (
+        |  SELECT doc_id,
+        |   (SELECT CAST(sum(CASE WHEN 16 * (
+        |        ascii(substr(frame, CAST(4*b + 1 AS INTEGER), 1))
+        |      + ascii(substr(frame, CAST(4*b + 2 AS INTEGER), 1))
+        |      + ascii(substr(frame, CAST(4*b + 3 AS INTEGER), 1))
+        |      + ascii(substr(frame, CAST(4*b + 4 AS INTEGER), 1)))
+        |      > (SELECT sum(ascii(substr(frame, CAST(i AS INTEGER), 1)))
+        |         FROM range(1, 65) AS r(i))
+        |     THEN power(2, b) ELSE 0 END) AS INTEGER)
+        |    FROM range(0, 16) AS t(b)) AS fp
+        |  FROM f WHERE length(frame) = 64),
+        |sets AS (SELECT DISTINCT doc_id, fp FROM fps),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |   count(*) AS n_common
+        |  FROM sets a JOIN sets b
+        |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.a_id, p.b_id, p.n_common, sa.n AS n_a, sb.n AS n_b,
+        | (1000 * p.n_common) // least(sa.n, sb.n) AS overlap_x1000
+        |FROM pairs p
+        |JOIN sizes sa ON sa.doc_id = p.a_id
+        |JOIN sizes sb ON sb.doc_id = p.b_id
+        |WHERE p.n_common >= 2
+        |ORDER BY p.a_id, p.b_id""".stripMargin,
 
     "mm_frame_sample" ->
       """SELECT doc_id,

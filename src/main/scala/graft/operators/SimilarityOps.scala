@@ -1609,6 +1609,43 @@ object SimilarityOps {
         .filter($"cosine" > 0.35)
         .select(col("l.vec_id").as("d1"), col("r.vec_id").as("d2"), $"cosine")
         .orderBy($"d1", $"d2")
+    }),
+
+    // SEMANTIC decontamination: flag corpus docs whose embedding is
+    // cosine-close to ANY held-out eval doc (source src19, the same
+    // eval split llm_decontaminate checks by 5-gram overlap) — the
+    // paraphrase/translation leak n-gram matching cannot see, the
+    // second gate modern pretraining pipelines run after the exact
+    // one. Per flagged doc: the max cosine and its nearest eval doc
+    // (ties broken to the smallest eval id, the
+    // max(struct(cosine, -id)) idiom llm_retrieval_eval pins).
+    //
+    // 100 TB: the eval suite is BOUNDED (a benchmark is thousands of
+    // rows, never corpus-sized), so the right plan is the broadcast
+    // nested-loop probe — every corpus partition scans once, scores
+    // |eval| codegen'd dot products per row map-side, and the per-doc
+    // max is a map-side-combinable agg on (id, best) pairs; embeddings
+    // themselves never shuffle. No LSH gate needed: unlike corpus
+    // self-dedup there is no quadratic side here, the work is exactly
+    // |corpus|·|eval| multiply-adds, embarrassingly parallel.
+    "llm_semantic_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val joined = Tables.embeddings(s, dir)
+        .join(Tables.documents(s, dir).select($"doc_id", $"source"),
+          $"vec_id" === $"doc_id")
+      val eval = joined.filter($"source" === "src19")
+        .select($"vec_id".as("eval_id"), $"embedding".as("ev"))
+      joined.filter($"source" =!= "src19")
+        .select($"vec_id", $"embedding")
+        .crossJoin(broadcast(eval))
+        .withColumn("cosine", cosine($"embedding", $"ev"))
+        .groupBy($"vec_id")
+        .agg(max(struct($"cosine", (-$"eval_id").as("nid"))).as("best"))
+        .filter($"best.cosine" >= 0.35)
+        .select($"vec_id".as("doc_id"),
+          (-$"best.nid").as("nearest_eval"),
+          $"best.cosine".as("max_cosine"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -2237,6 +2274,30 @@ object SimilarityOps {
          |WHERE l.vec_id < 200 AND r.vec_id < 200
          |  AND ${cosineSql("l.embedding", "r.embedding")} > 0.35
          |ORDER BY d1, d2""".stripMargin,
+
+    // the straightforward row_number formulation; rn = 1 with
+    // (cosine DESC, eval_id ASC) is exactly the engine's
+    // max(struct(cosine, -eval_id)) argmax on bit-identical doubles
+    "llm_semantic_decontaminate" ->
+      s"""WITH ev AS (
+         |  SELECT e.vec_id AS eval_id, e.embedding FROM embeddings e
+         |  JOIN documents d ON d.doc_id = e.vec_id
+         |  WHERE d.source = 'src19'),
+         |co AS (
+         |  SELECT e.vec_id, e.embedding FROM embeddings e
+         |  JOIN documents d ON d.doc_id = e.vec_id
+         |  WHERE d.source <> 'src19'),
+         |scored AS (
+         |  SELECT c.vec_id AS doc_id, ev.eval_id,
+         |   ${cosineSql("c.embedding", "ev.embedding")} AS cosine
+         |  FROM co c CROSS JOIN ev),
+         |best AS (
+         |  SELECT doc_id, eval_id, cosine, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY cosine DESC, eval_id) AS rn
+         |  FROM scored)
+         |SELECT doc_id, eval_id AS nearest_eval, cosine AS max_cosine
+         |FROM best WHERE rn = 1 AND cosine >= 0.35
+         |ORDER BY doc_id""".stripMargin,
 
     // the engine's full KM_ITERS-round Lloyd fit, unrolled as CTEs —
     // hash-matching cluster sizes AND the fixed-point mean cosine pins

@@ -98,6 +98,32 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(math.abs(out.head.getAs[Double]("cosine") - 1.0) < 1e-9)
   }
 
+  test("llm_semantic_decontaminate: a corpus doc cosine-close to an eval " +
+      "doc is flagged with its nearest eval id (ties to the smaller id); " +
+      "an orthogonal doc is not flagged") {
+    val spark = this.spark
+    import spark.implicits._
+    val ex = Array(1f, 0f, 0f, 0f)
+    val ey = Array(0f, 1f, 0f, 0f)
+    // docs 10/11 are eval (src19); corpus doc 1 equals BOTH eval vectors'
+    // nearest case: identical to eval 10 and 11 (tie → nearest = 10);
+    // doc 2 is orthogonal to every eval vector → stays off the report
+    val docs = Seq((1L, "t", "en", "s0", 1L), (2L, "t", "en", "s1", 1L),
+      (10L, "t", "en", "src19", 1L), (11L, "t", "en", "src19", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val emb = Seq((1L, ex, 0), (2L, ey, 0), (10L, ex, 0), (11L, ex, 0))
+      .toDF("vec_id", "embedding", "label")
+    val rows = q("llm_semantic_decontaminate",
+        tempSfDir("documents" -> docs, "embeddings" -> emb))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("nearest_eval"), r.getAs[Double]("max_cosine")))
+    assert(rows.map(_._1).toSeq == Seq(1L),
+      s"only the eval-identical doc is flagged, got ${rows.toSeq}")
+    assert(rows.head._2 == 10L, "cosine tie must break to the smaller " +
+      s"eval id, got ${rows.head._2}")
+    assert(math.abs(rows.head._3 - 1.0) < 1e-12)
+  }
+
   test("llm_embed_lsh_hist: buckets within [0,255], counts sum to table") {
     val rows = q("llm_embed_lsh_hist").collect()
     rows.foreach { r =>

@@ -260,6 +260,34 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(2L) == (3, 0L, 1L))
   }
 
+  test("mm_video_neardup: videos sharing >= 2 sampled keyframe " +
+      "fingerprints pair with the set-overlap ratio; a video with no " +
+      "shared keyframes forms no pair") {
+    val spark = this.spark
+    import spark.implicits._
+    // 64-byte frames with ONE bright 4-byte block each: fp(kf0)=1,
+    // fp(kf2)=2, fp(kf4)=4 (bit b set iff 16*blockSum > totalSum).
+    // Sampled positions are 0,2,4 (stride 2), so the odd filler frames
+    // never enter a fingerprint set.
+    def kf(brightBlock: Int): String =
+      "a" * (4 * brightBlock) + "zzzz" + "a" * (60 - 4 * brightBlock)
+    val filler = "m" * 64
+    val vidA = kf(0) + filler + kf(1) + filler + kf(2) // sets {1,2,4}
+    val vidB = kf(0) + filler + kf(1) + "tail"         // sets {1,2}
+    val vidC = "q" * 64                                 // set {0}
+    val df = Seq((1L, vidA, "en", "s0", vidA.length.toLong),
+      (2L, vidB, "en", "s0", vidB.length.toLong),
+      (3L, vidC, "en", "s0", vidC.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = q("mm_video_neardup", tempSfDir("documents" -> df))
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("n_common"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Long]("overlap_x1000")))
+    assert(rows.toSeq == Seq((1L, 2L, 2L, 3L, 2L, 1000L)),
+      s"expected exactly the A-B pair with full overlap of B, got " +
+        rows.toSeq)
+  }
+
   test("mm_frame_sample: frame math matches payload sizes") {
     q("mm_frame_sample").collect().take(50).foreach { r =>
       val nf = r.getAs[Int]("n_frames")
