@@ -87,7 +87,9 @@ object Bench {
     "llm_train_manifest", "llm_split_leakage_safe",
     "llm_pack_salted",
     "llm_hybrid_search", "llm_hybrid_rrf", "llm_corpus_report",
-    "llm_bm25", "llm_inverted_index", "llm_mix_temperature",
+    "llm_bm25", "llm_bm25_log", "llm_bm25_served",
+    "llm_semantic_decontaminate", "mm_video_neardup",
+    "llm_inverted_index", "llm_mix_temperature",
     "llm_sample_topk", "llm_embed_quantize", "llm_chunk", "llm_bigram_lm",
     "llm_lm_score", "llm_ccnet_buckets", "llm_dsir_weight",
     "llm_ngram_diversity",
@@ -156,6 +158,9 @@ object Bench {
     // split (round 13) makes these the measured incremental-win
     // evidence against llm_dup_clusters' rebuild figure above
     "llm_dup_clusters_incremental", "llm_dedup_upsert",
+    // served-vs-corpus-scan BM25 at sf1 (round 14): the postings-index
+    // serve must beat the per-query corpus explode where it matters
+    "llm_bm25_log", "llm_bm25_served",
     // scaled-k gated refit: the production fix for the fixed-k gated
     // entry's Σ cluster² sf1 hazard — recorded at sf1 to make the
     // "constant cluster size keeps the gate linear" claim measured
