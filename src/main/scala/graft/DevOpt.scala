@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch probe for the round-14 optimization pass: time isolated
+  * sub-stages of the expensive queries (noop-sink discipline, guide
+  * §1.4) so changes chase measured cost, not guessed cost.
+  */
+object DevOpt {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "target/spark-local")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    def time(name: String)(df: => DataFrame): Unit = {
+      spark.sparkContext.setJobDescription(name)
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[devopt] $name%-40s $t%8.3f s")
+      spark.catalog.clearCache()
+      spark.sparkContext.setJobDescription(null)
+    }
+
+    val which = if (args.nonEmpty) args.toSet else Set("video")
+
+    if (which("video")) {
+      val F = 64
+      def frames = Tables.documents(spark, sfDir)
+        .withColumn("n_frames",
+          expr(s"cast(ceil(length(text) / $F.0) as int)"))
+        .select($"doc_id", posexplode(expr(
+          s"transform(sequence(0, n_frames - 1), " +
+            s"i -> substring(text, i*$F + 1, $F))"))
+          .as(Seq("pos", "frame")))
+        .filter($"pos" % 2 === 0 && length($"frame") === F)
+      def fpRaw = frames
+        .withColumn("tot", expr(s"aggregate(transform(sequence(1, $F), " +
+          "i -> ascii(substring(frame, i, 1))), 0, (a, x) -> a + x)"))
+        .withColumn("fp", expr(
+          "aggregate(transform(sequence(0, 15), b -> CASE WHEN 16 * (" +
+            "ascii(substring(frame, 4*b + 1, 1)) + " +
+            "ascii(substring(frame, 4*b + 2, 1)) + " +
+            "ascii(substring(frame, 4*b + 3, 1)) + " +
+            "ascii(substring(frame, 4*b + 4, 1))) > tot " +
+            "THEN shiftleft(1, b) ELSE 0 END), 0, (a, x) -> a + x)"))
+        .select($"doc_id", $"fp")
+      // split('') variant: one pass to char codes, then array indexing
+      def fpFast = frames
+        .withColumn("cs", expr("transform(split(frame, ''), c -> ascii(c))"))
+        .withColumn("blk", expr(
+          "transform(sequence(0, 15), b -> cs[4*b] + cs[4*b+1] + cs[4*b+2] + cs[4*b+3])"))
+        .withColumn("tot", expr("aggregate(blk, 0, (a, x) -> a + x)"))
+        .withColumn("fp", expr(
+          "aggregate(transform(sequence(0, 15), b -> CASE WHEN 16 * blk[b] > tot " +
+            "THEN shiftleft(1, b) ELSE 0 END), 0, (a, x) -> a + x)"))
+        .select($"doc_id", $"fp")
+      time("video: frames explode only")(frames)
+      time("video: fp raw (current)")(fpRaw)
+      time("video: fp fast (split-once)")(fpFast)
+      time("video: fp raw distinct")(fpRaw.distinct())
+      val fpCk = fpRaw.distinct().localCheckpoint()
+      time("video: join+agg from checkpoint") {
+        val sizes = fpCk.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        fpCk.as("a").join(fpCk.as("b"),
+            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("n_common"))
+          .filter($"n_common" >= 2)
+          .join(sizes.select($"doc_id".as("a_id"), $"n".as("n_a")), "a_id")
+          .join(sizes.select($"doc_id".as("b_id"), $"n".as("n_b")), "b_id")
+          .withColumn("overlap_x1000",
+            expr("(1000 * n_common) div least(n_a, n_b)"))
+          .orderBy($"a_id", $"b_id")
+      }
+      time("video: full current")(
+        SparkEntry.queries("mm_video_neardup")(spark, sfDir))
+      time("video: full current again")(
+        SparkEntry.queries("mm_video_neardup")(spark, sfDir))
+    }
+
+    if (which("contain")) {
+      val docs = Tables.documents(spark, sfDir)
+      def toks = graft.api.GraftPipelines.ppjoinTokens(docs, 3)
+      time("contain: tokens distinct")(toks)
+      val toksCk = toks.localCheckpoint()
+      time("contain: ranked from ck")(
+        graft.api.GraftPipelines.ppjoinRanked(toksCk))
+      val rankedCk = graft.api.GraftPipelines.ppjoinRanked(toksCk)
+        .localCheckpoint()
+      time("contain: candidates")(
+        graft.api.GraftPipelines.containmentCandidates(
+          rankedCk.filter(expr("rn <= sz - (4 * sz + 5 - 1) div 5 + 1")),
+          rankedCk, 4, 5))
+      time("contain: full pairs from index")(
+        graft.api.GraftPipelines.containmentPairsFromIndex(
+          toksCk, rankedCk, 4, 5))
+      time("contain: full current")(
+        SparkEntry.queries("llm_containment_join")(spark, sfDir))
+    }
+
+    if (which("kmeans")) {
+      val emb = Tables.embeddings(spark, sfDir)
+      time("kmeans: emb scan")(emb)
+      time("kmeans: fit assign only") {
+        val init = emb.filter($"vec_id" < 8)
+          .select($"vec_id".cast("int").as("cluster"), $"embedding".as("c"))
+        graft.api.GraftPipelines.assignToCentroids(emb, init)
+      }
+      time("kmeans: full fit (k=8,it=2)")(
+        graft.api.GraftPipelines.kmeans(emb, 8, 2, 64))
+      time("kmeans: entry llm_embed_kmeans")(
+        SparkEntry.queries("llm_embed_kmeans")(spark, sfDir))
+    }
+
+    spark.stop()
+  }
+}
