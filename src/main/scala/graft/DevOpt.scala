@@ -93,9 +93,28 @@ object DevOpt {
 
     if (which("contain")) {
       val docs = Tables.documents(spark, sfDir)
-      def toks = graft.api.GraftPipelines.ppjoinTokens(docs, 3)
-      time("contain: tokens distinct")(toks)
-      val toksCk = toks.localCheckpoint()
+      time("contain: token sets (map-only)")(
+        graft.api.GraftPipelines.ppjoinTokenSets(docs, 3))
+      time("contain: tokens exploded")(
+        graft.api.GraftPipelines.ppjoinTokens(docs, 3))
+      val setsCk = graft.api.GraftPipelines.ppjoinTokenSets(docs, 3)
+        .localCheckpoint()
+      time("contain: explode from setsCk")(
+        graft.api.GraftPipelines.ppjoinTokensOf(setsCk))
+      val toksCk = graft.api.GraftPipelines.ppjoinTokensOf(setsCk)
+        .localCheckpoint()
+      time("contain: dfreq only")(
+        toksCk.groupBy(col("s")).agg(count(lit(1)).as("df")))
+      val dfreqCk = toksCk.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .localCheckpoint()
+      time("contain: join only")(toksCk.join(dfreqCk, "s"))
+      val joinedCk = toksCk.join(dfreqCk, "s").localCheckpoint()
+      time("contain: window only") {
+        import org.apache.spark.sql.expressions.Window
+        joinedCk.withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+          .select(col("doc_id"), col("s"), col("rn"), col("sz"))
+      }
       time("contain: ranked from ck")(
         graft.api.GraftPipelines.ppjoinRanked(toksCk))
       val rankedCk = graft.api.GraftPipelines.ppjoinRanked(toksCk)
@@ -106,20 +125,64 @@ object DevOpt {
           rankedCk, 4, 5))
       time("contain: full pairs from index")(
         graft.api.GraftPipelines.containmentPairsFromIndex(
-          toksCk, rankedCk, 4, 5))
+          setsCk, rankedCk, 4, 5))
       time("contain: full current")(
         SparkEntry.queries("llm_containment_join")(spark, sfDir))
+      time("contain: ppjoin full current")(
+        SparkEntry.queries("llm_ppjoin")(spark, sfDir))
+    }
+
+    if (which("minhash")) {
+      val docs = Tables.documents(spark, sfDir)
+      def shingleVariant(outer: Boolean) = {
+        val n = 3
+        val gram = (0 until n).map(j => s"w[i+$j]")
+          .mkString("concat_ws(' ', ", ", ", ")")
+        val ex = expr(s"transform(sequence(0, size(w)-$n), i -> $gram)")
+        val base = docs.select($"doc_id", split($"text", " ").as("w"))
+          .filter(size($"w") >= n)
+        if (outer) base.select($"doc_id", explode_outer(ex).as("s"))
+        else base.select($"doc_id", explode(ex).as("s"))
+      }
+      def sigOf(sh: org.apache.spark.sql.DataFrame) = {
+        val hashed = sh.select($"doc_id",
+          graft.functions.VectorExpressions.md5Km($"s", 8).as("hs"))
+        val aggs = (0 until 8).map(i => min($"hs"(i)).as(s"h$i"))
+        hashed.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+      }
+      for (i <- 1 to 2) {
+        time(s"minhash: sig inner explode #$i")(sigOf(shingleVariant(false)))
+        time(s"minhash: sig outer explode #$i")(sigOf(shingleVariant(true)))
+      }
     }
 
     if (which("kmeans")) {
       val emb = Tables.embeddings(spark, sfDir)
+      val init = emb.filter($"vec_id" < 8)
+        .select($"vec_id".cast("int").as("cluster"), $"embedding".as("c"))
       time("kmeans: emb scan")(emb)
-      time("kmeans: fit assign only") {
-        val init = emb.filter($"vec_id" < 8)
-          .select($"vec_id".cast("int").as("cluster"), $"embedding".as("c"))
-        graft.api.GraftPipelines.assignToCentroids(emb, init)
+      time("kmeans: fit assign only")(
+        graft.api.GraftPipelines.assignToCentroids(emb, init))
+      val a1 = graft.api.GraftPipelines.assignToCentroids(emb, init)
+        .localCheckpoint()
+      def updateVariant(kind: String) = {
+        val scale = 268435456.0
+        val sums = (1 to 64).map(d =>
+          sum(floor(element_at($"embedding", d).cast("double") * lit(scale))
+            .cast(kind)).as(s"s$d"))
+        val g = a1.groupBy($"cluster")
+          .agg(sums.head, sums.tail :+ count(lit(1)).as("n"): _*)
+        g.select($"cluster", array((1 to 64).map(d =>
+          ($"s$d".cast("double") / $"n" / lit(scale)).cast("float")): _*)
+          .as("c"))
+      }
+      for (i <- 1 to 2) {
+        time(s"kmeans: update LONG sums #$i")(updateVariant("long"))
+        time(s"kmeans: update decimal sums #$i")(updateVariant("decimal(28,0)"))
       }
       time("kmeans: full fit (k=8,it=2)")(
+        graft.api.GraftPipelines.kmeans(emb, 8, 2, 64))
+      time("kmeans: full fit again")(
         graft.api.GraftPipelines.kmeans(emb, 8, 2, 64))
       time("kmeans: entry llm_embed_kmeans")(
         SparkEntry.queries("llm_embed_kmeans")(spark, sfDir))

@@ -76,7 +76,10 @@ object DevPpjoinAb {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     println(s"[ppjoin-ab] corpus $sfDir docs=${docs.count()}")
 
-    val toks = graft.api.GraftPipelines.ppjoinTokens(docs).localCheckpoint()
+    val sets = graft.api.GraftPipelines.ppjoinTokenSets(docs)
+      .localCheckpoint()
+    val toks = graft.api.GraftPipelines.ppjoinTokensOf(sets)
+      .localCheckpoint()
     val ranked = graft.api.GraftPipelines.ppjoinRanked(toks).localCheckpoint()
 
     // --- symmetric PPJoin, θ = 1/2 ---
@@ -95,7 +98,7 @@ object DevPpjoinAb {
       verifyJac(toks, oldPpjoinCand(pref, num, den), num, den).count()
     }
     val newW = timed("ppjoin new end-to-end (verify)") {
-      graft.api.GraftPipelines.ppjoinPairsFromIndex(toks, pref, num, den)
+      graft.api.GraftPipelines.ppjoinPairsFromIndex(sets, pref, num, den)
         .count()
     }
     println(s"[ppjoin-ab] ppjoin cand old=$oldC new=$newC " +
@@ -120,7 +123,7 @@ object DevPpjoinAb {
     }
     val newCW = timed("contain new end-to-end (verify)") {
       graft.api.GraftPipelines
-        .containmentPairsFromIndex(toks, ranked, cn, cd).count()
+        .containmentPairsFromIndex(sets, ranked, cn, cd).count()
     }
     println(s"[ppjoin-ab] contain cand old=$oldCC new=$newCC " +
       f"(${100.0 * newCC / oldCC.max(1)}%.1f%%) pairs old=$oldCW new=$newCW")

@@ -49,8 +49,13 @@ object GraftPipelines {
     (if (repartitionFirst) src.repartition(col(id)) else src)
       .select(col(id), split(col(text), " ").as("w"))
       .filter(size(col("w")) >= n)
+      // explode_outer: plain explode's implicit non-empty/non-null
+      // filter gets pushed below the projection and re-evaluates the
+      // transform(...) chain twice per doc in an interpreted Filter
+      // (see ppjoinTokensOf); size(w) >= n already guarantees at least
+      // one gram, so outer semantics are identical
       .select(col(id),
-        explode(expr(s"transform(sequence(0, size(w)-$n), i -> $gram)")).as("s"))
+        explode_outer(expr(s"transform(sequence(0, size(w)-$n), i -> $gram)")).as("s"))
   }
 
   /** MinHash signature: `seeds` long-typed min-hash columns from ONE MD5
@@ -644,9 +649,17 @@ object GraftPipelines {
       assignToCentroids(emb, cent, id, vec)
     def update(assigned: DataFrame): DataFrame = {
       val scale = 268435456.0 // 2^28: exact multiply, see scaladoc
+      // LONG partial sums, not decimal(28,0): the floored fixed-point
+      // components are ≤ 2^28·max|x|, so the per-cluster sum stays
+      // inside a long far beyond the point where the scaladoc's own
+      // double-conversion bound (n·max|x|·2^28 < 2^53) already caps
+      // the exactness contract — identical integers, and the 64-sum
+      // HashAggregate drops the Decimal128 update path (measured
+      // 0.55 → 0.40 s per round at sf0.1, plus a visibly smaller
+      // codegen unit).
       val sums = (1 to dim).map(d =>
         sum(floor(element_at(col(vec), d).cast("double") * lit(scale))
-          .cast("decimal(28,0)")).as(s"s$d"))
+          .cast("long")).as(s"s$d"))
       val g = assigned.groupBy(col("cluster"))
         .agg(sums.head, sums.tail :+ count(lit(1)).as("n"): _*)
       g.select(col("cluster"), array((1 to dim).map(d =>
@@ -2406,20 +2419,61 @@ object GraftPipelines {
   def ppjoinIndex(docs: DataFrame, num: Int = 1, den: Int = 2,
       shingleWidth: Int = 3, id: String = "doc_id",
       text: String = "text"): (DataFrame, DataFrame) = {
-    val toks = ppjoinTokens(docs, shingleWidth, id, text).localCheckpoint()
-    (toks, ppjoinPrefix(toks, num, den, id).localCheckpoint())
+    // checkpoint the SET table (one row per doc), not the exploded
+    // token rows — smaller blocks, and the verify side consumes the
+    // arrays as-is
+    val sets = ppjoinTokenSets(docs, shingleWidth, id, text)
+      .localCheckpoint()
+    (sets,
+      ppjoinPrefix(ppjoinTokensOf(sets, id), num, den, id).localCheckpoint())
   }
 
-  /** The distinct shingle table `(id, s)` — the first PPJoin build
-    * artifact, checkpoint-free (callers that persist to storage write
-    * THIS and derive the prefix from the read-back, so no
-    * executor-memory copy outlives the build; [[ppjoinIndex]] adds the
-    * localCheckpoints the in-plan composition wants).
+  /** Per-doc DISTINCT shingle SETS `(id, sz, sarr)` — the first PPJoin
+    * build artifact. `array_distinct` inside the projection replaces
+    * the exploded table's global `distinct()`: dedup within a doc needs
+    * no exchange at all (the old distinct shuffled every (id, shingle)
+    * row just to dedup rows that already shared their doc), `sz` is the
+    * array size read map-side (the old shape paid a per-doc window
+    * count for it), and the verify step consumes the arrays directly
+    * instead of re-aggregating token rows per query (the collect_list
+    * exchange is gone). Measured at sf0.1: the token build 2.6 → 0.9 s,
+    * llm_containment_join end-to-end 4.7 → 2.9 s, identical rows.
+    */
+  def ppjoinTokenSets(docs: DataFrame, shingleWidth: Int = 3,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val n = shingleWidth
+    val gram = (0 until n).map(j => s"w[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
+    docs.select(col(id), split(col(text), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col(id), expr(
+        s"array_distinct(transform(sequence(0, size(w)-$n), i -> $gram))")
+        .as("sarr"))
+      .select(col(id), size(col("sarr")).cast("long").as("sz"), col("sarr"))
+  }
+
+  /** The distinct shingle table `(id, s, sz)` — [[ppjoinTokenSets]]
+    * exploded (sz = the doc's distinct-shingle count rides every row,
+    * so the rank pass needs no per-doc count window).
     */
   def ppjoinTokens(docs: DataFrame, shingleWidth: Int = 3,
       id: String = "doc_id", text: String = "text"): DataFrame =
-    shingle(docs.select(col(id), col(text)), shingleWidth, id, text)
-      .distinct()
+    ppjoinTokensOf(ppjoinTokenSets(docs, shingleWidth, id, text), id)
+
+  /** [[ppjoinTokens]] from an already-built (or read-back) token-set
+    * table — the explode is the only step, so a checkpointed/persisted
+    * set table feeds both the rank build and the verify without
+    * recomputing the shingle pass.
+    */
+  def ppjoinTokensOf(sets: DataFrame, id: String = "doc_id"): DataFrame =
+    // explode_outer, deliberately: plain explode plants an implicit
+    // `size(arr) > 0 AND isnotnull(arr)` filter that the optimizer
+    // pushes BELOW the sarr projection, inlining the whole
+    // array_distinct(transform(...)) chain twice into an interpreted
+    // Filter — measured 4.4 s vs 0.9 s for the exploded token table at
+    // sf0.1. sarr is non-empty by construction (docs with < n words
+    // never enter the set table), so outer semantics are identical.
+    sets.select(col(id), col("sz"), explode_outer(col("sarr")).as("s"))
+      .select(col(id), col("s"), col("sz"))
 
   /** The df-ordered prefix index `(id, s, rn, sz)` for threshold
     * num/den, derived from a [[ppjoinTokens]] table (fresh or re-read
@@ -2440,9 +2494,10 @@ object GraftPipelines {
   def ppjoinRanked(toks: DataFrame, id: String = "doc_id"): DataFrame = {
     val dfreq = toks.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col(id))
+    // sz rides in from the token-set projection (size(sarr), map-side)
+    // — the old per-doc count(*) window pass is gone
     toks.join(dfreq, "s")
       .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("s"))))
-      .withColumn("sz", count(lit(1)).over(wDoc))
       .select(col(id), col("s"), col("rn"), col("sz"))
   }
 
@@ -2459,7 +2514,7 @@ object GraftPipelines {
     * intersection verify. `num`/`den` must match the index's build
     * threshold.
     */
-  def ppjoinPairsFromIndex(toks: DataFrame, pref: DataFrame,
+  def ppjoinPairsFromIndex(sets: DataFrame, pref: DataFrame,
       num: Int = 1, den: Int = 2, id: String = "doc_id"): DataFrame = {
     require(num > 0 && den >= num, "threshold must be in (0, 1]")
     // α = ceil(num·(na+nb)/(num+den)); jac ≥ num/den ⟺
@@ -2487,31 +2542,31 @@ object GraftPipelines {
     // exploding each candidate into its na token rows and re-joining on
     // (b_id, s) shuffles a Σ|a|-sized intermediate TWICE and then pays a
     // pair-key groupBy — three exchanges over token-granularity data.
-    // Joining the candidate list to a per-doc token-ARRAY table (two
+    // Joining the candidate list to the per-doc token-SET table (two
     // pair-id-keyed joins) moves the same bytes once each and computes
-    // |∩| per-row with array_intersect (hash-set, O(na+nb); toks is
-    // distinct per (id, s) so set semantics are exact). Measured at
+    // |∩| per-row with array_intersect (hash-set, O(na+nb); sarr is
+    // array_distinct so set semantics are exact). Measured at
     // sf1 (DevPpjoinAb, BASELINE.md round 11): verify stage 12.5→7.2 s
-    // symmetric, 13.8→3.0 s containment; identical output pairs.
-    verifyByIntersect(toks, cand, id)
+    // symmetric, 13.8→3.0 s containment; identical output pairs. The
+    // set table arrives pre-arrayed ([[ppjoinTokenSets]]) — the old
+    // per-query collect_list re-aggregation of token rows is gone.
+    verifyByIntersect(sets, cand, id)
       .filter(col("inter") * (num + den) >= (col("na") + col("nb")) * num)
       .withColumn("jac_x1000", expr("(1000 * inter) div (na + nb - inter)"))
   }
 
   /** (a_id, b_id, na, nb, inter) for a candidate pair list: exact
-    * distinct-token intersection sizes via per-doc arrays (see
+    * distinct-token intersection sizes via the per-doc set arrays (see
     * [[ppjoinPairsFromIndex]] for why this beats a token-level join).
     */
-  private def verifyByIntersect(toks: DataFrame, cand: DataFrame,
-      id: String): DataFrame = {
-    val arrs = toks.groupBy(col(id)).agg(collect_list(col("s")).as("arr"))
+  private def verifyByIntersect(sets: DataFrame, cand: DataFrame,
+      id: String): DataFrame =
     cand
-      .join(arrs.select(col(id).as("a_id"), col("arr").as("arr_a")), "a_id")
-      .join(arrs.select(col(id).as("b_id"), col("arr").as("arr_b")), "b_id")
+      .join(sets.select(col(id).as("a_id"), col("sarr").as("arr_a")), "a_id")
+      .join(sets.select(col(id).as("b_id"), col("sarr").as("arr_b")), "b_id")
       .select(col("a_id"), col("b_id"), col("na"), col("nb"),
         size(array_intersect(col("arr_a"), col("arr_b"))).cast("long")
           .as("inter"))
-  }
 
   /** The symmetric candidate stage alone — (a_id, b_id, na, nb) pairs
     * surviving the size band + aggregate positional prune. Exposed so
@@ -2554,9 +2609,10 @@ object GraftPipelines {
   def containmentPairs(docs: DataFrame, num: Int = 4, den: Int = 5,
       shingleWidth: Int = 3, id: String = "doc_id",
       text: String = "text"): DataFrame = {
-    val toks = ppjoinTokens(docs, shingleWidth, id, text).localCheckpoint()
-    val ranked = ppjoinRanked(toks, id).localCheckpoint()
-    containmentPairsFromIndex(toks, ranked, num, den, id)
+    val sets = ppjoinTokenSets(docs, shingleWidth, id, text)
+      .localCheckpoint()
+    val ranked = ppjoinRanked(ppjoinTokensOf(sets, id), id).localCheckpoint()
+    containmentPairsFromIndex(sets, ranked, num, den, id)
   }
 
   /** The containment probe phase over a prebuilt (token, ranked) pair —
@@ -2564,7 +2620,7 @@ object GraftPipelines {
     * contained side's prefix cut is a cheap filter of the read-back
     * ranked table, so a persisted index serves any τ without a rebuild.
     */
-  def containmentPairsFromIndex(toks: DataFrame, ranked: DataFrame,
+  def containmentPairsFromIndex(sets: DataFrame, ranked: DataFrame,
       num: Int = 4, den: Int = 5, id: String = "doc_id"): DataFrame = {
     require(num > 0 && den >= num, "threshold must be in (0, 1]")
     val pref = ranked.filter(prefixCond(num, den))
@@ -2578,7 +2634,7 @@ object GraftPipelines {
     // groupBy replaces distinct — no extra exchange, fewer verifies.
     val cand = containmentCandidates(pref, ranked, num, den, id)
     // array-intersect verify — see ppjoinPairsFromIndex for the trade
-    verifyByIntersect(toks, cand, id)
+    verifyByIntersect(sets, cand, id)
       .filter(col("inter") * den >= col("na") * num)
       .withColumn("contain_x1000", expr("(1000 * inter) div na"))
   }

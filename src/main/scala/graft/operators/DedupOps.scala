@@ -356,20 +356,28 @@ object DedupOps {
     */
   private def ppjoinIndexServed(s: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
-    val idx = buildIndexOnce(dir, "ppjoin", "num=1,den=2,w=3") { tmp =>
+    // fmt=sets: the token table persists as per-doc DISTINCT shingle
+    // SETS (id, sz, sarr) — the verify step consumes the arrays as-is
+    // instead of re-aggregating token rows per query, and the prefix
+    // build reads sz off the row instead of a count window (see
+    // GraftPipelines.ppjoinTokenSets). New params key = new fixture;
+    // the old exploded-format index is simply superseded.
+    val idx = buildIndexOnce(dir, "ppjoin", "num=1,den=2,w=3,fmt=sets") {
+      tmp =>
       graft.api.GraftPipelines
-        .ppjoinTokens(Tables.documents(s, dir))
-        .write.parquet(s"$tmp/toks.parquet")
+        .ppjoinTokenSets(Tables.documents(s, dir))
+        .write.parquet(s"$tmp/toksets.parquet")
       graft.api.GraftPipelines
-        .ppjoinPrefix(s.read.parquet(s"$tmp/toks.parquet"),
+        .ppjoinPrefix(graft.api.GraftPipelines
+          .ppjoinTokensOf(s.read.parquet(s"$tmp/toksets.parquet")),
           num = 1, den = 2)
         .write.parquet(s"$tmp/pref.parquet")
     }
     // the probe phase consumes BOTH tables twice (pref self-join,
-    // toks verify self-join) — materialize each read-back once per
+    // set-array verify joins) — materialize each read-back once per
     // query; without this the sf1 serve path re-decodes parquet per
     // join side and loses to the refit's checkpointed tables
-    (s.read.parquet(s"$idx/toks.parquet").localCheckpoint(),
+    (s.read.parquet(s"$idx/toksets.parquet").localCheckpoint(),
       s.read.parquet(s"$idx/pref.parquet").localCheckpoint())
   }
 
@@ -393,21 +401,22 @@ object DedupOps {
   private def containmentIndexServed(s: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     val idx = buildIndexOnce(dir, "containment_sliced",
-        "num=4,den=5,w=3") { tmp =>
+        "num=4,den=5,w=3,fmt=sets") { tmp =>
       graft.api.GraftPipelines
-        .ppjoinTokens(Tables.documents(s, dir))
-        .write.parquet(s"$tmp/toks.parquet")
+        .ppjoinTokenSets(Tables.documents(s, dir))
+        .write.parquet(s"$tmp/toksets.parquet")
       graft.api.GraftPipelines
         .containmentContainerSlice(
-          graft.api.GraftPipelines
-            .ppjoinRanked(s.read.parquet(s"$tmp/toks.parquet")),
+          graft.api.GraftPipelines.ppjoinRanked(
+            graft.api.GraftPipelines
+              .ppjoinTokensOf(s.read.parquet(s"$tmp/toksets.parquet"))),
           num = 4, den = 5)
         .write.parquet(s"$tmp/cont.parquet")
     }
-    // toks feeds the verify self-join twice — materialize once (see
-    // ppjoinIndexServed); the slice is consumed once per side, read
-    // as-is
-    (s.read.parquet(s"$idx/toks.parquet").localCheckpoint(),
+    // the set table feeds the verify joins twice — materialize once
+    // (see ppjoinIndexServed); the slice is consumed once per side,
+    // read as-is
+    (s.read.parquet(s"$idx/toksets.parquet").localCheckpoint(),
       s.read.parquet(s"$idx/cont.parquet"))
   }
 

@@ -150,14 +150,15 @@ class DedupOpsSpec extends SparkSpec {
         .mkString, "s0")
     }
     val dir = tempSfDir("documents" -> docs(texts: _*))
-    val toks = P.ppjoinTokens(Tables.documents(spark, dir)).localCheckpoint()
-    val ranked = P.ppjoinRanked(toks).localCheckpoint()
+    val sets = P.ppjoinTokenSets(Tables.documents(spark, dir))
+      .localCheckpoint()
+    val ranked = P.ppjoinRanked(P.ppjoinTokensOf(sets)).localCheckpoint()
     val slice = P.containmentContainerSlice(ranked, 4, 5).localCheckpoint()
     assert(slice.count() < ranked.count(),
       "the slice must drop the no-prefix-token rows, else it serves " +
         "the same super-linear read-back")
     def pairs(cont: org.apache.spark.sql.DataFrame) =
-      P.containmentPairsFromIndex(toks, cont, 4, 5)
+      P.containmentPairsFromIndex(sets, cont, 4, 5)
         .collect().map(_.toString).toSet
     assert(pairs(slice) == pairs(ranked),
       "pruning non-prefix-token container rows must not change the join")
