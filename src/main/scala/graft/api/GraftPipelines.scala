@@ -1131,7 +1131,7 @@ object GraftPipelines {
       id: String = "doc_id", text: String = "text"): DataFrame = {
     val src = docs.select(col(id), split(col(text), " ").as("w"))
       .filter(size(col("w")) >= n)
-    val grams = src.select(col(id), posexplode(expr(
+    val grams = src.select(col(id), posexplode_outer(expr(
         s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))")))
       .select(col(id), col("pos").as("idx"),
         VectorExpressions.md5Half60(col("col"), upperHalf = false).as("h"))
@@ -1269,7 +1269,7 @@ object GraftPipelines {
   def postingsOf(docs: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame =
     docs.select(col(id),
-      explode(array_distinct(split(col(text), " "))).as("term"))
+      explode_outer(array_distinct(split(col(text), " "))).as("term"))
 
   /** [[invertedIndex]] from raw posting rows. The leading `distinct`
     * makes the read side idempotent under log replays: a foreachBatch
@@ -1325,7 +1325,7 @@ object GraftPipelines {
     val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("len_sum"))
       .select(col("n_docs"),
         (col("len_sum").cast("double") / col("n_docs").cast("double")).as("avgdl"))
-    val tf = docs.select(col(id), explode(split(col(text), " ")).as("term"))
+    val tf = docs.select(col(id), explode_outer(split(col(text), " ")).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
     // per-term df pivoted to one row (bounded by |terms|).
@@ -1431,7 +1431,7 @@ object GraftPipelines {
     val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("len_sum"))
       .select(col("n_docs"),
         (col("len_sum").cast("double") / col("n_docs").cast("double")).as("avgdl"))
-    val tf = docs.select(col(id), explode(split(col(text), " ")).as("term"))
+    val tf = docs.select(col(id), explode_outer(split(col(text), " ")).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
     val dfRow = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1511,7 +1511,7 @@ object GraftPipelines {
       .select(col("n_docs"),
         (col("len_sum").cast("double") / col("n_docs").cast("double")).as("avgdl"))
       .coalesce(1).write.parquet(s"$outDir/stats.parquet")
-    docs.select(col(id), explode(split(col(text), " ")).as("term"))
+    docs.select(col(id), explode_outer(split(col(text), " ")).as("term"))
       .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
       .join(lens, Seq(id))
       .orderBy(col("term"))
@@ -1570,7 +1570,7 @@ object GraftPipelines {
         lit(1) + ceil(greatest(size(col("w")) - width, lit(0))
           .cast("double") / stride).cast("int"))
       .select(col(id),
-        explode(expr(s"transform(sequence(0, n_chunks - 1), i -> " +
+        explode_outer(expr(s"transform(sequence(0, n_chunks - 1), i -> " +
           s"struct(i AS chunk_idx, " +
           s"slice(w, i * $stride + 1, $width) AS cw))")).as("c"))
       .select(col(id), col("c.chunk_idx").cast("int").as("chunk_idx"),
@@ -2289,7 +2289,7 @@ object GraftPipelines {
     val bests = (1 to rounds).map { r =>
       val pairs = dict
         .withColumn("arr", split(col("seg"), " "))
-        .select(explode(expr(
+        .select(explode_outer(expr(
           "zip_with(slice(arr, 1, size(arr)-1), slice(arr, 2, size(arr)-1)," +
           " (x, y) -> concat(x, ' ', y))")).as("pair"), col("cnt"))
         .groupBy(col("pair")).agg(sum(col("cnt")).as("pcnt"))
@@ -2373,7 +2373,7 @@ object GraftPipelines {
     val keep = (id +: extra).map(col)
     docs.select(keep :+ split(col(text), " ").as("w"): _*)
       .filter(size(col("w")) >= 2)
-      .select(keep :+ explode(expr(
+      .select(keep :+ explode_outer(expr(
         "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
         .as("b"): _*)
       .select(keep :+ col("b.w1") :+ col("b.w2"): _*)

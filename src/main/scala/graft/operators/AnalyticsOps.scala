@@ -292,7 +292,7 @@ object AnalyticsOps {
         .groupBy(floorDiv("ts_ms", 3600000L).as("hour_idx"))
         .agg(hll_sketch_agg($"user_id").as("sk"))
       hourly
-        .select(explode(expr("sequence(hour_idx, hour_idx + 5)")).as("w"),
+        .select(explode_outer(expr("sequence(hour_idx, hour_idx + 5)")).as("w"),
           $"sk")
         .groupBy($"w")
         .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"),

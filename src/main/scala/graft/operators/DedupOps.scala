@@ -561,7 +561,7 @@ object DedupOps {
     val words = Tables.documents(s, dir)
       .select($"doc_id", $"source", $"text")
       .repartition($"doc_id")
-      .select($"doc_id", $"source", explode(split($"text", " ")).as("word"))
+      .select($"doc_id", $"source", explode_outer(split($"text", " ")).as("word"))
       // LE low bytes of the digest's first half; mask to BE 32-bit word
       .withColumn("u",
         graft.functions.VectorExpressions.md5Half60($"word", upperHalf = true))
@@ -1314,11 +1314,16 @@ object DedupOps {
     // is chunk-hash keyed — shuffle-bounded at any scale.
     "llm_span_dedup" -> ((s, dir) => {
       import s.implicits._
+      // split once into a named column: the transform's lambda used to
+      // call split(text) PER CHUNK (O(words²/10) per doc), and the
+      // explode's implicit non-empty filter re-ran the whole chain
+      // twice more — outer explode + the hoisted array remove both
       val tagged = Tables.documents(s, dir)
-        .filter(size(split($"text", " ")) >= 10)
-        .select($"doc_id", explode(expr(
-          "transform(sequence(1, size(split(text, ' ')) div 10), " +
-            "i -> concat_ws(' ', slice(split(text, ' '), (i-1)*10+1, 10)))"))
+        .select($"doc_id", split($"text", " ").as("wds"))
+        .filter(size($"wds") >= 10)
+        .select($"doc_id", explode_outer(expr(
+          "transform(sequence(1, size(wds) div 10), " +
+            "i -> concat_ws(' ', slice(wds, (i-1)*10+1, 10)))"))
           .as("chunk"))
         .select($"doc_id", md5($"chunk").as("h"))
       val dupH = tagged.groupBy($"h")
@@ -1577,10 +1582,12 @@ object DedupOps {
     // table in executor storage.
     "llm_boilerplate_scrub" -> ((s, dir) => {
       import s.implicits._
+      // hoisted split + outer explode, same rationale as llm_span_dedup
       def chunks = Tables.documents(s, dir)
-        .select($"doc_id", posexplode(expr(
-          "transform(sequence(0, cast(ceil(size(split(text, ' ')) / 10.0) as int) - 1), " +
-            "i -> concat_ws(' ', slice(split(text, ' '), i*10+1, 10)))"))
+        .select($"doc_id", split($"text", " ").as("wds"))
+        .select($"doc_id", posexplode_outer(expr(
+          "transform(sequence(0, cast(ceil(size(wds) / 10.0) as int) - 1), " +
+            "i -> concat_ws(' ', slice(wds, i*10+1, 10)))"))
           .as(Seq("pos", "chunk")))
         .withColumn("h", md5($"chunk"))
       val boiler = chunks.groupBy($"h")

@@ -181,7 +181,7 @@ object JoinOps {
         .select(floorDiv(floorDivSql("ts_ns", 1000000L), HOUR_MS).as("cell_h"))
         .distinct()
       val cells = sess.select($"user_id", $"start_ms", $"end_ms",
-        explode(sequence(floorDiv("start_ms", HOUR_MS),
+        explode_outer(sequence(floorDiv("start_ms", HOUR_MS),
           floorDiv("end_ms", HOUR_MS))).as("cell_h"))
       cells.join(errHours, "cell_h")
         .withColumn("w_start_ms", $"cell_h" * HOUR_MS)

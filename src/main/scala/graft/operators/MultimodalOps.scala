@@ -238,7 +238,7 @@ object MultimodalOps {
         .filter(length($"text") >= 1)
         .withColumn("n_frames",
           expr("cast(ceil(length(text) / 256.0) as int)"))
-        .select($"doc_id", $"n_frames", posexplode(expr(
+        .select($"doc_id", $"n_frames", posexplode_outer(expr(
           "transform(sequence(0, n_frames - 1), i -> substring(text, i*256 + 1, 256))"))
           .as(Seq("pos", "frame")))
         .withColumn("fb",
@@ -329,7 +329,7 @@ object MultimodalOps {
         .select($"doc_id", encode($"text", "utf-8").as("payload"))
         .withColumn("n_frames",
           expr("cast(ceil(octet_length(payload) / 256.0) as int)"))
-        .select($"doc_id", $"n_frames", posexplode(expr(
+        .select($"doc_id", $"n_frames", posexplode_outer(expr(
           "transform(sequence(0, n_frames - 1), i -> substring(payload, i*256 + 1, 256))"))
           .as(Seq("pos", "frame")))
         .filter($"pos" % 4 === 0)

@@ -513,7 +513,7 @@ object TextOps {
       import s.implicits._
       val docs = Tables.documents(s, dir)
       val words = docs
-        .select($"source", $"doc_id", explode(split($"text", " ")).as("word"))
+        .select($"source", $"doc_id", explode_outer(split($"text", " ")).as("word"))
       val tf = words.groupBy($"source", $"word").agg(count(lit(1)).as("tf"))
       val dfq = words.select($"word", $"doc_id").distinct()
         .groupBy($"word").agg(count(lit(1)).as("df"))
@@ -611,7 +611,7 @@ object TextOps {
       val bi = Tables.documents(s, dir)
         .select(split($"text", " ").as("w"))
         .filter(size($"w") >= 2)
-        .select(explode(expr(
+        .select(explode_outer(expr(
           "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
           .as("b"))
         .select($"b.w1", $"b.w2")
@@ -666,12 +666,12 @@ object TextOps {
     "llm_pmi_bigrams" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      val toks = docs.select(explode(split($"text", " ")).as("wd"))
+      val toks = docs.select(explode_outer(split($"text", " ")).as("wd"))
       val uni = toks.groupBy($"wd").agg(count(lit(1)).as("n_w"))
       val bi = docs
         .select(split($"text", " ").as("w"))
         .filter(size($"w") >= 2)
-        .select(explode(expr(
+        .select(explode_outer(expr(
           "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
           .as("b"))
         .select($"b.w1", $"b.w2")
@@ -828,7 +828,7 @@ object TextOps {
     "llm_tokenizer_fertility" -> ((s, dir) => {
       import s.implicits._
       val docWords = Tables.documents(s, dir)
-        .select($"lang", explode(split($"text", " ")).as("word"))
+        .select($"lang", explode_outer(split($"text", " ")).as("word"))
         .filter($"word" =!= "")
       val words = docWords.groupBy($"word").agg(count(lit(1)).as("cnt"))
       val toks = graft.api.GraftPipelines
@@ -1073,7 +1073,7 @@ object TextOps {
     "llm_bpe_vocab" -> ((s, dir) => {
       import s.implicits._
       val words = Tables.documents(s, dir)
-        .select(explode(split($"text", " ")).as("word"))
+        .select(explode_outer(split($"text", " ")).as("word"))
         .filter($"word" =!= "")
         .groupBy($"word").agg(count(lit(1)).as("cnt"))
       graft.api.GraftPipelines.bpeMerges(words, "word", "cnt", 3)
@@ -1091,7 +1091,7 @@ object TextOps {
     "llm_bpe_apply" -> ((s, dir) => {
       import s.implicits._
       val docWords = Tables.documents(s, dir)
-        .select($"doc_id", explode(split($"text", " ")).as("word"))
+        .select($"doc_id", explode_outer(split($"text", " ")).as("word"))
         .filter($"word" =!= "")
       val words = docWords.groupBy($"word").agg(count(lit(1)).as("cnt"))
       val toks = graft.api.GraftPipelines
@@ -1125,7 +1125,7 @@ object TextOps {
     "llm_heavy_hitters" -> ((s, dir) => {
       import s.implicits._
       val words = Tables.documents(s, dir)
-        .select(explode(split($"text", " ")).as("w"))
+        .select(explode_outer(split($"text", " ")).as("w"))
         .filter($"w" =!= "").as[String]
       val pass1 = words.mapPartitions(mgCandidatesCounted(MgCap))
         .toDF("w", "np").localCheckpoint()
