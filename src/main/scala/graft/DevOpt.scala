@@ -156,6 +156,34 @@ object DevOpt {
       }
     }
 
+    if (which("gen")) {
+      val docs = Tables.documents(spark, sfDir)
+      // word explode -> hash agg (the tfidf/bpe shape)
+      def wordAgg(outer: Boolean) = {
+        val ex = split($"text", " ")
+        val w = if (outer) explode_outer(ex) else explode(ex)
+        docs.select(w.as("word")).groupBy($"word")
+          .agg(count(lit(1)).as("n"))
+      }
+      // gram explode -> md5 (the substringOverlap shape)
+      def gramHash(outer: Boolean) = {
+        val n = 10
+        val base = docs.select($"doc_id", split($"text", " ").as("w"))
+          .filter(size($"w") >= n)
+        val ex = expr(s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))")
+        val g = if (outer) posexplode_outer(ex) else posexplode(ex)
+        base.select($"doc_id", g)
+          .select($"doc_id", $"pos".as("idx"),
+            graft.functions.VectorExpressions.md5Half60($"col", upperHalf = false).as("h"))
+      }
+      for (i <- 1 to 3) {
+        time(s"gen: words inner #$i")(wordAgg(false))
+        time(s"gen: words outer #$i")(wordAgg(true))
+        time(s"gen: grams inner #$i")(gramHash(false))
+        time(s"gen: grams outer #$i")(gramHash(true))
+      }
+    }
+
     if (which("kmeans")) {
       val emb = Tables.embeddings(spark, sfDir)
       val init = emb.filter($"vec_id" < 8)

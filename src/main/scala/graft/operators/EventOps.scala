@@ -260,28 +260,41 @@ object EventOps {
     // catalog-sized collect (SURVEY §1.1).
     "ev_decode_all" -> ((s, dir) => {
       import s.implicits._
-      val kk = k($"props")
-      val ragged = events(s, dir)
+      // kk is hoisted into a named column: inlined, the CASE evaluated
+      // get_json_object(props, '$.k') up to 7 times per row (the
+      // before-plan's Project carries the septuplicated chain)
+      def ragged(base: DataFrame): DataFrame = base
+        .withColumn("kk", k($"props"))
         .withColumn("props",
           when($"event_type" === "click", concat(
-            lit("{\"a\":"), kk.cast("string"),
-            lit(",\"b\":\"c"), (kk % 5).cast("string"), lit("\"}")))
+            lit("{\"a\":"), $"kk".cast("string"),
+            lit(",\"b\":\"c"), ($"kk" % 5).cast("string"), lit("\"}")))
           .when($"event_type" === "view", concat(
-            lit("{\"a\":"), kk.cast("string"),
-            lit(",\"c\":"), (kk * 2).cast("string"), lit("}")))
+            lit("{\"a\":"), $"kk".cast("string"),
+            lit(",\"c\":"), ($"kk" * 2).cast("string"), lit("}")))
           .when($"event_type" === "error", concat(
-            lit("{\"c\":"), (kk % 7).cast("string"), lit(",\"d\":\"err\"}")))
+            lit("{\"c\":"), ($"kk" % 7).cast("string"), lit(",\"d\":\"err\"}")))
           .when($"event_type" === "purchase", concat(
-            lit("{\"b\":\"buy\",\"d\":\"p"), (kk % 3).cast("string"), lit("\"}")))
+            lit("{\"b\":\"buy\",\"d\":\"p"), ($"kk" % 3).cast("string"), lit("\"}")))
           .otherwise(concat(
-            lit("{\"a\":"), kk.cast("string"), lit(",\"d\":\"s\"}"))))
-      val reg = graft.SchemaRegistry.build(ragged)
-      reg.decodeAll(ragged)
+            lit("{\"a\":"), $"kk".cast("string"), lit(",\"d\":\"s\"}"))))
+        .drop("kk")
+      // the registry builds from the FULL ragged log (schema freezing
+      // is a whole-log contract), but the per-row from_json decode only
+      // needs the LIMIT-100-style page the entry emits — take the
+      // top-1000 by the unique event_id FIRST, decode 1000 rows instead
+      // of the whole corpus (the reference decodes only what the grid
+      // shows, src/main.cpp:1157-1211). Identical rows: event_id is
+      // unique, so top-1000-then-decode = decode-then-top-1000.
+      val reg = graft.SchemaRegistry.build(ragged(events(s, dir)))
+      val top = ragged(events(s, dir)
+          .select($"event_id", $"event_type", $"props")
+          .orderBy($"event_id").limit(1000))
+      reg.decodeAll(top)
         .select($"event_id", $"event_type",
           $"props_struct.a".as("a"), $"props_struct.b".as("b"),
           $"props_struct.c".as("c"), $"props_struct.d".as("d"))
         .orderBy($"event_id")
-        .limit(1000)
     }),
 
     // §2.1 S1/S2 at layout level: hive-partition the event log by day
