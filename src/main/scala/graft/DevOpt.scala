@@ -184,6 +184,23 @@ object DevOpt {
       }
     }
 
+    if (which("ppjoin_sf1")) {
+      def variant(hint: Boolean) = {
+        val P = graft.api.GraftPipelines
+        val docs = Tables.documents(spark, sfDir)
+        val sets0 = P.ppjoinTokenSets(docs).localCheckpoint()
+        val sets = if (hint) sets0.hint("shuffle_hash") else sets0
+        val pref = P.ppjoinPrefix(P.ppjoinTokensOf(sets0), 1, 2)
+          .localCheckpoint()
+        P.ppjoinPairsFromIndex(sets, pref, 1, 2)
+          .orderBy($"a_id", $"b_id")
+      }
+      for (i <- 1 to 2) {
+        time(s"ppjoin verify bcast #$i")(variant(false))
+        time(s"ppjoin verify shuffle_hash #$i")(variant(true))
+      }
+    }
+
     if (which("basket")) {
       val li = Tables.lineitem(spark, sfDir)
       def current = {
