@@ -291,8 +291,14 @@ object GraftPipelines {
     *    engines while n·max|x|·2^28 < 2^53 (~10^7 rows per cluster per
     *    unit magnitude — far beyond any oracle SF; at 100 TB only the
     *    final double conversion can differ in the last ulp, and nothing
-    *    cross-checks there). Clusters that lose every member drop out
-    *    (both engines agree: no group row → no centroid).
+    *    cross-checks there). OUT of that contract the long partial
+    *    sums wrap silently to a plausible-looking wrong centroid
+    *    (two's-complement overflow — the pre-r14 decimal sums at least
+    *    surfaced overflow as an error); a deployment whose clusters
+    *    can exceed ~10^7 rows per unit magnitude must re-widen the
+    *    partial sums, not trust the fit. Clusters that lose every
+    *    member drop out (both engines agree: no group row →
+    *    no centroid).
     *
     * 100 TB shape: centroids are k rows — bounded by construction, so
     * the assignment crossJoin broadcasts them (map-side, no shuffle of
@@ -1270,6 +1276,12 @@ object GraftPipelines {
       text: String = "text"): DataFrame =
     docs.select(col(id),
       explode_outer(array_distinct(split(col(text), " "))).as("term"))
+      // a NULL text explodes (outer) to an (id, null) posting that
+      // would flow into invertedIndex/tf aggregates — drop it, exactly
+      // as the pre-sweep inner explode did. The filter references the
+      // generator OUTPUT, so it cannot be pushed below the Generate
+      // (no re-evaluated chain, the r14 pathology stays fixed).
+      .filter(col("term").isNotNull)
 
   /** [[invertedIndex]] from raw posting rows. The leading `distinct`
     * makes the read side idempotent under log replays: a foreachBatch
@@ -1512,6 +1524,7 @@ object GraftPipelines {
         (col("len_sum").cast("double") / col("n_docs").cast("double")).as("avgdl"))
       .coalesce(1).write.parquet(s"$outDir/stats.parquet")
     docs.select(col(id), explode_outer(split(col(text), " ")).as("term"))
+      .filter(col("term").isNotNull) // null-text guard (postingsOf note)
       .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
       .join(lens, Seq(id))
       .orderBy(col("term"))
@@ -2289,6 +2302,17 @@ object GraftPipelines {
     val bests = (1 to rounds).map { r =>
       val pairs = dict
         .withColumn("arr", split(col("seg"), " "))
+        // single-symbol segments (1-char words, fully-merged words in
+        // later rounds) have an EMPTY zip_with array: under
+        // explode_outer they would surface as a NULL pair row whose
+        // aggregated cnt competes in the orderBy below (nulls sort
+        // first on pcnt ties), silently corrupting the round's best
+        // merge on corpora where that mass wins. Dropping them before
+        // the explode restores the inner-explode semantics; `arr` is a
+        // plain split column, so the pushed-down size filter re-splits
+        // a short string, not a transform chain — no Generate-filter
+        // pathology.
+        .filter(size(col("arr")) >= 2)
         .select(explode_outer(expr(
           "zip_with(slice(arr, 1, size(arr)-1), slice(arr, 2, size(arr)-1)," +
           " (x, y) -> concat(x, ' ', y))")).as("pair"), col("cnt"))

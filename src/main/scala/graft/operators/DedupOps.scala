@@ -562,6 +562,9 @@ object DedupOps {
       .select($"doc_id", $"source", $"text")
       .repartition($"doc_id")
       .select($"doc_id", $"source", explode_outer(split($"text", " ")).as("word"))
+      // null-text guard (GraftPipelines.postingsOf note): the filter
+      // references the generator output, so it is not pushed below
+      .filter($"word".isNotNull)
       // LE low bytes of the digest's first half; mask to BE 32-bit word
       .withColumn("u",
         graft.functions.VectorExpressions.md5Half60($"word", upperHalf = true))

@@ -281,6 +281,12 @@ object MultimodalOps {
       // instead of a post-explode pos % 2 filter: half the exploded
       // rows never materialize (nothing downstream reads pos)
       val frames = Tables.documents(s, dir)
+        // empty docs are a considered input (mm_frame_sample guards the
+        // same way): n_frames = 0 would make the stride-2
+        // sequence(0, -1, 2) throw 'Illegal sequence boundaries' at
+        // runtime — an explicit positive step with start > stop is an
+        // error, unlike the step-less form the pre-stride shape used
+        .filter(length($"text") >= 1)
         .withColumn("n_frames",
           expr(s"cast(ceil(length(text) / $F.0) as int)"))
         .select($"doc_id", explode(expr(

@@ -514,6 +514,8 @@ object TextOps {
       val docs = Tables.documents(s, dir)
       val words = docs
         .select($"source", $"doc_id", explode_outer(split($"text", " ")).as("word"))
+        // null-text guard (GraftPipelines.postingsOf note)
+        .filter($"word".isNotNull)
       val tf = words.groupBy($"source", $"word").agg(count(lit(1)).as("tf"))
       val dfq = words.select($"word", $"doc_id").distinct()
         .groupBy($"word").agg(count(lit(1)).as("df"))
@@ -667,6 +669,8 @@ object TextOps {
       import s.implicits._
       val docs = Tables.documents(s, dir)
       val toks = docs.select(explode_outer(split($"text", " ")).as("wd"))
+        // null-text guard (GraftPipelines.postingsOf note)
+        .filter($"wd".isNotNull)
       val uni = toks.groupBy($"wd").agg(count(lit(1)).as("n_w"))
       val bi = docs
         .select(split($"text", " ").as("w"))
