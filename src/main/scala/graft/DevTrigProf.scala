@@ -42,7 +42,8 @@ object DevTrigProf {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .flatMap(p => Option(p.getProperty("spark.job.description"))
+            .orElse(Option(p.getProperty("callSite.short"))))
           .getOrElse("?")
         jobs.put(js.jobId, J(js.jobId, site, System.nanoTime()))
       }
@@ -69,6 +70,13 @@ object DevTrigProf {
       val sumJobs = done.map(j => (j.t1 - j.t0) / 1e9).sum
       println(f"[trigprof] $tag wall=$wall%.3f s, ${done.size} jobs, " +
         f"sum(job)=$sumJobs%.3f s (gap=${wall - sumJobs}%.3f)")
+      // per-phase rollup (jobs grouped by description), then the jobs
+      done.groupBy(_.site).toSeq
+        .map { case (s, js) => (s, js.size, js.map(j => (j.t1 - j.t0) / 1e9).sum) }
+        .sortBy(-_._3)
+        .foreach { case (s, n, t) =>
+          println(f"[trigprof]   phase $t%7.3f s  $n%3d jobs  $s")
+        }
       done.foreach { j =>
         println(f"[trigprof]   job ${j.id}%4d ${(j.t1 - j.t0) / 1e9}%7.3f s  ${j.site}")
       }

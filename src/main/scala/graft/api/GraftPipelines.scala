@@ -20,6 +20,37 @@ import graft.functions.VectorExpressions
   */
 object GraftPipelines {
 
+  /** Label every job the expression tree's ACTIONS schedule while `f`
+    * runs (guide: "label your jobs") — nesting-safe: the previous
+    * description is restored, so an inner phase label does not erase
+    * its caller's. Thread-local, pure observability, no plan change.
+    */
+  private[graft] def labeled[T](spark: SparkSession, desc: String)
+      (f: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try f finally sc.setJobDescription(prev)
+  }
+
+  /** Project `df` to exactly `cols` and materialize it — UNLESS it is
+    * already a materialized checkpoint (its logical plan is the
+    * LogicalRDD a localCheckpoint leaves), in which case the projection
+    * alone is returned: re-checkpointing an already-checkpointed frame
+    * copies every block and schedules a whole job for nothing. The
+    * chain algebra (extendChain/upsertChain) receives pre-checkpointed
+    * frames from the streaming loops on every trigger — the double
+    * checkpoints were a measured slice of the per-trigger job floor
+    * (DevTrigProf r15).
+    */
+  private[graft] def ckptOnce(df: DataFrame, cols: String*): DataFrame = {
+    val sel =
+      if (cols.isEmpty || df.columns.toSeq == cols) df
+      else df.select(cols.map(col): _*)
+    if (df.queryExecution.logical.getClass.getSimpleName == "LogicalRDD") sel
+    else sel.localCheckpoint()
+  }
+
   // ---------------- dedup ----------------
 
   /** Exact dedup groups: content digest → keeper id + copy count. */
@@ -2055,17 +2086,22 @@ object GraftPipelines {
     // re-run the full pipeline feeding this function — for the
     // standard nearDuplicates caller that is the whole LSH candidate +
     // verify chain, paid twice.
-    val p = pairs.select(col(d1), col(d2)).localCheckpoint()
+    val spark = pairs.sparkSession
+    val p = labeled(spark, "cc: input checkpoint") {
+      ckptOnce(pairs, d1, d2)
+    }
     // Self-pairs (d1 == d2) carry no connectivity but DO assert the doc
     // exists — the contract labels every doc appearing in any pair, so
     // they re-enter at label read-off below (the star ops would
     // otherwise drop them: large-star keeps only b > a edges).
     val selfNodes = p.filter(col(d1) === col(d2))
       .select(col(d1).as("node"), col(d1).as("label"))
-    var edges = p.filter(col(d1) =!= col(d2))
-      .select(col(d1).as("a"), col(d2).as("b")).distinct()
-      .localCheckpoint()
-    var edgeCount = edges.count()
+    var edges = labeled(spark, "cc: seed edges") {
+      p.filter(col(d1) =!= col(d2))
+        .select(col(d1).as("a"), col(d2).as("b")).distinct()
+        .localCheckpoint()
+    }
+    var edgeCount = labeled(spark, "cc: seed count")(edges.count())
     var rounds = 0
     var changed = 1L
     while (changed > 0) {
@@ -2075,14 +2111,20 @@ object GraftPipelines {
       // re-evaluates the inner subtree combinatorially — a fused
       // double-step was measured 2x SLOWER per converged run than
       // paying the extra checkpoint+count job (DevRounds, sf0.1)
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      val nextCount = next.count() // cached rows — cheap; carried forward
+      val next = labeled(spark, s"cc: round ${rounds + 1}") {
+        smallStar(largeStar(edges)).localCheckpoint()
+      }
+      val nextCount = labeled(spark, s"cc: round ${rounds + 1} count") {
+        next.count() // cached rows — cheap; carried forward
+      }
       rounds += 1
       // exact set equality vs the previous round, both sides cached:
       // same cardinality AND nothing outside the previous set
       changed =
         if (nextCount != edgeCount) 1L
-        else next.join(edges, Seq("a", "b"), "left_anti").count()
+        else labeled(spark, s"cc: round $rounds equality") {
+          next.join(edges, Seq("a", "b"), "left_anti").count()
+        }
       // edges is checkpointed, not cached — Dataset.unpersist would be
       // a no-op (no CacheManager entry); drop the superseded round's
       // blocks at the BlockManager so peak storage stays O(1) rounds

@@ -125,7 +125,8 @@ object DedupOps {
       labels0: DataFrame, del: DataFrame): (DataFrame, DataFrame) = {
     // labels feed three consumers (affected semi-join, untouched
     // anti-join, edge relabel join) — materialize once, pair-count-sized
-    val labels = labels0.localCheckpoint()
+    val labels = graft.api.GraftPipelines.labeled(s,
+      "retractChain: labels ckpt")(graft.api.GraftPipelines.ckptOnce(labels0))
     val d = del.select(col("del_id"))
     // the delete list is data-scaled (a provenance takedown can name
     // millions of docs) — no broadcast hint on any join against it;
@@ -172,10 +173,20 @@ object DedupOps {
     */
   private[graft] def extendChain(s: SparkSession, basePairs0: DataFrame,
       baseLabels0: DataFrame, newPairs0: DataFrame): DataFrame = {
-    val basePairs = basePairs0.select(col("d1"), col("d2"))
-      .localCheckpoint() // consumed twice: affected-edge cut + pass-through complement
-    val baseLabels = baseLabels0.localCheckpoint()
-    val newPairs = newPairs0.select(col("d1"), col("d2")).localCheckpoint()
+    val P = graft.api.GraftPipelines
+    // consumed twice each (affected-edge cut + pass-through
+    // complement) — materialized once, but NOT re-checkpointed when
+    // the caller already did (ckptOnce: the loops pass checkpointed
+    // frames every trigger)
+    val basePairs = P.labeled(s, "extendChain: base pairs ckpt") {
+      P.ckptOnce(basePairs0, "d1", "d2")
+    }
+    val baseLabels = P.labeled(s, "extendChain: base labels ckpt") {
+      P.ckptOnce(baseLabels0)
+    }
+    val newPairs = P.labeled(s, "extendChain: new pairs ckpt") {
+      P.ckptOnce(newPairs0, "d1", "d2")
+    }
     // components any new pair touches: either endpoint's OLD label
     // (batch-only endpoints have no base label and contribute nothing
     // here — their pairs still relabel below)
@@ -216,8 +227,15 @@ object DedupOps {
       baseLabels: DataFrame, del: DataFrame,
       newPairs: DataFrame): (DataFrame, DataFrame) = {
     val (keptPairs, midLabels) = retractChain(s, basePairs, baseLabels, del)
-    val kept = keptPairs.localCheckpoint() // feeds extend AND the union
-    val np = newPairs.select(col("d1"), col("d2")).localCheckpoint()
+    val kept = graft.api.GraftPipelines
+      .labeled(s, "upsertChain: kept pairs ckpt") {
+        // feeds extend AND the union
+        graft.api.GraftPipelines.ckptOnce(keptPairs)
+      }
+    val np = graft.api.GraftPipelines
+      .labeled(s, "upsertChain: new pairs ckpt") {
+        graft.api.GraftPipelines.ckptOnce(newPairs, "d1", "d2")
+      }
     (kept.union(np).distinct(),
       extendChain(s, kept, midLabels, np))
   }
