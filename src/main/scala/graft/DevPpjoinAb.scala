@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Probe: A/B of the PPJoin candidate prune — the old per-row
+/** Probe: A/B of the PPJoin candidate prune (both arms on the
+  * round-15 hash token key `h`; DevHashAb is the hash-vs-string duel) — the old per-row
   * positional filter + distinct vs the round-11 aggregate
   * (PPJoin+-strength) prune now in GraftPipelines — measuring (1)
   * candidate-pair count entering verify and (2) end-to-end wall of the
@@ -18,7 +19,7 @@ object DevPpjoinAb {
   // the pre-round-11 candidate stages, verbatim
   private def oldPpjoinCand(pref: DataFrame, num: Int, den: Int): DataFrame =
     pref.as("a").join(pref.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           col("a.sz") * num <= col("b.sz") * den &&
           col("b.sz") * num <= col("a.sz") * den &&
           expr("least(a.sz - a.rn, b.sz - b.rn) + 1 >= " +
@@ -29,7 +30,7 @@ object DevPpjoinAb {
   private def oldContainCand(pref: DataFrame, ranked: DataFrame,
       num: Int, den: Int): DataFrame =
     pref.as("a").join(ranked.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id") &&
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id") &&
           col("b.sz") * den >= col("a.sz") * num &&
           expr("least(a.sz - a.rn, b.sz - b.rn) + 1 >= " +
             s"($num * a.sz + $den - 1) div $den"))

@@ -2551,20 +2551,53 @@ object GraftPipelines {
     ppjoinRanked(toks, id).filter(prefixCond(num, den))
   }
 
-  /** The df-ordered ranked token table `(id, s, rn, sz)` — tokens of
-    * each doc ranked rarest-first in the GLOBAL (df, s) order — that
-    * both the Jaccard prefix ([[ppjoinPrefix]]) and the containment
-    * join ([[containmentPairs]], which also needs the container side's
-    * unfiltered ranks for its positional prune) derive from.
+  /** The df-ordered ranked token table `(id, h, rn, sz)` — tokens of
+    * each doc ranked rarest-first in the GLOBAL (df, h, s) order —
+    * that both the Jaccard prefix ([[ppjoinPrefix]]) and the
+    * containment join ([[containmentPairs]], which also needs the
+    * container side's unfiltered ranks for its positional prune)
+    * derive from.
+    *
+    * `h = xxhash64(s)` is the TOKEN KEY from here on (round 15): the
+    * dfreq aggregate, the dfreq join, and — the big one — the
+    * candidate self-joins all exchange an 8-byte long instead of the
+    * ~25-byte 3-word shingle string, and the persisted prefix/slice
+    * fixtures shrink the same way. Soundness:
+    *
+    *  - the RANK order (df, h, s) is still a total order on shingle
+    *    STRINGS (df and h are functions of s; s breaks ties), so the
+    *    prefix pigeonhole holds verbatim — which tokens enter each
+    *    prefix is deterministic and order-valid;
+    *  - the candidate join on `h` matches a SUPERSET of the string
+    *    join (equal strings ⇒ equal hashes); extra pairs from a
+    *    64-bit collision are removed by the exact array_intersect
+    *    verify, so the OUTPUT is unchanged;
+    *  - the aggregate positional prune takes (i*, j*) from ONE row via
+    *    max(struct(rn_a, rn_b)) — for genuine (string-equal)
+    *    collisions that row is the last common token in the shared
+    *    order, exactly the pre-hash semantics. The only event that
+    *    could perturb the prune is two DISTINCT shingles with equal
+    *    xxhash64 co-occurring inside one candidate pair AND attaining
+    *    the struct max (expected colliding shingle pairs ≈ D²/2^65 —
+    *    ~3·10⁻⁷ at sf1's D≈2.5M distinct shingles; a deployment at
+    *    D≈10¹² that cannot accept it re-widens the key to (h, s)).
+    *
+    * The string rides only the id-partitioned window exchange (as the
+    * rank tiebreak) and is dropped from the output; the verify side
+    * reads shingle strings from the per-doc SET table, never from
+    * ranked rows.
     */
   def ppjoinRanked(toks: DataFrame, id: String = "doc_id"): DataFrame = {
-    val dfreq = toks.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ht = toks.select(col(id), col("s"), xxhash64(col("s")).as("h"),
+      col("sz"))
+    val dfreq = ht.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col(id))
     // sz rides in from the token-set projection (size(sarr), map-side)
     // — the old per-doc count(*) window pass is gone
-    toks.join(dfreq, "s")
-      .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("s"))))
-      .select(col(id), col("s"), col("rn"), col("sz"))
+    ht.join(dfreq, "h")
+      .withColumn("rn",
+        row_number().over(wDoc.orderBy(col("df"), col("h"), col("s"))))
+      .select(col(id), col("h"), col("rn"), col("sz"))
   }
 
   /** Prefix length = sz − ceil(θ·sz) + 1: the ONE pigeonhole bound both
@@ -2642,14 +2675,20 @@ object GraftPipelines {
   def ppjoinCandidates(pref: DataFrame, num: Int, den: Int,
       id: String = "doc_id"): DataFrame =
     pref.as("a").join(pref.as("b"),
-        col("a.s") === col("b.s") && col(s"a.$id") < col(s"b.$id") &&
+        col("a.h") === col("b.h") && col(s"a.$id") < col(s"b.$id") &&
           col("a.sz") * num <= col("b.sz") * den &&
           col("b.sz") * num <= col("a.sz") * den)
       .groupBy(col(s"a.$id").as("a_id"), col(s"b.$id").as("b_id"),
         col("a.sz").as("na"), col("b.sz").as("nb"))
+      // (i*, j*) off ONE row (the lexicographic max of (rn_a, rn_b)):
+      // genuine collisions are co-monotone under the shared global
+      // order, so this row IS the last common token — identical to the
+      // separate maxes pre-hash, and the co-monotone form confines any
+      // 64-bit-collision perturbation to the colliding row itself
+      // (soundness note at [[ppjoinRanked]])
       .agg(count(lit(1)).as("p_common"),
-        max(col("a.rn")).as("i_last"), max(col("b.rn")).as("j_last"))
-      .filter(expr("p_common + least(na - i_last, nb - j_last) >= " +
+        max(struct(col("a.rn").as("i"), col("b.rn").as("j"))).as("lastc"))
+      .filter(expr("p_common + least(na - lastc.i, nb - lastc.j) >= " +
         s"($num * (na + nb) + ${num + den} - 1) div ${num + den}"))
       .select(col("a_id"), col("b_id"), col("na"), col("nb"))
 
@@ -2712,13 +2751,14 @@ object GraftPipelines {
   def containmentCandidates(pref: DataFrame, ranked: DataFrame,
       num: Int, den: Int, id: String = "doc_id"): DataFrame =
     pref.as("a").join(ranked.as("b"),
-        col("a.s") === col("b.s") && col(s"a.$id") =!= col(s"b.$id") &&
+        col("a.h") === col("b.h") && col(s"a.$id") =!= col(s"b.$id") &&
           col("b.sz") * den >= col("a.sz") * num)
       .groupBy(col(s"a.$id").as("a_id"), col(s"b.$id").as("b_id"),
         col("a.sz").as("na"), col("b.sz").as("nb"))
+      // co-monotone (i*, j*) — the ppjoinCandidates rationale
       .agg(count(lit(1)).as("p_common"),
-        max(col("a.rn")).as("i_last"), max(col("b.rn")).as("j_last"))
-      .filter(expr("p_common + least(na - i_last, nb - j_last) >= " +
+        max(struct(col("a.rn").as("i"), col("b.rn").as("j"))).as("lastc"))
+      .filter(expr("p_common + least(na - lastc.i, nb - lastc.j) >= " +
         s"($num * na + $den - 1) div $den"))
       .select(col("a_id"), col("b_id"), col("na"), col("nb"))
 
@@ -2744,8 +2784,8 @@ object GraftPipelines {
   def containmentContainerSlice(ranked: DataFrame, num: Int, den: Int,
       id: String = "doc_id"): DataFrame =
     ranked.join(
-      ranked.filter(prefixCond(num, den)).select(col("s")).distinct(),
-      Seq("s"), "left_semi")
+      ranked.filter(prefixCond(num, den)).select(col("h")).distinct(),
+      Seq("h"), "left_semi")
 
   /** Max-min fair (water-filling) allocation of a global budget across
     * strata: caps large strata at the unique integer level c where

@@ -378,9 +378,11 @@ object DedupOps {
     // SETS (id, sz, sarr) — the verify step consumes the arrays as-is
     // instead of re-aggregating token rows per query, and the prefix
     // build reads sz off the row instead of a count window (see
-    // GraftPipelines.ppjoinTokenSets). New params key = new fixture;
-    // the old exploded-format index is simply superseded.
-    val idx = buildIndexOnce(dir, "ppjoin", "num=1,den=2,w=3,fmt=sets") {
+    // GraftPipelines.ppjoinTokenSets). h64 (round 15): the prefix
+    // table's token key is the 8-byte xxhash64 instead of the shingle
+    // string (GraftPipelines.ppjoinRanked) — schema change, so a new
+    // params key; the old fixture is simply superseded.
+    val idx = buildIndexOnce(dir, "ppjoin", "num=1,den=2,w=3,fmt=sets-h64") {
       tmp =>
       graft.api.GraftPipelines
         .ppjoinTokenSets(Tables.documents(s, dir))
@@ -419,7 +421,7 @@ object DedupOps {
   private def containmentIndexServed(s: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     val idx = buildIndexOnce(dir, "containment_sliced",
-        "num=4,den=5,w=3,fmt=sets") { tmp =>
+        "num=4,den=5,w=3,fmt=sets-h64") { tmp =>
       graft.api.GraftPipelines
         .ppjoinTokenSets(Tables.documents(s, dir))
         .write.parquet(s"$tmp/toksets.parquet")
