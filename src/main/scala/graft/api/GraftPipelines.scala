@@ -703,7 +703,19 @@ object GraftPipelines {
         (col(s"s$d").cast("double") / col("n") / lit(scale)).cast("float")): _*)
         .as("c"))
     }
-    val fitted = (1 to iters).foldLeft(init)((c, _) => update(assign(c)))
+    // Each round's k-row centroid table is materialized
+    // (localCheckpoint — identical float values, k rows): the composed
+    // lazy fold nests round r's whole subtree inside round r+1's
+    // broadcast, so the final plan re-planned/compiled per AQE stage
+    // grows with the round count — measured steady-state 1.8-2.0 s for
+    // KM_ITERS=2 over 2000 sf0.1 vectors, pure plan overhead (the
+    // arithmetic is milliseconds). Flat per-round plans keep
+    // planning + codegen O(1) per round; the per-round job the
+    // checkpoint adds replaces the broadcast-subquery job the nesting
+    // ran anyway. At scale nothing changes: every round already
+    // materialized its k rows as a broadcast.
+    val fitted = (1 to iters).foldLeft(init)((c, _) =>
+      update(assign(c)).localCheckpoint())
     (fitted, assign(fitted).select(col(id), col("cluster"), col("ccos")))
   }
 

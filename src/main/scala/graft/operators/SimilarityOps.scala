@@ -1053,10 +1053,17 @@ object SimilarityOps {
           sum((element_at($"qv", i) * $"s").cast("decimal(38,0)")).as(s"w$i"))
         val w = q.crossJoin(broadcast(v)).withColumn("s", dotS)
           .agg(wAggs.head, wAggs.tail: _*)
+        // materialize the 1-row v per round (identical integers): the
+        // lazy fold nests each round's corpus scan + 64-decimal agg
+        // inside the next round's broadcast, so plan size — and with
+        // it AQE re-planning and codegen lookups per stage — grew per
+        // round (steady-state 2.9-3.2 s at sf0.1, arithmetic is
+        // milliseconds; the lloydFrom note has the same analysis)
         v = w
           .withColumn("wmax", greatest((1 to DIM).map(i => abs(col(s"w$i"))): _*))
           .select((1 to DIM).map(i =>
             expr(s"(w$i * $PCA_VSCALE) div wmax").as(s"v$i")): _*)
+          .localCheckpoint()
       }
       v.selectExpr(s"stack($DIM, " +
           (1 to DIM).map(i => s"$i, v$i").mkString(", ") +
