@@ -502,18 +502,26 @@ object DedupOps {
     import s.implicits._
     def block(i: Int): Column =
       shiftright($"simhash", 8 * i).bitwiseAND(lit(255L))
+    // Bucket key as ONE long, (block index << 8) | block value —
+    // injective over (bi ∈ 0..3, bv ∈ 0..255), so the join matches
+    // exactly the pairs the old struct(bi, bv) key did while the
+    // exchanges and the join hash a single 8-byte column instead of a
+    // 2-field struct (round 15; the r14 'not yet' list named it).
+    // explode_outer: the array of 4/36 literals is never null/empty,
+    // and plain explode would plant the pushed-down implicit filter
+    // that re-evaluates the array chain (the r14 Generate pathology).
     // Exact side: one row per (doc, block). Probe side: 9 rows per
     // (doc, block) — the block value and its 8 one-bit flips.
     val exact = sh.select($"doc_id", $"source", $"simhash",
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("bi"), block(i).as("bv"))): _*)).as("b"))
+      explode_outer(array((0 until 4).map(i =>
+        (lit((i.toLong) << 8) + block(i)).as("b")): _*)).as("b"))
     val probes = sh.select($"doc_id", $"source", $"simhash",
-      explode(array((for {
+      explode_outer(array((for {
         i <- 0 until 4
         j <- -1 until 8
-      } yield struct(lit(i).as("bi"),
+      } yield lit((i.toLong) << 8) +
         (if (j < 0) block(i)
-         else block(i).bitwiseXOR(lit(1L << j))).as("bv"))): _*)).as("b"))
+         else block(i).bitwiseXOR(lit(1L << j)))): _*)).as("b"))
     exact.as("l").join(probes.as("r"),
         col("l.source") === col("r.source") &&
         col("l.b") === col("r.b") &&
@@ -541,14 +549,17 @@ object DedupOps {
         yield (1L << a) | (1L << b)) ++
       (for { a <- 0 until 16; b <- a + 1 until 16; c <- b + 1 until 16 }
         yield (1L << a) | (1L << b) | (1L << c))).toDF("mask")
+    // single-long bucket key (bi << 16 | bv) + explode_outer — the
+    // simhashPairsEntry rationale; the probe side XORs the mask into
+    // the LOW 16 bits only (mask < 2^16), so the block index rides
+    // untouched in the high bits
     val blocked = sh.select($"doc_id", $"source", $"simhash",
-      explode(array((0 until 2).map(i =>
-        struct(lit(i).as("bi"), block(i).as("bv"))): _*)).as("b"))
+      explode_outer(array((0 until 2).map(i =>
+        (lit((i.toLong) << 16) + block(i)).as("b")): _*)).as("b"))
     val probes = blocked
       .crossJoin(broadcast(masks))
       .select($"doc_id", $"source", $"simhash",
-        struct($"b.bi".as("bi"),
-          $"b.bv".bitwiseXOR($"mask").as("bv")).as("b"))
+        $"b".bitwiseXOR($"mask").as("b"))
     blocked.as("l").join(probes.as("r"),
         col("l.source") === col("r.source") &&
         col("l.b") === col("r.b") &&
