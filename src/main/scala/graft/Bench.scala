@@ -189,6 +189,17 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // codegen compile cache sized for THIS engine's workload: one
+      // long-lived session serving ~270 analysis shapes generates far
+      // more than the 100 codegen units the default cache holds, so
+      // every pass over the surface recompiled nearly every query
+      // (pure driver CPU, identical on a real cluster — the cache is
+      // driver-side and keyed by generated source, it never caches
+      // data). Measured on a 60-query subset, alternating in one
+      // window: 36.9/38.6 s at 100 entries vs 28.9/30.0 s at 2000
+      // (controls 0.85-1.00 throughout) — round-15 A/B, see
+      // OPTIMIZATION_r15.md.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       // shuffle/block scratch under the workdir, NOT /tmp: the host's
       // tmp reaper deleted a long run's blockmgr dir mid-flight

@@ -15,6 +15,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // compile cache sized for the 270-shape surface (Bench note)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       // scratch under the workdir — the host tmp reaper kills /tmp
       // blockmgr dirs of long runs (see Bench)

@@ -2371,6 +2371,11 @@ object GraftPipelines {
           "zip_with(slice(arr, 1, size(arr)-1), slice(arr, 2, size(arr)-1)," +
           " (x, y) -> concat(x, ' ', y))")).as("pair"), col("cnt"))
         .groupBy(col("pair")).agg(sum(col("cnt")).as("pcnt"))
+      // NOT round-checkpointed (unlike lloydFrom): A/B'd in round 15 —
+      // per-round localCheckpoints of best/dict read flat-to-worse at
+      // sf0.1 (vocab 0.99->0.94 but apply 1.23->1.38, fertility
+      // 1.30->1.38); the dictionary is small enough that exchange
+      // reuse already serves the nested fold.
       val best = pairs.orderBy(col("pcnt").desc, col("pair").asc).limit(1)
         .select(lit(r).as("round"),
           split(col("pair"), " ")(0).as("sym_a"),
